@@ -1,0 +1,268 @@
+"""Parquet-backed managed tables with Delta-like DML semantics.
+
+The reference stores everything in Databricks Delta tables and mutates
+them with SQL-text ``MERGE``/``UPDATE``/``DELETE``
+(``modules/insert_config.py``, ``modules/log_table_control_table_upsert.py``).
+This container has no Delta/Iceberg jars, so we provide the same
+*semantics* over plain parquet:
+
+- **append** — Spark parquet append into the current version directory
+  (no rewrite; the 100 TB fast path).
+- **overwrite / update / delete / merge** — copy-on-write: compute the
+  new table image, write it to a fresh version directory, atomically
+  swap a ``_current`` pointer file (``os.replace``). Readers resolve the
+  pointer first, so they never see a half-written version.
+
+The API is deliberately shaped like ``delta.tables.DeltaTable``
+(``merge(...).whenMatchedUpdate()...`` collapsed into keyword args) so a
+Delta implementation can be swapped in unchanged on a real cluster —
+that is the production path; this class is the dependency-free fallback
+and the unit-test substrate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import TableNotFoundError
+
+_META = "_meta.json"
+_CURRENT = "_current"
+
+
+def _col(expr: Column | str) -> Column:
+    return expr if isinstance(expr, Column) else F.expr(expr)
+
+
+class ManagedTable:
+    """One parquet-backed table under ``root`` with versioned snapshots."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- version plumbing ---------------------------------------------------
+
+    def _pointer(self) -> str:
+        return os.path.join(self.root, _CURRENT)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._pointer())
+
+    def _current_version(self) -> str:
+        try:
+            with open(self._pointer()) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            raise TableNotFoundError(self.root)
+
+    def data_dir(self) -> str:
+        return os.path.join(self.root, self._current_version())
+
+    def _new_version_dir(self) -> tuple[str, str]:
+        v = f"v-{uuid.uuid4().hex[:12]}"
+        return v, os.path.join(self.root, v)
+
+    def _swap(self, version: str, schema: T.StructType) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        self._write_meta(schema)
+        tmp = self._pointer() + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer())  # atomic on POSIX
+
+    def _write_meta(self, schema: T.StructType) -> None:
+        tmp = os.path.join(self.root, _META + f".tmp-{uuid.uuid4().hex[:6]}")
+        with open(tmp, "w") as f:
+            json.dump({"schema": schema.jsonValue()}, f)
+        os.replace(tmp, os.path.join(self.root, _META))
+
+    def schema(self) -> T.StructType:
+        with open(os.path.join(self.root, _META)) as f:
+            return T.StructType.fromJson(json.load(f)["schema"])
+
+    def vacuum(self, keep_current: bool = True) -> int:
+        """Drop non-current version directories (Delta VACUUM analogue)."""
+        if not self.exists():
+            return 0
+        current = self._current_version()
+        n = 0
+        for d in os.listdir(self.root):
+            if d.startswith("v-") and (d != current or not keep_current):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                n += 1
+        return n
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        # Explicit stored schema: files written before a schema evolution
+        # lack the new columns; the parquet reader fills them with NULL.
+        return self.spark.read.schema(self.schema()).parquet(self.data_dir())
+
+    def count(self) -> int:
+        return self.read().count()
+
+    # -- writes -------------------------------------------------------------
+
+    def create(self, schema: T.StructType, overwrite: bool = False) -> "ManagedTable":
+        if self.exists() and not overwrite:
+            return self
+        v, path = self._new_version_dir()
+        self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+        self._swap(v, schema)
+        return self
+
+    def _merged_schema(self, incoming: T.StructType) -> T.StructType:
+        """Union of stored + incoming columns (mergeSchema semantics)."""
+        if not self.exists():
+            return incoming
+        stored = self.schema()
+        names = {f.name for f in stored.fields}
+        fields = list(stored.fields) + [f for f in incoming.fields if f.name not in names]
+        return T.StructType(fields)
+
+    def append(self, df: DataFrame, merge_schema: bool = True) -> None:
+        """Parquet append into the current version dir — no rewrite.
+
+        With ``merge_schema`` new columns are admitted (older files read
+        back as NULL for them), matching Delta ``mergeSchema``; without,
+        the frame is conformed to the stored schema.
+        """
+        if not self.exists():
+            self.create(df.schema)
+            target = self.data_dir()
+            df.write.mode("overwrite").parquet(target)
+            return
+        schema = self._merged_schema(df.schema) if merge_schema else self.schema()
+        out = df.select(
+            *[
+                F.col(f.name).cast(f.dataType) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        out.write.mode("append").parquet(self.data_dir())
+        if merge_schema:
+            self._write_meta(schema)
+
+    def overwrite(self, df: DataFrame) -> None:
+        v, path = self._new_version_dir()
+        df.write.mode("overwrite").parquet(path)
+        self._swap(v, df.schema)
+
+    def truncate(self) -> None:
+        self.overwrite(self.spark.createDataFrame([], self.schema()))
+
+    # -- DML (copy-on-write; Delta swaps in transparently on a cluster) -----
+
+    def delete(self, condition: Column | str) -> None:
+        self.overwrite(self.read().filter(~_col(condition)))
+
+    def update(self, condition: Column | str, set: Mapping[str, Column | str]) -> None:
+        cond = _col(condition)
+        df = self.read()
+        cols = [
+            F.when(cond, _col(set[c])).otherwise(F.col(c)).alias(c) if c in set else F.col(c)
+            for c in df.columns
+        ]
+        self.overwrite(df.select(*cols))
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: Mapping[str, Column | str] | str | None = None,
+        when_not_matched_insert: bool = True,
+        when_not_matched_by_source_update: Mapping[str, Column | str] | None = None,
+        matched_condition: Column | str | None = None,
+    ) -> None:
+        """Delta-style MERGE on equality keys ``on``.
+
+        Emulated as one full-outer join + per-column CASE — a single
+        shuffle on the merge keys, the same physical shape Delta's own
+        merge produces. Covers the reference's five merge variants
+        (``modules/insert_config.py:146-468``) including the
+        ``WHEN NOT MATCHED BY SOURCE THEN UPDATE`` soft-delete.
+
+        ``when_matched_update``: dict of target column -> expr over the
+        joined frame (source cols as ``src.<c>``), or "all" to take every
+        source column.
+        """
+        target = self.read()
+        tcols = target.columns
+        # Presence sentinels survive the full-outer join where key columns
+        # are coalesced; aliases applied last so tgt.c / src.c resolve.
+        t2 = target.withColumn("_tgt_flag", F.lit(1)).alias("tgt")
+        s2 = source.withColumn("_src_flag", F.lit(1)).alias("src")
+        joined = t2.join(s2, on, "full_outer")
+        tgt_present = F.col("_tgt_flag").isNotNull()
+        src_present = F.col("_src_flag").isNotNull()
+
+        if when_matched_update == "all":
+            when_matched_update = {c: F.col(f"src.{c}") for c in source.columns if c not in on}
+        matched = tgt_present & src_present
+        if matched_condition is not None:
+            matched = matched & _col(matched_condition)
+
+        out_cols = []
+        for c in tcols:
+            in_src = c in source.columns
+            tgt_c = F.col(c) if c in on else F.col(f"tgt.{c}")
+            src_c = (F.col(c) if c in on else F.col(f"src.{c}")) if in_src else F.lit(None)
+            expr = tgt_c
+            if when_matched_update and c in when_matched_update:
+                expr = F.when(matched, _col(when_matched_update[c])).otherwise(expr)
+            if when_not_matched_by_source_update and c in when_not_matched_by_source_update:
+                expr = F.when(
+                    tgt_present & ~src_present, _col(when_not_matched_by_source_update[c])
+                ).otherwise(expr)
+            if when_not_matched_insert and in_src:
+                expr = F.when(~tgt_present & src_present, src_c).otherwise(expr)
+            out_cols.append(expr.alias(c))
+
+        result = joined.select(*out_cols)
+        if not when_not_matched_insert:
+            result = joined.filter(tgt_present).select(*out_cols)
+        self.overwrite(result)
+
+    def optimize(self, target_partitions: int | None = None) -> None:
+        """Compact small files (Delta OPTIMIZE analogue): rewrite the
+        current image into ``target_partitions`` files."""
+        df = self.read()
+        n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
+        self.overwrite(df.coalesce(n))
+
+
+class TableCatalog:
+    """Filesystem-rooted namespace of :class:`ManagedTable`s.
+
+    ``schema.table`` names map to nested directories — the analogue of
+    the reference's ``CREATE SCHEMA``/``USE`` registry
+    (``schema/schemas/1_schemas.py:40-42`` + ``config/schemas_tables.json``).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def create_schema(self, name: str) -> None:
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+
+    def table(self, name: str) -> ManagedTable:
+        rel = os.path.join(*name.split("."))
+        return ManagedTable(self.spark, os.path.join(self.root, rel))
+
+    def table_exists(self, name: str) -> bool:
+        return self.table(name).exists()
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(os.path.join(self.root, *name.split(".")), ignore_errors=True)

@@ -1,0 +1,95 @@
+"""Scalar/array function helpers — all JVM-side ``pyspark.sql.functions``
+compositions (no Python UDFs in any hot path).
+
+Vector math uses ``F.zip_with`` + ``F.aggregate`` so the whole expression
+stays inside whole-stage codegen; at 100 TB this is the difference between
+an Arrow round-trip per batch and a pure columnar plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Vector math over array<float>/array<double> columns
+# ---------------------------------------------------------------------------
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, computed JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def vec_norm(a: Column) -> Column:
+    """L2 norm of an array column."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns; NULL-safe on zero norms."""
+    denom = vec_norm(a) * vec_norm(b)
+    return F.when(denom > 0, vec_dot(a, b) / denom)
+
+
+# ---------------------------------------------------------------------------
+# Text helpers (whitespace tokenization; used by operators.text / dedup)
+# ---------------------------------------------------------------------------
+
+DEFAULT_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of a text column (empty strings removed)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-gram (shingle) array of a text column, distinct."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram array (space-joined shingles), distinct."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (treated as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))

@@ -1,0 +1,173 @@
+"""The ingestion pipeline — reference EP1 re-expressed as a library.
+
+Stages (SURVEY §3/EP1): prepare (table create + idempotent re-run
+delete) → read (batch or stream) → drift detect → corrupt gate →
+project/rename/audit → PII fork → write → log + control updates →
+reconcile. Bounded streaming runs drain with ``Trigger.AvailableNow``
+instead of the reference's poll-the-control-table-then-stop loop
+(``modules/auto_loader_steps.py:500-528``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.system import OpsLog, SystemTables
+from ..catalog.table import ManagedTable, TableCatalog
+from ..sources.batch import RESCUED, read_batch, with_file_metadata
+from ..sources.stream import read_stream
+from ..specs import IngestionSpec
+from .audit import project_rename_audit
+from .drift import detect_new_columns, evolve_spec
+from .masking import mask_columns
+from .quarantine import quarantine_batch
+
+
+@dataclass
+class IngestResult:
+    header_id: int
+    batch_id: int
+    rows_loaded: int
+    n_corrupt: int
+    table_name: str
+
+
+class IngestionPipeline:
+    def __init__(self, catalog: TableCatalog, tables: SystemTables | None = None):
+        self.catalog = catalog
+        self.spark: SparkSession = catalog.spark
+        self.tables = tables or SystemTables(catalog).create_all()
+        self.log = OpsLog(self.tables)
+
+    # -- stage 2: table preparation (EP1 step 2) ---------------------------
+
+    def prepare(self, spec: IngestionSpec, idempotent_rerun: bool = False) -> ManagedTable:
+        schema_name = spec.table_name.split(".")[0] if "." in spec.table_name else None
+        if schema_name:
+            self.catalog.create_schema(schema_name)
+        target = self.catalog.table(spec.table_name)
+        if not target.exists():
+            target.create(spec.target_schema())
+        elif idempotent_rerun and not spec.overwrite:
+            # reference: DELETE WHERE InsertDate=CURRENT_DATE() on bounded
+            # re-runs (notebooks/Data Ingestion Helper.py:139-142)
+            target.delete(F.col("InsertDate") == F.current_date())
+        return target
+
+    # -- per-batch core (shared by batch + foreachBatch) -------------------
+
+    def _next_batch_id(self, spec: IngestionSpec) -> int:
+        row = (
+            self.tables.control.read()
+            .filter(F.col("HeaderID") == spec.header_id)
+            .select(F.coalesce(F.max("LatestBatchID"), F.lit(0)).alias("b"))
+            .first()
+        )
+        return int(row.b or 0) + 1
+
+    def process_batch(
+        self,
+        batch_df: DataFrame,
+        spec: IngestionSpec,
+        target: ManagedTable,
+        batch_id: int,
+    ) -> IngestResult:
+        batch_df = batch_df.persist()
+        try:
+            # schema drift: one set-difference, spec evolves, mergeSchema write
+            new_cols = detect_new_columns(batch_df, spec)
+            if new_cols:
+                spec = evolve_spec(spec, new_cols)
+                self.log.write(spec.header_id, "SCHEMA_DRIFT",
+                               f"new columns: {','.join(new_cols)}", 1, batch_id)
+
+            # corrupt gate → quarantine + structured failure
+            n_corrupt = 0
+            if spec.corrupt_location:
+                try:
+                    n_corrupt = quarantine_batch(
+                        batch_df, spec.corrupt_location, spec.error_location
+                    )
+                except Exception:
+                    self.log.write(spec.header_id, "ERROR", "Bad records", 3, batch_id)
+                    raise
+
+            out = project_rename_audit(batch_df, spec, batch_id)
+
+            # PII fork: masked copy to the PII table, clear data to the main
+            # table (reference polarity, modules/auto_loader_steps.py:345-371)
+            pii_cols = spec.pii_columns()
+            if pii_cols and spec.pii_table_name:
+                masked = mask_columns(out, pii_cols, spec.mask_strategy)
+                pii_target = self.catalog.table(spec.pii_table_name)
+                if spec.overwrite:
+                    pii_target.overwrite(masked)
+                else:
+                    pii_target.append(masked)
+
+            if spec.overwrite:
+                target.overwrite(out)
+            else:
+                target.append(out)
+
+            rows = out.count()
+            self.log.write(spec.header_id, "ROW_COUNT", str(rows), 1, batch_id)
+            return IngestResult(spec.header_id, batch_id, rows, n_corrupt, spec.table_name)
+        finally:
+            batch_df.unpersist()
+
+    # -- batch entry point --------------------------------------------------
+
+    def run_batch(self, spec: IngestionSpec, idempotent_rerun: bool = False) -> IngestResult:
+        target = self.prepare(spec, idempotent_rerun)
+        batch_id = self._next_batch_id(spec)
+        self.log.write(spec.header_id, "START", f"batch ingest {spec.source_name}", 1, batch_id)
+        df = read_batch(self.spark, spec)
+        if spec.file_format in ("csv", "json"):
+            df = with_file_metadata(df)
+        try:
+            result = self.process_batch(df, spec, target, batch_id)
+        except Exception:
+            self.log.write(spec.header_id, "END", "failed", 3, batch_id)
+            raise
+        self.log.write(spec.header_id, "END", "succeeded", 2, batch_id)
+        return result
+
+    # -- streaming entry point ---------------------------------------------
+
+    def run_stream(
+        self,
+        spec: IngestionSpec,
+        bounded: bool = True,
+        processing_time: str = "0.5 seconds",
+        timeout_s: int | None = None,
+    ):
+        """Streaming ingest via ``foreachBatch``.
+
+        ``bounded=True`` → ``Trigger.AvailableNow``: process everything
+        currently in the directory, then stop — the idiomatic
+        replacement for the reference's drain-poll (T5).
+        """
+        target = self.prepare(spec)
+        self.log.write(spec.header_id, "START", f"stream ingest {spec.source_name}", 1)
+        stream = read_stream(self.spark, spec)
+
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_id = self._next_batch_id(spec)
+            self.process_batch(batch_df, spec, target, batch_id)
+
+        writer = stream.writeStream.foreachBatch(handle).outputMode("append")
+        checkpoint = spec.checkpoint_location or os.path.join(
+            self.catalog.root, "_checkpoints", f"header_{spec.header_id}"
+        )
+        writer = writer.option("checkpointLocation", checkpoint)
+        if bounded:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination(timeout_s)
+            self.log.write(spec.header_id, "END", "succeeded", 2)
+            return q
+        return writer.trigger(processingTime=processing_time).start()

@@ -1,0 +1,140 @@
+"""Reconciliation reporting — the daily log report as one DataFrame plan.
+
+Replaces the reference's 7-stage temp-view pipeline
+(``notebooks/Autoloader_daily_log_report.sql``):
+
+- the per-config ``collect()`` + one-``spark.read.parquet().count()``-per-row
+  N+1 driver loop (``:57-81``) becomes a union of count DataFrames — one job;
+- the union+group-by pivot of per-phase timestamps (``:143-200``) becomes
+  conditional aggregation (``max(when(LogEntryType='START', ts))``);
+- PASS/FAIL/In-Progress flag semantics preserved verbatim (``:219-232``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.system import SystemTables
+from ..catalog.table import TableCatalog
+from ..specs import IngestionSpec
+
+PASS_FLAG = "PASS (Row count match)"          # notebooks/Autoloader_daily_log_report.sql:224
+FAIL_FLAG = "FAIL (Row count mismatch)"
+IN_PROGRESS_FLAG = "In Progress"
+
+
+def _source_counts(spark: SparkSession, specs: list[IngestionSpec]) -> DataFrame:
+    """One unioned count plan over every source dir — no N+1 loop."""
+    frames = []
+    for s in specs:
+        reader = {
+            "parquet": lambda: spark.read.parquet(s.source_path),
+            "csv": lambda: spark.read.options(
+                header=str(s.has_header).lower(), sep=s.delimiter
+            ).csv(s.source_path),
+            "json": lambda: spark.read.json(s.source_path),
+        }[s.file_format.lower()]
+        frames.append(
+            reader().select(
+                F.lit(s.header_id).cast("long").alias("HeaderID")
+            ).groupBy("HeaderID").agg(F.count("*").alias("SourceRowCount"))
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _table_counts(catalog: TableCatalog, specs: list[IngestionSpec]) -> DataFrame:
+    frames = []
+    for s in specs:
+        t = catalog.table(s.table_name)
+        df = t.read() if t.exists() else catalog.spark.createDataFrame([], "x int")
+        frames.append(
+            df.select(F.lit(s.header_id).cast("long").alias("HeaderID"))
+            .groupBy("HeaderID")
+            .agg(F.count("*").alias("TableRowCount"))
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def phase_times(logs: DataFrame) -> DataFrame:
+    """Per-header phase timestamps via conditional aggregation
+    (idiomatic form of the union-pivot, SURVEY A5)."""
+    return logs.groupBy("HeaderID").agg(
+        F.max(F.when(F.col("LogEntryType") == "START", F.col("LogDateTime"))).alias("StartTime"),
+        F.max(F.when(F.col("LogEntryType") == "ROW_COUNT", F.col("LogDateTime"))).alias("LoadTime"),
+        F.max(F.when(F.col("LogEntryType") == "END", F.col("LogDateTime"))).alias("EndTime"),
+        F.max(F.when(F.col("LogEntryType") == "ERROR", F.col("LogDateTime"))).alias("ErrorTime"),
+    )
+
+
+def logged_row_counts(logs: DataFrame) -> DataFrame:
+    """SUM(CAST(COALESCE(desc,'0') AS INT)) per header
+    (``Autoloader_daily_log_report.sql:205-214``)."""
+    return (
+        logs.filter(F.col("LogEntryType") == "ROW_COUNT")
+        .groupBy("HeaderID")
+        .agg(
+            F.sum(F.coalesce(F.col("LogDescription"), F.lit("0")).cast("int")).alias(
+                "LoggedRowCount"
+            )
+        )
+    )
+
+
+def daily_report(
+    catalog: TableCatalog,
+    tables: SystemTables,
+    specs: list[IngestionSpec],
+    today_only: bool = False,
+) -> DataFrame:
+    """The reconciliation report: durations + count matching + flags."""
+    spark = catalog.spark
+    logs = tables.logs.read()
+    if today_only:
+        logs = logs.filter(F.col("LogDateTime").cast("date") == F.current_date())
+
+    header = spark.createDataFrame(
+        [(s.header_id, s.source_name, s.table_name, s.job.warning_duration_s) for s in specs],
+        "HeaderID long, SourceName string, TableName string, WarningDurationS int",
+    )
+    times = phase_times(logs)
+    logged = logged_row_counts(logs)
+    src = _source_counts(spark, specs)
+    tbl = _table_counts(catalog, specs)
+
+    duration_min = F.round(
+        (F.unix_timestamp(F.coalesce(F.col("EndTime"), F.current_timestamp()))
+         - F.unix_timestamp("StartTime")) / 60.0,
+        2,
+    )
+    return (
+        header.join(times, "HeaderID", "left")
+        .join(logged, "HeaderID", "left")
+        .join(src, "HeaderID", "left")
+        .join(tbl, "HeaderID", "left")
+        .withColumn("DurationMinutes", duration_min)
+        .withColumn(
+            "JobTimeoutStatus",
+            F.when(F.col("StartTime").isNull(), F.lit("Not Started"))
+            .when(
+                F.col("EndTime").isNull()
+                & (F.unix_timestamp(F.current_timestamp()) - F.unix_timestamp("StartTime")
+                   > F.col("WarningDurationS")),
+                F.lit("WARN (Duration exceeded)"),
+            )
+            .otherwise(F.lit("OK")),
+        )
+        .withColumn(
+            "RowCountMatchFlag",
+            F.when(F.col("EndTime").isNull(), F.lit(IN_PROGRESS_FLAG))
+            .when(
+                (F.col("SourceRowCount") == F.col("TableRowCount"))
+                & (F.col("TableRowCount") == F.col("LoggedRowCount")),
+                F.lit(PASS_FLAG),
+            )
+            .otherwise(F.lit(FAIL_FLAG)),
+        )
+        .orderBy("HeaderID")
+    )

@@ -1,0 +1,136 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two tiers, per the standard ANN playbook:
+
+- :func:`cosine_topk` — brute-force exact scan. At 100 TB this is one
+  pass over the corpus with a broadcast 1-row query side and a top-k
+  (``ORDER BY … LIMIT k``) that Spark executes as per-partition top-k +
+  driver merge (TakeOrderedAndProject) — no global sort shuffle.
+- :func:`lsh_cosine_topk` — random-hyperplane (SRP) LSH bucketing: only
+  rows whose sign-sketch shares a bucket with the query are scored.
+  Sub-linear scan at the cost of recall; bucket key is pushed to the
+  parquet scan as an equality filter when the sketch is materialized.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity, vec_dot
+
+
+def _query_lit(query_vec: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    Deterministic ordering: (rounded sim DESC, id ASC) so ties are stable
+    across engines and runs.
+    """
+    q = _query_lit(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def with_srp_sketch(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 16,
+    dim: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a signed-random-projection bucket id (``srp_bucket``).
+
+    Hyperplanes are generated deterministically from ``seed`` with a
+    splitmix-style integer mix (no numpy state on executors); the dot
+    products are pure column expressions.
+    """
+    import math
+
+    def mix(i: int) -> float:
+        # deterministic pseudo-gaussian-ish value in [-1, 1)
+        x = (i * 6364136223846793005 + seed * 1442695040888963407) & (2**64 - 1)
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & (2**64 - 1)
+        x ^= x >> 33
+        u = x / 2**64
+        return math.cos(2 * math.pi * u)  # bounded, symmetric around 0
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.array(*[F.lit(mix(p * dim + d)) for d in range(dim)])
+        bit = F.when(vec_dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, p)
+    return df.withColumn("srp_bucket", bucket)
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's SRP bucket.
+
+    With a pre-materialized ``srp_bucket`` column (and files sorted or
+    partitioned by it), the bucket equality predicate prunes at the scan.
+    """
+    dim = len(query_vec)
+    sketched = with_srp_sketch(df, vec_col, planes, dim, seed)
+    qdf = with_srp_sketch(
+        df.sparkSession.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col}: array<double>"),
+        vec_col,
+        planes,
+        dim,
+        seed,
+    )
+    qbucket = qdf.select("srp_bucket").first()[0]
+    return cosine_topk(
+        sketched.filter(F.col("srp_bucket") == qbucket), query_vec, k, vec_col, id_col
+    )
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN join: for each left row, top-k right rows by cosine.
+
+    Broadcast the smaller (right) side; rank with a window per left id.
+    For big-×-big at 100 TB, pre-bucket both sides with
+    :func:`with_srp_sketch` and join on ``srp_bucket`` first.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(F.col(left_id).alias("left_id"), F.col(vec_col).alias("lvec"))
+    r = right.select(F.col(right_id).alias("right_id"), F.col(vec_col).alias("rvec"))
+    scored = l.join(F.broadcast(r)).select(
+        "left_id",
+        "right_id",
+        F.round(cosine_similarity(F.col("lvec"), F.col("rvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("left_id").orderBy(F.col("cosine_sim").desc(), F.col("right_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

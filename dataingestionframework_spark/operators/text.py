@@ -1,0 +1,138 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure column expressions (JVM-side, codegen'd) — scale to 100 TB with
+zero Python in the executor path. Capability extension beyond the
+reference surface (reference has no text analytics; closest is the
+string-function family in ``notebooks/Autoloader_daily_log_report.sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    DEFAULT_STOPWORDS,
+    distinct_token_count,
+    stopword_count,
+    token_count,
+    tokens,
+)
+
+# Tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic. Deliberately deterministic + dependency-free.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+}
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token/char/quality columns used for corpus quality filtering."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return (
+        df.withColumn("n_chars_calc", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct_tokens", distinct_token_count(t))
+        .withColumn(
+            "ttr",  # type-token ratio: crude repetition/quality signal
+            F.when(n_tok > 0, distinct_token_count(t).cast("double") / n_tok.cast("double")),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, stopword_count(t).cast("double") / n_tok.cast("double")),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                n_tok > 0,
+                F.aggregate(
+                    tokens(t), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+                )
+                / n_tok.cast("double"),
+            ),
+        )
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite [0,1] quality score from length / repetition / stopwords.
+
+    Heuristic in the Gopher/C4-rule tradition: reasonable doc length,
+    non-degenerate type-token ratio, plausible stopword density.
+    """
+    n_tok = token_count(text_col).cast("double")
+    ttr = distinct_token_count(text_col).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    sw = stopword_count(text_col).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    ttr_ok = F.when(ttr >= 0.2, 1.0).otherwise(ttr / 0.2)
+    sw_ok = F.when(sw.between(0.01, 0.6), 1.0).otherwise(0.5)
+    return (len_ok + ttr_ok + sw_ok) / 3.0
+
+
+def lang_guess(text_col: Column) -> Column:
+    """Stopword-profile language ID — picks the profile with most hits.
+
+    Pure column expression: per-language hit counts via array
+    intersection, argmax via ``array_sort`` over (count, lang) structs.
+    """
+    toks = F.array_distinct(tokens(F.lower(text_col)))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in LANG_PROFILES.items()
+        ]
+    )
+    best = F.element_at(F.reverse(F.array_sort(scored)), 1)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5) for exact dedup."""
+    return F.md5(text_col)
+
+
+def simhash64(text_col: Column, n: int = 3) -> Column:
+    """64-bit SimHash over word n-grams, as a JVM-side expression.
+
+    For each of 64 bit positions, sum +1/-1 votes from ``xxhash64(gram, seed=bit)``
+    parity and pack the sign bits. O(64·|grams|) column ops — heavy but
+    fully codegen'd; prefer :func:`minhash` for banding-based LSH.
+    """
+    from ..functions import word_ngrams
+
+    grams = word_ngrams(text_col, n)
+    bits = [
+        F.when(
+            F.aggregate(
+                grams,
+                F.lit(0),
+                lambda acc, g: acc
+                + F.when(F.xxhash64(g, F.lit(i)) % 2 == 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    packed = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        packed = packed + F.shiftleft(b, i)
+    return packed
+
+
+__all__ = [
+    "DEFAULT_STOPWORDS",
+    "LANG_PROFILES",
+    "with_text_stats",
+    "quality_score",
+    "lang_guess",
+    "fingerprint",
+    "simhash64",
+]

@@ -1,0 +1,76 @@
+"""SparkSession construction and per-session tuning.
+
+The reference configures its session implicitly via Databricks
+(``notebooks/Data Ingestion Helper.py:43`` sets only the timezone).
+We centralize session creation so every entry point — tests, bench,
+driver contract — gets the same scale-aware defaults:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- shuffle partitions sized to the local core count (not the 200 default)
+- UTC session timezone (oracle comparability; production: explicit TZ)
+- Arrow enabled for the Pandas-UDF fast path
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also re-assert on sessions we did not create
+# (the verify driver builds its own SparkSession).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "dataingestionframework_spark",
+              cores: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the process-wide SparkSession with scale-aware defaults."""
+    n = cores or default_parallelism()
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Re-assert runtime-settable confs on an externally-created session.
+
+    The correctness driver constructs its own SparkSession; timezone and
+    AQE settings are runtime-mutable, so every public query entry calls
+    this first to guarantee oracle-comparable semantics.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — keep going
+    if shuffle_partitions is None:
+        shuffle_partitions = default_parallelism()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    except Exception:
+        pass
+    return spark
