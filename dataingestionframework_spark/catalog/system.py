@@ -239,21 +239,36 @@ class OpsLog:
         job_id: str | None = None,
         update_control: bool = True,
     ) -> str:
+        """Append one log row + update the control row — Arrow fast path
+        (driver-side parquet I/O; no Spark job for 1-row metadata ops)."""
+        from datetime import datetime, timezone
+
         log_id = uuid.uuid4().hex
-        row = self.spark.createDataFrame(
-            [(log_id, header_id, batch_id, entry_type, description, status_id, None)],
-            LOG_SCHEMA,
-        ).withColumn("LogDateTime", F.current_timestamp())
-        self.tables.logs.append(row, merge_schema=False)
+        now = datetime.now(timezone.utc).replace(tzinfo=None)  # session TZ is UTC
+        self.tables.logs.append_rows(
+            [
+                {
+                    "LogID": log_id,
+                    "HeaderID": header_id,
+                    "BatchID": batch_id,
+                    "LogEntryType": entry_type,
+                    "LogDescription": description,
+                    "StatusID": status_id,
+                    "LogDateTime": now,
+                }
+            ]
+        )
         if update_control:
-            sets = {
-                "StatusID": F.lit(status_id).cast("int"),
-                "LastUpdateTime": F.current_timestamp(),
-            }
+            sets: dict[str, object] = {"StatusID": status_id, "LastUpdateTime": now}
             if batch_id:
-                sets["PreviousBatchID"] = F.col("LatestBatchID")
-                sets["LatestBatchID"] = F.lit(batch_id).cast("long")
+                import pyarrow.parquet as pq
+
+                ctl = pq.read_table(self.tables.control.data_dir()).to_pandas()
+                mine = ctl[ctl["HeaderID"] == header_id]
+                prev = int(mine["LatestBatchID"].iloc[0]) if len(mine) and mine["LatestBatchID"].notna().iloc[0] else 0
+                sets["PreviousBatchID"] = prev
+                sets["LatestBatchID"] = batch_id
             if job_id is not None:
-                sets["JobID"] = F.lit(job_id)
-            self.tables.control.update(F.col("HeaderID") == header_id, sets)
+                sets["JobID"] = job_id
+            self.tables.control.update_rows("HeaderID", header_id, sets)
         return log_id

@@ -233,6 +233,78 @@ class ManagedTable:
             result = joined.filter(tgt_present).select(*out_cols)
         self.overwrite(result)
 
+    # -- Arrow fast path for tiny control-plane tables ----------------------
+    #
+    # System tables (control, logs) see one-row appends and single-row
+    # updates per pipeline step. Running those through Spark jobs costs
+    # ~0.5-1 s each in scheduler overhead; Delta solves this with driver-
+    # side transaction-log writes. Our analogue: direct pyarrow parquet
+    # I/O on the same files Spark reads. Only valid for small tables —
+    # data-path writes still go through Spark.
+
+    def _arrow_schema(self):
+        """Arrow schema derived from the STORED Spark schema (not a file
+        footer): timestamps must carry tz=UTC so Spark reads them back as
+        TimestampType, not TIMESTAMP_NTZ."""
+        import pyarrow as pa
+
+        def conv(dt: T.DataType) -> pa.DataType:
+            mapping = {
+                T.LongType(): pa.int64(),
+                T.IntegerType(): pa.int32(),
+                T.ShortType(): pa.int16(),
+                T.ByteType(): pa.int8(),
+                T.StringType(): pa.string(),
+                T.DoubleType(): pa.float64(),
+                T.FloatType(): pa.float32(),
+                T.BooleanType(): pa.bool_(),
+                T.BinaryType(): pa.binary(),
+                T.DateType(): pa.date32(),
+                T.TimestampType(): pa.timestamp("us", tz="UTC"),
+            }
+            if dt in mapping:
+                return mapping[dt]
+            raise ValueError(f"arrow fast path: unsupported type {dt}")
+
+        return pa.schema([pa.field(f.name, conv(f.dataType), True) for f in self.schema().fields])
+
+    def append_rows(self, rows: list[dict]) -> None:
+        """Driver-side append of a few rows (no Spark job)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = self._arrow_schema()
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+        table = pa.Table.from_pydict(cols, schema=schema)
+        out = os.path.join(self.data_dir(), f"part-arrow-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, out)
+
+    def update_rows(self, key_col: str, key_val, sets: Mapping[str, object]) -> None:
+        """Driver-side single-key update (read-all → mutate → swap).
+
+        ``sets`` values are plain Python values, not Column exprs."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = self._arrow_schema()
+        pdf = pq.read_table(self.data_dir()).to_pandas()
+        mask = pdf[key_col] == key_val
+        for c, v in sets.items():
+            if pdf[c].dtype == object or v is None:
+                pdf[c] = pdf[c].astype(object)
+            pdf.loc[mask, c] = v
+        for f in schema:
+            if pa.types.is_timestamp(f.type):
+                pdf[f.name] = pd.to_datetime(pdf[f.name], utc=True)
+        v_name, path = self._new_version_dir()
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(path, f"part-arrow-{uuid.uuid4().hex}.parquet"),
+        )
+        self._swap(v_name, self.schema())
+
     def optimize(self, target_partitions: int | None = None) -> None:
         """Compact small files (Delta OPTIMIZE analogue): rewrite the
         current image into ``target_partitions`` files."""

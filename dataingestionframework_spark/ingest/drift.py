@@ -24,6 +24,52 @@ from ..specs import ColumnSpec, IngestionSpec
 AUDIT_COLS = {"BatchId", "InsertDate", "ModifiedDateTime"}
 
 
+def sniff_source_columns(spark, spec: IngestionSpec, path: str | None = None) -> list[str]:
+    """Discover the actual column set of the source directory.
+
+    A declared-schema CSV/JSON read can never *see* extra columns, so
+    drift detection needs a schema-only sniff first: CSV reads just the
+    header lines (no inferSchema → no data scan); JSON/parquet read
+    footers/sample. At 100 TB the sniff should target only new files —
+    the streaming path gets that for free from the file-source listing.
+    """
+    src = path or spec.source_path
+    fmt = spec.file_format.lower()
+    if fmt == "csv":
+        # Spark's CSV reader takes the header from the FIRST file only,
+        # so a union of per-file headers needs a direct header read.
+        # Local-FS implementation; on object stores the streaming file
+        # listing supplies per-file paths and the same logic applies.
+        import glob
+        import os
+
+        paths = (
+            sorted(glob.glob(os.path.join(src, "*"))) if os.path.isdir(src) else [src]
+        )
+        cols: list[str] = []
+        max_fields = 0
+        for p in paths:
+            if os.path.isdir(p):
+                continue
+            try:
+                with open(p, "r", errors="replace") as f:
+                    first = f.readline().rstrip("\r\n")
+            except OSError:
+                continue
+            fields = first.split(spec.delimiter)
+            max_fields = max(max_fields, len(fields))
+            if spec.has_header:
+                for name in fields:
+                    if name not in cols:
+                        cols.append(name)
+        if not spec.has_header:
+            cols = [f"_c{i}" for i in range(max_fields)]
+        return cols
+    if fmt == "json":
+        return spark.read.json(src).columns
+    return spark.read.option("mergeSchema", "true").parquet(src).columns
+
+
 def detect_new_columns(df: DataFrame, spec: IngestionSpec) -> list[str]:
     known = {c.source_name for c in spec.columns} | AUDIT_COLS | {RESCUED}
     known |= {"source_file_path", "source_file_mtime"}

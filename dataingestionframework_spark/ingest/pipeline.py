@@ -56,18 +56,40 @@ class IngestionPipeline:
             # reference: DELETE WHERE InsertDate=CURRENT_DATE() on bounded
             # re-runs (notebooks/Data Ingestion Helper.py:139-142)
             target.delete(F.col("InsertDate") == F.current_date())
+        self._ensure_control_row(spec)
         return target
+
+    def _ensure_control_row(self, spec: IngestionSpec) -> None:
+        """Control insert-if-absent (reference: modules/insert_config.py:443-468)."""
+        import pyarrow.parquet as pq
+
+        ctl = pq.read_table(self.tables.control.data_dir()).to_pandas()
+        if not (ctl["HeaderID"] == spec.header_id).any():
+            from datetime import datetime, timezone
+
+            self.tables.control.append_rows(
+                [
+                    {
+                        "HeaderID": spec.header_id,
+                        "StatusID": 0,
+                        "PreviousBatchID": 0,
+                        "LatestBatchID": 0,
+                        "JobID": None,
+                        "LastUpdateTime": datetime.now(timezone.utc).replace(tzinfo=None),
+                    }
+                ]
+            )
 
     # -- per-batch core (shared by batch + foreachBatch) -------------------
 
     def _next_batch_id(self, spec: IngestionSpec) -> int:
-        row = (
-            self.tables.control.read()
-            .filter(F.col("HeaderID") == spec.header_id)
-            .select(F.coalesce(F.max("LatestBatchID"), F.lit(0)).alias("b"))
-            .first()
-        )
-        return int(row.b or 0) + 1
+        import pyarrow.parquet as pq
+
+        ctl = pq.read_table(self.tables.control.data_dir()).to_pandas()
+        mine = ctl[ctl["HeaderID"] == spec.header_id]
+        if len(mine) and mine["LatestBatchID"].notna().iloc[0]:
+            return int(mine["LatestBatchID"].iloc[0]) + 1
+        return 1
 
     def process_batch(
         self,
@@ -76,7 +98,11 @@ class IngestionPipeline:
         target: ManagedTable,
         batch_id: int,
     ) -> IngestResult:
-        batch_df = batch_df.persist()
+        # Persist only when the corrupt gate forces a second pass over the
+        # batch; otherwise the single write pass needs no materialization.
+        needs_second_pass = bool(spec.corrupt_location)
+        if needs_second_pass:
+            batch_df = batch_df.persist()
         try:
             # schema drift: one set-difference, spec evolves, mergeSchema write
             new_cols = detect_new_columns(batch_df, spec)
@@ -118,7 +144,8 @@ class IngestionPipeline:
             self.log.write(spec.header_id, "ROW_COUNT", str(rows), 1, batch_id)
             return IngestResult(spec.header_id, batch_id, rows, n_corrupt, spec.table_name)
         finally:
-            batch_df.unpersist()
+            if needs_second_pass:
+                batch_df.unpersist()
 
     # -- batch entry point --------------------------------------------------
 
@@ -126,6 +153,17 @@ class IngestionPipeline:
         target = self.prepare(spec, idempotent_rerun)
         batch_id = self._next_batch_id(spec)
         self.log.write(spec.header_id, "START", f"batch ingest {spec.source_name}", 1, batch_id)
+        # drift: sniff actual source columns (declared-schema reads can't
+        # see new columns), evolve the spec, then read with the wider schema
+        from .drift import sniff_source_columns
+
+        known = {c.source_name for c in spec.columns}
+        new_cols = [c for c in sniff_source_columns(self.spark, spec)
+                    if c not in known and c != RESCUED]
+        if new_cols:
+            spec = evolve_spec(spec, new_cols)
+            self.log.write(spec.header_id, "SCHEMA_DRIFT",
+                           f"new columns: {','.join(new_cols)}", 1, batch_id)
         df = read_batch(self.spark, spec)
         if spec.file_format in ("csv", "json"):
             df = with_file_metadata(df)
@@ -154,7 +192,7 @@ class IngestionPipeline:
         """
         target = self.prepare(spec)
         self.log.write(spec.header_id, "START", f"stream ingest {spec.source_name}", 1)
-        stream = read_stream(self.spark, spec)
+        stream = with_file_metadata(read_stream(self.spark, spec))
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             batch_id = self._next_batch_id(spec)

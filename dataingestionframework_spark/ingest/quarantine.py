@@ -7,7 +7,14 @@ location, and raise ``'Bad records'``.
 
 Fixes over the reference (documented, SURVEY §7.4): it scans the batch
 twice (count then collect) and its file-move loop raises after the
-first file so later files never move — we do one pass and move all.
+first file so later files never move — we compute the per-file corrupt
+counts in ONE aggregation and move every file.
+
+Implementation note: Spark refuses queries whose referenced columns
+from a raw CSV/JSON scan are only the corrupt-record column
+(QUERY_ONLY_CORRUPT_RECORD_COLUMN), and ``_metadata`` can't resolve
+through a cached plan — so the gate aggregates on the materialized
+``source_file_path`` lineage column instead.
 """
 
 from __future__ import annotations
@@ -23,17 +30,31 @@ from ..errors import BadRecordsError
 from ..sources.batch import RESCUED
 
 
-def corrupt_file_paths(df: DataFrame) -> list[str]:
-    """Distinct source files containing corrupt rows (one job, no double scan)."""
+def _local_path(p: str) -> str:
+    """file:/x, file:///x, or /x → /x (Spark URI forms vary)."""
+    from urllib.parse import unquote, urlparse
+
+    if p.startswith("file:"):
+        return unquote(urlparse(p).path)
+    return p
+
+
+def corrupt_summary(df: DataFrame, file_col: str = "source_file_path") -> tuple[int, list[str]]:
+    """(corrupt-row count, distinct offending files) in one aggregation.
+
+    NOTE: the caller must persist/cache ``df`` first — Spark disallows
+    queries referencing only the corrupt-record column on a raw CSV/JSON
+    scan, and the cached relation lifts that restriction."""
     if RESCUED not in df.columns:
-        return []
-    rows = (
+        return 0, []
+    key = F.col(file_col) if file_col in df.columns else F.col("_metadata.file_path")
+    per_file = (
         df.filter(F.col(RESCUED).isNotNull())
-        .select(F.col("_metadata.file_path").alias("p"))
-        .distinct()
+        .groupBy(key.alias("p"))
+        .agg(F.count("*").alias("n"))
         .collect()
     )
-    return [r.p for r in rows]
+    return sum(r.n for r in per_file), [r.p for r in per_file]
 
 
 def quarantine_batch(
@@ -48,17 +69,14 @@ def quarantine_batch(
     (parquet), offending source files → ``error_location``, then raise
     :class:`BadRecordsError` (unless ``raise_on_bad=False``).
     """
-    if RESCUED not in df.columns:
+    n_bad, bad_files = corrupt_summary(df)
+    if not n_bad:
         return 0
-    bad_files = corrupt_file_paths(df)
-    if not bad_files:
-        return 0
-    n_bad = df.filter(F.col(RESCUED).isNotNull()).count()
     df.write.mode("overwrite").parquet(corrupt_location)
     if error_location:
         os.makedirs(error_location, exist_ok=True)
         for p in bad_files:
-            local = p.removeprefix("file://")
+            local = _local_path(p)
             if os.path.exists(local):
                 dest = os.path.join(
                     error_location, f"{uuid.uuid4().hex[:8]}-{os.path.basename(local)}"

@@ -37,12 +37,10 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one row (min id) per distinct text. Window-free:
-    a self-semi-join on (fingerprint, min id) keeps the plan to two
-    shuffles and avoids a global sort."""
-    keep = exact_duplicates(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
-    )
-    return df.join(F.broadcast(keep) if keep.isStreaming is False else keep, id_col, "left_semi")
+    a semi-join on the kept ids — two shuffles, no global sort; AQE
+    picks broadcast when the kept-id side is small enough."""
+    keep = exact_duplicates(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -86,17 +84,27 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(grams_col, num_hashes: int = 64):
-    """Array of ``num_hashes`` min-hash values over an n-gram array column.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures as ``num_hashes`` columns ``h0..h{k-1}``.
 
-    Uses ``xxhash64(gram, seed=i)`` as the i-th hash family member —
-    deterministic across runs/executors, no Python in the loop.
+    Shape matters at scale: grams are exploded to rows ONCE, then the
+    whole hash family is ``min(xxhash64(gram, seed=i))`` aggregates in a
+    single groupBy — one shuffle, every hash vectorized/codegen'd.
+    (Building an array of 64 ``array_min(transform(...))`` expressions
+    instead re-inlines the n-gram construction 64×; measured 400+ s vs
+    ~2 s on 5k docs.)
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(grams_col, lambda g: F.xxhash64(g, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    return grams.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -110,17 +118,14 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
-    signature → split into ``bands`` rows of ``num_hashes/bands`` values →
-    hash each band → self-join per (band_id, band_hash) bucket.
+    signature → split into ``bands`` groups of ``num_hashes/bands``
+    values → hash each band → self-join per (band_id, band_hash) bucket.
     The self-join shuffles on the bucket key only; AQE's skew-join
     handles hot buckets (e.g. boilerplate-heavy corpora).
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(word_ngrams(F.col(text_col), n), num_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     banded = sig.select(
         id_col,
         F.explode(
@@ -130,7 +135,11 @@ def minhash_lsh_candidates(
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
                             F.concat_ws(
-                                ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                                ",",
+                                *[
+                                    F.col(f"h{j}")
+                                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                                ],
                             )
                         ).alias("band_hash"),
                     )
@@ -206,9 +215,9 @@ def simhash_pairs(
     small Hamming distance usually share a 16-bit prefix) so the
     self-join is bucket-local, then verifies with ``bit_count(xor)``.
     """
-    from .text import simhash64
+    from .text import simhash64_df
 
-    s = df.select(F.col(id_col), simhash64(F.col(text_col), n).alias("sh"))
+    s = simhash64_df(df, text_col, id_col, n)
     s = s.withColumn("block", F.shiftrightunsigned(F.col("sh"), 64 - prefix_bits))
     a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "block")
     b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "block")

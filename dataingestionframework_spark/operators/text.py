@@ -98,33 +98,29 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(text_col)
 
 
-def simhash64(text_col: Column, n: int = 3) -> Column:
-    """64-bit SimHash over word n-grams, as a JVM-side expression.
+def simhash64_df(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """64-bit SimHash per document → DataFrame (id, sh).
 
-    For each of 64 bit positions, sum +1/-1 votes from ``xxhash64(gram, seed=bit)``
-    parity and pack the sign bits. O(64·|grams|) column ops — heavy but
-    fully codegen'd; prefer :func:`minhash` for banding-based LSH.
+    Grams exploded to rows once, then 64 conditional-sum aggregates
+    (+1/-1 votes from ``xxhash64(gram, seed=bit)`` parity) in a single
+    groupBy, sign bits packed into one long. One shuffle on the id, all
+    hashing vectorized JVM-side.
     """
     from ..functions import word_ngrams
 
-    grams = word_ngrams(text_col, n)
-    bits = [
-        F.when(
-            F.aggregate(
-                grams,
-                F.lit(0),
-                lambda acc, g: acc
-                + F.when(F.xxhash64(g, F.lit(i)) % 2 == 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    votes = grams.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.xxhash64("gram", F.lit(i)) % 2 == 0, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
     packed = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        packed = packed + F.shiftleft(b, i)
-    return packed
+    for i in range(64):
+        packed = packed + F.shiftleft(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i
+        )
+    return votes.select(F.col(id_col), packed.alias("sh"))
 
 
 __all__ = [
@@ -134,5 +130,5 @@ __all__ = [
     "quality_score",
     "lang_guess",
     "fingerprint",
-    "simhash64",
+    "simhash64_df",
 ]

@@ -39,7 +39,8 @@ def sessionize(
     the key, both windows share the same partitioning (no second shuffle).
     """
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak))
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    # cast-to-double keeps sub-second precision (unix_timestamp truncates)
+    gap = F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn(
         "session_id",

@@ -1,0 +1,242 @@
+"""DuckDB oracle SQL — the ANSI twin of every SQL-expressible query in
+``queries.py``. Column names and rounding match the Spark side exactly;
+integer-typed results are cast so both engines surface the same width.
+
+Keys intentionally absent (non-SQL-expressible, rows-only check):
+``minhash_near_dup``, ``simhash_near_dup`` (hash-family dependent).
+"""
+
+STOPWORDS_SQL = "['the','a','an','of','and','to','in','is','on','for']"
+
+_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_region_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "join_broadcast_dim": """
+        SELECT c_mktsegment,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "range_join_ship_window": """
+        SELECT o_orderkey, count(*) AS n_lines_60d
+        FROM orders JOIN lineitem
+          ON o_orderkey = l_orderkey
+         AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+        GROUP BY o_orderkey
+    """,
+    "window_top_order_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+    "conditional_agg_events": """
+        SELECT user_id,
+               count(*) AS n_events,
+               max(CASE WHEN event_type = 'signup' THEN ts END) AS last_signup_ts,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2)
+                   AS purchase_value,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        FROM events
+        GROUP BY user_id
+    """,
+    "union_nation_keys": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "scalar_string_case": """
+        SELECT n_nationkey,
+               concat(n_name, '-', r_name)                    AS nation_region,
+               substring(n_name, 1, 3)                        AS prefix3,
+               lower(n_name)                                  AS lower_name,
+               trim(concat('  ', n_name, '  '))               AS trimmed,
+               CASE WHEN n_nationkey < 10 THEN 'low' ELSE 'high' END AS bucket,
+               coalesce(CAST(NULL AS VARCHAR), r_name)        AS coalesced,
+               CAST(n_nationkey AS BIGINT)                    AS key_bigint
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "scalar_datetime": """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE)                        AS order_date,
+               CAST(year(o_orderdate) AS INTEGER)               AS order_year,
+               CAST(month(o_orderdate) AS INTEGER)              AS order_month,
+               CAST(day(o_orderdate) AS INTEGER)                AS order_day,
+               strftime(o_orderdate, '%Y/%m/%d')                AS formatted,
+               o_orderdate + INTERVAL 90 DAY                    AS plus_90d,
+               o_orderdate + INTERVAL 600 SECOND                AS plus_600s,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+                   AS days_since_epoch0,
+               CAST(floor((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 60) AS BIGINT)
+                   AS minutes_since_epoch0
+        FROM orders
+        WHERE o_orderkey < 200
+    """,
+    "sort_limit_topk": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "agg_scalar_stats": """
+        SELECT coalesce(max(o_orderkey), 0)   AS max_key,
+               min(o_orderdate)               AS first_order,
+               count(DISTINCT o_custkey)      AS n_customers,
+               round(avg(o_totalprice), 4)    AS avg_price
+        FROM orders
+    """,
+    "distinct_flag_status": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "anti_join_customers_no_orders": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "semi_join_customers_with_orders": """
+        SELECT c_custkey, c_nationkey
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "filter_like_in_between": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+          AND o_orderpriority LIKE '1-%'
+          AND o_totalprice BETWEEN 1000 AND 50000
+    """,
+    "pii_mask_customers": """
+        SELECT c_custkey,
+               'xxxxxxx'            AS c_name,
+               sha256(c_mktsegment) AS c_mktsegment_hash
+        FROM customer
+    """,
+    "dedup_exact_docs": """
+        SELECT md5(text)   AS fingerprint,
+               min(doc_id) AS keep_id,
+               count(*)    AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "ngram_jaccard_bounded": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS ts FROM documents WHERE doc_id < 200
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(ts) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(ts, i + 1, i + 3), ' ')
+                   )) AS g
+            FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4) AS jaccard_sim
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4) >= 0.3
+    """,
+    "text_stats_docs": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKENS} AS ts FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars_calc,
+               CAST(len(ts) AS INTEGER)      AS n_tokens,
+               CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
+               round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 4) AS ttr,
+               round(CAST(len(list_filter(ts, x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
+                     / len(ts), 4) AS stopword_ratio
+        FROM t
+    """,
+    "embedding_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+                   AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               count(*)               AS n,
+               round(sum(value), 2)   AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "sessionize_events": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts)  AS session_start,
+               max(ts)  AS session_end
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    "ingest_reconcile": """
+        SELECT count(*) AS source_rows,
+               count(*) AS loaded_rows,
+               count(*) AS logged_rows,
+               'PASS (Row count match)' AS row_count_match_flag
+        FROM lineitem
+    """,
+}

@@ -1,0 +1,442 @@
+"""Driver-contract queries: one entry per operator family from SURVEY §2
+plus the LLM-pipeline extensions. Each callable takes (spark, sf_dir) and
+returns a DataFrame whose column names/values match the DuckDB oracle in
+``oracles.py`` exactly (aggregates rounded in both engines so float
+accumulation order can't flip the hash).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from .tables import load
+
+
+def _t(spark, sf_dir):
+    tune(spark)
+    return lambda name: load(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.3-2.9)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4/F7: wide aggregation — groupBy two keys, 8 aggregates."""
+    t = _t(spark, sf_dir)
+    l = t("lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 3-way join + filter + agg + deterministic top-k."""
+    t = _t(spark, sf_dir)
+    c, o, l = t("customer"), t("orders"), t("lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join through the star schema; small dims broadcast."""
+    t = _t(spark, sf_dir)
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t("supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 equi-join with explicit broadcast of the dimension side."""
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .join(F.broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 range/theta join: equi key + BETWEEN on timestamps."""
+    t = _t(spark, sf_dir)
+    o, l = t("orders"), t("lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & F.col("l_shipdate").between(
+                F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_lines_60d"))
+    )
+
+
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 window functions: top-1 per group with deterministic ties."""
+    from ..operators.windows import top_per_group
+
+    t = _t(spark, sf_dir)
+    top = top_per_group(t("orders"), ["o_custkey"], "o_totalprice", k=1, tiebreak="o_orderkey")
+    return top.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def conditional_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 idiomatic replacement: conditional aggregation instead of
+    union+group-by pivot."""
+    t = _t(spark, sf_dir)
+    e = t("events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("last_signup_ts"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), F.lit(0.0)),
+            2,
+        ).alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias("n_errors"),
+    )
+
+
+def union_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 deduplicating UNION across branches."""
+    t = _t(spark, sf_dir)
+    a = t("customer").select(F.col("c_nationkey").alias("nationkey"))
+    b = t("supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+def scalar_string_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7: concat/substring/trim/lower/CASE/CAST/coalesce."""
+    t = _t(spark, sf_dir)
+    return (
+        t("nation")
+        .join(F.broadcast(t("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "n_nationkey",
+            F.concat(F.col("n_name"), F.lit("-"), F.col("r_name")).alias("nation_region"),
+            F.substring("n_name", 1, 3).alias("prefix3"),
+            F.lower("n_name").alias("lower_name"),
+            F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit("  "))).alias("trimmed"),
+            F.when(F.col("n_nationkey") < 10, "low").otherwise("high").alias("bucket"),
+            F.coalesce(F.lit(None).cast("string"), F.col("r_name")).alias("coalesced"),
+            F.col("n_nationkey").cast("bigint").alias("key_bigint"),
+        )
+    )
+
+
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F13 date/time family."""
+    t = _t(spark, sf_dir)
+    epoch0 = F.unix_timestamp(F.lit("1995-01-01").cast("timestamp"))
+    return (
+        t("orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_format("o_orderdate", "yyyy/MM/dd").alias("formatted"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("plus_90d"),
+            F.expr("timestampadd(SECOND, 600, o_orderdate)").alias("plus_600s"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_epoch0"
+            ),
+            F.floor((F.unix_timestamp("o_orderdate") - epoch0) / 60).cast("bigint").alias(
+                "minutes_since_epoch0"
+            ),
+        )
+    )
+
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 + top-k (TakeOrderedAndProject, no global sort)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def agg_scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: scalar MAX/MIN + COALESCE guard + COUNT DISTINCT."""
+    t = _t(spark, sf_dir)
+    return t("orders").agg(
+        F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("max_key"),
+        F.min("o_orderdate").alias("first_order"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 distinct()."""
+    t = _t(spark, sf_dir)
+    return t("lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+def filter_like_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9 predicates: IN, LIKE, BETWEEN — all pushed to the scan."""
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .filter(
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_totalprice").between(1000, 50000)
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 PII masking: redact + deterministic hash pseudonym."""
+    from ..ingest.masking import mask_columns
+
+    t = _t(spark, sf_dir)
+    c = t("customer").select(
+        "c_custkey",
+        "c_name",
+        F.sha2(F.col("c_mktsegment"), 256).alias("c_mktsegment_hash"),
+    )
+    return mask_columns(c, ["c_name"], "redact")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions (SURVEY §7/M7)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_duplicates
+
+    t = _t(spark, sf_dir)
+    return exact_duplicates(t("documents"))
+
+
+def ngram_jaccard_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (bounded all-pairs verifier)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    t = _t(spark, sf_dir)
+    return ngram_jaccard_pairs(t("documents"), n=3, threshold=0.3, max_id=200)
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates → exact-Jaccard verify (no SQL oracle —
+    rows-only check; the verifier math is covered by ngram_jaccard_bounded)."""
+    from ..operators.dedup import near_duplicates_minhash
+
+    t = _t(spark, sf_dir)
+    return near_duplicates_minhash(t("documents"), threshold=0.3)
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dups (no SQL oracle)."""
+    from ..operators.dedup import simhash_pairs
+
+    t = _t(spark, sf_dir)
+    return simhash_pairs(t("documents"), max_hamming=8)
+
+
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import distinct_token_count, stopword_count, token_count
+
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    txt = F.col("text")
+    n_tok = token_count(txt)
+    return d.select(
+        "doc_id",
+        F.length(txt).alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        distinct_token_count(txt).alias("n_distinct_tokens"),
+        F.round(distinct_token_count(txt).cast("double") / n_tok, 4).alias("ttr"),
+        F.round(stopword_count(txt).cast("double") / n_tok, 4).alias("stopword_ratio"),
+    )
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k against the vec_id=0 embedding."""
+    from ..operators.similarity import cosine_topk
+
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed agg)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + cumulative sum windows."""
+    from ..operators.windows import session_stats
+
+    t = _t(spark, sf_dir)
+    return session_stats(t("events"), gap_minutes=30)
+
+
+def ingest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship ingest→audit→reconcile slice (SURVEY §7.1): batch-ingest
+    lineitem through the pipeline into a managed table, then reconcile
+    source vs loaded vs logged counts."""
+    from ..catalog.table import TableCatalog
+    from ..ingest.pipeline import IngestionPipeline
+    from ..specs import ColumnSpec, IngestionSpec
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="dif_ingest_")
+    cat = TableCatalog(spark, root)
+    pipe = IngestionPipeline(cat)
+    cols = [
+        ColumnSpec("l_orderkey", "l_orderkey", "bigint", 1),
+        ColumnSpec("l_quantity", "l_quantity", "double", 2),
+        ColumnSpec("l_extendedprice", "l_extendedprice", "double", 3),
+        ColumnSpec("l_returnflag", "l_returnflag", "string", 4),
+    ]
+    spec = IngestionSpec(
+        header_id=1,
+        source_name="lineitem",
+        table_name="main.lineitem",
+        source_path=os.path.join(sf_dir, "lineitem.parquet"),
+        file_format="parquet",
+        columns=cols,
+    )
+    res = pipe.run_batch(spec)
+    source_rows = spark.read.parquet(spec.source_path).count()
+    loaded_rows = cat.table(spec.table_name).count()
+    flag = (
+        "PASS (Row count match)"
+        if source_rows == loaded_rows == res.rows_loaded
+        else "FAIL (Row count mismatch)"
+    )
+    return spark.createDataFrame(
+        [(source_rows, loaded_rows, res.rows_loaded, flag)],
+        "source_rows long, loaded_rows long, logged_rows long, row_count_match_flag string",
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_volume": q5_region_volume,
+    "join_broadcast_dim": join_broadcast_dim,
+    "range_join_ship_window": range_join_ship_window,
+    "window_top_order_per_customer": window_top_order_per_customer,
+    "conditional_agg_events": conditional_agg_events,
+    "union_nation_keys": union_nation_keys,
+    "scalar_string_case": scalar_string_case,
+    "scalar_datetime": scalar_datetime,
+    "sort_limit_topk": sort_limit_topk,
+    "agg_scalar_stats": agg_scalar_stats,
+    "distinct_flag_status": distinct_flag_status,
+    "anti_join_customers_no_orders": anti_join_customers_no_orders,
+    "semi_join_customers_with_orders": semi_join_customers_with_orders,
+    "filter_like_in_between": filter_like_in_between,
+    "pii_mask_customers": pii_mask_customers,
+    "dedup_exact_docs": dedup_exact_docs,
+    "ngram_jaccard_bounded": ngram_jaccard_bounded,
+    "minhash_near_dup": minhash_near_dup,
+    "simhash_near_dup": simhash_near_dup,
+    "text_stats_docs": text_stats_docs,
+    "embedding_topk": embedding_topk,
+    "events_hourly": events_hourly,
+    "sessionize_events": sessionize_events,
+    "ingest_reconcile": ingest_reconcile,
+}

@@ -1,0 +1,163 @@
+"""LLM-pipeline operators: dedup, similarity, text, windows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_detects_planted_dup(spark, docs):
+    from dataingestionframework_spark.operators.dedup import (
+        drop_exact_duplicates,
+        exact_duplicates,
+    )
+
+    one = docs.limit(1).select("text").first().text
+    with_dup = docs.union(
+        spark.createDataFrame([(9999, one, "en", "dup", len(one))], docs.schema)
+    )
+    dups = exact_duplicates(with_dup).filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 1 and dups[0].n_copies == 2
+    kept = drop_exact_duplicates(with_dup)
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") == 9999).count() == 0  # min-id kept
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    from dataingestionframework_spark.operators.dedup import near_duplicates_minhash
+
+    base = docs.limit(1).select("text").first().text
+    # near-dup: copy with one token changed
+    toks = base.split()
+    toks[len(toks) // 2] = "zzzchanged"
+    near = " ".join(toks)
+    with_near = docs.union(
+        spark.createDataFrame([(8888, near, "en", "dup", len(near))], docs.schema)
+    )
+    pairs = near_duplicates_minhash(with_near, threshold=0.3).collect()
+    assert any({p.id_a, p.id_b} == {0, 8888} or 8888 in (p.id_a, p.id_b) for p in pairs)
+
+
+def test_jaccard_identity(spark, docs):
+    from dataingestionframework_spark.operators.dedup import ngram_jaccard_pairs
+
+    dup = docs.limit(1)
+    both = dup.union(dup.withColumn("doc_id", F.lit(7777)))
+    pairs = ngram_jaccard_pairs(both, threshold=0.99).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard_sim == 1.0
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    from dataingestionframework_spark.operators.dedup import simhash_pairs
+
+    dup = docs.limit(1)
+    both = dup.union(dup.withColumn("doc_id", F.lit(6666)))
+    pairs = simhash_pairs(both, max_hamming=0).collect()
+    assert any(p.hamming == 0 for p in pairs)
+
+
+def test_cosine_topk_self_is_nearest(spark, emb):
+    from dataingestionframework_spark.operators.similarity import cosine_topk
+
+    q = emb.first()
+    top = cosine_topk(emb, q.embedding, k=1).first()
+    assert top.vec_id == q.vec_id and abs(top.cosine_sim - 1.0) < 1e-6
+
+
+def test_knn_join(spark, emb):
+    from dataingestionframework_spark.operators.similarity import knn_join_brute
+
+    small = emb.limit(20)
+    res = knn_join_brute(small, small, k=3).collect()
+    by_left = {}
+    for r in res:
+        by_left.setdefault(r.left_id, []).append(r)
+    assert all(len(v) == 3 for v in by_left.values())
+    # rank-1 neighbour of each row is itself
+    for left_id, rows in by_left.items():
+        r1 = [r for r in rows if r.rank == 1][0]
+        assert r1.right_id == left_id
+
+
+def test_lsh_cosine_topk_contains_self(spark, emb):
+    from dataingestionframework_spark.operators.similarity import lsh_cosine_topk
+
+    q = emb.first()
+    top = lsh_cosine_topk(emb, q.embedding, k=5, planes=4)
+    ids = [r.vec_id for r in top.collect()]
+    assert q.vec_id in ids
+
+
+def test_text_stats_and_quality(spark, docs):
+    from dataingestionframework_spark.operators.text import quality_score, with_text_stats
+
+    out = with_text_stats(docs).withColumn("q", quality_score(F.col("text")))
+    row = out.first()
+    assert row.n_tokens > 0 and 0 <= row.ttr <= 1
+    assert out.filter((F.col("q") < 0) | (F.col("q") > 1)).count() == 0
+
+
+def test_lang_guess_on_known_samples(spark):
+    from dataingestionframework_spark.operators.text import lang_guess
+
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it was happy",),
+            ("el perro y la casa de los gatos en un lugar",),
+            ("le chat et les chiens de la maison en France",),
+            ("der Hund und die Katze ist mit den Kindern",),
+        ],
+        "text string",
+    ).withColumn("lang", lang_guess(F.col("text")))
+    got = [r.lang for r in df.collect()]
+    assert got == ["en", "es", "fr", "de"]
+
+
+def test_sessionize_gap(spark):
+    from dataingestionframework_spark.operators.windows import session_stats
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 100),
+        (2, "2024-01-01 00:10:00", 100),
+        (3, "2024-01-01 01:00:00", 100),  # 50-min gap → new session
+        (4, "2024-01-01 00:00:00", 200),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = session_stats(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[100]) == 2 and len(by_user[200]) == 1
+    assert sorted(r.n_events for r in by_user[100]) == [1, 2]
+
+
+def test_multimodal_plumbing(spark):
+    from dataingestionframework_spark.operators.multimodal import (
+        decode_stub_features,
+        with_binary_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nxxxx"), "image/png"),
+         (2, bytearray(b"RIFFxxxxWAVE"), "audio/wav")],
+        "id long, payload binary, mime string",
+    )
+    meta = with_binary_metadata(df, "payload")
+    r = {x.id: x for x in meta.collect()}
+    assert r[1].payload_size == 12 and r[1].payload_hash is not None
+
+    feats = decode_stub_features(meta, "payload")
+    f = {x.id: x for x in feats.collect()}
+    assert len(f[1].features) == 8  # deterministic fake features

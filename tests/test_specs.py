@@ -1,0 +1,73 @@
+"""Spec model: JSON parsing, validation, type mapping."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from dataingestionframework_spark.errors import DuplicateHeaderError, SpecValidationError
+from dataingestionframework_spark.specs import (
+    ddl_to_spark_type,
+    load_specs,
+    spec_from_document,
+)
+
+DOC = {
+    "HeaderID": 1,
+    "SourceName": "al_csv_test",
+    "TableName": "main.al_csv_test",
+    "SourceFilePath": "/tmp/src",
+    "SourceFileFormat": "csv",
+    "SourceFileHeader": 1,
+    "SourceFileDelimiter": ",",
+    "OverWriteFlag": 1,
+    "BatchFileCount": 1,
+    "JobConfig": {"CronSyntax": "0 0 3 * * ?", "WarningDuration": 600, "TimeOut": 1200,
+                  "Retries": 2, "ClusterMaxWorkers": 2},
+    "Columns": [
+        {"SourceColumnName": "Id", "DeltaColumnName": "Id", "DeltaDataType": "INT",
+         "ColumnOrder": 1},
+        {"SourceColumnName": "Item", "DeltaColumnName": "Item", "DeltaDataType": "string",
+         "ColumnOrder": 2, "IsPII": 1},
+        {"SourceColumnName": "Date", "DeltaColumnName": "Date", "DeltaDataType": "date",
+         "ColumnOrder": 3},
+        {"SourceColumnName": "Value", "DeltaColumnName": "Value",
+         "DeltaDataType": "decimal(10,2)", "ColumnOrder": 4, "ZOrder": 1},
+    ],
+}
+
+
+def test_type_mapping():
+    assert ddl_to_spark_type("int") == T.IntegerType()
+    assert ddl_to_spark_type("decimal(10,2)") == T.DecimalType(10, 2)
+    assert ddl_to_spark_type("BIGINT") == T.LongType()
+    assert ddl_to_spark_type("array<string>") == T.ArrayType(T.StringType())
+    with pytest.raises(SpecValidationError):
+        ddl_to_spark_type("geometry")
+
+
+def test_spec_from_document():
+    s = spec_from_document(DOC)
+    assert s.header_id == 1 and s.file_format == "csv" and s.overwrite
+    assert [c.target_name for c in s.ordered_columns()] == ["Id", "Item", "Date", "Value"]
+    assert s.pii_columns() == ["Item"]
+    assert s.zorder_columns() == ["Value"]
+    assert s.job.cron == "0 0 3 * * ?"
+    tgt = s.target_schema()
+    assert tgt.fieldNames()[-3:] == ["BatchId", "InsertDate", "ModifiedDateTime"]
+    assert tgt["Value"].dataType == T.DecimalType(10, 2)
+
+
+def test_validation_rejects_bad_doc():
+    bad = dict(DOC)
+    bad.pop("Columns")
+    with pytest.raises(SpecValidationError):
+        spec_from_document(bad)
+
+
+def test_duplicate_header_ids(tmp_path):
+    (tmp_path / "a.json").write_text(json.dumps(DOC))
+    b = dict(DOC, SourceName="other")
+    (tmp_path / "b.json").write_text(json.dumps(b))
+    with pytest.raises(DuplicateHeaderError):
+        load_specs(str(tmp_path))

@@ -1,0 +1,108 @@
+"""ManagedTable: append/overwrite/merge/update/delete semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("current", T.IntegerType(), True),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_append_read(spark, catalog):
+    t = catalog.table("s.t1")
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    assert t.count() == 2
+    t.append(_df(spark, [(3, "c", 1)]))
+    assert t.count() == 3
+
+
+def test_overwrite_and_truncate(spark, catalog):
+    t = catalog.table("s.t2")
+    t.append(_df(spark, [(1, "a", 1)]))
+    t.overwrite(_df(spark, [(9, "z", 1), (10, "y", 1)]))
+    assert t.count() == 2
+    t.truncate()
+    assert t.count() == 0
+
+
+def test_update_and_delete(spark, catalog):
+    t = catalog.table("s.t3")
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))
+    t.update(F.col("id") == 2, {"name": F.lit("B")})
+    got = {r.id: r.name for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    t.delete(F.col("id") == 1)
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_merge_upsert_and_soft_delete(spark, catalog):
+    """The reference's header-config merge shape
+    (modules/insert_config.py:202-270): update matched, insert new,
+    soft-delete rows missing from source."""
+    t = catalog.table("s.t4")
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    src = _df(spark, [(2, "b2", 1), (3, "c", 1)])
+    t.merge(
+        src,
+        on=["id"],
+        when_matched_update="all",
+        when_not_matched_insert=True,
+        when_not_matched_by_source_update={"current": F.lit(0)},
+    )
+    got = {r.id: (r.name, r.current) for r in t.read().collect()}
+    assert got == {1: ("a", 0), 2: ("b2", 1), 3: ("c", 1)}
+
+
+def test_merge_insert_only(spark, catalog):
+    t = catalog.table("s.t5")
+    t.append(_df(spark, [(1, "a", 1)]))
+    t.merge(_df(spark, [(1, "X", 9), (2, "b", 1)]), on=["id"],
+            when_matched_update=None, when_not_matched_insert=True)
+    got = {r.id: r.name for r in t.read().collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_schema_evolution_append(spark, catalog):
+    t = catalog.table("s.t6")
+    t.append(_df(spark, [(1, "a", 1)]))
+    wider = spark.createDataFrame(
+        [(2, "b", 1, "extra")],
+        T.StructType(list(SCHEMA.fields) + [T.StructField("note", T.StringType(), True)]),
+    )
+    t.append(wider, merge_schema=True)
+    out = t.read()
+    assert "note" in out.columns
+    got = {r.id: r.note for r in out.collect()}
+    assert got == {1: None, 2: "extra"}
+
+
+def test_atomic_swap_versions_vacuum(spark, catalog):
+    t = catalog.table("s.t7")
+    t.append(_df(spark, [(1, "a", 1)]))
+    t.overwrite(_df(spark, [(2, "b", 1)]))
+    t.overwrite(_df(spark, [(3, "c", 1)]))
+    assert t.count() == 1
+    n = t.vacuum()
+    assert n >= 2
+    assert [r.id for r in t.read().collect()] == [3]
+
+
+def test_arrow_fast_path(spark, catalog):
+    t = catalog.table("s.t8")
+    t.create(SCHEMA)
+    t.append_rows([{"id": 1, "name": "a", "current": 1}])
+    t.append_rows([{"id": 2, "name": "b", "current": 1}])
+    assert t.count() == 2
+    t.update_rows("id", 2, {"name": "B2", "current": 0})
+    got = {r.id: (r.name, r.current) for r in t.read().collect()}
+    assert got == {1: ("a", 1), 2: ("B2", 0)}
