@@ -110,14 +110,15 @@ class SystemTables:
         return self._t("status")
 
     def create_all(self) -> "SystemTables":
-        spark = self.catalog.spark
         self.header.create(HEADER_SCHEMA)
         self.columns.create(COLUMN_SCHEMA)
         self.control.create(CONTROL_SCHEMA)
         self.logs.create(LOG_SCHEMA)
         if not self.status.exists():
             self.status.create(STATUS_SCHEMA)
-            self.status.overwrite(spark.createDataFrame(STATUS_ROWS, STATUS_SCHEMA))
+            self.status.append_rows(
+                [{"StatusID": i, "StatusName": n} for i, n in STATUS_ROWS]
+            )
         return self
 
 

@@ -109,7 +109,21 @@ class ManagedTable:
         return self.spark.read.schema(self.schema()).parquet(self.data_dir())
 
     def count(self) -> int:
-        return self.read().count()
+        """Row count from parquet footers — no scan, no Spark job."""
+        return self._dir_rows(self.data_dir())
+
+    @staticmethod
+    def _dir_rows(d: str, only_files: set[str] | None = None) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in os.listdir(d):
+            if f.endswith(".parquet") and (only_files is None or f in only_files):
+                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        return total
+
+    def data_files(self) -> set[str]:
+        return {f for f in os.listdir(self.data_dir()) if f.endswith(".parquet")}
 
     # -- writes -------------------------------------------------------------
 
@@ -117,8 +131,21 @@ class ManagedTable:
         if self.exists() and not overwrite:
             return self
         v, path = self._new_version_dir()
-        self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+        os.makedirs(path, exist_ok=True)
         self._swap(v, schema)
+        try:
+            # Arrow fast path: an empty parquet file without a Spark job
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            aschema = self._arrow_schema()
+            pq.write_table(
+                pa.Table.from_pydict({f.name: [] for f in aschema}, schema=aschema),
+                os.path.join(path, "part-empty.parquet"),
+            )
+        except ValueError:
+            # types the fast path doesn't map (nested structs, …) → Spark
+            self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
         return self
 
     def _merged_schema(self, incoming: T.StructType) -> T.StructType:
@@ -264,6 +291,10 @@ class ManagedTable:
             }
             if dt in mapping:
                 return mapping[dt]
+            if isinstance(dt, T.DecimalType):
+                return pa.decimal128(dt.precision, dt.scale)
+            if isinstance(dt, T.ArrayType):
+                return pa.list_(conv(dt.elementType))
             raise ValueError(f"arrow fast path: unsupported type {dt}")
 
         return pa.schema([pa.field(f.name, conv(f.dataType), True) for f in self.schema().fields])

@@ -1,0 +1,60 @@
+"""Table maintenance: compaction + Z-order-style clustering + source polling.
+
+Reference C7 (``modules/auto_loader_steps.py:481-498``): post-load
+``OPTIMIZE table [ZORDER BY (cols)]`` using Z-columns from the config.
+On plain parquet the equivalent clustering is a range-repartition on
+the cluster columns + sort-within-partitions rewrite: files become
+disjoint runs of the cluster key, so min/max row-group stats give the
+same data-skipping effect Z-ordering gives Delta.
+
+Reference S6 (``notebooks/Data Ingestion Helper.py:334-352``): block
+until the source directory is non-empty — kept, with a deadline.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..catalog.table import ManagedTable
+from ..specs import IngestionSpec
+
+
+def optimize_table(
+    table: ManagedTable,
+    zorder_cols: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """Compact + cluster. With ``zorder_cols``: range-partition on the
+    columns then sort within partitions (parquet min/max stats then
+    support skip-scans on those columns — the OPTIMIZE ZORDER analogue)."""
+    df = table.read()
+    n = target_partitions or max(1, table.spark.sparkContext.defaultParallelism // 4)
+    if zorder_cols:
+        clustered = df.repartitionByRange(n, *zorder_cols).sortWithinPartitions(*zorder_cols)
+    else:
+        clustered = df.coalesce(n)
+    table.overwrite(clustered)
+
+
+def optimize_for_spec(table: ManagedTable, spec: IngestionSpec) -> None:
+    """Apply the spec's ZOrder column flags (reference pulls them from
+    column_config where ZOrder=1)."""
+    optimize_table(table, spec.zorder_columns() or None)
+
+
+def wait_for_files(path: str, timeout_s: float = 60.0, poll_s: float = 1.0) -> bool:
+    """Block until ``path`` contains at least one file (or timeout).
+    Returns True if files appeared."""
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        try:
+            if any(
+                e.is_file() and not e.name.startswith((".", "_"))
+                for e in os.scandir(path)
+            ):
+                return True
+        except FileNotFoundError:
+            pass
+        time.sleep(poll_s)
+    return False

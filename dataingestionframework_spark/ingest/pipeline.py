@@ -137,10 +137,11 @@ class IngestionPipeline:
 
             if spec.overwrite:
                 target.overwrite(out)
+                rows = target.count()  # footer metadata, no scan
             else:
+                before = target.data_files()
                 target.append(out)
-
-            rows = out.count()
+                rows = target._dir_rows(target.data_dir(), target.data_files() - before)
             self.log.write(spec.header_id, "ROW_COUNT", str(rows), 1, batch_id)
             return IngestResult(spec.header_id, batch_id, rows, n_corrupt, spec.table_name)
         finally:

@@ -1,0 +1,211 @@
+"""Scheduling: quartz-cron evaluation, SLA cutoff, day-of-week flags.
+
+Replaces the reference's Databricks-Jobs control plane:
+
+- job creation with cron + timeouts (``modules/create_workflow_jobs.py:179-366``)
+- the SLA-driven runner that starts due jobs and cancels ones past
+  their cutoff (``notebooks/Run jobs.py:81-202``)
+- the cron "description" UDF (``modules/validate_configurations.py:50-54``,
+  which wraps ``cron_descriptor`` but is actually applied with pandas)
+
+All pure Python on the driver — scheduling decisions are metadata, not
+data. The runner executes pipelines through the normal library path.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from dataclasses import dataclass
+from datetime import datetime, time, timedelta
+
+from ..specs import IngestionSpec
+
+_DOW_NAMES = ["SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT"]
+_MON_NAMES = ["", "JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+              "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
+
+
+def _parse_field(field: str, lo: int, hi: int, names: list[str] | None = None) -> set[int]:
+    """One quartz cron field → the set of matching values."""
+    field = field.strip().upper()
+    if names:
+        for i, n in enumerate(names):
+            if n:
+                field = field.replace(n, str(i))
+    out: set[int] = set()
+    for part in field.split(","):
+        if part in ("*", "?"):
+            return set(range(lo, hi + 1))
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/")
+            step = int(step_s)
+            if part in ("*", ""):
+                part = f"{lo}-{hi}"
+        if "-" in part:
+            a, b = part.split("-")
+            out.update(range(int(a), int(b) + 1, step))
+        else:
+            v = int(part)
+            out.update(range(v, hi + 1, step) if step > 1 else [v])
+    return out
+
+
+@dataclass
+class CronSchedule:
+    """Quartz 6/7-field cron: sec min hour dom mon dow [year].
+
+    Supports the syntax the reference's configs use (``0 0 3 * * ?``)
+    plus lists/ranges/steps/names.
+    """
+
+    expr: str
+
+    def __post_init__(self):
+        f = self.expr.split()
+        if len(f) not in (6, 7):
+            raise ValueError(f"expected 6/7-field quartz cron, got {self.expr!r}")
+        self.seconds = _parse_field(f[0], 0, 59)
+        self.minutes = _parse_field(f[1], 0, 59)
+        self.hours = _parse_field(f[2], 0, 23)
+        self.dom = _parse_field(f[3], 1, 31)
+        self.months = _parse_field(f[4], 1, 12, _MON_NAMES)
+        # quartz: 1=SUN..7=SAT; normalize to python weekday-ish 0=SUN..6=SAT
+        raw = f[5]
+        self.dow = {
+            (v - 1) % 7 for v in _parse_field(raw, 0, 7, [""] + _DOW_NAMES)
+        } if raw not in ("*", "?") else set(range(7))
+        self._dom_any = f[3] in ("*", "?")
+        self._dow_any = raw in ("*", "?")
+
+    def matches(self, dt: datetime) -> bool:
+        py_dow = (dt.weekday() + 1) % 7  # python Mon=0 → 0=SUN..6=SAT
+        day_ok = (
+            (dt.day in self.dom) or (py_dow in self.dow)
+            if not self._dom_any and not self._dow_any
+            else (dt.day in self.dom if not self._dom_any else py_dow in self.dow)
+        )
+        return (
+            dt.second in self.seconds
+            and dt.minute in self.minutes
+            and dt.hour in self.hours
+            and dt.month in self.months
+            and day_ok
+        )
+
+    def next_fire(self, after: datetime, horizon_days: int = 366) -> datetime | None:
+        """Next matching instant after ``after`` (minute resolution scan
+        guided by the field sets; plenty for daily-grain schedules)."""
+        t = after.replace(microsecond=0) + timedelta(seconds=1)
+        end = after + timedelta(days=horizon_days)
+        sec = min(self.seconds)
+        while t <= end:
+            if t.month not in self.months:
+                t = (t.replace(day=1, hour=0, minute=0, second=0) + timedelta(days=32)).replace(day=1)
+                continue
+            py_dow = (t.weekday() + 1) % 7
+            day_ok = (
+                (t.day in self.dom) or (py_dow in self.dow)
+                if not self._dom_any and not self._dow_any
+                else (t.day in self.dom if not self._dom_any else py_dow in self.dow)
+            )
+            if not day_ok:
+                t = (t + timedelta(days=1)).replace(hour=0, minute=0, second=0)
+                continue
+            if t.hour not in self.hours:
+                t = (t + timedelta(hours=1)).replace(minute=0, second=0)
+                continue
+            if t.minute not in self.minutes:
+                t = (t + timedelta(minutes=1)).replace(second=0)
+                continue
+            if sec >= t.second:
+                return t.replace(second=sec)
+            t = (t + timedelta(minutes=1)).replace(second=0)
+        return None
+
+
+def describe_cron(expr: str) -> str:
+    """Human description of the common quartz shapes (the reference
+    renders this with the cron_descriptor package into job_config)."""
+    try:
+        c = CronSchedule(expr)
+    except (ValueError, IndexError):
+        return f"invalid cron: {expr}"
+    if len(c.hours) == 1 and len(c.minutes) == 1 and len(c.dom) == 31 and len(c.dow) == 7:
+        h, m = next(iter(c.hours)), next(iter(c.minutes))
+        return f"daily at {h:02d}:{m:02d}"
+    if len(c.hours) == 24 and len(c.minutes) == 1:
+        return f"hourly at minute {next(iter(c.minutes)):02d}"
+    if len(c.dow) < 7 and len(c.hours) == 1:
+        days = "/".join(_DOW_NAMES[d] for d in sorted(c.dow))
+        return f"at {next(iter(c.hours)):02d}:{next(iter(c.minutes)):02d} on {days}"
+    return f"cron {expr}"
+
+
+@dataclass
+class SlaPolicy:
+    """Reference ``Run jobs.py``: per-day run flags + HH:MM SLA cutoff."""
+
+    run_days: set[int] | None = None       # 0=SUN..6=SAT; None = all
+    sla_cutoff: time | None = None         # cancel if still running past this
+
+    def should_run_today(self, now: datetime) -> bool:
+        if self.run_days is None:
+            return True
+        return (now.weekday() + 1) % 7 in self.run_days
+
+    def past_cutoff(self, now: datetime) -> bool:
+        return self.sla_cutoff is not None and now.time() > self.sla_cutoff
+
+
+class JobRunner:
+    """Local scheduler loop: decide which specs are due, run them
+    through the pipeline, alert on failure, cancel past SLA.
+
+    ``tick(now)`` is pure decision logic (testable without sleeping);
+    ``run_due`` executes. A Databricks/Airflow adapter would implement
+    the same decide/execute split against its own API.
+    """
+
+    def __init__(self, pipeline, notifier=None, slas: dict[int, SlaPolicy] | None = None):
+        from .notifier import LoggingNotifier
+
+        self.pipeline = pipeline
+        self.notifier = notifier or LoggingNotifier()
+        self.slas = slas or {}
+        self.last_fired: dict[int, datetime] = {}
+
+    def due(self, specs: list[IngestionSpec], now: datetime) -> list[IngestionSpec]:
+        out = []
+        for s in specs:
+            sla = self.slas.get(s.header_id, SlaPolicy())
+            if not sla.should_run_today(now) or sla.past_cutoff(now):
+                continue
+            if not s.job.cron:
+                continue
+            sched = CronSchedule(s.job.cron)
+            prev = self.last_fired.get(s.header_id)
+            nxt = sched.next_fire(prev or (now - timedelta(days=1)))
+            if nxt is not None and nxt <= now:
+                out.append(s)
+        return out
+
+    def run_due(self, specs: list[IngestionSpec], now: datetime | None = None) -> dict[int, str]:
+        from datetime import timezone
+
+        from .notifier import Alert
+
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        results: dict[int, str] = {}
+        for spec in self.due(specs, now):
+            self.last_fired[spec.header_id] = now
+            try:
+                self.pipeline.run_batch(spec)
+                results[spec.header_id] = "succeeded"
+            except Exception as e:  # noqa: BLE001 — runner must keep going
+                results[spec.header_id] = f"failed: {e}"
+                self.notifier.send(
+                    Alert("error", f"ingest failed: {spec.source_name}", str(e),
+                          spec.header_id)
+                )
+        return results

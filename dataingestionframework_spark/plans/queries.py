@@ -399,7 +399,9 @@ def ingest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=cols,
     )
     res = pipe.run_batch(spec)
-    source_rows = spark.read.parquet(spec.source_path).count()
+    import pyarrow.parquet as pq
+
+    source_rows = pq.ParquetFile(spec.source_path).metadata.num_rows
     loaded_rows = cat.table(spec.table_name).count()
     flag = (
         "PASS (Row count match)"

@@ -1,0 +1,47 @@
+"""Streaming observability (reference T9:
+``query.isActive/lastProgress/awaitTermination`` polling,
+``modules/auto_loader_steps.py:509-515``) — as a listener, not a poll loop."""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """Records per-batch progress rows; queryable from tests/ops."""
+
+    def __init__(self):
+        self.progress: list[dict] = []
+        self.terminated: list[str] = []
+        self._lock = threading.Lock()
+
+    def onQueryStarted(self, event):  # noqa: N802 (Spark API names)
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        p = event.progress
+        with self._lock:
+            self.progress.append(
+                {
+                    "id": str(p.id),
+                    "batchId": p.batchId,
+                    "numInputRows": p.numInputRows,
+                    "inputRowsPerSecond": p.inputRowsPerSecond,
+                }
+            )
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        with self._lock:
+            self.terminated.append(str(event.id))
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+
+def attach(spark: SparkSession) -> ProgressRecorder:
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    return rec

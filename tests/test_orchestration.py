@@ -1,0 +1,107 @@
+"""Scheduler: cron parsing/eval, SLA, runner loop, notifier, maintenance."""
+
+import os
+from datetime import datetime, time
+
+import pytest
+
+from dataingestionframework_spark.orchestration.notifier import Alert, CollectingNotifier
+from dataingestionframework_spark.orchestration.scheduler import (
+    CronSchedule,
+    JobRunner,
+    SlaPolicy,
+    describe_cron,
+)
+from dataingestionframework_spark.specs import ColumnSpec, IngestionSpec, JobSpec
+
+
+def test_cron_daily_3am():
+    c = CronSchedule("0 0 3 * * ?")  # the reference's own schedule
+    assert c.matches(datetime(2026, 8, 13, 3, 0, 0))
+    assert not c.matches(datetime(2026, 8, 13, 4, 0, 0))
+    nxt = c.next_fire(datetime(2026, 8, 13, 4, 0, 0))
+    assert nxt == datetime(2026, 8, 14, 3, 0, 0)
+    nxt2 = c.next_fire(datetime(2026, 8, 13, 2, 59, 59))
+    assert nxt2 == datetime(2026, 8, 13, 3, 0, 0)
+
+
+def test_cron_fields():
+    c = CronSchedule("0 */15 8-17 * * MON-FRI")
+    assert c.matches(datetime(2026, 8, 12, 9, 30, 0))   # Wednesday
+    assert not c.matches(datetime(2026, 8, 15, 9, 30, 0))  # Saturday
+    assert not c.matches(datetime(2026, 8, 12, 9, 20, 0))
+    assert describe_cron("0 0 3 * * ?") == "daily at 03:00"
+    assert "invalid" in describe_cron("nope")
+
+
+def test_sla_policy():
+    sla = SlaPolicy(run_days={1, 2, 3, 4, 5}, sla_cutoff=time(18, 0))
+    assert sla.should_run_today(datetime(2026, 8, 12, 9, 0))      # Wed
+    assert not sla.should_run_today(datetime(2026, 8, 15, 9, 0))  # Sat
+    assert sla.past_cutoff(datetime(2026, 8, 12, 19, 0))
+    assert not sla.past_cutoff(datetime(2026, 8, 12, 12, 0))
+
+
+class _FakePipeline:
+    def __init__(self, fail_ids=()):
+        self.ran = []
+        self.fail_ids = set(fail_ids)
+
+    def run_batch(self, spec):
+        self.ran.append(spec.header_id)
+        if spec.header_id in self.fail_ids:
+            raise RuntimeError("boom")
+
+
+def _spec(hid, cron="0 0 3 * * ?"):
+    return IngestionSpec(
+        header_id=hid, source_name=f"s{hid}", table_name=f"main.s{hid}",
+        source_path="/tmp/x", file_format="csv",
+        columns=[ColumnSpec("a", "a", "int", 1)],
+        job=JobSpec(cron=cron),
+    )
+
+
+def test_runner_fires_due_jobs_and_alerts():
+    pipe = _FakePipeline(fail_ids={2})
+    notifier = CollectingNotifier()
+    runner = JobRunner(pipe, notifier)
+    specs = [_spec(1), _spec(2)]
+    now = datetime(2026, 8, 13, 3, 0, 30)
+    results = runner.run_due(specs, now)
+    assert results[1] == "succeeded" and results[2].startswith("failed")
+    assert [a.header_id for a in notifier.alerts] == [2]
+    # second tick same day: not due again
+    assert runner.run_due(specs, datetime(2026, 8, 13, 3, 5, 0)) == {}
+
+
+def test_runner_respects_sla_cutoff():
+    pipe = _FakePipeline()
+    runner = JobRunner(pipe, CollectingNotifier(),
+                       slas={1: SlaPolicy(sla_cutoff=time(4, 0))})
+    # 5am > 4am cutoff → do not start
+    assert runner.run_due([_spec(1)], datetime(2026, 8, 13, 5, 0, 0)) == {}
+
+
+def test_optimize_zorder_clusters_files(spark, catalog):
+    from dataingestionframework_spark.ingest.maintenance import optimize_table
+
+    t = catalog.table("m.opt")
+    df = spark.range(0, 10000).selectExpr("id", "id % 97 AS k", "rand(42) AS v")
+    t.overwrite(df.repartition(16))
+    optimize_table(t, zorder_cols=["k"], target_partitions=4)
+    assert t.count() == 10000
+    # clustered: each file's k-range is narrow → files are disjoint runs
+    files = [f for f in os.listdir(t.data_dir()) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 6
+
+
+def test_wait_for_files(tmp_root):
+    from dataingestionframework_spark.ingest.maintenance import wait_for_files
+
+    empty = os.path.join(tmp_root, "empty")
+    os.makedirs(empty)
+    assert not wait_for_files(empty, timeout_s=0.3, poll_s=0.1)
+    with open(os.path.join(empty, "x.csv"), "w") as f:
+        f.write("a\n")
+    assert wait_for_files(empty, timeout_s=2, poll_s=0.1)
