@@ -98,6 +98,16 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(text_col)
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """BPE-ish token estimate: letter runs, single digits, and punctuation
+    each count as a token (the pre-tokenization most BPE vocabularies
+    apply). Pure regex — JVM-side ``regexp_extract_all``."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def simhash64_df(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
     """64-bit SimHash per document → DataFrame (id, sh).
 

@@ -239,4 +239,75 @@ ORACLES: dict[str, str] = {
                'PASS (Row count match)' AS row_count_match_flag
         FROM lineitem
     """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pivot_orders_status": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "percentiles_orders": """
+        SELECT round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders
+    """,
+    "json_extract_events": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+    "string_regex_orders": """
+        SELECT o_orderkey,
+               CAST(regexp_extract(o_orderpriority, '(\\d)-(\\w+)', 1) AS INTEGER)
+                   AS priority_num,
+               regexp_extract(o_orderpriority, '(\\d)-([A-Z ]+)', 2) AS priority_word,
+               regexp_replace(o_orderstatus, '[FP]', 'X', 'g')       AS status_masked,
+               string_split(o_orderpriority, '-')[2]                 AS priority_tail
+        FROM orders WHERE o_orderkey < 500
+    """,
+    "quality_fingerprint_docs": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKENS} AS ts FROM documents
+        ),
+        s AS (
+            SELECT doc_id, text,
+                   CAST(len(ts) AS DOUBLE) AS n_tok,
+                   CAST(len(list_distinct(ts)) AS DOUBLE)
+                       / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS ttr,
+                   CAST(len(list_filter(ts, x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
+                       / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS sw
+            FROM t
+        )
+        SELECT doc_id,
+               md5(text) AS fingerprint,
+               round(((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN ttr >= 0.2 THEN 1.0 ELSE ttr / 0.2 END)
+                      + (CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)) / 3.0, 4)
+                   AS quality,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+                   AS n_bpe_tokens
+        FROM s
+    """,
+    "knn_join_sample": """
+        WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
+                   FROM embeddings WHERE vec_id < 50),
+             r AS (SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS rv
+                   FROM embeddings WHERE vec_id >= 50),
+             s AS (SELECT left_id, right_id,
+                          round(list_cosine_similarity(lv, rv), 6) AS cosine_sim
+                   FROM l CROSS JOIN r)
+        SELECT left_id, right_id, cosine_sim, rank
+        FROM (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY left_id ORDER BY cosine_sim DESC, right_id) AS INTEGER) AS rank
+              FROM s)
+        WHERE rank <= 3
+    """,
 }

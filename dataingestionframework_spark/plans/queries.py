@@ -414,6 +414,124 @@ def ingest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (extension beyond the reference's flat
+    GROUP BYs; Catalyst expands to a single shuffle with grouping ids)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (explicit value list so
+    the plan is one pass, no distinct-values pre-query)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (interpolated, matches quantile_cont)."""
+    t = _t(spark, sf_dir)
+    return t("orders").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (no oracle — sketch implementations
+    differ across engines; rows-only check, exactness tested in pytest)."""
+    t = _t(spark, sf_dir)
+    return t("lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column."""
+    t = _t(spark, sf_dir)
+    return (
+        t("events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        )
+        .filter(F.col("k_value") > 50)
+    )
+
+
+def string_regex_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract, replace, split-element."""
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.regexp_extract("o_orderpriority", r"(\d)-(\w+)", 1).cast("int").alias(
+                "priority_num"
+            ),
+            F.regexp_extract("o_orderpriority", r"(\d)-([A-Z ]+)", 2).alias("priority_word"),
+            F.regexp_replace("o_orderstatus", "[FP]", "X").alias("status_masked"),
+            F.element_at(F.split("o_orderpriority", "-"), 2).alias("priority_tail"),
+        )
+    )
+
+
+def quality_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + exact fingerprint + BPE-ish token estimate."""
+    from ..operators.text import bpe_token_count, fingerprint, quality_score
+
+    t = _t(spark, sf_dir)
+    return t("documents").select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs the labeled lang column (no SQL
+    oracle — argmax tie-breaking is implementation-defined; accuracy is
+    asserted in pytest)."""
+    from ..operators.text import lang_guess
+
+    t = _t(spark, sf_dir)
+    return (
+        t("documents")
+        .select("doc_id", "lang", lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-3 neighbours for each of the first 50 vectors."""
+    from ..operators.similarity import knn_join_brute
+
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    left = emb.filter(F.col("vec_id") < 50)
+    return knn_join_brute(left, emb.filter(F.col("vec_id") >= 50), k=3)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -441,4 +559,13 @@ QUERIES = {
     "events_hourly": events_hourly,
     "sessionize_events": sessionize_events,
     "ingest_reconcile": ingest_reconcile,
+    "rollup_agg": rollup_agg,
+    "pivot_orders_status": pivot_orders_status,
+    "percentiles_orders": percentiles_orders,
+    "approx_distinct_parts": approx_distinct_parts,
+    "json_extract_events": json_extract_events,
+    "string_regex_orders": string_regex_orders,
+    "quality_fingerprint_docs": quality_fingerprint_docs,
+    "lang_id_docs": lang_id_docs,
+    "knn_join_sample": knn_join_sample,
 }

@@ -41,9 +41,9 @@ def normalize(v):
 
 def rows_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(
-        tuple(normalize(r[i]) for i in order) for r in rows
-    )
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    # None-safe total order (rollup subtotals contain NULL keys)
+    out.sort(key=lambda row: [(v is None, repr(v)) for v in row])
     return out
 
 
