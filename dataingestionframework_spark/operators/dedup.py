@@ -94,17 +94,27 @@ def minhash_signatures(
     """MinHash signatures as ``num_hashes`` columns ``h0..h{k-1}``.
 
     Shape matters at scale: grams are exploded to rows ONCE, then the
-    whole hash family is ``min(xxhash64(gram, seed=i))`` aggregates in a
-    single groupBy — one shuffle, every hash vectorized/codegen'd.
+    whole hash family comes from TWO base hashes per gram via the
+    Carter-Wegman combination ``h_i = h1 + i·h2`` (masked to 54 bits so
+    the arithmetic can't overflow under ANSI mode) — a single groupBy
+    of cheap min aggregates, one shuffle.
     (Building an array of 64 ``array_min(transform(...))`` expressions
     instead re-inlines the n-gram construction 64×; measured 400+ s vs
     ~2 s on 5k docs.)
     """
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    from ..functions import exploded_word_ngrams
+
+    mask = (1 << 54) - 1
+    grams = exploded_word_ngrams(df, text_col, id_col, n).select(
+        id_col,
+        F.xxhash64("gram").bitwiseAND(F.lit(mask)).alias("h1"),
+        F.xxhash64("gram", F.lit(1)).bitwiseAND(F.lit(mask)).alias("h2"),
     )
     return grams.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -166,8 +176,25 @@ def verify_pairs_jaccard(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact-Jaccard verification of LSH candidate pairs (two equi-joins)."""
-    g = df.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("grams"))
+    """Exact-Jaccard verification of LSH candidate pairs.
+
+    Gram sets are built ONLY for documents that appear in a candidate
+    pair (semi-join first) and via the exploded one-tokenize path +
+    ``collect_set`` — at 100 TB the verifier cost scales with the
+    candidate set, not the corpus."""
+    from ..functions import exploded_word_ngrams
+
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(ids, id_col, "left_semi")
+    g = (
+        exploded_word_ngrams(needed, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("gram").alias("grams"))
+    )
     ga = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
     return (
@@ -191,9 +218,18 @@ def near_duplicates_minhash(
     bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end near-dup detection: LSH candidates → exact verification."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, bands)
-    return verify_pairs_jaccard(cands, df, text_col, id_col, n, threshold)
+    """End-to-end near-dup detection: LSH candidates → exact verification.
+
+    The candidate set is persisted: the verifier references it three
+    times (two id projections + the pair join), and without a
+    materialization point each reference would recompute the full
+    signature pipeline. Candidates are tiny relative to the corpus —
+    this is the cheap side to pin."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, bands).persist()
+    try:
+        return verify_pairs_jaccard(cands, df, text_col, id_col, n, threshold).localCheckpoint()
+    finally:
+        cands.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -118,10 +118,19 @@ def simhash64_df(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3)
     """
     from ..functions import word_ngrams
 
-    grams = df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    # One xxhash64 per gram; bit i of that hash is the vote for sketch
+    # bit i (the classic SimHash construction — 64× less hashing than an
+    # independent-hash-per-bit variant).
+    from ..functions import exploded_word_ngrams
+
+    grams = exploded_word_ngrams(df, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("gram").alias("h")
+    )
     votes = grams.groupBy(id_col).agg(
         *[
-            F.sum(F.when(F.xxhash64("gram", F.lit(i)) % 2 == 0, 1).otherwise(-1)).alias(f"b{i}")
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
             for i in range(64)
         ]
     )
