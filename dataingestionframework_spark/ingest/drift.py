@@ -76,6 +76,45 @@ def detect_new_columns(df: DataFrame, spec: IngestionSpec) -> list[str]:
     return [c for c in df.columns if c not in known]
 
 
+def reconcile_spec_with_table(spec: IngestionSpec, table) -> dict[str, list[str]]:
+    """Bidirectional config↔table reconciliation at job start
+    (reference: ``notebooks/Data Ingestion Helper.py:193-283``).
+
+    - columns the spec declares but the table lacks → added to the
+      table (NULL-backfilled via schema merge)
+    - columns the table has but the spec lacks → appended to the spec
+      caller-side via :func:`evolve_spec` (string-typed)
+
+    Returns {"added_to_table": [...], "missing_from_spec": [...]}.
+    """
+    from pyspark.sql import types as T
+
+    if not table.exists():
+        return {"added_to_table": [], "missing_from_spec": []}
+    stored = table.schema()
+    table_cols = set(stored.fieldNames())
+    spec_cols = {c.target_name for c in spec.ordered_columns()}
+    audit = AUDIT_COLS
+
+    add_to_table = [
+        c for c in spec.ordered_columns() if c.target_name not in table_cols
+    ]
+    if add_to_table:
+        merged = T.StructType(
+            list(stored.fields)
+            + [T.StructField(c.target_name, c.spark_type(), True) for c in add_to_table]
+        )
+        table._write_meta(merged)  # old files read the new columns as NULL
+
+    missing_from_spec = [
+        c for c in table_cols - spec_cols - audit if c != RESCUED
+    ]
+    return {
+        "added_to_table": [c.target_name for c in add_to_table],
+        "missing_from_spec": sorted(missing_from_spec),
+    }
+
+
 def evolve_spec(spec: IngestionSpec, new_cols: list[str]) -> IngestionSpec:
     """Append drift columns to the spec (STRING-typed, like the reference)."""
     if not new_cols:

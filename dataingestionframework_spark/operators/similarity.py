@@ -109,6 +109,78 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (fit on a sample), each
+    row assigned to its nearest centroid (``ivf_cell``).
+
+    Assignment is a pure column expression — argmin over the broadcast
+    centroid array — so it runs scan-side with no shuffle. At 100 TB
+    the cell column is materialized and the table partitioned by it, so
+    a probe reads only ``nprobe`` cells' files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_df = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
+    train = fit_df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    # argmin_{c} ||v - c||² via the smallest (distance, cell) struct
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = df.withColumn("ivf_cell", F.element_at(F.array_sort(scored), 1)["cell"])
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest IVF cells, brute-force within them.
+
+    ``df`` must carry ``ivf_cell`` (from :func:`ivf_assign`). The cell
+    filter is a plain equality-IN predicate → partition pruning when the
+    table is laid out by cell.
+    """
+    q = list(map(float, query_vec))
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(q, c)), i) for i, c in enumerate(centroids)
+    ]
+    probe_cells = [i for _, i in sorted(dists)[:nprobe]]
+    return cosine_topk(
+        df.filter(F.col("ivf_cell").isin(probe_cells)), q, k, vec_col, id_col
+    )
+
+
 def knn_join_brute(
     left: DataFrame,
     right: DataFrame,

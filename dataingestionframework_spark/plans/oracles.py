@@ -296,6 +296,16 @@ ORACLES: dict[str, str] = {
                    AS n_bpe_tokens
         FROM s
     """,
+    "asof_join_events": """
+        SELECT l.event_id, l.user_id, l.ts,
+               r.ts AS ts_right,
+               r.signup_event AS signup_event_right
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS signup_event FROM events
+                        WHERE event_type = 'signup') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "knn_join_sample": """
         WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
                    FROM embeddings WHERE vec_id < 50),

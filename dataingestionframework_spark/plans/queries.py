@@ -522,6 +522,26 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): each purchase matched
+    to the user's most recent signup at-or-before it. Union+window
+    formulation — one shuffle, no range explosion."""
+    from ..operators.joins import asof_join
+
+    t = _t(spark, sf_dir)
+    e = t("events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    return asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["signup_event"],
+    )
+
+
 def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: top-3 neighbours for each of the first 50 vectors."""
     from ..operators.similarity import knn_join_brute
@@ -568,4 +588,5 @@ QUERIES = {
     "quality_fingerprint_docs": quality_fingerprint_docs,
     "lang_id_docs": lang_id_docs,
     "knn_join_sample": knn_join_sample,
+    "asof_join_events": asof_join_events,
 }

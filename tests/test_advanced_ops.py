@@ -1,0 +1,125 @@
+"""As-of join, IVF ANN, stateful streaming, bidirectional reconcile."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_asof_join_basic(spark):
+    from dataingestionframework_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:00:00")],
+        "k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "a"), (1, "2024-01-01 11:00:00", "b"),
+         (3, "2024-01-01 08:00:00", "c")],
+        "k long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"])
+    got = {(r.k, str(r.ts)): r.v_right for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == "a"   # 09:00 is latest ≤ 10:00
+    assert got[(1, "2024-01-01 12:00:00")] == "b"   # 11:00 wins over 09:00
+    assert got[(2, "2024-01-01 10:00:00")] is None  # no right rows for key 2
+    assert out.count() == 3                          # left-preserving
+
+
+def test_asof_join_tolerance(spark):
+    from dataingestionframework_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", "old")], "k long, ts string, v string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hit = asof_join(left, right, "k", "ts", "ts", ["v"], tolerance_seconds=3 * 3600)
+    miss = asof_join(left, right, "k", "ts", "ts", ["v"], tolerance_seconds=3600)
+    assert hit.first().v_right == "old"
+    assert miss.first().v_right is None
+
+
+def test_ivf_topk_finds_neighbours(spark):
+    from dataingestionframework_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, centroids = ivf_assign(emb, n_clusters=8)
+    assigned = assigned.persist()
+    assert assigned.select("ivf_cell").distinct().count() <= 8
+
+    q = emb.filter(F.col("vec_id") == 1).first().embedding
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {r.vec_id for r in ivf_topk(assigned, q, centroids, k=5, nprobe=4).collect()}
+    # with half the cells probed, recall should be substantial; the query
+    # vector's own row must be found (it lives in the nearest cell)
+    assert 1 in approx
+    assert len(exact & approx) >= 3
+    assigned.unpersist()
+
+
+def test_stateful_running_counters_stream(spark, tmp_root):
+    from dataingestionframework_spark.streaming.stateful import running_user_counters
+
+    src = os.path.join(tmp_root, "state_src")
+    from dataingestionframework_spark.plans.tables import load
+
+    ev = load(spark, SF_DIR, "events").limit(300)
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_user_counters(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("counters_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            # last emitted row per user = final state
+            "SELECT * FROM counters_out"
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in running_user_counters(spark.read.parquet(src)).collect()
+    }
+    assert got == expected
+
+
+def test_reconcile_spec_with_table(spark, catalog):
+    from dataingestionframework_spark.ingest.drift import reconcile_spec_with_table
+    from dataingestionframework_spark.specs import ColumnSpec, IngestionSpec
+
+    t = catalog.table("m.recon")
+    df = spark.createDataFrame([(1, "x", 1)], "a long, b string, extra int")
+    t.overwrite(df)
+
+    spec = IngestionSpec(
+        header_id=1, source_name="r", table_name="m.recon", source_path="/tmp",
+        file_format="csv",
+        columns=[
+            ColumnSpec("a", "a", "bigint", 1),
+            ColumnSpec("b", "b", "string", 2),
+            ColumnSpec("c", "c_new", "string", 3),   # spec-only column
+        ],
+    )
+    actions = reconcile_spec_with_table(spec, t)
+    assert actions["added_to_table"] == ["c_new"]
+    assert actions["missing_from_spec"] == ["extra"]
+    out = t.read()
+    assert "c_new" in out.columns
+    assert out.first().c_new is None  # NULL-backfilled
