@@ -79,15 +79,24 @@ class ManagedTable:
             f.write(version)
         os.replace(tmp, self._pointer())  # atomic on POSIX
 
-    def _write_meta(self, schema: T.StructType) -> None:
+    def _write_meta(self, schema: T.StructType, partition_cols: list[str] | None = None) -> None:
+        if partition_cols is None:
+            partition_cols = self.partition_cols()
         tmp = os.path.join(self.root, _META + f".tmp-{uuid.uuid4().hex[:6]}")
         with open(tmp, "w") as f:
-            json.dump({"schema": schema.jsonValue()}, f)
+            json.dump({"schema": schema.jsonValue(), "partition_cols": partition_cols}, f)
         os.replace(tmp, os.path.join(self.root, _META))
 
     def schema(self) -> T.StructType:
         with open(os.path.join(self.root, _META)) as f:
             return T.StructType.fromJson(json.load(f)["schema"])
+
+    def partition_cols(self) -> list[str]:
+        try:
+            with open(os.path.join(self.root, _META)) as f:
+                return json.load(f).get("partition_cols") or []
+        except FileNotFoundError:
+            return []
 
     def vacuum(self, keep_current: bool = True) -> int:
         """Drop non-current version directories (Delta VACUUM analogue)."""
@@ -106,6 +115,7 @@ class ManagedTable:
     def read(self) -> DataFrame:
         # Explicit stored schema: files written before a schema evolution
         # lack the new columns; the parquet reader fills them with NULL.
+        # (Partition columns in the schema resolve from directory names.)
         return self.spark.read.schema(self.schema()).parquet(self.data_dir())
 
     def count(self) -> int:
@@ -117,22 +127,46 @@ class ManagedTable:
         import pyarrow.parquet as pq
 
         total = 0
-        for f in os.listdir(d):
-            if f.endswith(".parquet") and (only_files is None or f in only_files):
-                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for base, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(base, f)
+                rel = os.path.relpath(p, d)
+                if f.endswith(".parquet") and (only_files is None or rel in only_files):
+                    total += pq.ParquetFile(p).metadata.num_rows
         return total
 
     def data_files(self) -> set[str]:
-        return {f for f in os.listdir(self.data_dir()) if f.endswith(".parquet")}
+        d = self.data_dir()
+        return {
+            os.path.relpath(os.path.join(base, f), d)
+            for base, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        }
+
+    def _writer(self, df: DataFrame, mode: str):
+        w = df.write.mode(mode)
+        pcols = self.partition_cols()
+        if pcols:
+            w = w.partitionBy(*pcols)
+        return w
 
     # -- writes -------------------------------------------------------------
 
-    def create(self, schema: T.StructType, overwrite: bool = False) -> "ManagedTable":
+    def create(
+        self,
+        schema: T.StructType,
+        overwrite: bool = False,
+        partition_cols: list[str] | None = None,
+    ) -> "ManagedTable":
         if self.exists() and not overwrite:
             return self
         v, path = self._new_version_dir()
         os.makedirs(path, exist_ok=True)
+        self._write_meta(schema, partition_cols or [])
         self._swap(v, schema)
+        if partition_cols:
+            return self  # partitioned: empty dir IS the empty table
         try:
             # Arrow fast path: an empty parquet file without a Spark job
             import pyarrow as pa
@@ -166,8 +200,7 @@ class ManagedTable:
         """
         if not self.exists():
             self.create(df.schema)
-            target = self.data_dir()
-            df.write.mode("overwrite").parquet(target)
+            self._writer(df, "overwrite").parquet(self.data_dir())
             return
         schema = self._merged_schema(df.schema) if merge_schema else self.schema()
         out = df.select(
@@ -176,13 +209,13 @@ class ManagedTable:
                 for f in schema.fields
             ]
         )
-        out.write.mode("append").parquet(self.data_dir())
+        self._writer(out, "append").parquet(self.data_dir())
         if merge_schema:
             self._write_meta(schema)
 
     def overwrite(self, df: DataFrame) -> None:
         v, path = self._new_version_dir()
-        df.write.mode("overwrite").parquet(path)
+        self._writer(df, "overwrite").parquet(path)
         self._swap(v, df.schema)
 
     def truncate(self) -> None:
@@ -300,10 +333,13 @@ class ManagedTable:
         return pa.schema([pa.field(f.name, conv(f.dataType), True) for f in self.schema().fields])
 
     def append_rows(self, rows: list[dict]) -> None:
-        """Driver-side append of a few rows (no Spark job)."""
+        """Driver-side append of a few rows (no Spark job).
+        Unpartitioned tables only (control-plane tables never partition)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if self.partition_cols():
+            raise ValueError("append_rows: not supported on partitioned tables")
         schema = self._arrow_schema()
         cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
         table = pa.Table.from_pydict(cols, schema=schema)

@@ -51,7 +51,7 @@ class IngestionPipeline:
             self.catalog.create_schema(schema_name)
         target = self.catalog.table(spec.table_name)
         if not target.exists():
-            target.create(spec.target_schema())
+            target.create(spec.target_schema(), partition_cols=spec.partition_columns or None)
         elif idempotent_rerun and not spec.overwrite:
             # reference: DELETE WHERE InsertDate=CURRENT_DATE() on bounded
             # re-runs (notebooks/Data Ingestion Helper.py:139-142)

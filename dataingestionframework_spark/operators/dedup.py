@@ -125,6 +125,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -133,9 +134,14 @@ def minhash_lsh_candidates(
     The self-join shuffles on the bucket key only; AQE's skew-join
     handles hot buckets (e.g. boilerplate-heavy corpora).
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Pass precomputed (persisted) ``signatures`` to share them with the
+    estimate stage instead of recomputing.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = signatures if signatures is not None else minhash_signatures(
+        df, text_col, id_col, n, num_hashes
+    )
     banded = sig.select(
         id_col,
         F.explode(
@@ -176,12 +182,19 @@ def verify_pairs_jaccard(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact-Jaccard verification of LSH candidate pairs.
+    """Exact-Jaccard verification of LSH candidate pairs — set algebra
+    as joins, no array materialization:
 
-    Gram sets are built ONLY for documents that appear in a candidate
-    pair (semi-join first) and via the exploded one-tokenize path +
-    ``collect_set`` — at 100 TB the verifier cost scales with the
-    candidate set, not the corpus."""
+    |A∩B| from a gram-level equi-join restricted to candidate pairs,
+    |A∪B| = |A| + |B| − |A∩B| from per-doc distinct-gram counts.
+    Every step is a hash join / hash agg on (id, gram) keys — fully
+    codegen'd, and cost scales with Σ grams of candidate docs, not with
+    pair_count × array_size. Grams are built only for docs appearing in
+    a candidate pair (semi-join first).
+
+    Pairs with an empty intersection cannot reach any threshold > 0 and
+    are dropped by the inner joins.
+    """
     from ..functions import exploded_word_ngrams
 
     ids = (
@@ -190,23 +203,32 @@ def verify_pairs_jaccard(
         .distinct()
     )
     needed = df.join(ids, id_col, "left_semi")
-    g = (
-        exploded_word_ngrams(needed, text_col, id_col, n)
-        .groupBy(id_col)
-        .agg(F.collect_set("gram").alias("grams"))
-    )
-    ga = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
-    return (
-        candidates.join(ga, "id_a")
-        .join(gb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias("jaccard_sim"),
+    g = exploded_word_ngrams(needed, text_col, id_col, n).distinct().persist()
+    try:
+        sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
+        inter = (
+            candidates.join(g.select(F.col(id_col).alias("id_a"), "gram"), "id_a")
+            .join(g.select(F.col(id_col).alias("id_b"), "gram"), ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
         )
-        .filter(F.col("jaccard_sim") >= threshold)
-    )
+        out = (
+            inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("n_inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                    4,
+                ).alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
+        return out.localCheckpoint()
+    finally:
+        g.unpersist()
 
 
 def near_duplicates_minhash(
@@ -218,18 +240,45 @@ def near_duplicates_minhash(
     bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end near-dup detection: LSH candidates → exact verification.
+    """End-to-end near-dup detection, three-stage funnel:
 
-    The candidate set is persisted: the verifier references it three
-    times (two id projections + the pair join), and without a
-    materialization point each reference would recompute the full
-    signature pipeline. Candidates are tiny relative to the corpus —
-    this is the cheap side to pin."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, bands).persist()
+    1. LSH banding → candidate pairs (linear in corpus)
+    2. signature-estimate filter: est-Jaccard = matching sig fraction,
+       computed from the persisted signatures (cheap long compares) —
+       drops the large false-positive tail banding lets through, with a
+       margin below ``threshold`` so recall is preserved
+    3. exact n-gram Jaccard verification on the survivors only
+
+    Signatures are computed ONCE and persisted; banding, the estimate,
+    and the id-projections all reuse them."""
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     try:
-        return verify_pairs_jaccard(cands, df, text_col, id_col, n, threshold).localCheckpoint()
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, n, num_hashes, bands, signatures=sigs
+        )
+        sa = sigs.select(
+            F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+        )
+        sb = sigs.select(
+            F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+        )
+        matches = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+        )
+        est = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+            .filter(F.col("est_jaccard") >= threshold - 0.15)
+            .select("id_a", "id_b")
+            .persist()
+        )
+        try:
+            return verify_pairs_jaccard(est, df, text_col, id_col, n, threshold)
+        finally:
+            est.unpersist()
     finally:
-        cands.unpersist()
+        sigs.unpersist()
 
 
 # ---------------------------------------------------------------------------

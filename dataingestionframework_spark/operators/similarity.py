@@ -191,18 +191,54 @@ def knn_join_brute(
 ) -> DataFrame:
     """k-NN join: for each left row, top-k right rows by cosine.
 
-    Broadcast the smaller (right) side; rank with a window per left id.
-    For big-×-big at 100 TB, pre-bucket both sides with
-    :func:`with_srp_sketch` and join on ``srp_bucket`` first.
+    The right side is collected to a numpy matrix and broadcast; each
+    left partition scores an Arrow batch at a time with one BLAS matmul
+    (``mapInPandas`` — the vectorized path; the pure-expression
+    ``zip_with`` form is ~5× slower at 64 dims). Partitioning of the
+    left side is preserved — no shuffle. For big-×-big at 100 TB,
+    pre-bucket both sides with :func:`with_srp_sketch` or
+    :func:`ivf_assign` and join on the bucket first.
     """
-    from pyspark.sql import Window
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    r_rows = right.select(F.col(right_id), F.col(vec_col)).collect()
+    r_ids = np.array([row[0] for row in r_rows], dtype=np.int64)
+    r_mat = np.array([row[1] for row in r_rows], dtype=np.float64)
+    r_norm = r_mat / np.maximum(np.linalg.norm(r_mat, axis=1, keepdims=True), 1e-12)
+    bc = left.sparkSession.sparkContext.broadcast((r_ids, r_norm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("left_id", T.LongType()),
+            T.StructField("right_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            l_mat = np.array(list(pdf["lvec"]), dtype=np.float64)
+            l_norm = l_mat / np.maximum(np.linalg.norm(l_mat, axis=1, keepdims=True), 1e-12)
+            sims = np.round(l_norm @ mat.T, 6)
+            # top-k with deterministic ties: sort by (-sim, right_id)
+            order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :k]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "left_id": np.repeat(pdf["left_id"].to_numpy(), k),
+                    "right_id": ids[order].ravel(),
+                    "cosine_sim": np.take_along_axis(sims, order, axis=1).ravel(),
+                    "rank": np.tile(np.arange(1, k + 1), n),
+                }
+            )
 
     l = left.select(F.col(left_id).alias("left_id"), F.col(vec_col).alias("lvec"))
-    r = right.select(F.col(right_id).alias("right_id"), F.col(vec_col).alias("rvec"))
-    scored = l.join(F.broadcast(r)).select(
-        "left_id",
-        "right_id",
-        F.round(cosine_similarity(F.col("lvec"), F.col("rvec")), 6).alias("cosine_sim"),
-    )
-    w = Window.partitionBy("left_id").orderBy(F.col("cosine_sim").desc(), F.col("right_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return l.mapInPandas(score, schema=out_schema)

@@ -103,6 +103,9 @@ class IngestionSpec:
     checkpoint_location: str = ""
     pii_table_name: str = ""
     mask_strategy: str = "redact"   # redact | hash | nullify
+    # 100 TB extension: partition the target table (e.g. ["InsertDate"])
+    # — the reference has no PARTITIONED BY anywhere (SURVEY §4)
+    partition_columns: list[str] = field(default_factory=list)
     columns: list[ColumnSpec] = field(default_factory=list)
     job: JobSpec = field(default_factory=JobSpec)
 
@@ -223,6 +226,7 @@ def spec_from_document(doc: dict) -> IngestionSpec:
         error_location=doc.get("ErrorFilePath", ""),
         checkpoint_location=doc.get("CheckpointPath", ""),
         pii_table_name=doc.get("PIITableName", ""),
+        partition_columns=list(doc.get("PartitionColumns", [])),
         columns=cols,
         job=JobSpec(
             cron=jc.get("CronSyntax", ""),

@@ -97,6 +97,26 @@ def test_atomic_swap_versions_vacuum(spark, catalog):
     assert [r.id for r in t.read().collect()] == [3]
 
 
+def test_partitioned_table_prunes(spark, catalog):
+    """Date-style partitioning: layout + partition pruning in the plan."""
+    import os
+
+    t = catalog.table("s.part")
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 7 AS INT) AS bucket")
+    t.create(df.schema, partition_cols=["bucket"])
+    t.append(df)
+    t.append(spark.range(1000, 1200).selectExpr("id", "CAST(id % 7 AS INT) AS bucket"))
+    assert t.count() == 1200
+    # physical layout: bucket=N directories
+    subdirs = {d for d in os.listdir(t.data_dir()) if d.startswith("bucket=")}
+    assert len(subdirs) == 7
+    # partition pruning reaches the scan
+    plan = t.read().filter(F.col("bucket") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+    expected = sum(1 for i in range(1200) if i % 7 == 3)
+    assert t.read().filter(F.col("bucket") == 3).count() == expected
+
+
 def test_arrow_fast_path(spark, catalog):
     t = catalog.table("s.t8")
     t.create(SCHEMA)
