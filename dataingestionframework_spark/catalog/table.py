@@ -354,10 +354,14 @@ class ManagedTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from datetime import datetime, timezone
+
         schema = self._arrow_schema()
         pdf = pq.read_table(self.data_dir()).to_pandas()
         mask = pdf[key_col] == key_val
         for c, v in sets.items():
+            if isinstance(v, datetime) and v.tzinfo is None:
+                v = v.replace(tzinfo=timezone.utc)  # match tz-aware dtype
             if pdf[c].dtype == object or v is None:
                 pdf[c] = pdf[c].astype(object)
             pdf.loc[mask, c] = v

@@ -42,6 +42,7 @@ class IngestionPipeline:
         self.spark: SparkSession = catalog.spark
         self.tables = tables or SystemTables(catalog).create_all()
         self.log = OpsLog(self.tables)
+        self.active_streams: dict[int, object] = {}
 
     # -- stage 2: table preparation (EP1 step 2) ---------------------------
 
@@ -178,6 +179,17 @@ class IngestionPipeline:
 
     # -- streaming entry point ---------------------------------------------
 
+    def _last_committed_epoch(self, header_id: int) -> int:
+        """Highest foreachBatch epoch already committed for a pipeline
+        (from EPOCH_COMMIT log rows — the exactly-once replay guard)."""
+        import pyarrow.parquet as pq
+
+        logs = pq.read_table(
+            self.tables.logs.data_dir(), columns=["HeaderID", "LogEntryType", "LogDescription"]
+        ).to_pandas()
+        mine = logs[(logs["HeaderID"] == header_id) & (logs["LogEntryType"] == "EPOCH_COMMIT")]
+        return int(mine["LogDescription"].astype(int).max()) if len(mine) else -1
+
     def run_stream(
         self,
         spec: IngestionSpec,
@@ -190,14 +202,25 @@ class IngestionPipeline:
         ``bounded=True`` → ``Trigger.AvailableNow``: process everything
         currently in the directory, then stop — the idiomatic
         replacement for the reference's drain-poll (T5).
+
+        Exactly-once: after a crash between the data write and the
+        checkpoint commit, Structured Streaming REPLAYS the last epoch
+        into ``foreachBatch``. The EPOCH_COMMIT log row (written after
+        the batch lands) makes the handler idempotent — a replayed
+        epoch ≤ the last committed one is skipped, the same guard
+        Delta's ``txnAppId``/``txnVersion`` write options implement.
         """
         target = self.prepare(spec)
         self.log.write(spec.header_id, "START", f"stream ingest {spec.source_name}", 1)
         stream = with_file_metadata(read_stream(self.spark, spec))
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self._last_committed_epoch(spec.header_id):
+                return  # replayed epoch — already landed
             batch_id = self._next_batch_id(spec)
             self.process_batch(batch_df, spec, target, batch_id)
+            self.log.write(spec.header_id, "EPOCH_COMMIT", str(epoch_id), 1,
+                           batch_id, update_control=False)
 
         writer = stream.writeStream.foreachBatch(handle).outputMode("append")
         checkpoint = spec.checkpoint_location or os.path.join(
@@ -209,4 +232,16 @@ class IngestionPipeline:
             q.awaitTermination(timeout_s)
             self.log.write(spec.header_id, "END", "succeeded", 2)
             return q
-        return writer.trigger(processingTime=processing_time).start()
+        q = writer.trigger(processingTime=processing_time).start()
+        self.active_streams[spec.header_id] = q
+        return q
+
+    def cancel_stream(self, header_id: int) -> bool:
+        """Stop a continuous run (reference ``Run jobs.py`` SLA cancel,
+        ``notebooks/Run jobs.py:187-202``); logs the cancellation."""
+        q = self.active_streams.pop(header_id, None)
+        if q is None or not q.isActive:
+            return False
+        q.stop()
+        self.log.write(header_id, "END", "cancelled (SLA)", 3)
+        return True

@@ -296,6 +296,13 @@ ORACLES: dict[str, str] = {
                    AS n_bpe_tokens
         FROM s
     """,
+    "decimal_agg": """
+        SELECT l_returnflag,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_dec,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS sum_disc_dec
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "asof_join_events": """
         SELECT l.event_id, l.user_id, l.ts,
                r.ts AS ts_right,

@@ -522,6 +522,22 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal fidelity (SURVEY §7.4): exact, order-independent decimal
+    sums — the correctness-critical money-math path vs the oracle."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price_dec"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("sum_disc_dec"),
+        )
+    )
+
+
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks natively): each purchase matched
     to the user's most recent signup at-or-before it. Union+window
@@ -589,4 +605,5 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "knn_join_sample": knn_join_sample,
     "asof_join_events": asof_join_events,
+    "decimal_agg": decimal_agg,
 }

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): asof_join and ManagedTable.merge
+against pure-Python reference implementations."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+BASE = datetime(2024, 1, 1)
+
+pair_lists = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=pair_lists, right=pair_lists)
+def test_asof_join_matches_python_reference(spark, left, right):
+    from dataingestionframework_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=s), i) for i, (k, s) in enumerate(left)] or
+        [(0, BASE, -1)], "k long, ts timestamp, lid long",
+    )
+    # de-dup right (k, ts) so the asof match is unambiguous
+    rseen = {}
+    for j, (k, s) in enumerate(right):
+        rseen[(k, s)] = j
+    rrows = [(k, BASE + timedelta(seconds=s), j) for (k, s), j in rseen.items()]
+    rdf = spark.createDataFrame(rrows or [(99, BASE, -1)], "k long, ts timestamp, rid long")
+
+    got = {
+        r.lid: r.rid_right
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["rid"]).collect()
+    }
+
+    for i, (k, s) in enumerate(left or [(0, 0)]):
+        cands = [(ts, j) for (kk, ts2), j in rseen.items()
+                 for ts in [ts2] if kk == k and ts2 <= s]
+        expected = max(cands)[1] if cands else None
+        lid = i if left else -1
+        assert got.get(lid, None) == expected, (k, s, cands)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    target=st.dictionaries(st.integers(0, 5), st.integers(0, 100), max_size=6),
+    source=st.dictionaries(st.integers(0, 5), st.integers(0, 100), max_size=6),
+)
+def test_merge_matches_dict_semantics(spark, tmp_root, target, source):
+    """merge(update-all, insert, soft-delete) == dict union with a
+    'current' flag for keys the source dropped."""
+    import uuid
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+
+    t = ManagedTable(spark, f"{tmp_root}/m-{uuid.uuid4().hex[:8]}")
+    tdf = spark.createDataFrame(
+        [(k, v, 1) for k, v in target.items()] or [(-1, 0, 1)], "id long, v long, cur int"
+    )
+    t.overwrite(tdf)
+    sdf = spark.createDataFrame(
+        [(k, v, 1) for k, v in source.items()] or [(-2, 0, 1)], "id long, v long, cur int"
+    )
+    t.merge(
+        sdf, on=["id"], when_matched_update="all", when_not_matched_insert=True,
+        when_not_matched_by_source_update={"cur": F.lit(0)},
+    )
+    got = {r.id: (r.v, r.cur) for r in t.read().collect()}
+
+    tgt = dict(target) if target else {-1: 0}
+    src = dict(source) if source else {-2: 0}
+    expected = {}
+    for k, v in tgt.items():
+        expected[k] = (src[k], 1) if k in src else (v, 0)
+    for k, v in src.items():
+        if k not in tgt:
+            expected[k] = (v, 1)
+    assert got == expected
