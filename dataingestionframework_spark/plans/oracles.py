@@ -296,6 +296,40 @@ ORACLES: dict[str, str] = {
                    AS n_bpe_tokens
         FROM s
     """,
+    "math_functions": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_extendedprice - 50000)            AS abs_diff,
+               CAST(ceil(l_extendedprice) AS BIGINT)   AS ceil_price,
+               CAST(floor(l_extendedprice) AS BIGINT)  AS floor_price,
+               round(sqrt(l_extendedprice), 6)         AS sqrt_price,
+               round(ln(l_extendedprice), 6)           AS ln_price,
+               round(exp(l_discount), 6)               AS exp_disc,
+               round(pow(l_discount + 1, 3), 6)        AS pow_disc,
+               l_orderkey % 7                          AS mod_key,
+               CAST(sign(l_extendedprice - 50000) AS DOUBLE) AS sign_diff,
+               greatest(l_quantity, l_discount * 100)  AS greatest_v,
+               least(l_quantity, l_tax * 100)          AS least_v,
+               nullif(l_returnflag, 'N')               AS flag_or_null
+        FROM lineitem WHERE l_orderkey < 300
+    """,
+    "array_functions": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER)                         AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 6)                  AS first_val,
+               round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
+               round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val,
+               round(list_aggregate(CAST(list_slice(embedding, 1, 8) AS DOUBLE[]), 'sum'), 6)
+                   AS sum_first8
+        FROM embeddings WHERE vec_id < 300
+    """,
+    "sql_text_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)  AS sum_qty,
+               count(*)                   AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
     "decimal_agg": """
         SELECT l_returnflag,
                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_dec,

@@ -568,6 +568,78 @@ def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_brute(left, emb.filter(F.col("vec_id") >= 50), k=3)
 
 
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family (abs/ceil/floor/sqrt/ln/exp/pow/mod/sign/
+    greatest/least/nullif) — extension beyond the reference's +1 counters."""
+    t = _t(spark, sf_dir)
+    v = F.col("l_extendedprice")
+    d = F.col("l_discount")
+    return (
+        t("lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(v - 50000).alias("abs_diff"),
+            F.ceil(v).alias("ceil_price"),
+            F.floor(v).alias("floor_price"),
+            F.round(F.sqrt(v), 6).alias("sqrt_price"),
+            F.round(F.log(v), 6).alias("ln_price"),
+            F.round(F.exp(d), 6).alias("exp_disc"),
+            F.round(F.pow(d + 1, 3), 6).alias("pow_disc"),
+            (F.col("l_orderkey") % 7).alias("mod_key"),
+            F.signum(v - 50000).alias("sign_diff"),
+            F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("greatest_v"),
+            F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("least_v"),
+            F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+        )
+    )
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column family over embeddings (size/element_at/slice/agg)."""
+    t = _t(spark, sf_dir)
+    e = F.col("embedding")
+    return (
+        t("embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select(
+            "vec_id",
+            F.size(e).alias("dim"),
+            F.round(F.element_at(e, 1).cast("double"), 6).alias("first_val"),
+            F.round(F.array_max(e).cast("double"), 6).alias("max_val"),
+            F.round(F.array_min(e).cast("double"), 6).alias("min_val"),
+            F.round(
+                F.aggregate(
+                    F.slice(e, 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+                ),
+                6,
+            ).alias("sum_first8"),
+        )
+    )
+
+
+def sql_text_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text front door (reference drives everything via SQL
+    strings): q1 expressed through ``sql.run`` over registered views —
+    Catalyst produces the identical plan to the DataFrame form."""
+    from .. import sql as sqlmod
+
+    tune(spark)
+    sqlmod.register_test_tables(spark, sf_dir)
+    return sqlmod.run(
+        spark,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)  AS sum_qty,
+               count(*)                   AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -606,4 +678,7 @@ QUERIES = {
     "knn_join_sample": knn_join_sample,
     "asof_join_events": asof_join_events,
     "decimal_agg": decimal_agg,
+    "math_functions": math_functions,
+    "array_functions": array_functions,
+    "sql_text_q1": sql_text_q1,
 }

@@ -79,6 +79,95 @@ def test_streaming_tumbling_from_file_source(spark, tmp_root):
     assert any(p["numInputRows"] > 0 for p in rec.progress)
 
 
+def test_streaming_rollup_incremental_merge(spark, catalog, tmp_root):
+    """Rollup table maintained by additive MERGE per micro-batch must
+    equal the batch ground truth over the same data."""
+    from dataingestionframework_spark.streaming.rollup import rollup_batch, streaming_rollup
+
+    src = os.path.join(tmp_root, "rollup_src")
+    ev = _events(spark).limit(400)
+    # several files so availableNow sees multiple micro-batches
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    table = catalog.table("m.rollup")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    streaming_rollup(stream, table, checkpoint=os.path.join(tmp_root, "rollup_ckpt"))
+
+    got = {
+        (r.bucket, r.event_type): (r.n, round(r.total_value, 2))
+        for r in table.read().collect()
+    }
+    expected = {
+        (r.bucket, r.event_type): (r.n, round(r.total_value, 2))
+        for r in rollup_batch(spark.read.parquet(src)).collect()
+    }
+    assert got == expected
+
+
+def test_watermark_drops_late_events_append_mode(spark, tmp_root):
+    """Append-mode windowed agg only emits watermark-closed windows, and
+    events older than the watermark are excluded from state."""
+    import pandas as pd
+
+    src = os.path.join(tmp_root, "late_src")
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # batch 1 advances the watermark to 02:30; batch 2 (hour-4 event)
+    # makes the engine EVICT hours 0-2 from state; only then is the
+    # hour-0 straggler in batch 3 genuinely late (micro-batch watermark
+    # eviction is lazy — a 2-batch version would still merge it).
+    a = pd.DataFrame({
+        "event_id": range(4),
+        "ts": [base + pd.Timedelta(hours=h) for h in range(4)],
+        "value": [1.0] * 4,
+    })
+    c = pd.DataFrame({"event_id": [50], "ts": [base + pd.Timedelta(hours=4)], "value": [1.0]})
+    b = pd.DataFrame({"event_id": [99], "ts": [base], "value": [1.0]})
+    # micro-precision + UTC flag (pandas ns-naive reads as NTZ, which
+    # watermarks reject; Spark's reader rejects NANOS outright); the
+    # file source processes oldest-mtime first — force a < c < b.
+    import time as time_mod
+
+    now = time_mod.time()
+    for i, (df_, name) in enumerate(((a, "a.parquet"), (c, "c.parquet"), (b, "b.parquet"))):
+        df_["ts"] = df_["ts"].dt.tz_localize("UTC")
+        df_.astype({"ts": "datetime64[us, UTC]"}).to_parquet(os.path.join(src, name))
+        os.utime(os.path.join(src, name), (now - 120 + i * 30,) * 2)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", os.path.join(tmp_root, "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {str(r.ws): r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+    # the hour-0 straggler was dropped by the watermark → n stays 1
+    assert got == {
+        "2024-01-01 00:00:00": 1,
+        "2024-01-01 01:00:00": 1,
+        "2024-01-01 02:00:00": 1,
+    }
+    # late-drop is observable in the progress metrics
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_root):
     from dataingestionframework_spark.streaming.windows import streaming_dedup
 
