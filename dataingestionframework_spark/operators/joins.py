@@ -18,6 +18,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) left side with a
+    deterministic per-row salt, replicate the right side ``salt`` ways,
+    join on (key, salt). A single hot key spreads over ``salt`` tasks.
+
+    AQE's skew-join split (on by default here) handles most skew at
+    runtime; explicit salting is for the pathological single-key case
+    AQE can't split further, or for deterministic layout control.
+    Deterministic salt (hash of all left columns) keeps retries stable.
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn("_salt", salt_col.cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -568,6 +568,89 @@ def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_brute(left, emb.filter(F.col("vec_id") >= 50), k=3)
 
 
+def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS with a correlated non-equi predicate → left-semi join with
+    compound condition (TPC-H Q4 shape)."""
+    t = _t(spark, sf_dir)
+    o, l = t("orders"), t("lineitem")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated the Spark way: per-part
+    average via aggregation + join (TPC-H Q17 shape)."""
+    t = _t(spark, sf_dir)
+    l, p = t("lineitem"), t("part")
+    per_part = l.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty"))
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_revenue"))
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders per customer: left join + two-level
+    aggregation (TPC-H Q13 shape; customers with 0 orders included)."""
+    t = _t(spark, sf_dir)
+    per_cust = (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING on an aggregate subquery joined back (TPC-H Q18 shape)."""
+    t = _t(spark, sf_dir)
+    big = (
+        t("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        t("orders")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def q7_nation_year_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation × ship-year revenue (TPC-H Q7 shape)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .join(F.broadcast(t("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (abs/ceil/floor/sqrt/ln/exp/pow/mod/sign/
     greatest/least/nullif) — extension beyond the reference's +1 counters."""
@@ -678,6 +761,11 @@ QUERIES = {
     "knn_join_sample": knn_join_sample,
     "asof_join_events": asof_join_events,
     "decimal_agg": decimal_agg,
+    "q4_exists_priority": q4_exists_priority,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q13_order_distribution": q13_order_distribution,
+    "q18_large_orders": q18_large_orders,
+    "q7_nation_year_volume": q7_nation_year_volume,
     "math_functions": math_functions,
     "array_functions": array_functions,
     "sql_text_q1": sql_text_q1,

@@ -1,0 +1,59 @@
+"""Layout-level scale levers: salted joins, bucketed shuffle-free joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dataingestionframework_spark.operators.joins import salted_join
+
+    left = spark.range(0, 5000).selectExpr("id % 3 AS k", "id AS v")  # 3 hot keys
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, name string")
+    plain = (
+        left.join(right, "k")
+        .groupBy("k", "name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    salted = (
+        salted_join(left, right, "k", salt=4)
+        .groupBy("k", "name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from dataingestionframework_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "x"), (7, "y")], "k long, v string")
+    right = spark.createDataFrame([(1, "r1")], "k long, r string")
+    out = {(r.k, r.r) for r in salted_join(left, right, "k", how="left", salt=3).collect()}
+    assert out == {(1, "r1"), (7, None)}
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_root):
+    # isolate catalog tables per test run
+    names = []
+    yield names
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_bucketed_join_elides_shuffle(spark, warehouse):
+    from dataingestionframework_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    a = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bkt_a", "k", n_buckets=8)
+    write_bucketed(b, "bkt_b", "k", n_buckets=8)
+    warehouse += ["bkt_a", "bkt_b"]
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        joined = bucketed_join(spark, "bkt_a", "bkt_b", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
