@@ -30,5 +30,19 @@ class SpecValidationError(EngineError):
     """Ingestion spec failed JSON-Schema / semantic validation."""
 
 
+class StreamRestartRequired(EngineError):
+    """Schema drift detected mid-stream: the epoch is aborted BEFORE its
+    commit so the restarted stream reprocesses the same files with the
+    evolved schema (the reference's cloudFiles ``addNewColumns`` mode
+    fails-then-restarts the same way, modules/auto_loader_steps.py:90)."""
+
+    def __init__(self, header_id: int, new_columns: list[str]):
+        self.header_id = header_id
+        self.new_columns = new_columns
+        super().__init__(
+            f"schema drift on header {header_id}: new columns {new_columns}; restart the stream"
+        )
+
+
 class DuplicateHeaderError(SpecValidationError):
     """HeaderID uniqueness violated (reference: modules/insert_config.py:94-120)."""

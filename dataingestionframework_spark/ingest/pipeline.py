@@ -196,6 +196,7 @@ class IngestionPipeline:
         bounded: bool = True,
         processing_time: str = "0.5 seconds",
         timeout_s: int | None = None,
+        detect_drift: bool = True,
     ):
         """Streaming ingest via ``foreachBatch``.
 
@@ -217,6 +218,8 @@ class IngestionPipeline:
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             if epoch_id <= self._last_committed_epoch(spec.header_id):
                 return  # replayed epoch — already landed
+            if detect_drift:
+                self._check_stream_drift(batch_df, spec)
             batch_id = self._next_batch_id(spec)
             self.process_batch(batch_df, spec, target, batch_id)
             self.log.write(spec.header_id, "EPOCH_COMMIT", str(epoch_id), 1,
@@ -229,12 +232,107 @@ class IngestionPipeline:
         writer = writer.option("checkpointLocation", checkpoint)
         if bounded:
             q = writer.trigger(availableNow=True).start()
-            q.awaitTermination(timeout_s)
+            try:
+                q.awaitTermination(timeout_s)
+            except Exception as e:
+                if "schema drift on header" in str(e):
+                    # epoch aborted pre-commit: restart reprocesses the
+                    # drift files with the evolved (string-typed) schema
+                    evolved = self._evolved_from_store(spec)
+                    self.log.write(spec.header_id, "RESTART",
+                                   "stream restart after schema drift", 1)
+                    return self.run_stream(evolved, bounded, processing_time, timeout_s,
+                                           detect_drift=detect_drift)
+                raise
             self.log.write(spec.header_id, "END", "succeeded", 2)
             return q
         q = writer.trigger(processingTime=processing_time).start()
         self.active_streams[spec.header_id] = q
         return q
+
+    def _check_stream_drift(self, batch_df: DataFrame, spec: IngestionSpec) -> None:
+        """Sniff the batch's source files for columns the spec lacks.
+
+        CSV/JSON streams read with a declared schema can never *show*
+        new columns in the batch DataFrame, so the check goes back to
+        the files (driver-side header sniff of just this batch's files).
+        On drift: record the new columns in column_config, then abort
+        the epoch BEFORE its commit (T7 semantics — restart reprocesses).
+        """
+        from ..errors import StreamRestartRequired
+        from .drift import sniff_source_columns
+
+        if spec.file_format.lower() not in ("csv", "json"):
+            new = detect_new_columns(batch_df, spec)
+        else:
+            if "source_file_path" not in batch_df.columns:
+                return
+            from .quarantine import _local_path
+
+            files = [
+                _local_path(r.p)
+                for r in batch_df.select(
+                    F.col("source_file_path").alias("p")
+                ).distinct().collect()
+            ]
+            known = {c.source_name for c in spec.columns} | {RESCUED}
+            new = []
+            for p in files:
+                for c in sniff_source_columns(self.spark, spec, path=p):
+                    if c not in known and c not in new:
+                        new.append(c)
+        if new:
+            self.log.write(spec.header_id, "SCHEMA_DRIFT",
+                           f"new columns: {','.join(new)}", 1)
+            self._record_drift_columns(spec, new)
+            raise StreamRestartRequired(spec.header_id, new)
+
+    def _record_drift_columns(self, spec: IngestionSpec, new_cols: list[str]) -> None:
+        """Append drift columns (string-typed, like the reference's
+        addNewColumns) to column_config so a reload sees them."""
+        next_order = max((c.order for c in spec.columns), default=0) + 1
+        self.tables.columns.append_rows(
+            [
+                {
+                    "HeaderID": spec.header_id,
+                    "SourceColumnName": c,
+                    "DeltaColumnName": c,
+                    "DeltaDataType": "string",
+                    "ColumnOrder": next_order + i,
+                    "IsPII": 0,
+                    "ZOrder": 0,
+                    "IsCurrent": 1,
+                }
+                for i, c in enumerate(new_cols)
+            ]
+        )
+
+    def _evolved_from_store(self, spec: IngestionSpec) -> IngestionSpec:
+        """Rebuild the spec with any drift columns recorded in column_config."""
+        from dataclasses import replace
+
+        from ..specs import ColumnSpec
+
+        rows = (
+            self.tables.columns.read()
+            .filter((F.col("HeaderID") == spec.header_id) & (F.col("IsCurrent") == 1))
+            .collect()
+        )
+        if not rows:
+            return spec
+        # merge: stored rows extend/override the in-memory spec (the
+        # store may hold ONLY drift rows when sync() was never called)
+        by_name = {c.source_name: c for c in spec.columns}
+        for r in rows:
+            by_name[r.SourceColumnName] = ColumnSpec(
+                source_name=r.SourceColumnName,
+                target_name=r.DeltaColumnName,
+                data_type=r.DeltaDataType,
+                order=r.ColumnOrder,
+                is_pii=bool(r.IsPII),
+                zorder=bool(r.ZOrder),
+            )
+        return replace(spec, columns=sorted(by_name.values(), key=lambda c: c.order))
 
     def cancel_stream(self, header_id: int) -> bool:
         """Stop a continuous run (reference ``Run jobs.py`` SLA cancel,

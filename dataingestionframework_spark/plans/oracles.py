@@ -10,6 +10,20 @@ STOPWORDS_SQL = "['the','a','an','of','and','to','in','is','on','for']"
 
 _TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+
+def _lang_scored_sql() -> str:
+    """Per-language (hits, lang) structs from the SAME profile constant
+    the Spark operator uses — single source of truth."""
+    from ..operators.text import LANG_PROFILES
+
+    entries = []
+    for lang, words in LANG_PROFILES.items():
+        wl = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        entries.append(
+            f"struct_pack(hits := len(list_intersect(toks, {wl})), lang := '{lang}')"
+        )
+    return "[" + ", ".join(entries) + "]"
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -387,6 +401,24 @@ ORACLES: dict[str, str] = {
         ASOF LEFT JOIN (SELECT user_id, ts, event_id AS signup_event FROM events
                         WHERE event_type = 'signup') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "lang_id_docs": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   list_reverse(list_sort({_lang_scored_sql()}))[1] AS best
+            FROM t
+        )
+        SELECT lang,
+               CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_guess,
+               count(*) AS n
+        FROM scored
+        GROUP BY lang, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
     """,
     "knn_join_sample": """
         WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv

@@ -83,6 +83,31 @@ def test_runner_respects_sla_cutoff():
     assert runner.run_due([_spec(1)], datetime(2026, 8, 13, 5, 0, 0)) == {}
 
 
+def test_runner_end_to_end_with_real_pipeline(spark, catalog, tmp_root):
+    """Scheduler → pipeline → reconciliation, on real files."""
+    import os
+
+    from dataingestionframework_spark.ingest.pipeline import IngestionPipeline
+    from dataingestionframework_spark.ingest.reconcile import PASS_FLAG, daily_report
+
+    src = os.path.join(tmp_root, "sched_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "f1.csv"), "w") as f:
+        f.write("a\n1\n2\n3\n")
+    pipe = IngestionPipeline(catalog)
+    spec = IngestionSpec(
+        header_id=31, source_name="sched", table_name="main.sched",
+        source_path=src, file_format="csv", has_header=True,
+        columns=[ColumnSpec("a", "a", "int", 1)],
+        job=JobSpec(cron="0 0 3 * * ?"),
+    )
+    runner = JobRunner(pipe, CollectingNotifier())
+    results = runner.run_due([spec], datetime(2026, 8, 13, 3, 0, 10))
+    assert results == {31: "succeeded"}
+    rep = daily_report(catalog, pipe.tables, [spec]).first()
+    assert rep.RowCountMatchFlag == PASS_FLAG and rep.TableRowCount == 3
+
+
 def test_optimize_zorder_clusters_files(spark, catalog):
     from dataingestionframework_spark.ingest.maintenance import optimize_table
 

@@ -144,6 +144,31 @@ def test_streaming_available_now(spark, catalog, src_dir, tmp_root):
     assert out.filter(F.col("Id") == 5).count() == 1
 
 
+def test_stream_drift_restarts_with_evolved_schema(spark, catalog, src_dir, tmp_root):
+    """T7: mid-stream drift aborts the epoch pre-commit, records the new
+    column, and the automatic restart reprocesses the drift file with
+    the evolved schema — no rows lost, no rows duplicated."""
+    pipe = IngestionPipeline(catalog)
+    spec = _spec(tmp_root, src_dir, header_id=14, table_name="main.sdrift",
+                 source_name="sdrift", pii_table_name="", corrupt_location="",
+                 checkpoint_location=os.path.join(tmp_root, "sdrift_ckpt"))
+    pipe.run_stream(spec, bounded=True, timeout_s=120)
+    assert catalog.table("main.sdrift").count() == 2
+
+    with open(os.path.join(src_dir, "f2_drift.csv"), "w") as f:
+        f.write(CSV_DRIFT)
+    pipe.run_stream(spec, bounded=True, timeout_s=120)
+
+    out = catalog.table("main.sdrift").read()
+    assert "Color" in out.columns
+    assert out.count() == 3
+    vals = {r.Id: r.Color for r in out.collect()}
+    assert vals[4] == "red" and vals[1] is None
+    logs = pipe.tables.logs.read()
+    assert logs.filter(F.col("LogEntryType") == "SCHEMA_DRIFT").count() == 1
+    assert logs.filter(F.col("LogEntryType") == "RESTART").count() == 1
+
+
 def test_daily_report_pass(spark, catalog, src_dir, tmp_root):
     pipe = IngestionPipeline(catalog)
     spec = _spec(tmp_root, src_dir, header_id=12, table_name="main.rpt",
