@@ -11,9 +11,7 @@ the dual log+control write of
 
 from __future__ import annotations
 
-import time
 import uuid
-from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

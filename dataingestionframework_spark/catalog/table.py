@@ -288,10 +288,8 @@ class ManagedTable:
                 expr = F.when(~tgt_present & src_present, src_c).otherwise(expr)
             out_cols.append(expr.alias(c))
 
-        result = joined.select(*out_cols)
-        if not when_not_matched_insert:
-            result = joined.filter(tgt_present).select(*out_cols)
-        self.overwrite(result)
+        base = joined if when_not_matched_insert else joined.filter(tgt_present)
+        self.overwrite(base.select(*out_cols))
 
     # -- Arrow fast path for tiny control-plane tables ----------------------
     #

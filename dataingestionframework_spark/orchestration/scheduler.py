@@ -14,7 +14,6 @@ data. The runner executes pipelines through the normal library path.
 
 from __future__ import annotations
 
-import fnmatch
 from dataclasses import dataclass
 from datetime import datetime, time, timedelta
 

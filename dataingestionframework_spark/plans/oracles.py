@@ -377,6 +377,19 @@ ORACLES: dict[str, str] = {
                    AS sum_first8
         FROM embeddings WHERE vec_id < 300
     """,
+    "collect_agg": """
+        SELECT l_returnflag,
+               list_sort(list_distinct(list(l_linestatus))) AS statuses,
+               CAST(len(list_distinct(list(l_suppkey))) AS INTEGER) AS n_suppliers
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "stats_agg": """
+        SELECT round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+               round(var_samp(l_quantity), 2)         AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 6)     AS covar_disc_tax
+        FROM lineitem
+    """,
     "sql_text_q1": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)  AS sum_qty,

@@ -651,6 +651,30 @@ def q7_nation_year_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregates (collect_set sorted for determinism)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.size(F.collect_set("l_suppkey")).alias("n_suppliers"),
+        )
+    )
+
+
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance."""
+    t = _t(spark, sf_dir)
+    return t("lineitem").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+    )
+
+
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (abs/ceil/floor/sqrt/ln/exp/pow/mod/sign/
     greatest/least/nullif) — extension beyond the reference's +1 counters."""
@@ -768,5 +792,7 @@ QUERIES = {
     "q7_nation_year_volume": q7_nation_year_volume,
     "math_functions": math_functions,
     "array_functions": array_functions,
+    "collect_agg": collect_agg,
+    "stats_agg": stats_agg,
     "sql_text_q1": sql_text_q1,
 }
