@@ -398,11 +398,16 @@ def ingest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_format="parquet",
         columns=cols,
     )
-    res = pipe.run_batch(spec)
-    import pyarrow.parquet as pq
+    try:
+        res = pipe.run_batch(spec)
+        import pyarrow.parquet as pq
 
-    source_rows = pq.ParquetFile(spec.source_path).metadata.num_rows
-    loaded_rows = cat.table(spec.table_name).count()
+        source_rows = pq.ParquetFile(spec.source_path).metadata.num_rows
+        loaded_rows = cat.table(spec.table_name).count()
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)  # everything needed is scalar now
     flag = (
         "PASS (Row count match)"
         if source_rows == loaded_rows == res.rows_loaded

@@ -148,14 +148,24 @@ AUDIT_FIELDS = [
 # ---------------------------------------------------------------------------
 
 # Minimal JSON-Schema equivalent of config/config_template.json:1-142.
+# Accepts BOTH the reference's document shape (DeltaTableSchema +
+# DeltaTableName + SourceContainer, e.g.
+# config/Development/main_config/default_al_csv_test.json:1-61) and our
+# simplified one (SourceName + TableName).
 CONFIG_SCHEMA = {
     "type": "object",
-    "required": ["HeaderID", "SourceName", "TableName", "SourceFilePath",
-                 "SourceFileFormat", "Columns"],
+    "required": ["HeaderID", "SourceFilePath", "SourceFileFormat", "Columns"],
+    "anyOf": [
+        {"required": ["SourceName", "TableName"]},
+        {"required": ["DeltaTableName"]},
+    ],
     "properties": {
         "HeaderID": {"type": "integer"},
         "SourceName": {"type": "string"},
         "TableName": {"type": "string"},
+        "SourceContainer": {"type": "string"},
+        "DeltaTableSchema": {"type": "string"},
+        "DeltaTableName": {"type": "string"},
         "SourceFilePath": {"type": "string"},
         "SourceFileFormat": {"enum": ["csv", "json", "parquet"]},
         "SourceFileHeader": {"type": "integer"},
@@ -211,10 +221,16 @@ def spec_from_document(doc: dict) -> IngestionSpec:
         )
         for c in doc["Columns"]
     ]
+    table_name = doc.get("TableName") or ".".join(
+        p for p in (doc.get("DeltaTableSchema", ""), doc["DeltaTableName"]) if p
+    )
+    pii_table = doc.get("PIITableName", "")
+    if pii_table and doc.get("PIISchema"):
+        pii_table = f"{doc['PIISchema']}.{pii_table}"
     return IngestionSpec(
         header_id=int(doc["HeaderID"]),
-        source_name=doc["SourceName"],
-        table_name=doc["TableName"],
+        source_name=doc.get("SourceName") or doc.get("DeltaTableName") or table_name,
+        table_name=table_name,
         source_path=doc["SourceFilePath"],
         file_format=doc["SourceFileFormat"],
         has_header=bool(doc.get("SourceFileHeader", 1)),
@@ -225,7 +241,7 @@ def spec_from_document(doc: dict) -> IngestionSpec:
         corrupt_location=doc.get("CorruptFilePath", ""),
         error_location=doc.get("ErrorFilePath", ""),
         checkpoint_location=doc.get("CheckpointPath", ""),
-        pii_table_name=doc.get("PIITableName", ""),
+        pii_table_name=pii_table,
         partition_columns=list(doc.get("PartitionColumns", [])),
         columns=cols,
         job=JobSpec(

@@ -65,6 +65,24 @@ def test_validation_rejects_bad_doc():
         spec_from_document(bad)
 
 
+REFERENCE_CONFIG = "/root/reference/config/Development/main_config/default_al_csv_test.json"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REFERENCE_CONFIG),
+                    reason="reference snapshot not present")
+def test_reference_config_documents_load_unchanged():
+    """Parity proof: the reference's own JSON config documents parse
+    into specs with no translation (config/Development/main_config/
+    default_al_csv_test.json:1-61)."""
+    with open(REFERENCE_CONFIG) as f:
+        doc = json.load(f)
+    s = spec_from_document(doc)
+    assert s.file_format == "csv" and s.has_header and s.delimiter == ","
+    assert [c.target_name for c in s.ordered_columns()] == ["Id", "Item", "Date", "Value"]
+    assert s.target_schema()["Value"].dataType == T.DecimalType(10, 2)
+    assert s.job.cron and s.job.timeout_s > 0
+
+
 def test_duplicate_header_ids(tmp_path):
     (tmp_path / "a.json").write_text(json.dumps(DOC))
     b = dict(DOC, SourceName="other")
