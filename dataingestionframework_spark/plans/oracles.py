@@ -215,6 +215,14 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine_sim DESC, e.vec_id
         LIMIT 10
     """,
+    "embedding_near_dup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 400)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour_start,
                event_type,

@@ -351,6 +351,41 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (bounded all-pairs exact form;
+    the scale path buckets with SRP/IVF first — see operators.similarity)."""
+    from ..functions import cosine_similarity
+
+    t = _t(spark, sf_dir)
+    e = t("embeddings").filter(F.col("vec_id") < 400).select(
+        "vec_id", F.col("embedding")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.4)
+    )
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (k-means cells + nprobe) — rows-only check
+    (k-means training isn't SQL-expressible); recall vs the exact
+    brute-force path is asserted in tests/test_advanced_ops.py."""
+    from ..operators.similarity import ivf_assign, ivf_topk
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assigned, centroids = ivf_assign(emb, n_clusters=8)
+    return ivf_topk(assigned.filter(F.col("vec_id") != 0), qvec, centroids, k=10, nprobe=3)
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming windowed agg)."""
     t = _t(spark, sf_dir)
@@ -776,6 +811,8 @@ QUERIES = {
     "simhash_near_dup": simhash_near_dup,
     "text_stats_docs": text_stats_docs,
     "embedding_topk": embedding_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "ivf_ann_topk": ivf_ann_topk,
     "events_hourly": events_hourly,
     "sessionize_events": sessionize_events,
     "ingest_reconcile": ingest_reconcile,
