@@ -58,25 +58,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard ≥ threshold.
 
-    O(n²) cross join — correctness oracle / verifier only. At scale,
-    generate candidates with :func:`minhash_lsh_candidates` and verify
-    those pairs with :func:`verify_pairs_jaccard` instead.
+    The candidate set is the O(n²) id cross-product — bound it with
+    ``max_id`` or feed LSH candidates via :func:`verify_pairs_jaccard`
+    at scale — but the Jaccard math itself runs as the join-based
+    set-algebra form (gram-level equi-joins + hash aggs), so cost
+    scales with Σ grams of paired docs, not pair_count × array_size.
+    Pairs with an empty intersection can't reach any threshold > 0 and
+    are dropped by the inner joins (callers pass threshold > 0).
     """
     base = df.select(F.col(id_col), F.col(text_col))
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
-    g = base.select(id_col, word_ngrams(F.col(text_col), n).alias("grams"))
-    a = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
-    b = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias("jaccard_sim"),
-        )
-        .filter(F.col("jaccard_sim") >= threshold)
+    ids = base.select(F.col(id_col))
+    cand = ids.select(F.col(id_col).alias("id_a")).join(
+        ids.select(F.col(id_col).alias("id_b")), F.col("id_a") < F.col("id_b")
     )
+    return verify_pairs_jaccard(cand, base, text_col, id_col, n, threshold)
 
 
 # ---------------------------------------------------------------------------

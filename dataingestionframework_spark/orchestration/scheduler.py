@@ -50,12 +50,30 @@ def _parse_field(field: str, lo: int, hi: int, names: list[str] | None = None) -
     return out
 
 
+def _nearest_weekday(year: int, month: int, day: int) -> int:
+    """Quartz ``nW``: the weekday (Mon-Fri) nearest to ``day``, without
+    leaving the month."""
+    import calendar
+
+    last = calendar.monthrange(year, month)[1]
+    day = min(day, last)
+    wd = datetime(year, month, day).weekday()  # Mon=0..Sun=6
+    if wd == 5:  # Saturday → Friday, unless that leaves the month
+        return day - 1 if day > 1 else day + 2
+    if wd == 6:  # Sunday → Monday, unless that leaves the month
+        return day + 1 if day < last else day - 2
+    return day
+
+
 @dataclass
 class CronSchedule:
     """Quartz 6/7-field cron: sec min hour dom mon dow [year].
 
     Supports the syntax the reference's configs use (``0 0 3 * * ?``)
-    plus lists/ranges/steps/names.
+    plus lists/ranges/steps/names and the quartz day specials:
+    ``L`` / ``L-n`` / ``nW`` / ``LW`` in day-of-month, ``nL`` (last
+    weekday-n of month) and ``dow#n`` (nth weekday of month) in
+    day-of-week.
     """
 
     expr: str
@@ -67,23 +85,83 @@ class CronSchedule:
         self.seconds = _parse_field(f[0], 0, 59)
         self.minutes = _parse_field(f[1], 0, 59)
         self.hours = _parse_field(f[2], 0, 23)
-        self.dom = _parse_field(f[3], 1, 31)
         self.months = _parse_field(f[4], 1, 12, _MON_NAMES)
-        # quartz: 1=SUN..7=SAT; normalize to python weekday-ish 0=SUN..6=SAT
-        raw = f[5]
-        self.dow = {
-            (v - 1) % 7 for v in _parse_field(raw, 0, 7, [""] + _DOW_NAMES)
-        } if raw not in ("*", "?") else set(range(7))
-        self._dom_any = f[3] in ("*", "?")
-        self._dow_any = raw in ("*", "?")
+
+        dom_raw = f[3].strip().upper()
+        self._dom_special: tuple | None = None
+        if dom_raw == "LW":
+            self._dom_special = ("LW",)
+            self.dom = set()
+        elif dom_raw == "L" or dom_raw.startswith("L-"):
+            offset = int(dom_raw[2:]) if dom_raw.startswith("L-") else 0
+            self._dom_special = ("L", offset)
+            self.dom = set()
+        elif dom_raw.endswith("W") and dom_raw[:-1].isdigit():
+            self._dom_special = ("W", int(dom_raw[:-1]))
+            self.dom = set()
+        else:
+            self.dom = _parse_field(dom_raw, 1, 31)
+
+        # quartz: 1=SUN..7=SAT; normalize to 0=SUN..6=SAT
+        raw = f[5].strip().upper()
+        for i, n in enumerate(_DOW_NAMES):
+            raw = raw.replace(n, str(i + 1))
+        self._dow_special: tuple | None = None
+        if "#" in raw:
+            d, nth = raw.split("#")
+            self._dow_special = ("#", (int(d) - 1) % 7, int(nth))
+            self.dow = set()
+        elif raw.endswith("L") and raw[:-1].isdigit():
+            self._dow_special = ("L", (int(raw[:-1]) - 1) % 7)
+            self.dow = set()
+        else:
+            self.dow = {
+                (v - 1) % 7 for v in _parse_field(raw, 0, 7)
+            } if raw not in ("*", "?") else set(range(7))
+
+        self._dom_any = dom_raw in ("*", "?") and self._dom_special is None
+        self._dow_any = raw in ("*", "?") and self._dow_special is None
+
+    def _dom_matches(self, dt: datetime) -> bool:
+        import calendar
+
+        if self._dom_special is None:
+            return dt.day in self.dom
+        last = calendar.monthrange(dt.year, dt.month)[1]
+        kind = self._dom_special[0]
+        if kind == "L":
+            return dt.day == last - self._dom_special[1]
+        if kind == "W":
+            return dt.day == _nearest_weekday(dt.year, dt.month, self._dom_special[1])
+        # LW: last weekday of the month
+        d = last
+        while datetime(dt.year, dt.month, d).weekday() >= 5:
+            d -= 1
+        return dt.day == d
+
+    def _dow_matches(self, dt: datetime) -> bool:
+        import calendar
+
+        py_dow = (dt.weekday() + 1) % 7  # 0=SUN..6=SAT
+        if self._dow_special is None:
+            return py_dow in self.dow
+        kind = self._dow_special[0]
+        if kind == "L":  # last <dow> of the month
+            last = calendar.monthrange(dt.year, dt.month)[1]
+            return py_dow == self._dow_special[1] and dt.day > last - 7
+        # '#': nth <dow> of the month
+        _, want, nth = self._dow_special
+        return py_dow == want and (dt.day - 1) // 7 + 1 == nth
 
     def matches(self, dt: datetime) -> bool:
-        py_dow = (dt.weekday() + 1) % 7  # python Mon=0 → 0=SUN..6=SAT
-        day_ok = (
-            (dt.day in self.dom) or (py_dow in self.dow)
-            if not self._dom_any and not self._dow_any
-            else (dt.day in self.dom if not self._dom_any else py_dow in self.dow)
-        )
+        dom_constrained = not self._dom_any
+        dow_constrained = not self._dow_any
+        if dom_constrained and dow_constrained:
+            day_ok = self._dom_matches(dt) or self._dow_matches(dt)
+        elif dom_constrained:
+            day_ok = self._dom_matches(dt)
+        else:
+            day_ok = self._dow_matches(dt)
         return (
             dt.second in self.seconds
             and dt.minute in self.minutes
@@ -102,12 +180,12 @@ class CronSchedule:
             if t.month not in self.months:
                 t = (t.replace(day=1, hour=0, minute=0, second=0) + timedelta(days=32)).replace(day=1)
                 continue
-            py_dow = (t.weekday() + 1) % 7
-            day_ok = (
-                (t.day in self.dom) or (py_dow in self.dow)
-                if not self._dom_any and not self._dow_any
-                else (t.day in self.dom if not self._dom_any else py_dow in self.dow)
-            )
+            if not self._dom_any and not self._dow_any:
+                day_ok = self._dom_matches(t) or self._dow_matches(t)
+            elif not self._dom_any:
+                day_ok = self._dom_matches(t)
+            else:
+                day_ok = self._dow_matches(t)
             if not day_ok:
                 t = (t + timedelta(days=1)).replace(hour=0, minute=0, second=0)
                 continue

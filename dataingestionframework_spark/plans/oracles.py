@@ -455,4 +455,140 @@ ORACLES: dict[str, str] = {
               FROM s)
         WHERE rank <= 3
     """,
+    "q6_forecast_revenue": """
+        SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                   AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q14_promo_revenue": """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "q16_supplier_variety": """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 12, 15, 20)
+        GROUP BY p_brand, p_size
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_wealthy_inactive": """
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """,
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "intersect_nation_keys": """
+        SELECT c_custkey AS custkey FROM customer
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+    "except_nation_keys": """
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "window_lead_lag_rank": """
+        SELECT o_custkey, o_orderkey,
+               round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               CAST(row_number() OVER w AS INTEGER) AS rn,
+               CAST(ntile(4) OVER w AS INTEGER)     AS quartile,
+               round(percent_rank() OVER w, 6)      AS pct_rank,
+               round(cume_dist() OVER w, 6)         AS cume
+        FROM orders
+        WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window_moving_avg": """
+        SELECT o_custkey, o_orderkey,
+               round(avg(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+        WHERE o_custkey < 500
+    """,
+    "salted_join_agg": """
+        SELECT s_nationkey,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
+    "explode_token_topk": """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 25
+    """,
+    "binary_payload_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,
+               sha256(text) AS payload_hash,
+               'application/octet-stream' AS payload_mime
+        FROM documents
+    """,
 }

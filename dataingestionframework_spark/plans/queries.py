@@ -787,6 +787,308 @@ def sql_text_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+agg — every predicate reaches the parquet scan
+    (PushedFilters), no shuffle beyond the final 1-row agg (TPC-H Q6)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0)), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer: 4-way join, grouped top-20
+    (TPC-H Q10 shape)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio (TPC-H Q14 shape): promo revenue share."""
+    t = _t(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
+                / F.sum(disc_price),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery max: suppliers whose quarterly revenue equals the
+    global max (TPC-H Q15 shape). The 1-row max is broadcast — no
+    single-partition window."""
+    t = _t(spark, sf_dir)
+    rev = (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(t("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregate over a filtered join (TPC-H Q16 shape,
+    partsupp replaced by lineitem supplier links)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .join(
+            F.broadcast(
+                t("part").filter(
+                    (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 5, 9, 12, 15, 20)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs join predicate (TPC-H Q19 shape) — Catalyst extracts
+    the common p_partkey equi-key; the disjunction becomes a post-join
+    filter, not a nested-loop."""
+    t = _t(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t("lineitem")
+        .join(F.broadcast(t("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0)),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar average + anti join (TPC-H Q22 shape): customers above the
+    positive-balance average with no urgent orders, grouped by nation."""
+    t = _t(spark, sf_dir)
+    c = t("customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    urgent = t("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id — all 4 grouping combinations in a single
+    shuffle (extension beyond the reference's flat GROUP BYs)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers that have placed orders."""
+    t = _t(spark, sf_dir)
+    a = t("customer").select(F.col("c_custkey").alias("custkey"))
+    b = t("orders").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+def except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers that never placed an urgent order."""
+    t = _t(spark, sf_dir)
+    a = t("customer").select(F.col("c_custkey").alias("custkey"))
+    b = (
+        t("orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.subtract(b)
+
+
+def window_lead_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + ranking window family: lag/lead/row_number/ntile/
+    percent_rank/cume_dist over a fully deterministic per-customer order."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t("orders")
+        .filter(F.col("o_custkey") < 500)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame windows: 3-row moving average + running total per
+    customer — one shuffle, sorted within partitions only."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w3 = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    wrun = (
+        Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t("orders")
+        .filter(F.col("o_custkey") < 500)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w3), 4).alias("moving_avg3"),
+            F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_total"),
+        )
+    )
+
+
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators.joins.salted_join): semantics
+    identical to the plain equi-join — the oracle is the unsalted SQL."""
+    from ..operators.joins import salted_join
+
+    t = _t(spark, sf_dir)
+    l = t("lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = t("supplier").select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    return (
+        salted_join(l, s, on="l_suppkey", salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def explode_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode → corpus-wide token frequency top-25. The
+    explode+hash-agg plan is the 100 TB shape (map-side partial counts,
+    one shuffle on token)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("documents")
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(25)
+    )
+
+
+def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing with a real oracle: opaque binary payload
+    column + typed metadata (size/sha256/mime sniff), all JVM-side
+    (operators.multimodal.with_binary_metadata)."""
+    from ..operators.multimodal import with_binary_metadata
+
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return with_binary_metadata(d, "payload").select(
+        "doc_id",
+        F.col("payload_size").cast("int").alias("payload_size"),
+        "payload_hash",
+        "payload_mime",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -837,4 +1139,19 @@ QUERIES = {
     "collect_agg": collect_agg,
     "stats_agg": stats_agg,
     "sql_text_q1": sql_text_q1,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_wealthy_inactive": q22_wealthy_inactive,
+    "cube_agg": cube_agg,
+    "intersect_nation_keys": intersect_nation_keys,
+    "except_nation_keys": except_nation_keys,
+    "window_lead_lag_rank": window_lead_lag_rank,
+    "window_moving_avg": window_moving_avg,
+    "salted_join_agg": salted_join_agg,
+    "explode_token_topk": explode_token_topk,
+    "binary_payload_meta": binary_payload_meta,
 }

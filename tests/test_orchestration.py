@@ -34,6 +34,32 @@ def test_cron_fields():
     assert "invalid" in describe_cron("nope")
 
 
+def test_cron_day_specials():
+    # L: last day of month (Feb 2026 = 28th)
+    last = CronSchedule("0 0 3 L * ?")
+    assert last.matches(datetime(2026, 2, 28, 3, 0, 0))
+    assert not last.matches(datetime(2026, 2, 27, 3, 0, 0))
+    assert last.next_fire(datetime(2026, 2, 1, 0, 0, 0)) == datetime(2026, 2, 28, 3, 0, 0)
+    # L-2: two days before the last day
+    assert CronSchedule("0 0 3 L-2 * ?").matches(datetime(2026, 2, 26, 3, 0, 0))
+    # 15W: nearest weekday to the 15th (Aug 15 2026 = Saturday → Friday 14th)
+    w = CronSchedule("0 0 3 15W * ?")
+    assert w.matches(datetime(2026, 8, 14, 3, 0, 0))
+    assert not w.matches(datetime(2026, 8, 15, 3, 0, 0))
+    # LW: last weekday of the month (Aug 31 2026 = Monday)
+    lw = CronSchedule("0 0 3 LW * ?")
+    assert lw.matches(datetime(2026, 8, 31, 3, 0, 0))
+    # 6L: last Friday of the month (quartz 6=FRI; Aug 2026 → the 28th)
+    fl = CronSchedule("0 0 3 ? * 6L")
+    assert fl.matches(datetime(2026, 8, 28, 3, 0, 0))
+    assert not fl.matches(datetime(2026, 8, 21, 3, 0, 0))
+    # MON#2: second Monday (Aug 2026 → the 10th)
+    nth = CronSchedule("0 0 3 ? * MON#2")
+    assert nth.matches(datetime(2026, 8, 10, 3, 0, 0))
+    assert not nth.matches(datetime(2026, 8, 3, 3, 0, 0))
+    assert nth.next_fire(datetime(2026, 8, 1, 0, 0, 0)) == datetime(2026, 8, 10, 3, 0, 0)
+
+
 def test_sla_policy():
     sla = SlaPolicy(run_days={1, 2, 3, 4, 5}, sla_cutoff=time(18, 0))
     assert sla.should_run_today(datetime(2026, 8, 12, 9, 0))      # Wed
