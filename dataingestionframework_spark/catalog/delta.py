@@ -1,0 +1,208 @@
+"""Delta Lake backend for :class:`~.table.ManagedTable`'s API.
+
+The reference is Delta-native: every write is ``format('delta')``
+(``modules/auto_loader_steps.py:367-381``), DML is SQL-text MERGE/
+UPDATE/DELETE (``modules/insert_config.py``), and maintenance is
+``OPTIMIZE ... ZORDER BY`` (``modules/auto_loader_steps.py:481-498``).
+This adapter maps the same :class:`ManagedTable` surface onto real
+``delta-spark`` — ACID transaction log instead of our copy-on-write
+pointer swap — so the pipeline, system tables, and tests run unchanged
+on a cluster with Delta jars.
+
+This container ships no ``delta-spark``; the module import-gates it and
+the test suite parametrizes over backends, skipping Delta when absent.
+To enable on a real cluster::
+
+    pip install delta-spark
+    spark = (SparkSession.builder
+        .config("spark.sql.extensions",
+                "io.delta.sql.DeltaSparkSessionExtension")
+        .config("spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        .getOrCreate())
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - exercised only where delta-spark is installed
+    from delta.tables import DeltaTable as _DeltaTable
+
+    HAS_DELTA = True
+except ImportError:
+    _DeltaTable = None
+    HAS_DELTA = False
+
+
+def _require_delta() -> None:
+    if not HAS_DELTA:
+        raise ImportError(
+            "delta-spark is not installed; use the parquet ManagedTable "
+            "backend or install delta-spark on the cluster"
+        )
+
+
+def _col(expr: Column | str) -> Column:
+    return expr if isinstance(expr, Column) else F.expr(expr)
+
+
+class DeltaManagedTable:
+    """Path-based Delta table with the :class:`ManagedTable` API."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        _require_delta()
+        self.spark = spark
+        self.root = root
+
+    # -- handles --------------------------------------------------------------
+
+    def _dt(self):
+        return _DeltaTable.forPath(self.spark, self.root)
+
+    def exists(self) -> bool:
+        return _DeltaTable.isDeltaTable(self.spark, self.root)
+
+    def data_dir(self) -> str:
+        return self.root
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        from ..errors import TableNotFoundError
+
+        if not self.exists():
+            raise TableNotFoundError(self.root)
+        return self.spark.read.format("delta").load(self.root)
+
+    def count(self) -> int:
+        # Delta keeps row counts in the transaction log; a count() over
+        # the snapshot is metadata-only (no data scan) post-AQE.
+        return self.read().count()
+
+    def schema(self) -> T.StructType:
+        return self.read().schema
+
+    def partition_cols(self) -> list[str]:
+        detail = self._dt().detail().select("partitionColumns").first()
+        return list(detail[0]) if detail else []
+
+    # -- writes ---------------------------------------------------------------
+
+    def create(
+        self,
+        schema: T.StructType,
+        overwrite: bool = False,
+        partition_cols: list[str] | None = None,
+    ) -> "DeltaManagedTable":
+        if self.exists() and not overwrite:
+            return self
+        builder = (
+            _DeltaTable.createOrReplace(self.spark)
+            if overwrite
+            else _DeltaTable.createIfNotExists(self.spark)
+        )
+        builder = builder.location(self.root).addColumns(schema)
+        # the reference's write-path table properties
+        # (modules/delta_table_create_tables.py:109)
+        builder = builder.property("delta.autoOptimize.optimizeWrite", "true")
+        builder = builder.property("delta.autoOptimize.autoCompact", "true")
+        if partition_cols:
+            builder = builder.partitionedBy(*partition_cols)
+        builder.execute()
+        return self
+
+    def append(self, df: DataFrame, merge_schema: bool = True) -> None:
+        (
+            df.write.format("delta")
+            .mode("append")
+            .option("mergeSchema", str(merge_schema).lower())
+            .save(self.root)
+        )
+
+    def overwrite(self, df: DataFrame) -> None:
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("overwriteSchema", "true")
+            .save(self.root)
+        )
+
+    def truncate(self) -> None:
+        self._dt().delete()
+
+    def evolve_schema(self, merged: T.StructType) -> None:
+        """Add any new columns (NULL-backfilled) — Delta ALTER TABLE."""
+        current = {f.name for f in self.schema().fields}
+        new = [f for f in merged.fields if f.name not in current]
+        if not new:
+            return
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in new)
+        self.spark.sql(f"ALTER TABLE delta.`{self.root}` ADD COLUMNS ({cols})")
+
+    # -- DML ------------------------------------------------------------------
+
+    def delete(self, condition: Column | str) -> None:
+        self._dt().delete(_col(condition))
+
+    def update(self, condition: Column | str, set: Mapping[str, Column | str]) -> None:
+        self._dt().update(_col(condition), {c: _col(v) for c, v in set.items()})
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: Mapping[str, Column | str] | str | None = None,
+        when_not_matched_insert: bool = True,
+        when_not_matched_by_source_update: Mapping[str, Column | str] | None = None,
+        matched_condition: Column | str | None = None,
+    ) -> None:
+        """Native Delta MERGE — same keyword surface as the parquet
+        backend's emulated merge, same five reference variants
+        (``modules/insert_config.py:146-468``)."""
+        cond = " AND ".join(f"tgt.`{c}` = src.`{c}`" for c in on)
+        m = self._dt().alias("tgt").merge(source.alias("src"), cond)
+        if when_matched_update == "all":
+            m = m.whenMatchedUpdateAll(
+                condition=_col(matched_condition) if matched_condition is not None else None
+            )
+        elif when_matched_update:
+            m = m.whenMatchedUpdate(
+                condition=_col(matched_condition) if matched_condition is not None else None,
+                set={c: _col(v) for c, v in when_matched_update.items()},
+            )
+        if when_not_matched_insert:
+            m = m.whenNotMatchedInsertAll()
+        if when_not_matched_by_source_update:
+            m = m.whenNotMatchedBySourceUpdate(
+                set={c: _col(v) for c, v in when_not_matched_by_source_update.items()}
+            )
+        m.execute()
+
+    # -- control-plane row ops (Delta's log makes these cheap natively) -------
+
+    def append_rows(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(rows, self.schema())
+        self.append(df, merge_schema=False)
+
+    def update_rows(self, key_col: str, key_val, sets: Mapping[str, object]) -> None:
+        self.update(
+            F.col(key_col) == F.lit(key_val), {c: F.lit(v) for c, v in sets.items()}
+        )
+
+    # -- maintenance -----------------------------------------------------------
+
+    def optimize(self, target_partitions: int | None = None, zorder_by: list[str] | None = None) -> None:
+        opt = self._dt().optimize()
+        if zorder_by:
+            opt.executeZOrderBy(*zorder_by)
+        else:
+            opt.executeCompaction()
+
+    def vacuum(self, keep_current: bool = True, retention_hours: float = 168.0) -> int:
+        self._dt().vacuum(retention_hours)
+        return 0

@@ -98,6 +98,11 @@ class ManagedTable:
         except FileNotFoundError:
             return []
 
+    def evolve_schema(self, merged: T.StructType) -> None:
+        """Admit new columns (NULL-backfilled on read) — the parquet
+        backend just records the union schema; Delta ALTERs the table."""
+        self._write_meta(self._merged_schema(merged))
+
     def vacuum(self, keep_current: bool = True) -> int:
         """Drop non-current version directories (Delta VACUUM analogue)."""
         if not self.exists():
@@ -388,19 +393,31 @@ class TableCatalog:
     ``schema.table`` names map to nested directories — the analogue of
     the reference's ``CREATE SCHEMA``/``USE`` registry
     (``schema/schemas/1_schemas.py:40-42`` + ``config/schemas_tables.json``).
+
+    ``backend='delta'`` swaps in :class:`~.delta.DeltaManagedTable`
+    (requires delta-spark on the cluster); the default parquet backend
+    is dependency-free with the same semantics.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, backend: str = "parquet"):
+        if backend not in ("parquet", "delta"):
+            raise ValueError(f"unknown backend {backend!r}; use 'parquet' or 'delta'")
         self.spark = spark
         self.root = root
+        self.backend = backend
         os.makedirs(root, exist_ok=True)
 
     def create_schema(self, name: str) -> None:
         os.makedirs(os.path.join(self.root, name), exist_ok=True)
 
-    def table(self, name: str) -> ManagedTable:
+    def table(self, name: str):
         rel = os.path.join(*name.split("."))
-        return ManagedTable(self.spark, os.path.join(self.root, rel))
+        path = os.path.join(self.root, rel)
+        if self.backend == "delta":
+            from .delta import DeltaManagedTable
+
+            return DeltaManagedTable(self.spark, path)
+        return ManagedTable(self.spark, path)
 
     def table_exists(self, name: str) -> bool:
         return self.table(name).exists()

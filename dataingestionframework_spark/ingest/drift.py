@@ -104,7 +104,7 @@ def reconcile_spec_with_table(spec: IngestionSpec, table) -> dict[str, list[str]
             list(stored.fields)
             + [T.StructField(c.target_name, c.spark_type(), True) for c in add_to_table]
         )
-        table._write_meta(merged)  # old files read the new columns as NULL
+        table.evolve_schema(merged)  # old files read the new columns as NULL
 
     missing_from_spec = [
         c for c in table_cols - spec_cols - audit if c != RESCUED

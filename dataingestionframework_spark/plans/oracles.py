@@ -584,6 +584,67 @@ ORACLES: dict[str, str] = {
         ORDER BY n DESC, token
         LIMIT 25
     """,
+    "map_json_events": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+               CAST(len(json_keys(props)) AS INTEGER)      AS n_keys
+        FROM events
+        WHERE event_id < 2000
+    """,
+    "array_higher_order": """
+        SELECT vec_id,
+               CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_positive,
+               round(list_aggregate(list_transform(e, x -> x * x), 'sum'), 6) AS norm_sq,
+               len(list_filter(e, x -> x > 0.9)) > 0 AS has_big,
+               round(list_aggregate(list_transform(e, x -> abs(x)), 'sum'), 6) AS l1_norm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        WHERE vec_id < 300
+    """,
+    "string_advanced": """
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*')          AS brand_padded,
+               reverse(p_name)                 AS name_rev,
+               repeat('ab', 3)                 AS const_rep,
+               CAST(instr(p_name, 'a') AS INTEGER) AS first_a,
+               translate(p_type, 'AEO', '430') AS type_l33t,
+               CAST(levenshtein(p_name, p_brand) AS INTEGER) AS lev_name_brand
+        FROM part
+        WHERE p_partkey < 300
+    """,
+    "date_family2": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER)        AS order_quarter,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER)  AS order_dow,
+               CAST(weekofyear(o_orderdate) AS INTEGER)     AS order_week,
+               last_day(CAST(o_orderdate AS DATE))          AS month_end,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3_months
+        FROM orders
+        WHERE o_orderkey < 300
+    """,
+    "histogram_totalprice": """
+        SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+               count(*)                AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    "pandas_udf_zscore": """
+        SELECT o_orderkey,
+               round((o_totalprice - (SELECT avg(o_totalprice) FROM orders))
+                     / (SELECT stddev_samp(o_totalprice) FROM orders), 6) AS price_z
+        FROM orders
+        WHERE o_orderkey < 2000
+    """,
+    "stream_hourly_parity": """
+        SELECT date_trunc('hour', ts)                 AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
     "binary_payload_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,

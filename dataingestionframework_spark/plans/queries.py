@@ -1089,6 +1089,174 @@ def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON payload parsed to map<string,int>, element
+    lookup + key arity — all JVM-side (from_json, no Python)."""
+    t = _t(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return (
+        t("events")
+        .select(
+            "event_id",
+            F.element_at(m, "k").alias("k_value"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+        )
+        .filter(F.col("event_id") < 2000)
+    )
+
+
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform/filter/exists/zip_with/
+    aggregate — the lambda-expression family (whole-stage codegen'd)."""
+    t = _t(spark, sf_dir)
+    e = F.col("embedding")
+    ed = F.transform(e, lambda x: x.cast("double"))
+    return (
+        t("embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select(
+            "vec_id",
+            F.size(F.filter(ed, lambda x: x > 0)).alias("n_positive"),
+            F.round(
+                F.aggregate(F.zip_with(ed, ed, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x),
+                6,
+            ).alias("norm_sq"),
+            (F.size(F.filter(ed, lambda x: x > 0.9)) > 0).alias("has_big"),
+            F.round(
+                F.aggregate(F.transform(ed, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x),
+                6,
+            ).alias("l1_norm"),
+        )
+    )
+
+
+def string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family: lpad/reverse/repeat/instr/translate/
+    levenshtein (fuzzy-match primitive for entity resolution)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.lpad("p_brand", 12, "*").alias("brand_padded"),
+            F.reverse(F.col("p_name")).alias("name_rev"),
+            F.repeat(F.lit("ab"), 3).alias("const_rep"),
+            F.instr(F.col("p_name"), "a").alias("first_a"),
+            F.translate("p_type", "AEO", "430").alias("type_l33t"),
+            F.levenshtein("p_name", "p_brand").alias("lev_name_brand"),
+        )
+    )
+
+
+def date_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date/time family: quarter/dayofweek/weekofyear/last_day/
+    add_months (calendar arithmetic beyond the reference's F8-F13)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.dayofweek("o_orderdate").alias("order_dow"),
+            F.weekofyear("o_orderdate").alias("order_week"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.add_months("o_orderdate", 3).alias("plus_3_months"),
+        )
+    )
+
+
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: one hash-agg pass over the bucket id —
+    the distributed histogram plan (no sort, no collect)."""
+    t = _t(spark, sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        t("orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+def pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (the sanctioned Python hot
+    path): z-score arithmetic over broadcast global stats. The stats
+    come from one agg; the UDF does batch arithmetic only."""
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which the hinted pandas_udf signature parser can't resolve
+    zscore = pandas_udf(lambda x, mu, sigma: ((x - mu) / sigma).round(6), "double")
+
+    t = _t(spark, sf_dir)
+    o = t("orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"), F.stddev_samp("o_totalprice").alias("sigma")
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 2000)
+        .join(F.broadcast(stats))
+        .select("o_orderkey", zscore(F.col("o_totalprice"), F.col("mu"), F.col("sigma")).alias("price_z"))
+    )
+
+
+def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (rows-only check — the stub feature
+    extractor is mapInPandas over binary payloads, not SQL-expressible;
+    batch shape and schema are pytest-verified)."""
+    from ..operators.multimodal import decode_stub_features, with_binary_metadata
+
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    feat = decode_stub_features(with_binary_metadata(d, "payload"), "payload", n_features=4)
+    return feat.select(
+        "doc_id",
+        "payload_size",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.round(F.element_at("features", 4), 4).alias("f3"),
+    )
+
+
+def stream_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity: the SAME windowed-agg plan as the
+    batch form, run as a real stream (file source → tumbling window →
+    memory sink, Trigger.AvailableNow) — the oracle is the batch SQL.
+    Streams and batch share one logical plan; this proves it."""
+    from ..streaming.windows import tumbling_window_agg
+
+    import shutil
+
+    tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    # the streaming file source requires a directory; symlink the table in
+    src_dir = tempfile.mkdtemp(prefix="dif_stream_src_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    try:
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        agg = tumbling_window_agg(stream, window="1 hour", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_hourly_parity")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.table("stream_hourly_parity")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1154,4 +1322,12 @@ QUERIES = {
     "salted_join_agg": salted_join_agg,
     "explode_token_topk": explode_token_topk,
     "binary_payload_meta": binary_payload_meta,
+    "map_json_events": map_json_events,
+    "array_higher_order": array_higher_order,
+    "string_advanced": string_advanced,
+    "date_family2": date_family2,
+    "histogram_totalprice": histogram_totalprice,
+    "pandas_udf_zscore": pandas_udf_zscore,
+    "multimodal_stub_features": multimodal_stub_features,
+    "stream_hourly_parity": stream_hourly_parity,
 }

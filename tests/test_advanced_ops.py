@@ -66,6 +66,38 @@ def test_ivf_topk_finds_neighbours(spark):
     assigned.unpersist()
 
 
+def test_ivf_partitioned_layout_prunes_and_recall_sweep(spark, tmp_root):
+    """The 100 TB IVF layout: ivf_cell materialized as a partition
+    column, so a probe's IN-filter prunes to nprobe directories at the
+    scan (PartitionFilters), and recall rises monotonically with nprobe
+    until nprobe = n_clusters recovers the exact answer."""
+    from dataingestionframework_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, centroids = ivf_assign(emb, n_clusters=8)
+    path = f"{tmp_root}/emb_ivf"
+    assigned.write.partitionBy("ivf_cell").parquet(path)
+    stored = spark.read.parquet(path)
+
+    q = emb.filter(F.col("vec_id") == 1).first().embedding
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=5).collect()}
+
+    probe = ivf_topk(stored, q, centroids, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        got = {r.vec_id for r in ivf_topk(stored, q, centroids, k=5, nprobe=nprobe).collect()}
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0  # probing every cell = exact scan
+
+
 def test_stateful_running_counters_stream(spark, tmp_root):
     from dataingestionframework_spark.streaming.stateful import running_user_counters
 

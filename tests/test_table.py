@@ -126,3 +126,44 @@ def test_arrow_fast_path(spark, catalog):
     t.update_rows("id", 2, {"name": "B2", "current": 0})
     got = {r.id: (r.name, r.current) for r in t.read().collect()}
     assert got == {1: ("a", 1), 2: ("B2", 0)}
+
+
+# -- Delta backend adapter (import-gated; full CRUD runs only where
+#    delta-spark is installed — this container has the parquet backend) --
+
+
+def test_delta_backend_gating(spark, tmp_root):
+    from dataingestionframework_spark.catalog.delta import HAS_DELTA, DeltaManagedTable
+    from dataingestionframework_spark.catalog.table import TableCatalog
+
+    with pytest.raises(ValueError):
+        TableCatalog(spark, tmp_root, backend="bogus")
+    if HAS_DELTA:
+        pytest.skip("delta present; covered by test_delta_backend_crud")
+    with pytest.raises(ImportError):
+        DeltaManagedTable(spark, tmp_root)
+    with pytest.raises(ImportError):
+        TableCatalog(spark, tmp_root, backend="delta").table("s.t")
+
+
+def test_delta_backend_crud(spark, tmp_root):
+    from dataingestionframework_spark.catalog.delta import HAS_DELTA
+    from dataingestionframework_spark.catalog.table import TableCatalog
+
+    if not HAS_DELTA:
+        pytest.skip("delta-spark not installed in this container")
+    cat = TableCatalog(spark, tmp_root, backend="delta")
+    t = cat.table("s.dt")
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.merge(
+        _df(spark, [(2, "b2", 1), (3, "c", 1)]),
+        on=["id"],
+        when_matched_update="all",
+        when_not_matched_by_source_update={"current": F.lit(0)},
+    )
+    rows = {r.id: (r.name, r.current) for r in t.read().collect()}
+    assert rows == {1: ("a", 0), 2: ("b2", 1), 3: ("c", 1)}
+    t.update(F.col("id") == 3, {"name": F.lit("c3")})
+    t.delete(F.col("id") == 1)
+    assert {r.name for r in t.read().collect()} == {"b2", "c3"}
