@@ -66,6 +66,11 @@ def ngram_jaccard_pairs(
     Pairs with an empty intersection can't reach any threshold > 0 and
     are dropped by the inner joins (callers pass threshold > 0).
     """
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0: the join-based "
+            "set algebra never materializes zero-intersection pairs"
+        )
     base = df.select(F.col(id_col), F.col(text_col))
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
@@ -90,26 +95,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` columns ``h0..h{k-1}``.
 
-    Shape matters at scale: grams are exploded to rows ONCE, then the
-    whole hash family comes from TWO base hashes per gram via the
-    Carter-Wegman combination ``h_i = h1 + i·h2`` (masked to 54 bits so
-    the arithmetic can't overflow under ANSI mode) — a single groupBy
-    of cheap min aggregates, one shuffle.
+    Shape matters at scale: grams are exploded to rows ONCE, then each
+    signature position is ``min(xxhash64(gram, i))`` — ``num_hashes``
+    independent hash functions via the seed column — in a single
+    groupBy of cheap min aggregates, one shuffle.
     (Building an array of 64 ``array_min(transform(...))`` expressions
     instead re-inlines the n-gram construction 64×; measured 400+ s vs
-    ~2 s on 5k docs.)
+    ~2 s on 5k docs. And the two-hash Carter-Wegman family
+    ``h_i = h1 + i·h2`` is NOT usable under min: for large ``i`` the
+    minimum is dominated by the gram with the smallest ``h2``, so all
+    high-``i`` positions collapse onto one gram and a single differing
+    gram between two near-identical docs corrupts most of the
+    signature — measured est≈0.03 on a true-Jaccard-0.97 pair.)
     """
     from ..functions import exploded_word_ngrams
 
-    mask = (1 << 54) - 1
-    grams = exploded_word_ngrams(df, text_col, id_col, n).select(
-        id_col,
-        F.xxhash64("gram").bitwiseAND(F.lit(mask)).alias("h1"),
-        F.xxhash64("gram", F.lit(1)).bitwiseAND(F.lit(mask)).alias("h2"),
-    )
+    grams = exploded_word_ngrams(df, text_col, id_col, n).select(id_col, "gram")
     return grams.groupBy(id_col).agg(
         *[
-            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
+            F.min(F.xxhash64("gram", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -192,6 +196,11 @@ def verify_pairs_jaccard(
     Pairs with an empty intersection cannot reach any threshold > 0 and
     are dropped by the inner joins.
     """
+    if threshold <= 0:
+        raise ValueError(
+            "verify_pairs_jaccard requires threshold > 0: candidate pairs "
+            "with an empty gram intersection are dropped by the inner joins"
+        )
     from ..functions import exploded_word_ngrams
 
     ids = (
@@ -289,23 +298,56 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Blocks on the top ``prefix_bits`` of the sketch (documents within
-    small Hamming distance usually share a 16-bit prefix) so the
-    self-join is bucket-local, then verifies with ``bit_count(xor)``.
-    """
-    from .text import simhash64_df
+    Pigeonhole blocking with EXACT recall: the sketch is split into
+    ``max_hamming + 1`` bit-blocks, so any pair within ``max_hamming``
+    differing bits must agree on at least one whole block. Each doc
+    explodes to one (block_id, block_value) row per block; the self-join
+    is an equi hash join on that bucket key (one shuffle, AQE handles
+    hot blocks), then survivors are verified with ``bit_count(xor)``.
+    Unlike prefix blocking this misses nothing — output is identical to
+    the all-pairs form, at bucketed-join cost.
 
-    s = simhash64_df(df, text_col, id_col, n)
-    s = s.withColumn("block", F.shiftrightunsigned(F.col("sh"), 64 - prefix_bits))
-    a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "block")
-    b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "block")
+    ``portable=True`` uses the 60-bit md5-derived sketch that a DuckDB
+    oracle can reproduce bit-for-bit (see ``text.portable_gram_hash``).
+    """
+    from .text import PORTABLE_SIMHASH_BITS, simhash64_df
+
+    bits = PORTABLE_SIMHASH_BITS if portable else 64
+    n_blocks = max_hamming + 1
+    bounds = [i * bits // n_blocks for i in range(n_blocks)] + [bits]
+
+    def _block_val(k):
+        width = bounds[k + 1] - bounds[k]
+        shifted = F.shiftrightunsigned(F.col("sh"), bounds[k])
+        if width >= 64:  # full sketch in one block; mask would overflow a long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    s = simhash64_df(df, text_col, id_col, n, portable=portable)
+    blocks = F.array(
+        *[
+            F.struct(F.lit(k).alias("block_id"), _block_val(k).alias("block_val"))
+            for k in range(n_blocks)
+        ]
+    )
+    exploded = s.select(
+        F.col(id_col), F.col("sh"), F.explode(blocks).alias("b")
+    ).select(id_col, "sh", "b.block_id", "b.block_val")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "block_id", "block_val"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "block_id", "block_val"
+    )
     return (
-        a.join(b, "block")
+        a.join(b, ["block_id", "block_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("sh_a"), F.col("sh_b"))
+        .distinct()  # a pair may agree on several blocks
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -80,6 +80,93 @@ def with_srp_sketch(
     return df.withColumn("srp_bucket", bucket)
 
 
+def srp_band_rows(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes_per_band: int = 1,
+    n_bands: int = 24,
+    dim: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Explode each vector into one (id, band_id, band_val) row per SRP
+    band — the LSH-banding bucket keys for cosine similarity.
+
+    Bands of ``b`` hyperplane sign bits: two vectors at angle θ share a
+    band with probability (1 − θ/π)^b, and a pair is a candidate if ANY
+    band matches — per-pair miss = (1 − p^b)^n_bands. Narrow bands
+    (b=1) + many bands ⇒ near-total recall even at low thresholds (0.4:
+    miss ≈ 4e-11 with b=1, 24 bands); wide bands (b=8..16) prune hard
+    for high-sim dedup (0.9+). Tune per threshold.
+    """
+    import math
+
+    def mix(i: int) -> float:
+        x = (i * 6364136223846793005 + seed * 1442695040888963407) & (2**64 - 1)
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & (2**64 - 1)
+        x ^= x >> 33
+        return math.cos(2 * math.pi * (x / 2**64))
+
+    bands = []
+    for k in range(n_bands):
+        val = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            p = k * planes_per_band + j
+            plane = F.array(*[F.lit(mix(p * dim + d)) for d in range(dim)])
+            bit = F.when(
+                vec_dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            val = val + F.shiftleft(bit, j)
+        bands.append(
+            F.struct(F.lit(k).alias("band_id"), val.alias("band_val"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band_id", "b.band_val")
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes_per_band: int = 1,
+    n_bands: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed: SRP-band candidate
+    generation (equi hash join on the band key — never a nested-loop
+    cross product) + exact cosine verification of the survivors.
+
+    Returns (id_a, id_b, cosine_sim rounded to 6) with id_a < id_b —
+    identical output to the all-pairs form whenever banding recall is
+    total (see :func:`srp_band_rows` for the miss-probability math).
+    """
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    bands = srp_band_rows(df, vec_col, id_col, planes_per_band, n_bands, dim, seed)
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
+    cands = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -109,20 +196,18 @@ def lsh_cosine_topk(
     )
 
 
-def ivf_assign(
+def ivf_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
     sample_fraction: float = 1.0,
-) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: k-means centroids (fit on a sample), each
-    row assigned to its nearest centroid (``ivf_cell``).
+) -> list[list[float]]:
+    """Fit the IVF coarse quantizer (k-means on a sample) → centroids.
 
-    Assignment is a pure column expression — argmin over the broadcast
-    centroid array — so it runs scan-side with no shuffle. At 100 TB
-    the cell column is materialized and the table partitioned by it, so
-    a probe reads only ``nprobe`` cells' files.
+    Fit ONCE per corpus, persist with :func:`save_centroids` beside the
+    table, and reuse via :func:`load_centroids` — re-fitting per query
+    is a driver-side ML job a 100 TB serving path can't afford.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -132,7 +217,53 @@ def ivf_assign(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_clusters, seed=seed).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def save_centroids(path: str, centroids: list[list[float]]) -> None:
+    """Persist fitted centroids as JSON beside the table (local/posix
+    path; on an object store write the same payload with the cluster's
+    filesystem client)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(centroids, f)
+    os.replace(tmp, path)
+
+
+def load_centroids(path: str) -> list[list[float]] | None:
+    """Load persisted centroids; None if absent."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return [list(map(float, c)) for c in json.load(f)]
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    centroids: list[list[float]] | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: each row assigned to its nearest centroid
+    (``ivf_cell``). Pass persisted ``centroids`` to skip the k-means
+    fit entirely (no ML job); otherwise they are fit here once.
+
+    Assignment is a pure column expression — argmin over the broadcast
+    centroid array — so it runs scan-side with no shuffle. At 100 TB
+    the cell column is materialized and the table partitioned by it, so
+    a probe reads only ``nprobe`` cells' files.
+    """
+    if centroids is None:
+        centroids = ivf_fit(df, vec_col, n_clusters, seed, sample_fraction)
 
     # argmin_{c} ||v - c||² via the smallest (distance, cell) struct
     scored = F.array(

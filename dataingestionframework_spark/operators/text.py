@@ -108,34 +108,60 @@ def bpe_token_count(text_col: Column) -> Column:
     return F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0))
 
 
-def simhash64_df(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
-    """64-bit SimHash per document → DataFrame (id, sh).
+PORTABLE_SIMHASH_BITS = 60
 
-    Grams exploded to rows once, then 64 conditional-sum aggregates
-    (+1/-1 votes from ``xxhash64(gram, seed=bit)`` parity) in a single
+
+def portable_gram_hash(gram_col: Column) -> Column:
+    """60-bit deterministic gram hash reproducible in any SQL engine:
+    the top 15 hex chars of md5, read big-endian. (60 bits so the value
+    fits a signed 64-bit int in engines without unsigned types;
+    ``xxhash64`` is Spark-only, so the portable path pays one md5.)
+    DuckDB twin: ``('0x' || substring(md5(g), 1, 15))::UBIGINT``.
+    """
+    return F.conv(F.substring(F.md5(gram_col), 1, 15), 16, 10).cast("long")
+
+
+def simhash64_df(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    portable: bool = False,
+):
+    """SimHash per document → DataFrame (id, sh).
+
+    Grams exploded to rows once, then one conditional-sum aggregate per
+    sketch bit (+1/-1 votes from the gram hash's bit parity) in a single
     groupBy, sign bits packed into one long. One shuffle on the id, all
     hashing vectorized JVM-side.
-    """
-    from ..functions import word_ngrams
 
-    # One xxhash64 per gram; bit i of that hash is the vote for sketch
-    # bit i (the classic SimHash construction — 64× less hashing than an
-    # independent-hash-per-bit variant).
+    ``portable=False`` (default): 64-bit sketch from ``xxhash64`` — the
+    fast path. ``portable=True``: 60-bit sketch from the md5-derived
+    :func:`portable_gram_hash`, bit-for-bit reproducible in DuckDB — the
+    oracle-checkable path (same plan shape, one md5 per gram extra).
+    """
     from ..functions import exploded_word_ngrams
 
+    bits = PORTABLE_SIMHASH_BITS if portable else 64
+    hash_col = (
+        portable_gram_hash(F.col("gram")) if portable else F.xxhash64("gram")
+    )
+    # One hash per gram; bit i of that hash is the vote for sketch bit i
+    # (the classic SimHash construction — bits× less hashing than an
+    # independent-hash-per-bit variant).
     grams = exploded_word_ngrams(df, text_col, id_col, n).select(
-        F.col(id_col), F.xxhash64("gram").alias("h")
+        F.col(id_col), hash_col.alias("h")
     )
     votes = grams.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     packed = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         packed = packed + F.shiftleft(
             F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i
         )

@@ -50,13 +50,15 @@ def _parse_field(field: str, lo: int, hi: int, names: list[str] | None = None) -
     return out
 
 
-def _nearest_weekday(year: int, month: int, day: int) -> int:
+def _nearest_weekday(year: int, month: int, day: int) -> int | None:
     """Quartz ``nW``: the weekday (Mon-Fri) nearest to ``day``, without
-    leaving the month."""
+    leaving the month. Months lacking day ``n`` don't fire at all
+    (quartz skips them — e.g. ``31W`` never fires in September)."""
     import calendar
 
     last = calendar.monthrange(year, month)[1]
-    day = min(day, last)
+    if day > last:
+        return None
     wd = datetime(year, month, day).weekday()  # Mon=0..Sun=6
     if wd == 5:  # Saturday → Friday, unless that leaves the month
         return day - 1 if day > 1 else day + 2
@@ -111,6 +113,9 @@ class CronSchedule:
             d, nth = raw.split("#")
             self._dow_special = ("#", (int(d) - 1) % 7, int(nth))
             self.dow = set()
+        elif raw == "L":
+            # quartz: bare L in day-of-week means Saturday
+            self.dow = {6}
         elif raw.endswith("L") and raw[:-1].isdigit():
             self._dow_special = ("L", (int(raw[:-1]) - 1) % 7)
             self.dow = set()

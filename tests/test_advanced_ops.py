@@ -67,21 +67,33 @@ def test_ivf_topk_finds_neighbours(spark):
 
 
 def test_ivf_partitioned_layout_prunes_and_recall_sweep(spark, tmp_root):
-    """The 100 TB IVF layout: ivf_cell materialized as a partition
-    column, so a probe's IN-filter prunes to nprobe directories at the
-    scan (PartitionFilters), and recall rises monotonically with nprobe
-    until nprobe = n_clusters recovers the exact answer."""
+    """The 100 TB IVF layout: centroids fit once and persisted BESIDE
+    the table, ivf_cell materialized as a partition column, so a later
+    session loads the centroids (no ML fit job) and a probe's IN-filter
+    prunes to nprobe directories at the scan (PartitionFilters); recall
+    rises monotonically with nprobe until nprobe = n_clusters recovers
+    the exact answer."""
     from dataingestionframework_spark.operators.similarity import (
         cosine_topk,
         ivf_assign,
+        ivf_fit,
         ivf_topk,
+        load_centroids,
+        save_centroids,
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    assigned, centroids = ivf_assign(emb, n_clusters=8)
     path = f"{tmp_root}/emb_ivf"
-    assigned.write.partitionBy("ivf_cell").parquet(path)
+    # build side: fit once, persist centroids beside the table
+    fitted = ivf_fit(emb, n_clusters=8)
+    save_centroids(f"{path}/_ivf_centroids.json", fitted)
+    assigned, _ = ivf_assign(emb, centroids=fitted)
+    assigned.write.partitionBy("ivf_cell").parquet(path, mode="append")
     stored = spark.read.parquet(path)
+
+    # serve side: load persisted centroids — no KMeans fit job
+    centroids = load_centroids(f"{path}/_ivf_centroids.json")
+    assert centroids == fitted
 
     q = emb.filter(F.col("vec_id") == 1).first().embedding
     exact = {r.vec_id for r in cosine_topk(emb, q, k=5).collect()}
