@@ -80,8 +80,10 @@ class DeltaManagedTable:
         return self.spark.read.format("delta").load(self.root)
 
     def count(self) -> int:
-        # Delta keeps row counts in the transaction log; a count() over
-        # the snapshot is metadata-only (no data scan) post-AQE.
+        # Full snapshot count. (Catalyst can sometimes answer COUNT(*)
+        # from Delta file statistics, but that is an optimization, not a
+        # contract — in general this scans the snapshot's file metadata
+        # and possibly data.)
         return self.read().count()
 
     def schema(self) -> T.StructType:
@@ -98,8 +100,29 @@ class DeltaManagedTable:
         schema: T.StructType,
         overwrite: bool = False,
         partition_cols: list[str] | None = None,
+        identity_col: str | None = None,
     ) -> "DeltaManagedTable":
         if self.exists() and not overwrite:
+            return self
+        if identity_col:
+            # reference parity: BIGINT GENERATED ALWAYS AS IDENTITY
+            # (schema/schemas/3_column_configuration.py:201). The Python
+            # DeltaTable builder doesn't expose identity columns, so DDL.
+            cols = ", ".join(
+                f"`{identity_col}` BIGINT GENERATED ALWAYS AS IDENTITY"
+                if f.name == identity_col
+                else f"`{f.name}` {f.dataType.simpleString()}"
+                for f in schema.fields
+            )
+            part = (
+                f" PARTITIONED BY ({', '.join(partition_cols)})" if partition_cols else ""
+            )
+            replace = "OR REPLACE " if overwrite else ""
+            self.spark.sql(
+                f"CREATE {replace}TABLE delta.`{self.root}` ({cols}) USING DELTA{part}"
+                " TBLPROPERTIES ('delta.autoOptimize.optimizeWrite'='true',"
+                " 'delta.autoOptimize.autoCompact'='true')"
+            )
             return self
         builder = (
             _DeltaTable.createOrReplace(self.spark)
@@ -123,6 +146,18 @@ class DeltaManagedTable:
             .option("mergeSchema", str(merge_schema).lower())
             .save(self.root)
         )
+
+    def append_counted(self, df: DataFrame, merge_schema: bool = True) -> int:
+        """Append and return the appended row count from the commit's
+        ``operationMetrics.numOutputRows`` — the transaction log already
+        records it, so no file diffing and no data scan (the Delta twin
+        of the parquet backend's footer-diff ``append_counted``)."""
+        self.append(df, merge_schema)
+        last = self._dt().history(1).select("operationMetrics").first()
+        metrics = last[0] if last else None
+        if metrics and metrics.get("numOutputRows") is not None:
+            return int(metrics["numOutputRows"])
+        return self.count()  # defensive fallback: metrics missing
 
     def overwrite(self, df: DataFrame) -> None:
         (
@@ -204,5 +239,17 @@ class DeltaManagedTable:
             opt.executeCompaction()
 
     def vacuum(self, keep_current: bool = True, retention_hours: float = 168.0) -> int:
+        """Delta VACUUM. ``keep_current=False`` (drop even the live
+        version) has no Delta equivalent and is rejected rather than
+        silently ignored. Returns -1: Delta does not report a
+        removed-version count (the parquet backend returns how many
+        version dirs it deleted; callers needing the distinction must
+        check the backend).
+        """
+        if not keep_current:
+            raise ValueError(
+                "Delta cannot vacuum the current snapshot; use truncate() "
+                "to clear data or drop the table directory"
+            )
         self._dt().vacuum(retention_hours)
-        return 0
+        return -1

@@ -218,6 +218,17 @@ class ManagedTable:
         if merge_schema:
             self._write_meta(schema)
 
+    def append_counted(self, df: DataFrame, merge_schema: bool = True) -> int:
+        """Append and return the number of rows written — the
+        backend-neutral ingest-count API (the pipeline logs it as
+        ROW_COUNT). Parquet backend: diff the file set and sum the new
+        files' footer row counts (no scan); the Delta backend reads the
+        commit's ``operationMetrics`` instead.
+        """
+        before = self.data_files() if self.exists() else set()
+        self.append(df, merge_schema)
+        return self._dir_rows(self.data_dir(), self.data_files() - before)
+
     def overwrite(self, df: DataFrame) -> None:
         v, path = self._new_version_dir()
         self._writer(df, "overwrite").parquet(path)

@@ -140,9 +140,9 @@ class IngestionPipeline:
                 target.overwrite(out)
                 rows = target.count()  # footer metadata, no scan
             else:
-                before = target.data_files()
-                target.append(out)
-                rows = target._dir_rows(target.data_dir(), target.data_files() - before)
+                # backend-neutral appended-row count (parquet: footer diff;
+                # Delta: commit operationMetrics) — no data scan either way
+                rows = target.append_counted(out)
             self.log.write(spec.header_id, "ROW_COUNT", str(rows), 1, batch_id)
             return IngestResult(spec.header_id, batch_id, rows, n_corrupt, spec.table_name)
         finally:

@@ -27,7 +27,12 @@ IN_PROGRESS_FLAG = "In Progress"
 
 
 def _source_counts(spark: SparkSession, specs: list[IngestionSpec]) -> DataFrame:
-    """One unioned count plan over every source dir — no N+1 loop."""
+    """One unioned count plan over every source dir — no N+1 loop.
+    Also surfaces the newest source-file mtime per source, formatted as
+    in the reference report
+    (``notebooks/Autoloader_daily_log_report.sql:71``:
+    ``date_format(_metadata.file_modification_time,'MM/dd/yyyy hh:mm')``).
+    """
     frames = []
     for s in specs:
         reader = {
@@ -38,9 +43,18 @@ def _source_counts(spark: SparkSession, specs: list[IngestionSpec]) -> DataFrame
             "json": lambda: spark.read.json(s.source_path),
         }[s.file_format.lower()]
         frames.append(
-            reader().select(
-                F.lit(s.header_id).cast("long").alias("HeaderID")
-            ).groupBy("HeaderID").agg(F.count("*").alias("SourceRowCount"))
+            reader()
+            .select(
+                F.lit(s.header_id).cast("long").alias("HeaderID"),
+                F.col("_metadata.file_modification_time").alias("_mtime"),
+            )
+            .groupBy("HeaderID")
+            .agg(
+                F.count("*").alias("SourceRowCount"),
+                F.date_format(F.max("_mtime"), "MM/dd/yyyy hh:mm").alias(
+                    "SourceFileModified"
+                ),
+            )
         )
     return reduce(DataFrame.unionByName, frames)
 

@@ -319,6 +319,7 @@ def knn_join_brute(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """k-NN join: for each left row, top-k right rows by cosine.
 
@@ -326,9 +327,12 @@ def knn_join_brute(
     left partition scores an Arrow batch at a time with one BLAS matmul
     (``mapInPandas`` — the vectorized path; the pure-expression
     ``zip_with`` form is ~5× slower at 64 dims). Partitioning of the
-    left side is preserved — no shuffle. For big-×-big at 100 TB,
-    pre-bucket both sides with :func:`with_srp_sketch` or
-    :func:`ivf_assign` and join on the bucket first.
+    left side is preserved — no shuffle.
+
+    The right side MUST fit on the driver: ``max_broadcast_rows`` guards
+    against an unbounded collect (1M × 64-dim float64 ≈ 0.5 GB). For
+    big-×-big use :func:`knn_join_bucketed` — IVF-cell equi-join, both
+    sides distributed.
     """
     from typing import Iterator
 
@@ -336,6 +340,14 @@ def knn_join_brute(
     import pandas as pd
     from pyspark.sql import types as T
 
+    n_right = right.count()
+    if n_right > max_broadcast_rows:
+        raise ValueError(
+            f"knn_join_brute right side has {n_right} rows "
+            f"(> max_broadcast_rows={max_broadcast_rows}); it must be "
+            "collected to the driver and broadcast — use "
+            "knn_join_bucketed for a distributed big-by-big kNN join"
+        )
     r_rows = right.select(F.col(right_id), F.col(vec_col)).collect()
     r_ids = np.array([row[0] for row in r_rows], dtype=np.int64)
     r_mat = np.array([row[1] for row in r_rows], dtype=np.float64)
@@ -373,3 +385,83 @@ def knn_join_brute(
 
     l = left.select(F.col(left_id).alias("left_id"), F.col(vec_col).alias("lvec"))
     return l.mapInPandas(score, schema=out_schema)
+
+
+def knn_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Distributed big-×-big k-NN join: IVF-cell equi-join, no driver
+    collect on either side.
+
+    The right side is bucketed by nearest centroid (``ivf_assign`` —
+    scan-side argmin, no shuffle); each left row explodes to its
+    ``nprobe`` nearest cells; the join is a plain equi hash join on the
+    cell id, so comparisons are ``|left| × nprobe/n_clusters`` of the
+    right side instead of the full cross product. Top-k per left row is
+    one window over the joined pairs. Approximate like any IVF probe —
+    exact when the probed cells cover every true neighbour (recall
+    follows the same sweep as :func:`ivf_topk`). Pass persisted
+    ``centroids`` to skip the k-means fit.
+
+    Output: (left_id, right_id, cosine_sim rounded to 6, rank 1..k) with
+    deterministic (sim DESC, right_id) tie-breaks.
+    """
+    from pyspark.sql import Window
+
+    assigned, centroids = ivf_assign(
+        right, vec_col=vec_col, n_clusters=n_clusters, centroids=centroids
+    )
+    r = assigned.select(
+        F.col(right_id).alias("right_id"), F.col(vec_col).alias("rvec"), "ivf_cell"
+    )
+
+    # each left row's nprobe nearest cells — pure column expression
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
+    )
+    l = left.select(
+        F.col(left_id).alias("left_id"),
+        F.col(vec_col).alias("lvec"),
+        F.explode(probe_cells).alias("ivf_cell"),
+    )
+
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("right_id")
+    )
+    return (
+        l.join(r, "ivf_cell")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(cosine_similarity(F.col("lvec"), F.col("rvec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

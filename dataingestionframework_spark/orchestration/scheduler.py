@@ -249,13 +249,28 @@ class JobRunner:
     the same decide/execute split against its own API.
     """
 
-    def __init__(self, pipeline, notifier=None, slas: dict[int, SlaPolicy] | None = None):
+    def __init__(
+        self,
+        pipeline,
+        notifier=None,
+        slas: dict[int, SlaPolicy] | None = None,
+        min_retry_interval_s: float = 5.0,
+        sleep_fn=None,
+    ):
+        import time as _time
+
         from .notifier import LoggingNotifier
 
         self.pipeline = pipeline
         self.notifier = notifier or LoggingNotifier()
         self.slas = slas or {}
         self.last_fired: dict[int, datetime] = {}
+        # reference parity: min_retry_interval_millis=5000
+        # (modules/create_workflow_jobs.py:278-280); sleep_fn injectable
+        # so tests don't actually wait
+        self.min_retry_interval_s = min_retry_interval_s
+        self.sleep_fn = sleep_fn or _time.sleep
+        self.attempts: dict[int, int] = {}
 
     def due(self, specs: list[IngestionSpec], now: datetime) -> list[IngestionSpec]:
         out = []
@@ -281,13 +296,38 @@ class JobRunner:
         results: dict[int, str] = {}
         for spec in self.due(specs, now):
             self.last_fired[spec.header_id] = now
-            try:
-                self.pipeline.run_batch(spec)
-                results[spec.header_id] = "succeeded"
-            except Exception as e:  # noqa: BLE001 — runner must keep going
-                results[spec.header_id] = f"failed: {e}"
-                self.notifier.send(
-                    Alert("error", f"ingest failed: {spec.source_name}", str(e),
-                          spec.header_id)
-                )
+            max_attempts = 1 + max(0, spec.job.retries)
+            for attempt in range(1, max_attempts + 1):
+                self.attempts[spec.header_id] = attempt
+                try:
+                    self.pipeline.run_batch(spec)
+                    results[spec.header_id] = (
+                        "succeeded" if attempt == 1 else f"succeeded (attempt {attempt})"
+                    )
+                    break
+                except Exception as e:  # noqa: BLE001 — runner must keep going
+                    if attempt < max_attempts:
+                        # reference retries failed tasks up to JobSpec.retries
+                        # times with a minimum interval between attempts
+                        self.notifier.send(
+                            Alert(
+                                "warning",
+                                f"ingest attempt {attempt} failed, retrying: "
+                                f"{spec.source_name}",
+                                str(e),
+                                spec.header_id,
+                            )
+                        )
+                        self.sleep_fn(self.min_retry_interval_s)
+                        continue
+                    results[spec.header_id] = f"failed: {e}"
+                    self.notifier.send(
+                        Alert(
+                            "error",
+                            f"ingest failed after {attempt} attempts: "
+                            f"{spec.source_name}",
+                            str(e),
+                            spec.header_id,
+                        )
+                    )
         return results

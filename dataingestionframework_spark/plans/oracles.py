@@ -504,6 +504,20 @@ ORACLES: dict[str, str] = {
               FROM s)
         WHERE rank <= 3
     """,
+    "knn_join_bucketed": """
+        WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
+                   FROM embeddings WHERE vec_id < 50),
+             r AS (SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS rv
+                   FROM embeddings WHERE vec_id >= 50),
+             s AS (SELECT left_id, right_id,
+                          round(list_cosine_similarity(lv, rv), 6) AS cosine_sim
+                   FROM l CROSS JOIN r)
+        SELECT left_id, right_id, cosine_sim, rank
+        FROM (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY left_id ORDER BY cosine_sim DESC, right_id) AS INTEGER) AS rank
+              FROM s)
+        WHERE rank <= 3
+    """,
     "q6_forecast_revenue": """
         SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue
         FROM lineitem
@@ -575,6 +589,57 @@ ORACLES: dict[str, str] = {
                           WHERE o_custkey = c.c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(CASE WHEN s_nationkey = 5
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY year(o_orderdate)
+    """,
+    "q9_profit_by_nation_year": """
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS INTEGER) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%a%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(l_shipdate)
+    """,
+    "q11_value_share": """
+        WITH by_nation AS (
+            SELECT s_nationkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS nation_value
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        )
+        SELECT s_nationkey, round(nation_value, 2) AS value
+        FROM by_nation
+        WHERE nation_value > (SELECT sum(nation_value) FROM by_nation) * 0.04
+    """,
+    "q21_last_shipper_multi_supplier": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_suppliers,
+                   max(l_shipdate)           AS last_ship
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s_name, count(DISTINCT l.l_orderkey) AS numwait
+        FROM lineitem l
+        JOIN per_order p ON l.l_orderkey = p.l_orderkey
+                        AND p.n_suppliers >= 2
+                        AND l.l_shipdate = p.last_ship
+        JOIN supplier ON l.l_suppkey = s_suppkey
+        GROUP BY s_name
     """,
     "cube_agg": """
         SELECT l_returnflag, l_linestatus,

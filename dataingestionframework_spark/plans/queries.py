@@ -625,13 +625,50 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN join: top-3 neighbours for each of the first 50 vectors."""
+    """k-NN join: top-3 neighbours for each of the first 50 vectors
+    (broadcast-kNN path: small right side collected + BLAS matmul)."""
     from ..operators.similarity import knn_join_brute
 
     t = _t(spark, sf_dir)
     emb = t("embeddings")
     left = emb.filter(F.col("vec_id") < 50)
     return knn_join_brute(left, emb.filter(F.col("vec_id") >= 50), k=3)
+
+
+def knn_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed big-×-big k-NN join: IVF-cell equi-join + window
+    top-k — no driver collect on either side (the 100 TB path when the
+    right side outgrows a broadcast). Exhaustive-probe configuration
+    (nprobe = n_clusters) is exact by construction, so the oracle is the
+    same exact-kNN SQL as the broadcast form; the recall-vs-nprobe
+    approximation sweep lives in tests/test_advanced_ops.py. Centroids
+    are persisted/reloaded like ivf_ann_topk's — no k-means fit on the
+    serving path."""
+    import hashlib
+
+    from ..operators.similarity import (
+        knn_join_bucketed,
+        load_centroids,
+        save_centroids,
+    )
+
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    left = emb.filter(F.col("vec_id") < 50)
+    right = emb.filter(F.col("vec_id") >= 50)
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|knn-right|k=8|seed=42".encode()
+    ).hexdigest()
+    cpath = os.path.join(tempfile.gettempdir(), "dif_ivf_centroids", f"{key}.json")
+    centroids = load_centroids(cpath)
+    if centroids is None:
+        from ..operators.similarity import ivf_fit
+
+        centroids = ivf_fit(right, n_clusters=8)
+        save_centroids(cpath, centroids)
+    return knn_join_bucketed(
+        left, right, k=3, n_clusters=8, nprobe=8, centroids=centroids
+    )
 
 
 def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,6 +1021,101 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share ratio per year (TPC-H Q8 shape): the share of
+    ASIA-customer revenue supplied by nation 5, as a conditional-sum /
+    sum ratio grouped by order year."""
+    t = _t(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(t("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nationkey") == 5, disc_price).otherwise(0.0))
+                / F.sum(disc_price),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation × year (TPC-H Q9 shape, p_retailprice
+    as the cost proxy since the schema has no partsupp)."""
+    t = _t(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t("lineitem")
+        .join(
+            F.broadcast(t("part").filter(F.col("p_name").like("%a%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+def q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING vs a global scalar (TPC-H Q11 shape): supplier nations
+    whose lineitem value exceeds 4% of the total — per-group aggregate
+    joined against a broadcast 1-row scalar, no second scan of the
+    grouped data."""
+    t = _t(spark, sf_dir)
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    by_nation = (
+        t("lineitem")
+        .join(F.broadcast(t("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.sum(value).alias("nation_value"))
+    )
+    total = by_nation.agg(F.sum("nation_value").alias("total_value"))
+    return (
+        by_nation.join(F.broadcast(total))
+        .filter(F.col("nation_value") > F.col("total_value") * 0.04)
+        .select("s_nationkey", F.round("nation_value", 2).alias("value"))
+    )
+
+
+def q21_last_shipper_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double correlated EXISTS (TPC-H Q21 shape, shipdate standing in
+    for receipt/commit): suppliers that shipped the LAST line of a
+    multi-supplier order — exists(another supplier in the order) and
+    not-exists(another supplier shipping later) — decorrelated into one
+    per-order aggregate + semi-join instead of two correlated subqueries."""
+    t = _t(spark, sf_dir)
+    l = t("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    return (
+        l.join(
+            per_order.filter(F.col("n_suppliers") >= 2),
+            ["l_orderkey"],
+        )
+        .filter(F.col("l_shipdate") == F.col("last_ship"))
+        .join(F.broadcast(t("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with grouping_id — all 4 grouping combinations in a single
     shuffle (extension beyond the reference's flat GROUP BYs)."""
@@ -1331,6 +1463,7 @@ QUERIES = {
     "quality_fingerprint_docs": quality_fingerprint_docs,
     "lang_id_docs": lang_id_docs,
     "knn_join_sample": knn_join_sample,
+    "knn_join_bucketed": knn_join_bucketed_q,
     "asof_join_events": asof_join_events,
     "decimal_agg": decimal_agg,
     "q4_exists_priority": q4_exists_priority,
@@ -1350,6 +1483,10 @@ QUERIES = {
     "q16_supplier_variety": q16_supplier_variety,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_wealthy_inactive": q22_wealthy_inactive,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q11_value_share": q11_value_share,
+    "q21_last_shipper_multi_supplier": q21_last_shipper_multi_supplier,
     "cube_agg": cube_agg,
     "intersect_nation_keys": intersect_nation_keys,
     "except_nation_keys": except_nation_keys,

@@ -21,6 +21,15 @@ def read_stream(spark: SparkSession, spec: IngestionSpec, path: str | None = Non
     fmt = spec.file_format.lower()
     max_files = spec.max_files_per_trigger or (100 if spec.continuous else max(1, spec.batch_file_count))
     reader = spark.readStream.option("maxFilesPerTrigger", str(max_files))
+    # cloudFiles ignoreCorruptFiles / ignoreMissingFiles analogues
+    # (modules/auto_loader_steps.py:85-96): the generic file-source
+    # options skip unreadable or vanished files instead of failing the
+    # stream. (cloudFiles allowOverwrites has no OSS equivalent — the
+    # file stream source tracks files by path and never reprocesses.)
+    if spec.ignore_corrupt_files:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    if spec.ignore_missing_files:
+        reader = reader.option("ignoreMissingFiles", "true")
     if fmt == "csv":
         return (
             reader.schema(_schema_with_rescue(spec))

@@ -98,6 +98,10 @@ class IngestionSpec:
     continuous: bool = False
     batch_file_count: int = 1
     max_files_per_trigger: int | None = None
+    # cloudFiles option analogues (modules/auto_loader_steps.py:85-96):
+    # skip unreadable/vanished files instead of failing the stream
+    ignore_corrupt_files: bool = False
+    ignore_missing_files: bool = False
     corrupt_location: str = ""
     error_location: str = ""
     checkpoint_location: str = ""
@@ -173,6 +177,8 @@ CONFIG_SCHEMA = {
         "OverWriteFlag": {"type": "integer"},
         "ContinuousRunFlag": {"type": "integer"},
         "BatchFileCount": {"type": "integer"},
+        "IgnoreCorruptFiles": {"type": "integer"},
+        "IgnoreMissingFiles": {"type": "integer"},
         "JobConfig": {"type": "object"},
         "Columns": {
             "type": "array",
@@ -238,6 +244,8 @@ def spec_from_document(doc: dict) -> IngestionSpec:
         overwrite=bool(doc.get("OverWriteFlag", 0)),
         continuous=bool(doc.get("ContinuousRunFlag", 0)),
         batch_file_count=int(doc.get("BatchFileCount", 1)),
+        ignore_corrupt_files=bool(doc.get("IgnoreCorruptFiles", 0)),
+        ignore_missing_files=bool(doc.get("IgnoreMissingFiles", 0)),
         corrupt_location=doc.get("CorruptFilePath", ""),
         error_location=doc.get("ErrorFilePath", ""),
         checkpoint_location=doc.get("CheckpointPath", ""),

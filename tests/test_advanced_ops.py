@@ -167,3 +167,43 @@ def test_reconcile_spec_with_table(spark, catalog):
     out = t.read()
     assert "c_new" in out.columns
     assert out.first().c_new is None  # NULL-backfilled
+
+
+def test_knn_brute_right_side_guard(spark):
+    """The broadcast-kNN operator refuses an oversized right side
+    instead of collecting it onto the driver."""
+    from dataingestionframework_spark.operators.similarity import knn_join_brute
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="knn_join_bucketed"):
+        knn_join_brute(emb.limit(10), emb, k=3, max_broadcast_rows=5)
+
+
+def test_knn_join_bucketed_matches_brute_and_sweeps(spark):
+    """Distributed IVF-cell kNN join: exhaustive probe equals the
+    broadcast-kNN result exactly; recall rises monotonically with
+    nprobe; the plan contains no BroadcastNestedLoop."""
+    from dataingestionframework_spark.operators.similarity import (
+        knn_join_brute,
+        knn_join_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter(F.col("vec_id") >= 20)
+    exact = {(r.left_id, r.right_id) for r in knn_join_brute(left, right, k=3).collect()}
+
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        got = {
+            (r.left_id, r.right_id)
+            for r in knn_join_bucketed(
+                left, right, k=3, n_clusters=8, nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0  # exhaustive probe = exact join
+
+    plan = knn_join_bucketed(left, right, k=3, n_clusters=8, nprobe=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan

@@ -69,13 +69,19 @@ def test_sla_policy():
 
 
 class _FakePipeline:
-    def __init__(self, fail_ids=()):
+    def __init__(self, fail_ids=(), fail_times=None):
         self.ran = []
         self.fail_ids = set(fail_ids)
+        # header_id -> how many leading attempts raise (then succeed)
+        self.fail_times = dict(fail_times or {})
 
     def run_batch(self, spec):
         self.ran.append(spec.header_id)
-        if spec.header_id in self.fail_ids:
+        hid = spec.header_id
+        if self.fail_times.get(hid, 0) > 0:
+            self.fail_times[hid] -= 1
+            raise RuntimeError("transient boom")
+        if hid in self.fail_ids:
             raise RuntimeError("boom")
 
 
@@ -91,14 +97,109 @@ def _spec(hid, cron="0 0 3 * * ?"):
 def test_runner_fires_due_jobs_and_alerts():
     pipe = _FakePipeline(fail_ids={2})
     notifier = CollectingNotifier()
-    runner = JobRunner(pipe, notifier)
+    runner = JobRunner(pipe, notifier, sleep_fn=lambda s: None)
     specs = [_spec(1), _spec(2)]
     now = datetime(2026, 8, 13, 3, 0, 30)
     results = runner.run_due(specs, now)
     assert results[1] == "succeeded" and results[2].startswith("failed")
-    assert [a.header_id for a in notifier.alerts] == [2]
+    # hard failure: JobSpec.retries=2 → 3 attempts, 2 retry warnings + 1 error
+    assert pipe.ran == [1, 2, 2, 2]
+    assert [a.severity for a in notifier.alerts] == ["warning", "warning", "error"]
+    assert all(a.header_id == 2 for a in notifier.alerts)
     # second tick same day: not due again
     assert runner.run_due(specs, datetime(2026, 8, 13, 3, 5, 0)) == {}
+
+
+def test_runner_retries_transient_failure_then_succeeds():
+    """Reference parity (modules/create_workflow_jobs.py:278-280): a
+    failed run is re-attempted up to JobSpec.retries times with a
+    minimum interval; a transient failure ends in success."""
+    pipe = _FakePipeline(fail_times={1: 1})
+    notifier = CollectingNotifier()
+    slept = []
+    runner = JobRunner(pipe, notifier, sleep_fn=slept.append,
+                       min_retry_interval_s=5.0)
+    results = runner.run_due([_spec(1)], datetime(2026, 8, 13, 3, 0, 30))
+    assert results[1] == "succeeded (attempt 2)"
+    assert pipe.ran == [1, 1]
+    assert runner.attempts[1] == 2
+    assert slept == [5.0]  # min retry interval honored between attempts
+    assert [a.severity for a in notifier.alerts] == ["warning"]  # no error
+
+
+def test_runner_no_retries_when_disabled():
+    spec = _spec(1)
+    spec.job.retries = 0
+    pipe = _FakePipeline(fail_ids={1})
+    runner = JobRunner(pipe, CollectingNotifier(), sleep_fn=lambda s: None)
+    results = runner.run_due([spec], datetime(2026, 8, 13, 3, 0, 30))
+    assert results[1].startswith("failed") and pipe.ran == [1]
+
+
+def test_cron_dow_bare_L_and_w_skips_short_months():
+    # bare L in day-of-week = Saturday (quartz)
+    sat = CronSchedule("0 0 3 ? * L")
+    assert sat.matches(datetime(2026, 8, 15, 3, 0, 0))      # Saturday
+    assert not sat.matches(datetime(2026, 8, 14, 3, 0, 0))  # Friday
+    # 31W in a 30-day month: quartz skips the month entirely
+    w31 = CronSchedule("0 0 3 31W * ?")
+    assert not any(
+        w31.matches(datetime(2026, 9, d, 3, 0, 0)) for d in range(1, 31)
+    )
+    assert w31.matches(datetime(2026, 8, 31, 3, 0, 0))      # Monday the 31st
+
+
+def test_webhook_notifier_posts_card():
+    import http.server
+    import json
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append(
+                (self.path, self.headers["Content-Type"], json.loads(self.rfile.read(n)))
+            )
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    from dataingestionframework_spark.orchestration.notifier import WebhookNotifier
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/hook"
+        WebhookNotifier(url).send(Alert("error", "ingest failed: s1", "boom", 7))
+        assert len(received) == 1
+        path, ctype, payload = received[0]
+        assert path == "/hook" and ctype.startswith("application/json")
+        assert payload["severity"] == "error" and payload["header_id"] == 7
+        assert payload["card"]["header"]["title"] == "ingest failed: s1"
+        assert {s["label"] for s in payload["card"]["sections"]} == {
+            "message", "header_id", "time",
+        }
+    finally:
+        srv.shutdown()
+
+
+def test_webhook_notifier_swallows_delivery_failure():
+    from dataingestionframework_spark.orchestration.notifier import WebhookNotifier
+
+    # nothing listens on this port; must not raise unless asked to
+    n = WebhookNotifier("http://127.0.0.1:1/hook", timeout_s=0.2)
+    n.send(Alert("info", "t", "b"))
+    import pytest as _pytest
+
+    strict = WebhookNotifier("http://127.0.0.1:1/hook", timeout_s=0.2, raise_on_error=True)
+    with _pytest.raises(Exception):
+        strict.send(Alert("info", "t", "b"))
 
 
 def test_runner_respects_sla_cutoff():

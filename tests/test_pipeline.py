@@ -180,3 +180,8 @@ def test_daily_report_pass(spark, catalog, src_dir, tmp_root):
     assert r.SourceRowCount == r.TableRowCount == r.LoggedRowCount == 2
     assert r.RowCountMatchFlag == PASS_FLAG
     assert r.JobTimeoutStatus == "OK"
+    # newest source-file mtime surfaced in the reference's report format
+    # (MM/dd/yyyy hh:mm — Autoloader_daily_log_report.sql:71)
+    import re
+
+    assert re.fullmatch(r"\d{2}/\d{2}/\d{4} \d{2}:\d{2}", r.SourceFileModified)

@@ -187,3 +187,45 @@ def test_streaming_dedup_within_watermark(spark, tmp_root):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(DISTINCT event_id) AS k, count(*) AS n FROM dedup_out").first()
     assert n.n == n.k == 100
+
+
+def test_stream_ignore_corrupt_files_option(spark, tmp_root):
+    """ignoreCorruptFiles passthrough (cloudFiles analogue): a garbage
+    .parquet in the source dir is skipped when the spec opts in, and
+    fails the drain when it doesn't."""
+    from dataingestionframework_spark.sources.stream import read_stream
+    from dataingestionframework_spark.specs import ColumnSpec, IngestionSpec
+
+    src = os.path.join(tmp_root, "corrupt_src")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(
+        1
+    ).write.parquet(src)
+    with open(os.path.join(src, "part-junk.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    def _spec(**kw):
+        return IngestionSpec(
+            header_id=99, source_name="c", table_name="main.c",
+            source_path=src, file_format="parquet",
+            columns=[ColumnSpec("id", "id", "bigint", 1),
+                     ColumnSpec("v", "v", "string", 2)],
+            **kw,
+        )
+
+    def _drain(spec, name):
+        q = (
+            read_stream(spark, spec)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT count(*) AS n FROM {name}").first().n
+
+    assert _drain(_spec(ignore_corrupt_files=True), "tolerant_out") == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _drain(_spec(), "strict_out")
