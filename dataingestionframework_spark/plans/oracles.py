@@ -649,6 +649,54 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
+    "grouping_sets_agg": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+    """,
+    "window_value_family": """
+        SELECT o_custkey, o_orderkey,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               round(last_value(o_totalprice)  OVER w, 2) AS last_price,
+               round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        FROM orders
+        WHERE o_custkey < 300
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "corpus_clean_stats": f"""
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        toks AS (
+            SELECT d.doc_id, d.lang, d.text, {_TOKENS} AS ts
+            FROM documents d JOIN keep USING (doc_id)
+        ),
+        scored AS (
+            SELECT doc_id, lang, text,
+                   round(((CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN CAST(len(list_distinct(ts)) AS DOUBLE)
+                                       / greatest(CAST(len(ts) AS DOUBLE), 1.0) >= 0.2
+                                  THEN 1.0
+                                  ELSE (CAST(len(list_distinct(ts)) AS DOUBLE)
+                                        / greatest(CAST(len(ts) AS DOUBLE), 1.0)) / 0.2 END)
+                          + (CASE WHEN CAST(len(list_filter(ts,
+                                       x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
+                                       / greatest(CAST(len(ts) AS DOUBLE), 1.0)
+                                       BETWEEN 0.01 AND 0.6
+                                  THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality
+            FROM toks
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(quality), 4) AS mean_quality,
+               round(avg(CAST(length(text) AS DOUBLE)), 2) AS mean_chars
+        FROM scored
+        WHERE quality >= 0.5
+        GROUP BY lang
+    """,
     "intersect_nation_keys": """
         SELECT c_custkey AS custkey FROM customer
         INTERSECT

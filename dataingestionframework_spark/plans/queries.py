@@ -1131,6 +1131,71 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): exactly two chosen
+    grouping combinations in one shuffle — SQL text because the
+    DataFrame API exposes only rollup/cube."""
+    from .. import sql as sqlmod
+
+    tune(spark)
+    sqlmod.register_test_tables(spark, sf_dir)
+    return sqlmod.run(
+        spark,
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        """,
+    )
+
+
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window family: first_value/last_value/nth_value over a
+    deterministic per-customer frame (completes §2.6 navigation set)."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t("orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
+            F.round(F.last_value("o_totalprice").over(w), 2).alias("last_price"),
+            F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+        )
+    )
+
+
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning slice: quality-filter →
+    exact-dedup keep-list (min doc_id per fingerprint, semi-join) →
+    per-language corpus stats. Composition of the text-quality and
+    dedup operators in ONE plan: two hash-agg shuffles total, no
+    collect — the shape a 100 TB pre-training cleanup job runs."""
+    from ..operators.dedup import drop_exact_duplicates
+    from ..operators.text import quality_score
+
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    kept = drop_exact_duplicates(d).withColumn(
+        "quality", F.round(quality_score(F.col("text")), 4)
+    ).filter(F.col("quality") >= 0.5)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),
+        F.round(F.avg(F.length("text")).cast("double"), 2).alias("mean_chars"),
+    )
+
+
 def intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct): customers that have placed orders."""
     t = _t(spark, sf_dir)
@@ -1488,6 +1553,9 @@ QUERIES = {
     "q11_value_share": q11_value_share,
     "q21_last_shipper_multi_supplier": q21_last_shipper_multi_supplier,
     "cube_agg": cube_agg,
+    "grouping_sets_agg": grouping_sets_agg,
+    "window_value_family": window_value_family,
+    "corpus_clean_stats": corpus_clean_stats,
     "intersect_nation_keys": intersect_nation_keys,
     "except_nation_keys": except_nation_keys,
     "window_lead_lag_rank": window_lead_lag_rank,
