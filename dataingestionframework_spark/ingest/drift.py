@@ -67,6 +67,8 @@ def sniff_source_columns(spark, spec: IngestionSpec, path: str | None = None) ->
         return cols
     if fmt == "json":
         return spark.read.json(src).columns
+    if fmt == "orc":
+        return spark.read.option("mergeSchema", "true").orc(src).columns
     return spark.read.option("mergeSchema", "true").parquet(src).columns
 
 

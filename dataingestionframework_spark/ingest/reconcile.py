@@ -37,6 +37,7 @@ def _source_counts(spark: SparkSession, specs: list[IngestionSpec]) -> DataFrame
     for s in specs:
         reader = {
             "parquet": lambda: spark.read.parquet(s.source_path),
+            "orc": lambda: spark.read.orc(s.source_path),
             "csv": lambda: spark.read.options(
                 header=str(s.has_header).lower(), sep=s.delimiter
             ).csv(s.source_path),

@@ -47,10 +47,11 @@ def read_batch(spark: SparkSession, spec: IngestionSpec, path: str | None = None
                      ignoreMissingFiles="true")
             .json(src)
         )
-    if fmt == "parquet":
-        # Parquet is self-describing: no corrupt-record column; add an
-        # always-null rescue column for a uniform downstream contract.
-        df = spark.read.options(ignoreMissingFiles="true").parquet(src)
+    if fmt in ("parquet", "orc"):
+        # Parquet/ORC are self-describing: no corrupt-record column; add
+        # an always-null rescue column for a uniform downstream contract.
+        reader = spark.read.options(ignoreMissingFiles="true")
+        df = reader.parquet(src) if fmt == "parquet" else reader.orc(src)
         return df.withColumn(RESCUED, F.lit(None).cast("string"))
     raise ValueError(f"unsupported file format: {spec.file_format!r}")
 

@@ -47,12 +47,10 @@ def read_stream(spark: SparkSession, spec: IngestionSpec, path: str | None = Non
             .options(mode="PERMISSIVE", columnNameOfCorruptRecord=RESCUED)
             .json(src)
         )
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
         from pyspark.sql import functions as F
 
-        return (
-            reader.schema(spec.source_schema())
-            .parquet(src)
-            .withColumn(RESCUED, F.lit(None).cast("string"))
-        )
+        reader = reader.schema(spec.source_schema())
+        stream = reader.parquet(src) if fmt == "parquet" else reader.orc(src)
+        return stream.withColumn(RESCUED, F.lit(None).cast("string"))
     raise ValueError(f"unsupported file format: {spec.file_format!r}")

@@ -171,7 +171,7 @@ CONFIG_SCHEMA = {
         "DeltaTableSchema": {"type": "string"},
         "DeltaTableName": {"type": "string"},
         "SourceFilePath": {"type": "string"},
-        "SourceFileFormat": {"enum": ["csv", "json", "parquet"]},
+        "SourceFileFormat": {"enum": ["csv", "json", "parquet", "orc"]},
         "SourceFileHeader": {"type": "integer"},
         "SourceFileDelimiter": {"type": "string"},
         "OverWriteFlag": {"type": "integer"},

@@ -50,3 +50,70 @@ def running_user_counters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start_ms long, end_ms long, n long"
+
+
+def closed_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions emitted ON CLOSE via event-time state timeout.
+
+    The state carries (start, end, n) per user; each batch extends it
+    and re-arms a timeout at ``session_end + gap``. When the watermark
+    passes that point with no new events, Spark invokes the callback
+    with ``hasTimedOut`` — the session row is emitted once and the state
+    removed (bounded state at any corpus size: one small tuple per
+    ACTIVE user, evicted on idle). Append mode: downstream sinks see
+    each closed session exactly once.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        lo = hi = None
+        n_new = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pd.to_datetime(pdf["ts"])
+            n_new += len(pdf)
+            mn, mx = ts.min(), ts.max()
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if n_new:
+            lo_ms = int(lo.value // 1_000_000)
+            hi_ms = int(hi.value // 1_000_000)
+            if state.exists:
+                s, e, n = state.get
+                lo_ms, hi_ms, n_new = min(s, lo_ms), max(e, hi_ms), n + n_new
+            state.update((lo_ms, hi_ms, n_new))
+            state.setTimeoutTimestamp(hi_ms + gap_ms)
+        yield pd.DataFrame(
+            columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

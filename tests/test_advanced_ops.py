@@ -207,3 +207,60 @@ def test_knn_join_bucketed_matches_brute_and_sweeps(spark):
 
     plan = knn_join_bucketed(left, right, k=3, n_clusters=8, nprobe=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_stateful_session_eviction_on_event_time_timeout(spark, tmp_root):
+    """applyInPandasWithState with EventTimeTimeout: an idle user's
+    session closes (emitted once, state removed) when the watermark
+    passes session_end + gap, driven by later files from other users."""
+    from dataingestionframework_spark.streaming.stateful import closed_user_sessions
+
+    import glob
+    import shutil
+    import time
+
+    src = os.path.join(tmp_root, "sess_src")
+    os.makedirs(src)
+
+    def put(rows, name):
+        # flat files: the file stream source does not recurse into the
+        # per-write output directories
+        d = f"{tmp_root}/w_{name}"
+        spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/{name}.parquet")
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    # batch 1: user 1 has a 2-event session at 10:00-10:05
+    put([(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:05:00", 2.0)], "f1")
+    # batch 2: user 2 much later — its max ts sets the NEXT batch's
+    # watermark to 12:00, past user 1's 10:35 timeout
+    put([(2, "2024-01-01 12:00:00", 3.0), (2, "2024-01-01 12:30:00", 1.0)], "f2")
+    # batch 3 runs under the 12:00 watermark — fires user 1's timeout
+    # (the watermark a batch evaluates against is computed at the END of
+    # the previous batch)
+    put([(2, "2024-01-01 13:00:00", 1.0)], "f3")
+
+    schema = spark.read.parquet(f"{src}/f1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        closed_user_sessions(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", f"{tmp_root}/sess_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    # user 1's session closed by user 2's watermark advance; user 2's
+    # session is still open (no later watermark) and must NOT be emitted
+    assert [(r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in rows] == [(1, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)]

@@ -97,3 +97,29 @@ def test_production_config_document_parity():
     assert by_name["is_active"] == T.BooleanType()
     assert by_name["Updated_Date"] == T.TimestampType()
     assert by_name["position"] == T.IntegerType()
+
+
+def test_orc_batch_ingest(spark, catalog, tmp_root):
+    """ORC source format: self-describing like parquet, same rescue
+    contract, same pipeline path."""
+    from dataingestionframework_spark.ingest.pipeline import IngestionPipeline
+    from dataingestionframework_spark.specs import ColumnSpec, IngestionSpec
+
+    src = os.path.join(tmp_root, "orc_src")
+    spark.createDataFrame(
+        [(1, "widget", 10.5), (2, "gadget", 3.25)], "Id int, Item string, Value double"
+    ).coalesce(1).write.orc(src)
+
+    spec = IngestionSpec(
+        header_id=41, source_name="orctest", table_name="main.orctest",
+        source_path=src, file_format="orc",
+        columns=[
+            ColumnSpec("Id", "Id", "int", 1),
+            ColumnSpec("Item", "ItemName", "string", 2),
+            ColumnSpec("Value", "Value", "double", 3),
+        ],
+    )
+    res = IngestionPipeline(catalog).run_batch(spec)
+    assert res.rows_loaded == 2
+    rows = {r.Id: r for r in catalog.table("main.orctest").read().collect()}
+    assert rows[2].ItemName == "gadget" and rows[1].Value == 10.5
