@@ -58,6 +58,35 @@ def with_binary_metadata(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def read_binary_files(
+    spark,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest raw media files via Spark's built-in ``binaryFile`` source:
+    (path, modificationTime, length, content binary) per file — the
+    entry point of a multimodal pipeline (then
+    :func:`with_binary_metadata` → :func:`decode_stub_features` /
+    a real decoder).
+
+    At 100 TB: the source parallelizes over files (one row per file, no
+    splitting), so partition count follows file count; pair with
+    ``pathGlobFilter`` to prune non-media files at the listing and keep
+    payloads out of shuffles (derive features early, drop ``content``).
+    ``max_bytes`` guards against a single huge file blowing executor
+    memory — files over the limit are filtered at the metadata level
+    (length column), before content is materialized downstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 def decode_media(df: DataFrame, col: str):
     """Real decode/resize/frame-sample — requires codec libraries not in
     this environment. The Spark-side plumbing is `decode_stub_features`;

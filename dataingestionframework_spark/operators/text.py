@@ -108,6 +108,60 @@ def bpe_token_count(text_col: Column) -> Column:
     return F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window chunking step of an LLM training pipeline.
+
+    Pure column expressions: chunk starts are a ``sequence`` (generator,
+    no join), each start slices the token array and rejoins. One narrow
+    projection + explode — no shuffle, no Python. Output: (id, chunk_id,
+    n_chunk_tokens, chunk). Docs with no tokens yield no chunks.
+    """
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+        ).alias("chunk_id", "chunk_toks"),
+    )
+    return chunked.filter(F.size("chunk_toks") > 0).select(
+        id_col,
+        "chunk_id",
+        F.size("chunk_toks").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk_toks").alias("chunk"),
+    )
+
+
+def make_chunk_udtf(chunk_size: int = 50, stride: int = 40):
+    """The same chunking as a Python UDTF (lateral table function) —
+    the §2.10 UDTF surface. Row-at-a-time Python: use ONLY when the
+    chunking logic needs a real tokenizer; :func:`chunk_documents` is
+    the production (pure-expression) path and the equality of the two
+    is pytest-asserted."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_chunk_tokens int, chunk string")
+    class ChunkUdtf:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split() if t]
+            if not toks:
+                return
+            for i, s in enumerate(range(0, len(toks), stride)):
+                part = toks[s : s + chunk_size]
+                yield i, len(part), " ".join(part)
+
+    return ChunkUdtf
+
+
 PORTABLE_SIMHASH_BITS = 60
 
 

@@ -791,6 +791,76 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY 1
     """,
+    "chunk_docs": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS ts FROM documents WHERE doc_id < 100
+        ),
+        starts AS (
+            SELECT doc_id, ts,
+                   unnest(range(0, greatest(len(ts), 1), 30)) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(s // 30 AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(ts, s + 1, s + 40)) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
+        FROM starts
+        WHERE len(list_slice(ts, s + 1, s + 40)) > 0
+    """,
+    "rolling_fingerprint_docs": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({_TOKENS},
+                           x -> CAST(('0x' || substring(md5(x), 1, 10))::UBIGINT
+                                     AS BIGINT))),
+                   (a, b) -> (a * 31 + b) & 1099511627775
+               ) AS rolling_fp
+        FROM documents
+    """,
+    "date_spine_zero_fill": """
+        WITH spine AS (
+            SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                                               DATE '1996-01-31',
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+        ),
+        per_day AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-02-01'
+            GROUP BY CAST(o_orderdate AS DATE)
+        )
+        SELECT spine.day, coalesce(n, 0) AS n_orders
+        FROM spine LEFT JOIN per_day ON spine.day = per_day.day
+    """,
+    "null_semantics": """
+        SELECT nullif(o_orderstatus, 'O') AS status_or_null,
+               count(*) AS n_rows,
+               count(nullif(o_orderstatus, 'O')) AS n_nonnull,
+               count(CASE WHEN nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F'
+                          THEN 1 END) AS n_f,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY nullif(o_orderstatus, 'O')
+    """,
+    "misc_functions": """
+        SELECT l_returnflag,
+               CAST(bit_and(l_linenumber) AS INTEGER) AS band,
+               CAST(bit_or(l_linenumber)  AS INTEGER) AS bor,
+               CAST(bit_xor(l_orderkey)   AS BIGINT)  AS bxor,
+               max(to_base64(encode(l_linestatus)))   AS b64_max,
+               max(to_hex(l_orderkey))                AS hex_max
+        FROM lineitem
+        WHERE l_orderkey < 200
+        GROUP BY l_returnflag
+    """,
+    "applyinpandas_group_slope": """
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "pandas_udf_zscore": """
         SELECT o_orderkey,
                round((o_totalprice - (SELECT avg(o_totalprice) FROM orders))

@@ -1408,6 +1408,133 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (LLM pipeline): 40-token chunks, stride
+    30 — generator + slice expressions, no Python, no shuffle."""
+    from ..operators.text import chunk_documents
+
+    t = _t(spark, sf_dir)
+    return chunk_documents(
+        t("documents").filter(F.col("doc_id") < 100), chunk_size=40, stride=30
+    )
+
+
+def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (Rabin-Karp
+    style): fold (acc·31 + token_hash) mod 2⁴⁰ over the token sequence
+    — unlike the md5 content fingerprint this changes when tokens are
+    REORDERED, and it's incrementally updatable. Pure fold expression
+    (F.aggregate) both engines can compute bit-for-bit; token hash is
+    the portable md5-prefix trick."""
+    from ..functions import tokens
+
+    t = _t(spark, sf_dir)
+    mask = (1 << 40) - 1
+    tok_hash = lambda x: F.conv(F.substring(F.md5(x), 1, 10), 16, 10).cast("long")  # noqa: E731
+    roll = F.aggregate(
+        tokens(F.col("text")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + tok_hash(x)).bitwiseAND(F.lit(mask)),
+    )
+    return t("documents").select("doc_id", roll.alias("rolling_fp"))
+
+
+def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine generation + zero-fill (the reporting staple Spark
+    expresses with sequence+explode): every day of 1996-01 with its
+    order count, 0 where no orders — generator, not a table scan, on
+    the spine side; left join + coalesce for the fill."""
+    t = _t(spark, sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    per_day = (
+        t("orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(per_day, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling family: nullif-manufactured NULLs, null-safe
+    equality (<=> / IS NOT DISTINCT FROM), NULL grouping keys,
+    count(*) vs count(col) semantics."""
+    t = _t(spark, sf_dir)
+    n = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        t("orders")
+        .select(
+            n.alias("status_or_null"),
+            F.col("o_totalprice"),
+            n.eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+        )
+        .groupBy("status_or_null")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("status_or_null").alias("n_nonnull"),
+            F.count(F.when(F.col("is_f_nullsafe"), 1)).alias("n_f"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def misc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding + bitwise families: base64, hex, and the bit_and/or/xor
+    aggregates (all JVM-side; DuckDB twins exist for each)."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("band"),
+            F.bit_or("l_linenumber").alias("bor"),
+            F.bit_xor("l_orderkey").alias("bxor"),
+            F.max(F.base64(F.encode(F.col("l_linestatus"), "UTF-8"))).alias("b64_max"),
+            F.max(F.hex(F.col("l_orderkey"))).alias("hex_max"),
+        )
+    )
+
+
+def applyinpandas_group_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the per-group Python escape hatch,
+    Arrow-batched): OLS slope of extendedprice ~ quantity per return
+    flag. The oracle is SQL regr_slope — covariance/variance population
+    form — so the Python path is value-checked against the relational
+    one."""
+    import pandas as pd
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"].astype(float)
+        y = pdf["l_extendedprice"].astype(float)
+        cov = ((x - x.mean()) * (y - y.mean())).sum() / len(x)
+        var = ((x - x.mean()) ** 2).sum() / len(x)
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "slope": [round(cov / var, 4)]}
+        )
+
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(slope, schema="l_returnflag string, slope double")
+    )
+
+
 def pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar pandas_udf (the sanctioned Python hot
     path): z-score arithmetic over broadcast global stats. The stats
@@ -1568,6 +1695,12 @@ QUERIES = {
     "string_advanced": string_advanced,
     "date_family2": date_family2,
     "histogram_totalprice": histogram_totalprice,
+    "chunk_docs": chunk_docs,
+    "rolling_fingerprint_docs": rolling_fingerprint_docs,
+    "date_spine_zero_fill": date_spine_zero_fill,
+    "null_semantics": null_semantics,
+    "misc_functions": misc_functions,
+    "applyinpandas_group_slope": applyinpandas_group_slope,
     "pandas_udf_zscore": pandas_udf_zscore,
     "multimodal_stub_features": multimodal_stub_features,
     "stream_hourly_parity": stream_hourly_parity,

@@ -161,3 +161,66 @@ def test_multimodal_plumbing(spark):
     feats = decode_stub_features(meta, "payload")
     f = {x.id: x for x in feats.collect()}
     assert len(f[1].features) == 8  # deterministic fake features
+
+
+def test_binary_file_source_multimodal_ingest(spark, tmp_root):
+    """Raw-file multimodal ingestion: binaryFile source → metadata →
+    stub feature extraction, with glob pruning and a size guard."""
+    import os
+
+    from dataingestionframework_spark.operators.multimodal import (
+        decode_stub_features,
+        read_binary_files,
+        with_binary_metadata,
+    )
+
+    d = os.path.join(tmp_root, "media")
+    os.makedirs(d)
+    with open(f"{d}/a.png", "wb") as f:
+        f.write(b"\x89PNG\r\n" + b"\x01" * 100)
+    with open(f"{d}/b.jpg", "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0" + b"\x02" * 50)
+    with open(f"{d}/huge.png", "wb") as f:
+        f.write(b"\x89PNG\r\n" + b"\x03" * 5000)
+    with open(f"{d}/notes.txt", "w") as f:
+        f.write("not media")
+
+    df = read_binary_files(spark, d, glob="*.{png,jpg}", max_bytes=1000)
+    rows = df.select("path", "length").collect()
+    names = {os.path.basename(r.path) for r in rows}
+    assert names == {"a.png", "b.jpg"}  # txt glob-pruned, huge size-guarded
+
+    meta = with_binary_metadata(df, "content")
+    feat = decode_stub_features(meta, "content", n_features=4)
+    out = {os.path.basename(r.path): r for r in feat.collect()}
+    assert out["a.png"].content_mime == "image/png"
+    assert out["b.jpg"].content_mime == "image/jpeg"
+    assert len(out["a.png"].features) == 4
+    assert out["a.png"].content_size == 106
+
+
+def test_chunking_expression_vs_udtf(spark, docs):
+    """The pure-expression chunker and the Python UDTF produce the same
+    chunks — the UDTF exists to demonstrate the lateral table-function
+    surface; the expression form is the production path."""
+    from dataingestionframework_spark.operators.text import (
+        chunk_documents,
+        make_chunk_udtf,
+    )
+
+    sub = docs.limit(30)
+    expr_chunks = {
+        (r.doc_id, r.chunk_id, r.chunk)
+        for r in chunk_documents(sub, chunk_size=20, stride=15).collect()
+    }
+
+    spark.udtf.register("chunk_udtf", make_chunk_udtf(chunk_size=20, stride=15))
+    sub.createOrReplaceTempView("chunk_src")
+    udtf_chunks = {
+        (r.doc_id, r.chunk_id, r.chunk)
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_id, c.chunk "
+            "FROM chunk_src d, LATERAL chunk_udtf(d.text) c"
+        ).collect()
+    }
+    assert expr_chunks == udtf_chunks and expr_chunks

@@ -229,3 +229,49 @@ def test_stream_ignore_corrupt_files_option(spark, tmp_root):
 
     with _pytest.raises(Exception):
         _drain(_spec(), "strict_out")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_root):
+    """Stream-stream inner join with event-time bounds: purchases
+    joined to same-user signups within 24h, both sides real file
+    streams with watermarks. Oracle = the same operator over batch
+    frames (one shared plan builder)."""
+    from dataingestionframework_spark.streaming.joins import stream_interval_join
+
+    ev = _events(spark).limit(2000)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    psrc, ssrc = os.path.join(tmp_root, "p_src"), os.path.join(tmp_root, "s_src")
+    purchases.coalesce(1).write.parquet(psrc)
+    signups.coalesce(1).write.parquet(ssrc)
+
+    expected = {
+        (r.user_id, r.event_id, r.r_signup_id)
+        for r in stream_interval_join(
+            spark.read.parquet(psrc), spark.read.parquet(ssrc),
+            on="user_id", within="24 hours",
+        ).collect()
+    }
+    assert expected  # non-trivial join
+
+    lp = spark.readStream.schema(spark.read.parquet(psrc).schema).parquet(psrc)
+    ls = spark.readStream.schema(spark.read.parquet(ssrc).schema).parquet(ssrc)
+    q = (
+        stream_interval_join(lp, ls, on="user_id", within="24 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", f"{tmp_root}/ssj_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.event_id, r.r_signup_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert got == expected
