@@ -328,6 +328,15 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         FROM orders
     """,
+    "approx_percentile_verdict": """
+        SELECT round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+               true AS within_1pct
+        FROM orders
+    """,
+    "stratified_sample_mix": """
+        SELECT lang, count(*) AS total, true AS within_bounds
+        FROM documents GROUP BY lang
+    """,
     "json_extract_events": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value

@@ -523,6 +523,48 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK sketch) vs exact: cross-engine contract
+    is the exact interpolated percentile plus a 1%-relative-error
+    verdict on the sketch (deterministic: Spark's sketch is seed-free)."""
+    t = _t(spark, sf_dir)
+    exact = F.expr("percentile(o_totalprice, 0.9)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.9, 1000)")
+    return t("orders").agg(
+        F.round(exact, 4).alias("exact_p90"),
+        (F.abs(approx - exact) / exact < 0.01).alias("within_1pct"),
+    )
+
+
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: per-language stratified sampling
+    (``sampleBy`` — Bernoulli per stratum, seeded). Sample counts are
+    engine-specific, so the cross-engine contract is a per-language
+    binomial-bounds verdict (±5σ) plus the containment invariant (every
+    sampled id exists in its stratum) — both checked Spark-side, both
+    deterministic under the fixed seed."""
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    fractions = {"en": 0.8, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 0.2}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    totals = d.groupBy("lang").agg(F.count("*").alias("total"))
+    counts = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    expected = F.col("total") * frac[F.col("lang")]
+    sigma = F.sqrt(expected * (1 - frac[F.col("lang")]))
+    return (
+        totals.join(counts, "lang", "left")
+        .select(
+            "lang",
+            "total",
+            (
+                F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - expected)
+                <= 5 * sigma + 1
+            ).alias("within_bounds"),
+        )
+    )
+
+
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the events.props payload column."""
     t = _t(spark, sf_dir)
@@ -1650,6 +1692,8 @@ QUERIES = {
     "pivot_orders_status": pivot_orders_status,
     "percentiles_orders": percentiles_orders,
     "approx_distinct_parts": approx_distinct_parts,
+    "approx_percentile_verdict": approx_percentile_verdict,
+    "stratified_sample_mix": stratified_sample_mix,
     "json_extract_events": json_extract_events,
     "string_regex_orders": string_regex_orders,
     "quality_fingerprint_docs": quality_fingerprint_docs,
