@@ -80,3 +80,63 @@ def test_merge_matches_dict_semantics(spark, tmp_root, target, source):
         if k not in tgt:
             expected[k] = (v, 1)
     assert got == expected
+
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=60), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=texts, chunk_size=st.integers(1, 8), stride=st.integers(1, 8))
+def test_chunking_matches_python_reference(spark, docs, chunk_size, stride):
+    """chunk_documents == the obvious Python chunker for every
+    (chunk_size, stride), including empty docs, stride>chunk_size gaps
+    (sampling) and stride<chunk_size overlap."""
+    from dataingestionframework_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk)
+        for r in chunk_documents(df, chunk_size=chunk_size, stride=stride).collect()
+    }
+    expected = {}
+    for i, t in enumerate(docs):
+        toks = t.split()
+        for ci, s in enumerate(range(0, max(len(toks), 1), stride)):
+            part = toks[s : s + chunk_size]
+            if part:
+                expected[(i, ci)] = (len(part), " ".join(part))
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(st.text(alphabet="abc d", min_size=12, max_size=40),
+                     min_size=2, max_size=5))
+def test_simhash_pigeonhole_blocking_equals_all_pairs(spark, docs):
+    """The pigeonhole-blocked simhash join returns EXACTLY the pairs an
+    unblocked all-pairs hamming comparison would — the blocking is an
+    optimization, never a semantics change."""
+    from dataingestionframework_spark.operators.dedup import simhash_pairs
+    from dataingestionframework_spark.operators.text import simhash64_df
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, max_hamming=20, portable=True).collect()
+    }
+    sketches = {r.doc_id: r.sh for r in simhash64_df(df, portable=True).collect()}
+    expected = {}
+    ids = sorted(sketches)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(sketches[ids[i]] ^ sketches[ids[j]]).count("1")
+            if h <= 20:
+                expected[(ids[i], ids[j])] = h
+    assert got == expected
