@@ -8,8 +8,10 @@ minhash emits only exact-verified pairs, so its oracle is the exact
 all-pairs n-gram Jaccard (equality == proof the LSH funnel lost no
 qualifying pair on this dataset).
 
-Keys intentionally absent (rows-only check): ``multimodal_stub_features``
-(mapInPandas feature stub, not SQL-expressible).
+Every query has an oracle twin — including ``multimodal_stub_features``:
+the stub's byte-bucket features are reproduced in SQL (the corpus is
+pure ASCII, so per-char code points ARE the UTF-8 bytes; asserted by
+``octet_length(encode(text)) = length(text)`` holding corpus-wide).
 """
 
 STOPWORDS_SQL = "['the','a','an','of','and','to','in','is','on','for']"
@@ -891,6 +893,20 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,
                sha256(text) AS payload_hash,
                'application/octet-stream' AS payload_mime
+        FROM documents
+    """,
+    # The mapInPandas stub hashes payload bytes into 4 buckets
+    # (bucket[i%4] += byte/255). The corpus is pure ASCII, so the SQL
+    # twin can rebuild the buckets from per-char code points.
+    "multimodal_stub_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,
+               round(coalesce(list_sum(list_transform(
+                   list_filter(range(0, length(text)), i -> i % 4 = 0),
+                   i -> ord(substring(text, i + 1, 1)) / 255.0)), 0), 4) AS f0,
+               round(coalesce(list_sum(list_transform(
+                   list_filter(range(0, length(text)), i -> i % 4 = 3),
+                   i -> ord(substring(text, i + 1, 1)) / 255.0)), 0), 4) AS f3
         FROM documents
     """,
     "simhash_near_dup": _simhash_sql(bits=60, max_hamming=8),

@@ -1600,9 +1600,10 @@ def pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing (rows-only check — the stub feature
-    extractor is mapInPandas over binary payloads, not SQL-expressible;
-    batch shape and schema are pytest-verified)."""
+    """Multimodal decode plumbing: Arrow-batched mapInPandas feature
+    stub over binary payloads. Oracle-twinned — the byte-bucket math is
+    rebuilt in SQL (corpus is pure ASCII, so char code points are the
+    UTF-8 bytes), value-checking the Python batch path end to end."""
     from ..operators.multimodal import decode_stub_features, with_binary_metadata
 
     t = _t(spark, sf_dir)

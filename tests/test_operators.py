@@ -224,3 +224,35 @@ def test_chunking_expression_vs_udtf(spark, docs):
         ).collect()
     }
     assert expr_chunks == udtf_chunks and expr_chunks
+
+
+def test_synthetic_corpus_datasource(spark):
+    """Custom Python DataSource: deterministic sharded generation —
+    same (seed, n_docs) = same corpus at any partition count, and the
+    generated frame feeds the normal operator pipeline."""
+    from dataingestionframework_spark.operators.text import quality_score
+    from dataingestionframework_spark.sources.synthetic import (
+        SyntheticCorpusDataSource,
+    )
+
+    spark.dataSource.register(SyntheticCorpusDataSource)
+
+    def read(parts):
+        return (
+            spark.read.format("synthetic_corpus")
+            .option("n_docs", 500)
+            .option("numPartitions", parts)
+            .option("seed", 7)
+            .load()
+        )
+
+    df8 = read(8)
+    assert df8.rdd.getNumPartitions() == 8
+    assert df8.count() == 500
+    rows8 = {r.doc_id: (r.text, r.lang) for r in df8.collect()}
+    rows3 = {r.doc_id: (r.text, r.lang) for r in read(3).collect()}
+    assert rows8 == rows3  # partitioning never changes the corpus
+
+    # plugs into the operator pipeline like any other documents frame
+    scored = df8.select("doc_id", quality_score(F.col("text")).alias("q"))
+    assert scored.filter(F.col("q") > 0).count() == 500
