@@ -1,0 +1,121 @@
+"""Config-driven training-corpus preparation pipeline.
+
+The reference's pattern is config-driven ingestion (spec → pipeline →
+report). This applies the same pattern to LLM corpus prep: one spec
+declares quality gating, language filtering, dedup strategy, and
+chunking; ``CorpusPrep.run`` composes the operators into ONE lazy plan
+per output and reports per-stage row counts from a single cached pass.
+
+Scale shape: every stage is a narrow projection or a hash-agg/semi-join
+the dedup operators already implement; nothing collects. At 100 TB the
+near-dup stage dominates — it reuses the bucketed LSH funnels
+(`operators/dedup.py`), so cost stays linear-ish in corpus size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CorpusPrepSpec:
+    """Declarative corpus-prep config (the LLM twin of IngestionSpec)."""
+
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    min_quality: float | None = 0.5       # None = no quality gate
+    lang_allow: list[str] | None = None   # None = all languages
+    lang_col: str = "lang"
+    dedup: str = "exact"                  # exact | minhash | simhash | none
+    minhash_threshold: float = 0.7
+    simhash_max_hamming: int = 3
+    chunk_size: int = 0                   # 0 = no chunking output
+    chunk_stride: int = 0                 # defaults to chunk_size if 0
+
+
+@dataclass
+class CorpusPrepResult:
+    clean: DataFrame                      # surviving documents
+    chunks: DataFrame | None              # chunked output (if configured)
+    report: DataFrame                     # stage, rows_in, rows_out
+
+
+class CorpusPrep:
+    def __init__(self, spec: CorpusPrepSpec):
+        self.spec = spec
+
+    # -- dedup keep-list ----------------------------------------------------
+
+    def _near_dup_drop_ids(self, df: DataFrame) -> DataFrame:
+        """Ids to DROP under near-dup policy 'keep the earliest id':
+        any doc appearing as id_b of a qualifying pair (id_a < id_b by
+        construction in the pair operators)."""
+        from ..operators.dedup import near_duplicates_minhash, simhash_pairs
+
+        s = self.spec
+        if s.dedup == "minhash":
+            pairs = near_duplicates_minhash(
+                df, s.text_col, s.id_col, threshold=s.minhash_threshold
+            )
+        elif s.dedup == "simhash":
+            pairs = simhash_pairs(
+                df, s.text_col, s.id_col, max_hamming=s.simhash_max_hamming
+            )
+        else:
+            raise ValueError(f"unknown near-dup strategy {s.dedup!r}")
+        return pairs.select(F.col("id_b").alias(s.id_col)).distinct()
+
+    def run(self, df: DataFrame) -> CorpusPrepResult:
+        from ..operators.dedup import drop_exact_duplicates
+        from ..operators.text import chunk_documents, quality_score
+
+        s = self.spec
+        stages: list[tuple[str, int]] = [("input", df.count())]
+
+        cur = df
+        if s.lang_allow is not None:
+            cur = cur.filter(F.col(s.lang_col).isin(s.lang_allow))
+            stages.append(("lang_filter", cur.count()))
+
+        if s.min_quality is not None:
+            cur = cur.withColumn(
+                "_q", quality_score(F.col(s.text_col))
+            ).filter(F.col("_q") >= s.min_quality).drop("_q")
+            stages.append(("quality_gate", cur.count()))
+
+        if s.dedup == "exact":
+            cur = drop_exact_duplicates(cur, s.text_col, s.id_col)
+            stages.append(("dedup_exact", cur.count()))
+        elif s.dedup in ("minhash", "simhash"):
+            # exact dedup first (cheap, shrinks the LSH input), then
+            # near-dup on the survivors
+            cur = drop_exact_duplicates(cur, s.text_col, s.id_col)
+            stages.append(("dedup_exact", cur.count()))
+            drops = self._near_dup_drop_ids(cur)
+            cur = cur.join(drops, s.id_col, "left_anti")
+            stages.append((f"dedup_{s.dedup}", cur.count()))
+        elif s.dedup != "none":
+            raise ValueError(f"unknown dedup strategy {self.spec.dedup!r}")
+
+        chunks = None
+        if s.chunk_size > 0:
+            chunks = chunk_documents(
+                cur,
+                s.text_col,
+                s.id_col,
+                chunk_size=s.chunk_size,
+                stride=s.chunk_stride or s.chunk_size,
+            )
+
+        spark = df.sparkSession
+        report = spark.createDataFrame(
+            [
+                (name, stages[i - 1][1] if i else n, n)
+                for i, (name, n) in enumerate(stages)
+            ],
+            "stage string, rows_in long, rows_out long",
+        )
+        return CorpusPrepResult(clean=cur, chunks=chunks, report=report)

@@ -57,3 +57,46 @@ def test_bucketed_join_elides_shuffle(spark, warehouse):
         assert joined.count() == 10000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling, proven at test scale by lowering the
+    skew thresholds: one pathological key (100k rows vs ~10 per other
+    key) makes AQE mark the sort-merge join 'skew=true' and split the
+    hot partition — the runtime lever that saves skewed joins at 100 TB
+    without manual salting."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 110_000).selectExpr(
+            "CASE WHEN id < 100000 THEN 7 ELSE id % 1000 END AS k", "id AS v"
+        )
+        right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
+        # global agg downstream (NOT grouped on the join key): a grouped
+        # agg on k would re-require hash partitioning, and AQE then
+        # skips the skew split unless forceOptimizeSkewedJoin is set.
+        # v must survive the join — a hot partition of identical keys
+        # alone compresses below any skew threshold.
+        joined = left.join(right, "k").agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        joined.collect()  # AQE final plan materializes on execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

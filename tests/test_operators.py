@@ -256,3 +256,56 @@ def test_synthetic_corpus_datasource(spark):
     # plugs into the operator pipeline like any other documents frame
     scored = df8.select("doc_id", quality_score(F.col("text")).alias("q"))
     assert scored.filter(F.col("q") > 0).count() == 500
+
+
+def test_corpus_prep_pipeline_end_to_end(spark):
+    """Config-driven corpus prep over the synthetic DataSource: lang
+    filter → quality gate → exact + simhash dedup → chunking, with a
+    faithful per-stage report."""
+    from dataingestionframework_spark.ingest.corpus import CorpusPrep, CorpusPrepSpec
+    from dataingestionframework_spark.sources.synthetic import (
+        SyntheticCorpusDataSource,
+    )
+
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    base = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 200)
+        .option("seed", 11)
+        .load()
+    )
+    # plant exact duplicates with fresh ids
+    dups = base.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = base.union(dups)
+
+    spec = CorpusPrepSpec(
+        lang_allow=["en", "de", "fr"],
+        min_quality=0.4,
+        dedup="simhash",
+        simhash_max_hamming=3,
+        chunk_size=30,
+        chunk_stride=25,
+    )
+    res = CorpusPrep(spec).run(corpus)
+
+    stages = {r.stage: (r.rows_in, r.rows_out) for r in res.report.collect()}
+    assert stages["input"][1] == 210
+    assert stages["lang_filter"][1] < 210
+    # report chains: each stage's rows_in == previous stage's rows_out
+    order = ["input", "lang_filter", "quality_gate", "dedup_exact", "dedup_simhash"]
+    for prev, cur in zip(order, order[1:]):
+        assert stages[cur][0] == stages[prev][1]
+
+    clean_ids = {r.doc_id for r in res.clean.select("doc_id").collect()}
+    # planted duplicates removed: no surviving pair with identical text
+    n_texts = res.clean.select("text").distinct().count()
+    assert len(clean_ids) == n_texts
+    # exact-dedup keeps the EARLIEST id, so no planted +100000 id survives
+    assert not {i for i in clean_ids if i >= 100000}
+
+    # chunk invariants: every clean doc is covered, ids chain from 0
+    chunk_docs_ids = {r.doc_id for r in res.chunks.select("doc_id").distinct().collect()}
+    assert chunk_docs_ids == clean_ids
+    assert res.chunks.filter(F.col("n_chunk_tokens") > 30).count() == 0
