@@ -100,3 +100,22 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_plan_audit_all_queries_clean(spark):
+    """Scale-hygiene gate: no query's physical plan may contain a
+    cartesian product, a non-allowed nested-loop join, a row-at-a-time
+    Python UDF, or an unbounded global sort. (Same audit as
+    tools/plan_audit.py, over the fast sf0.001 data.)"""
+    import importlib
+
+    audit = importlib.import_module("tools.plan_audit")
+    from dataingestionframework_spark.plans.queries import QUERIES
+
+    flagged = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        problems = audit.audit_one(name, plan)
+        if problems:
+            flagged[name] = problems
+    assert not flagged, flagged
