@@ -43,6 +43,40 @@ class CorpusPrepResult:
     report: DataFrame                     # stage, rows_in, rows_out
 
 
+def corpus_stream_clean(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_quality: float = 0.5,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus intake: quality gate + exact-dedup within the
+    watermark, as one incremental plan (the streaming twin of
+    CorpusPrep's first two batch stages).
+
+    Dedup state is bounded by the watermark: one md5 fingerprint per
+    distinct document seen in the last ``watermark`` of event time —
+    the standard trade for unbounded streams (cross-window dups are
+    caught by the periodic batch near-dup sweep instead). Works on
+    batch frames too (dropDuplicates on the fingerprint).
+    """
+    from ..operators.text import fingerprint, quality_score
+
+    gated = (
+        stream.withColumn("_q", quality_score(F.col(text_col)))
+        .filter(F.col("_q") >= min_quality)
+        .drop("_q")
+        .withColumn("_fp", fingerprint(F.col(text_col)))
+    )
+    if stream.isStreaming:
+        out = gated.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_fp"]
+        )
+    else:
+        out = gated.dropDuplicates(["_fp"])
+    return out.drop("_fp")
+
+
 class CorpusPrep:
     def __init__(self, spec: CorpusPrepSpec):
         self.spec = spec

@@ -457,6 +457,19 @@ ORACLES: dict[str, str] = {
                round(covar_samp(l_discount, l_tax), 6)     AS covar_disc_tax
         FROM lineitem
     """,
+    "regression_robust_stats": """
+        SELECT round(regr_slope(o_totalprice, o_custkey), 6)     AS slope,
+               round(regr_intercept(o_totalprice, o_custkey), 4) AS intercept,
+               round(regr_r2(o_totalprice, o_custkey), 6)        AS r2,
+               regr_count(o_totalprice, o_custkey)               AS n,
+               round(skewness(o_totalprice)
+                     * (count(*) - 2)
+                     / sqrt(count(*) * (count(*) - 1.0)), 6)     AS skew_pop,
+               round(kurtosis_pop(o_totalprice), 6)              AS kurt_pop,
+               round(median(o_totalprice), 4)                    AS med,
+               mode(o_orderstatus)                               AS status_mode
+        FROM orders
+    """,
     "sql_text_q1": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)  AS sum_qty,

@@ -822,6 +822,24 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regression_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression + robust-stats aggregate family: regr_slope/intercept/
+    r2/count, skewness, kurtosis, median, mode. Spark's skewness/
+    kurtosis are population moments — the oracle converts DuckDB's
+    sample skewness with (n−2)/√(n(n−1)) and uses kurtosis_pop."""
+    t = _t(spark, sf_dir)
+    return t("orders").agg(
+        F.round(F.expr("regr_slope(o_totalprice, o_custkey)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(o_totalprice, o_custkey)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(o_totalprice, o_custkey)"), 6).alias("r2"),
+        F.expr("regr_count(o_totalprice, o_custkey)").alias("n"),
+        F.round(F.skewness("o_totalprice"), 6).alias("skew_pop"),
+        F.round(F.kurtosis("o_totalprice"), 6).alias("kurt_pop"),
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+        F.mode("o_orderstatus").alias("status_mode"),
+    )
+
+
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar family (abs/ceil/floor/sqrt/ln/exp/pow/mod/sign/
     greatest/least/nullif) — extension beyond the reference's +1 counters."""
@@ -1712,6 +1730,7 @@ QUERIES = {
     "array_functions": array_functions,
     "collect_agg": collect_agg,
     "stats_agg": stats_agg,
+    "regression_robust_stats": regression_robust_stats,
     "sql_text_q1": sql_text_q1,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,

@@ -275,3 +275,40 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_root):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     }
     assert got == expected
+
+
+def test_corpus_stream_clean_quality_and_dedup(spark, tmp_root):
+    """Streaming corpus intake: the quality gate drops junk docs and
+    dropDuplicatesWithinWatermark keeps one copy of each planted dup;
+    result equals the batch form of the same builder."""
+    from dataingestionframework_spark.ingest.corpus import corpus_stream_clean
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "2024-01-01 10:05:00", "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "2024-01-01 10:10:00", "data stream batch row column table scan filter join agg sort"),
+        (4, "2024-01-01 10:15:00", "a a a"),  # degenerate: <5 tokens, all stopwords
+    ]
+    src = os.path.join(tmp_root, "corpus_src")
+    df = spark.createDataFrame(rows, "doc_id long, ts string, text string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.coalesce(1).write.parquet(src)
+
+    batch = corpus_stream_clean(spark.read.parquet(src), min_quality=0.6)
+    batch_texts = {r.text for r in batch.collect()}
+    assert len(batch_texts) == 2  # dup collapsed, degenerate dropped
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        corpus_stream_clean(stream, min_quality=0.6)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_clean_out")
+        .option("checkpointLocation", f"{tmp_root}/corpus_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.text for r in spark.sql("SELECT * FROM corpus_clean_out").collect()}
+    assert got == batch_texts
