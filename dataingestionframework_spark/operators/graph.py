@@ -1,0 +1,124 @@
+"""Distributed connected components for dedup clustering.
+
+Near-dup detection (MinHash/SimHash/embedding pairs) emits EDGES; the
+production dedup step needs CLUSTERS — the transitive closure of those
+pairs — so each document can be assigned a canonical representative
+and non-canonical copies dropped. This module closes that gap.
+
+Scale design (100 TB): min-label propagation with pointer jumping.
+Each round does two shuffles — one groupBy over the (bidirectional)
+edge list to pull the smallest neighbour label, and one label-table
+self-join that short-circuits label chains (``l(v) <- l(l(v))``,
+path halving). Pointer jumping makes convergence O(log d) rounds in
+the cluster diameter rather than O(d); near-dup similarity graphs are
+quasi-cliques (d is 2-4 even for huge corpora), so 3-5 rounds in
+practice. Per-round state is only (node, label) — no neighbourhood
+sets are materialized (unlike hash-to-min), so memory per executor is
+bounded by the node partition, and ``localCheckpoint`` truncates the
+lineage so the plan does not grow with iterations. No driver-side
+data: the only action per round is the scalar changed-row count.
+
+Reference parity: the reference has no clustering step (its dedup is
+``distinct()`` only — ``modules/auto_loader_steps.py:289``); this is
+part of the LLM-corpus extension surface alongside operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    ``edges`` is an undirected edge list (each pair listed once in
+    either orientation; self-loops and duplicates are tolerated).
+    Returns (id, component) where component = min id of the connected
+    component. Converges when a full round changes no label; raises if
+    ``max_iter`` rounds pass without convergence (pointer jumping makes
+    that ~2**max_iter of effective diameter, i.e. unreachable in
+    practice — the guard catches caller bugs like non-deterministic
+    edge input, not real graphs).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+        F.col("u") != F.col("v")
+    )
+    # Edges are re-scanned every round: materialize once.
+    adj = adj.distinct().localCheckpoint()
+
+    labels = (
+        adj.select("u").union(adj.select("v")).distinct().select(
+            F.col("u").alias("id"), F.col("u").alias("lbl")
+        )
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # Propagate: smallest neighbour label, one shuffle on dst node.
+        nbr_min = (
+            adj.join(labels, adj["u"] == labels["id"])
+            .groupBy(adj["v"].alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        prop = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("lbl", "nbr_lbl").alias("lbl"))
+        )
+        # Pointer jump: l(v) <- min(l(v), l(l(v))) — collapses label
+        # chains exponentially (path halving).
+        parent = prop.select(
+            F.col("id").alias("p_id"), F.col("lbl").alias("p_lbl")
+        )
+        jumped = (
+            prop.join(parent, prop["lbl"] == parent["p_id"], "left")
+            .select("id", F.least("lbl", "p_lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Assign EVERY document a canonical representative.
+
+    Documents in no near-dup pair are their own canonical (cluster of
+    1); paired documents share the min doc id of their transitive
+    cluster. Returns (doc_id, canonical_id, cluster_size) — the keep
+    set is ``doc_id == canonical_id``, the drop set is the rest.
+    """
+    cc = connected_components(pairs, src=pair_a, dst=pair_b)
+    assigned = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc, F.col("doc_id") == cc["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+    )
+    sizes = assigned.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assigned.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )

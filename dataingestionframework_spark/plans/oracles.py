@@ -30,12 +30,12 @@ _GRAMS3 = """
 """
 
 
-def _simhash_sql(bits: int = 60, max_hamming: int = 8) -> str:
-    """All-pairs SimHash oracle: the portable 60-bit md5 sketch
-    (``operators.text.portable_gram_hash``) rebuilt in pure DuckDB SQL —
-    one +1/−1 vote column per bit, sign bits packed, hamming compared
-    across every pair. The Spark side's pigeonhole blocking has exact
-    recall, so all-pairs is the correct twin."""
+def _simhash_ctes(bits: int = 60, max_hamming: int = 8) -> str:
+    """CTE chain (no WITH keyword) rebuilding the portable 60-bit md5
+    SimHash sketch in pure DuckDB SQL — one +1/−1 vote column per bit,
+    sign bits packed — ending in ``pairs(id_a, id_b, hamming)``, the
+    all-pairs near-dup set. Shared by the pair oracle and the
+    connected-components cluster oracle."""
     votes = ",\n".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits)
@@ -44,8 +44,7 @@ def _simhash_sql(bits: int = 60, max_hamming: int = 8) -> str:
         f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(bits)
     )
-    return f"""
-        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    return f"""toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
         grams AS ({_GRAMS3}),
         hashed AS (
             SELECT doc_id,
@@ -53,11 +52,49 @@ def _simhash_sql(bits: int = 60, max_hamming: int = 8) -> str:
             FROM grams
         ),
         votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
-        sketch AS (SELECT doc_id, {packed} AS sh FROM votes)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-        FROM sketch a JOIN sketch b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+        sketch AS (SELECT doc_id, {packed} AS sh FROM votes),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM sketch a JOIN sketch b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+        )"""
+
+
+def _simhash_sql(bits: int = 60, max_hamming: int = 8) -> str:
+    """All-pairs SimHash oracle. The Spark side's pigeonhole blocking
+    has exact recall, so all-pairs is the correct twin."""
+    return f"""
+        WITH {_simhash_ctes(bits, max_hamming)}
+        SELECT id_a, id_b, hamming FROM pairs
+    """
+
+
+def _cc_cluster_sql(bits: int = 60, max_hamming: int = 8) -> str:
+    """Connected-components cluster oracle: min-reachable-id over the
+    SimHash near-dup pair graph via a recursive CTE (frontier = the
+    current label, expand along edges until the reachable set is
+    closed), then every document — paired or not — gets a canonical id
+    and cluster size. Twin of operators.graph.dedup_clusters."""
+    return f"""
+        WITH RECURSIVE {_simhash_ctes(bits, max_hamming)},
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.lbl
+        ),
+        cc AS (SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+        sizes AS (
+            SELECT canonical_id, count(*) AS cluster_size
+            FROM cc GROUP BY canonical_id
+        )
+        SELECT cc.doc_id, cc.canonical_id, s.cluster_size
+        FROM cc JOIN sizes s USING (canonical_id)
     """
 
 
@@ -923,6 +960,7 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "simhash_near_dup": _simhash_sql(bits=60, max_hamming=8),
+    "dedup_cluster_canonical": _cc_cluster_sql(bits=60, max_hamming=8),
     # minhash_near_dup emits only exact-verified pairs, so the oracle is
     # the exact all-pairs word-3-gram Jaccard — equality proves the
     # LSH-band + signature-estimate funnel lost no qualifying pair.

@@ -329,6 +329,26 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(t("documents"), max_hamming=8, portable=True)
 
 
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: SimHash pairs → distributed connected
+    components → every document assigned a canonical representative
+    (min doc id of its transitive cluster) and cluster size.
+
+    This is the production dedup step the pair queries feed: keep rows
+    where doc_id == canonical_id, drop the rest. The CC loop is
+    min-label propagation + pointer jumping (O(log diameter) rounds,
+    two shuffles per round, no driver-side data) — see
+    operators/graph.py. Oracle: recursive-CTE min-reachability over
+    the same portable SimHash pair graph."""
+    from ..operators.dedup import simhash_pairs
+    from ..operators.graph import dedup_clusters
+
+    t = _t(spark, sf_dir)
+    docs = t("documents")
+    pairs = simhash_pairs(docs, max_hamming=8, portable=True)
+    return dedup_clusters(docs, pairs)
+
+
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import distinct_token_count, stopword_count, token_count
 
@@ -1700,6 +1720,7 @@ QUERIES = {
     "ngram_jaccard_bounded": ngram_jaccard_bounded,
     "minhash_near_dup": minhash_near_dup,
     "simhash_near_dup": simhash_near_dup,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
     "text_stats_docs": text_stats_docs,
     "embedding_topk": embedding_topk,
     "embedding_near_dup": embedding_near_dup,
