@@ -1,0 +1,292 @@
+"""Training-corpus assembly operators: packing, decontamination,
+keyword extraction, boilerplate detection, split/shard assignment.
+
+These sit downstream of dedup (operators/dedup.py, operators/graph.py)
+in an LLM data pipeline: once the corpus is clean, it must be checked
+against evaluation benchmarks (decontaminate), scored for boilerplate
+(repeated_gram_ratio), split train/val/test deterministically
+(train_split_shard), and packed into fixed-length training sequences
+(pack_sequences).
+
+Reference parity: the reference stops at ingest + distinct()
+(modules/auto_loader_steps.py:289); everything here is part of the
+LLM-corpus extension surface.
+
+Scale notes (100 TB):
+- pack_sequences: ONE shuffle (window partitioned by the pack key) —
+  never a global sort. The pack key (language, domain, shard) bounds
+  per-reducer state; token offsets are running sums inside each key.
+- decontaminate: benchmark gram sets (eval suites) are tiny versus the
+  corpus — broadcast them; the corpus side stays map-local after its
+  gram explode.
+- tfidf_top_terms / repeated_gram_ratio: gram-explode + two hash aggs
+  (term df, per-doc stats) — the same one-shuffle-per-agg shape as the
+  sketch pipeline. Ranking is integer-keyed so engine float ulps can't
+  flip the order.
+- train_split_shard: pure map-side expressions, zero shuffles; the
+  md5-derived hash is engine-portable, so an auditor can recompute any
+  document's split in plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import exploded_word_ngrams, token_count
+from .text import portable_gram_hash
+
+PORTABLE_HASH_SPACE = float(1 << 60)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    pack_key: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): within each ``pack_key`` group, documents are concatenated
+    in ``id_col`` order and cut into fixed ``seq_len``-token sequences;
+    documents span sequence boundaries, so no padding is ever emitted.
+
+    Returns one row per (document × sequence) slice:
+    (pack_key, seq_id, doc_id, slice_tokens, doc_offset) where
+    ``slice_tokens`` is how many of the doc's tokens land in that
+    sequence and ``doc_offset`` is the doc's global token start within
+    the group. sum(slice_tokens) per seq_id == seq_len except the last
+    sequence of each group.
+
+    First-fit bin packing needs a sequential scan; concat-and-chunk is
+    the closed-form (and the layout actually used for LLM pre-training),
+    which keeps it one window + one explode — fully parallel per key.
+    """
+    w = (
+        Window.partitionBy("pack_key")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        F.col(pack_key).alias("pack_key"),
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    pos = sized.withColumn("cum_end", F.sum("n_tok").over(w)).withColumn(
+        "doc_offset", F.col("cum_end") - F.col("n_tok")
+    )
+    c = F.lit(seq_len)
+    slices = pos.select(
+        "pack_key",
+        "doc_id",
+        "doc_offset",
+        "cum_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("doc_offset") / c),
+                F.floor((F.col("cum_end") - 1) / c),
+            )
+        ).alias("seq_id"),
+    )
+    return slices.select(
+        "pack_key",
+        "seq_id",
+        "doc_id",
+        (
+            F.least(F.col("cum_end"), (F.col("seq_id") + 1) * c)
+            - F.greatest(F.col("doc_offset"), F.col("seq_id") * c)
+        ).alias("slice_tokens"),
+        "doc_offset",
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: count distinct word ``n``-grams each
+    corpus document shares with a benchmark corpus (an eval suite) and
+    flag documents at or above ``min_overlap`` shared grams.
+
+    Every corpus document is retained in the output
+    (doc_id, overlap_grams, contaminated) — the caller chooses to drop
+    or down-weight. Benchmark gram sets are tiny next to a 100 TB
+    corpus, so the distinct gram list is broadcast by default and the
+    corpus side never shuffles on the gram.
+    """
+    bench_grams = (
+        exploded_word_ngrams(benchmark, text_col, id_col, n)
+        .select("gram")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = exploded_word_ngrams(corpus, text_col, id_col, n).select(
+        id_col, "gram"
+    ).distinct()
+    overlap = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("overlap_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("overlap_grams", F.lit(0)).alias("overlap_grams"),
+            (F.coalesce("overlap_grams", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    score = tf · (ln((N+1)/(df+1)) + 1) (smoothed idf). The within-doc
+    ranking is keyed on (tf desc, df asc, term asc) — integers and a
+    string, never the float score — so Spark and any oracle engine rank
+    identically even when two scores differ only in the last ulp.
+
+    Two hash aggregates (term counts per doc, doc-frequency per term)
+    and one windowed top-k; N arrives as a 1-row broadcast (constant
+    cost — no driver round-trip, the plan stays lazy).
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+def repeated_gram_ratio(
+    docs: DataFrame,
+    n: int = 3,
+    boilerplate_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate detection: per document, the fraction of its
+    distinct word ``n``-grams that also occur in at least one OTHER
+    document. Documents above ``boilerplate_threshold`` are flagged —
+    the CCNet-style signal that a page is template/menu text rather
+    than prose.
+
+    Shape: gram explode → distinct (doc, gram) → gram doc-frequency
+    (one agg) → per-doc shared/total counts (one agg). No pairwise
+    anything — cost is linear in total grams.
+    """
+    doc_grams = exploded_word_ngrams(docs, text_col, id_col, n).select(
+        F.col(id_col).alias("doc_id"), "gram"
+    ).distinct()
+    gram_df = doc_grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    stats = (
+        doc_grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0)).alias(
+                "shared_grams"
+            ),
+        )
+    )
+    return stats.select(
+        "doc_id",
+        "n_grams",
+        "shared_grams",
+        F.round(F.col("shared_grams") / F.col("n_grams"), 6).alias(
+            "dup_gram_ratio"
+        ),
+        (
+            F.col("shared_grams") / F.col("n_grams")
+            > F.lit(boilerplate_threshold)
+        ).alias("boilerplate"),
+    )
+
+
+def _unit_hash(label: str, seed: int, id_col: Column) -> Column:
+    """Deterministic engine-portable hash of (label, seed, id) mapped
+    to [0, 1): md5 top 60 bits / 2^60. DuckDB twin:
+    ``('0x' || substring(md5(...), 1, 15))::UBIGINT / 2^60``."""
+    key = F.concat_ws(":", F.lit(label), F.lit(str(seed)), id_col.cast("string"))
+    return portable_gram_hash(key) / F.lit(PORTABLE_HASH_SPACE)
+
+
+def train_split_shard(
+    docs: DataFrame,
+    weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    n_shards: int = 1024,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment + output sharding +
+    within-shard shuffle key, all from engine-portable md5 hashes of
+    the document id. Zero shuffles — pure map-side expressions — and
+    any row's assignment is reproducible in plain SQL, so a split can
+    be audited without rerunning the pipeline.
+
+    Returns (doc_id, split, shard, order_key): write each (split,
+    shard) partition sorted by order_key for a reproducible global
+    shuffle without a global sort.
+    """
+    train_w, val_w, _ = weights
+    u = _unit_hash("split", seed, F.col(id_col))
+    split = (
+        F.when(u < train_w, "train")
+        .when(u < train_w + val_w, "val")
+        .otherwise("test")
+    )
+    shard = F.pmod(
+        portable_gram_hash(
+            F.concat_ws(":", F.lit("shard"), F.lit(str(seed)), F.col(id_col).cast("string"))
+        ),
+        F.lit(n_shards),
+    )
+    order_key = portable_gram_hash(
+        F.concat_ws(":", F.lit("order"), F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    return docs.select(
+        id_col,
+        split.alias("split"),
+        shard.cast("int").alias("shard"),
+        order_key.alias("order_key"),
+    )

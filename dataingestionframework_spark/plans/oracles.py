@@ -879,6 +879,121 @@ ORACLES: dict[str, str] = {
                ) AS rolling_fp
         FROM documents
     """,
+    # Concat-and-chunk packing: running token sum per language, each doc
+    # spans sequences floor(start/256)..floor((end-1)/256).
+    "pack_sequences_docs": f"""
+        WITH toks AS (
+            SELECT lang AS pack_key, doc_id, len({_TOKENS}) AS n_tok
+            FROM documents
+        ),
+        pos AS (
+            SELECT pack_key, doc_id, n_tok,
+                   CAST(sum(n_tok) OVER (PARTITION BY pack_key
+                                         ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_end
+            FROM toks WHERE n_tok > 0
+        ),
+        sl AS (
+            SELECT pack_key, doc_id, cum_end, cum_end - n_tok AS doc_offset,
+                   unnest(generate_series((cum_end - n_tok) // 256,
+                                          (cum_end - 1) // 256)) AS seq_id
+            FROM pos
+        )
+        SELECT pack_key, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(least(cum_end, (seq_id + 1) * 256)
+                    - greatest(doc_offset, seq_id * 256) AS BIGINT)
+                   AS slice_tokens,
+               CAST(doc_offset AS BIGINT) AS doc_offset
+        FROM sl
+    """,
+    "decontaminate_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        g AS ({_GRAMS3}),
+        bench AS (
+            SELECT DISTINCT g.gram
+            FROM g JOIN documents d USING (doc_id) WHERE d.source = 'src0'
+        ),
+        corpus AS (
+            SELECT DISTINCT g.doc_id, g.gram
+            FROM g JOIN documents d USING (doc_id) WHERE d.source <> 'src0'
+        ),
+        ov AS (
+            SELECT doc_id, count(*) AS overlap_grams
+            FROM corpus JOIN bench USING (gram) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(ov.overlap_grams, 0) AS BIGINT) AS overlap_grams,
+               coalesce(ov.overlap_grams, 0) >= 2 AS contaminated
+        FROM documents d LEFT JOIN ov USING (doc_id)
+        WHERE d.source <> 'src0'
+    """,
+    # Ranking keyed on (tf desc, df asc, term) — never the float score.
+    "tfidf_top_terms_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        terms AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM terms GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                       AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN nd
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, term ASC) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, CAST(rnk AS INTEGER) AS "rank", term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        FROM ranked WHERE rnk <= 3
+    """,
+    "repeated_gram_ratio_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        g AS ({_GRAMS3}),
+        dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        gdf AS (SELECT gram, count(*) AS gdf FROM dg GROUP BY gram),
+        st AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS shared_grams
+            FROM dg JOIN gdf USING (gram) GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(shared_grams AS BIGINT) AS shared_grams,
+               round(shared_grams * 1.0 / n_grams, 6) AS dup_gram_ratio,
+               (shared_grams * 1.0 / n_grams) > 0.5 AS boilerplate
+        FROM st
+    """,
+    # Split/shard assignment recomputed from the same portable md5
+    # hashes — division by 2^60 is exact in IEEE double on both engines.
+    "train_split_shard_docs": """
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5('split:42:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                       / 1152921504606846976.0 AS u,
+                   CAST(('0x' || substring(md5('shard:42:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 64
+                       AS INTEGER) AS shard,
+                   CAST(('0x' || substring(md5('order:42:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                       AS BIGINT) AS order_key
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN u < 0.9 THEN 'train'
+                    WHEN u < 0.95 THEN 'val'
+                    ELSE 'test' END AS split,
+               shard, order_key
+        FROM h
+    """,
     "date_spine_zero_fill": """
         WITH spine AS (
             SELECT CAST(unnest(generate_series(DATE '1996-01-01',

@@ -1519,6 +1519,64 @@ def rolling_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t("documents").select("doc_id", roll.alias("rolling_fp"))
 
 
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM pipeline): concat-and-chunk documents per
+    language into 256-token training sequences; docs span boundaries,
+    so zero padding. One window shuffle on the pack key, one explode —
+    no global sort. Oracle: same running-sum + generate_series in SQL."""
+    from ..operators.corpus import pack_sequences
+
+    t = _t(spark, sf_dir)
+    return pack_sequences(t("documents"), seq_len=256, pack_key="lang")
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (LLM pipeline): docs from source
+    'src0' play the eval suite; every other document is scored by
+    distinct shared word-3-grams and flagged at ≥2. Benchmark gram set
+    is broadcast — the corpus side never shuffles on the gram."""
+    from ..operators.corpus import decontaminate
+
+    t = _t(spark, sf_dir)
+    docs = t("documents")
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+        min_overlap=2,
+    )
+
+
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Ranking keyed on
+    (tf desc, df asc, term) — integers + string, so engine float ulps
+    can't flip the order; the float score is display-only (round 6)."""
+    from ..operators.corpus import tfidf_top_terms
+
+    t = _t(spark, sf_dir)
+    return tfidf_top_terms(t("documents"), k=3)
+
+
+def repeated_gram_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (LLM pipeline): per-doc fraction of its
+    distinct word-3-grams occurring in ≥2 documents; >0.5 flags
+    template text. Linear in total grams — no pairwise joins."""
+    from ..operators.corpus import repeated_gram_ratio
+
+    t = _t(spark, sf_dir)
+    return repeated_gram_ratio(t("documents"), n=3, boilerplate_threshold=0.5)
+
+
+def train_split_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + shard + shuffle key from
+    engine-portable md5 hashes — zero shuffles, auditable in plain SQL
+    (the oracle recomputes every assignment)."""
+    from ..operators.corpus import train_split_shard
+
+    t = _t(spark, sf_dir)
+    return train_split_shard(t("documents"), n_shards=64, seed=42)
+
+
 def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-spine generation + zero-fill (the reporting staple Spark
     expresses with sequence+explode): every day of 1996-01 with its
@@ -1782,6 +1840,11 @@ QUERIES = {
     "histogram_totalprice": histogram_totalprice,
     "chunk_docs": chunk_docs,
     "rolling_fingerprint_docs": rolling_fingerprint_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "tfidf_top_terms_docs": tfidf_top_terms_docs,
+    "repeated_gram_ratio_docs": repeated_gram_ratio_docs,
+    "train_split_shard_docs": train_split_shard_docs,
     "date_spine_zero_fill": date_spine_zero_fill,
     "null_semantics": null_semantics,
     "misc_functions": misc_functions,

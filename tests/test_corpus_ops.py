@@ -1,0 +1,100 @@
+"""Corpus-assembly operators (operators/corpus.py): packing,
+decontamination, split/shard. Value-level parity with DuckDB is the
+oracle gate's job; these tests check the algebraic invariants the
+oracle can't see."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataingestionframework_spark.operators.corpus import (
+    decontaminate,
+    pack_sequences,
+    tfidf_top_terms,
+    train_split_shard,
+)
+from dataingestionframework_spark.plans.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_DIR, "documents")
+
+
+def test_pack_sequences_invariants(spark, docs):
+    seq_len = 128
+    packed = pack_sequences(docs, seq_len=seq_len, pack_key="lang").cache()
+    # Every sequence is exactly full except the last one per group.
+    fills = (
+        packed.groupBy("pack_key", "seq_id")
+        .agg(F.sum("slice_tokens").alias("fill"))
+        .withColumn(
+            "last_seq",
+            F.col("seq_id")
+            == F.max("seq_id").over(Window.partitionBy("pack_key")),
+        )
+    )
+    bad = fills.filter(
+        (~F.col("last_seq")) & (F.col("fill") != seq_len)
+    ).count()
+    assert bad == 0
+    over = fills.filter(F.col("fill") > seq_len).count()
+    assert over == 0
+    # No tokens lost: per-doc slice sums equal the doc token count.
+    from dataingestionframework_spark.functions import token_count
+
+    per_doc = packed.groupBy("doc_id").agg(
+        F.sum("slice_tokens").alias("packed_tok")
+    )
+    orig = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    lost = (
+        orig.join(per_doc, "doc_id", "left")
+        .filter(
+            (F.col("packed_tok").isNull())
+            | (F.col("packed_tok") != F.col("n_tok"))
+        )
+        .count()
+    )
+    assert lost == 0
+    packed.unpersist()
+
+
+def test_decontaminate_benchmark_docs_fully_flagged(spark, docs):
+    # A corpus containing the benchmark itself: benchmark docs (with >=
+    # n tokens) must all be flagged with overlap == their gram count.
+    bench = docs.filter(F.col("doc_id") < 20)
+    out = decontaminate(docs, bench, n=3, min_overlap=1)
+    flagged = {
+        r["doc_id"]
+        for r in out.filter("contaminated").select("doc_id").collect()
+    }
+    assert set(range(20)) <= flagged
+
+
+def test_tfidf_rank_is_dense_per_doc(spark, docs):
+    out = tfidf_top_terms(docs.limit(50), k=3)
+    counts = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mr")
+    )
+    assert counts.filter(F.col("n") != F.col("mr")).count() == 0
+    assert out.filter(F.col("rank") > 3).count() == 0
+
+
+def test_train_split_shard_deterministic_and_balanced(spark, docs):
+    a = train_split_shard(docs, n_shards=16, seed=7)
+    b = train_split_shard(docs, n_shards=16, seed=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    total = docs.count()
+    frac = {
+        r["split"]: r["n"] / total
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # 90/5/5 within loose binomial bounds at n=50.
+    assert 0.7 < frac.get("train", 0) < 1.0
+    # Different seed reassigns some documents.
+    c = train_split_shard(docs, n_shards=16, seed=8)
+    assert a.exceptAll(c).count() > 0

@@ -40,6 +40,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q11_value_share": {
         "BroadcastNestedLoopJoin": "1-row global-total scalar broadcast"
     },
+    "tfidf_top_terms_docs": {
+        "BroadcastNestedLoopJoin": "1-row corpus-size (N) scalar broadcast"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
