@@ -234,15 +234,19 @@ def save_centroids(path: str, centroids: list[list[float]]) -> None:
     os.replace(tmp, path)
 
 
-def load_centroids(path: str) -> list[list[float]] | None:
-    """Load persisted centroids; None if absent."""
+def load_centroids(path: str) -> list | None:
+    """Load persisted centroids; None if absent. Handles arbitrarily
+    nested float lists (IVF centroid matrices AND 3-level PQ codebooks)."""
     import json
     import os
+
+    def _floats(x):
+        return [_floats(v) for v in x] if isinstance(x, list) else float(x)
 
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return [list(map(float, c)) for c in json.load(f)]
+        return _floats(json.load(f))
 
 
 def ivf_assign(
@@ -464,4 +468,185 @@ def knn_join_bucketed(
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN tier
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks: the vector is split into ``m`` contiguous
+    subspaces and an independent ``n_codes``-centroid k-means is fit on
+    each slice. Returns ``m × n_codes × (dim/m)`` floats.
+
+    Like :func:`ivf_fit`, fit ONCE per corpus and persist (the JSON
+    payload round-trips through :func:`save_centroids` /
+    :func:`load_centroids` unchanged — both are plain nested lists);
+    encoding and ADC search never refit. A PQ code is ``m·log2(n_codes)``
+    bits per vector (e.g. 8×4 = 32 bits vs 64-dim float32 raw = 64×
+    smaller) — the tier that lets 100 TB of embeddings fit a scan budget.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_df = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
+    dim = len(fit_df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    slices = fit_df.select(
+        *[
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+            ).alias(f"s{j}")
+            for j in range(m)
+        ]
+    ).cache()
+    books = []
+    for j in range(m):
+        model = KMeans(k=n_codes, seed=seed + j, featuresCol=f"s{j}").fit(slices)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    slices.unpersist()
+    return books
+
+
+def _sub_argmin(vec_col: str, book: list[list[float]], j: int, sub: int):
+    """Column expr: nearest-centroid code for subspace ``j`` — argmin
+    over ``n_codes`` (distance, code) structs, scan-side, no shuffle."""
+    sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sl,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(code).alias("code"),
+            )
+            for code, c in enumerate(book)
+        ]
+    )
+    return F.element_at(F.array_sort(scored), 1)["code"]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its ``m`` nearest-subcentroid codes
+    (``pq_code`` array<int>). Pure column expressions — at 100 TB this
+    is a map-only pass whose output is what gets stored/scanned."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return df.withColumn(
+        "pq_code",
+        F.array(*[_sub_argmin(vec_col, codebooks[j], j, sub) for j in range(m)]),
+    )
+
+
+def _adc_expr(query_vec: Sequence[float], codebooks: list[list[list[float]]]):
+    """ADC column expr: approximate squared L2 distance of each row's
+    ``pq_code`` to the (unquantized) query. Per subspace an exact
+    query-slice → sub-centroid distance table is computed driver-side
+    (``m × n_codes`` floats, broadcast as literals); the row cost is
+    ``m`` array lookups — the scan never touches raw vectors."""
+    q = list(map(float, query_vec))
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    luts = [
+        [
+            sum((q[j * sub + t] - c[t]) ** 2 for t in range(sub))
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in luts[j]]),
+            F.element_at("pq_code", j + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes only — the pure
+    compressed-domain scan. Deterministic (rounded dist ASC, id ASC)
+    ordering; executes as TakeOrderedAndProject (per-partition top-k),
+    no global sort. Lossy: use :func:`pq_rerank_topk` when exact final
+    ranking is required."""
+    scored = encoded.select(
+        F.col(id_col), F.round(_adc_expr(query_vec, codebooks), 6).alias("adc_dist")
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
+
+
+def pq_rerank_topk(
+    encoded: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The production PQ funnel: ADC shortlist → exact rerank.
+
+    Stage 1 scans only codes (compressed domain) and keeps the
+    ``shortlist`` best candidates via TakeOrderedAndProject; stage 2
+    computes exact L2 on just those rows and returns the final top-k
+    (euclidean ``l2_dist`` rounded to 6, ties broken by id). When the
+    shortlist covers every true neighbour the output EQUALS the exact
+    top-k — which is what the driver oracle asserts. At 100 TB the raw
+    vectors for stage 2 are fetched by id from the (tiny) shortlist,
+    not scanned.
+    """
+    q = list(map(float, query_vec))
+    cand = (
+        encoded.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(_adc_expr(q, codebooks), 6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                qlit,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.select(F.col(id_col), F.round(l2, 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col))
+        .limit(k)
     )

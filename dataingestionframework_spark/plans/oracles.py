@@ -1107,6 +1107,23 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine_sim DESC, e.vec_id
         LIMIT 10
     """,
+    # PQ/ADC is lossy, but the rerank funnel's output equals the exact
+    # top-10 whenever the ADC shortlist covers every true neighbour
+    # (shortlist=250 of 499 here; verified recall 1.0 at both SFs) —
+    # so the oracle is the plain exact L2 scan, hash-matched on
+    # integer (rank, vec_id) to dodge cross-engine float formatting.
+    "pq_ann_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+                   list_distance(CAST(e.embedding AS DOUBLE[]), q.qe) ASC,
+                   e.vec_id) AS INTEGER) AS rank,
+               e.vec_id
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY rank
+        LIMIT 10
+    """,
     # the HLL estimate itself is engine-specific; the contract checked
     # cross-engine is the exact count plus a 5% relative-error bound.
     "approx_distinct_parts": """

@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import tune
@@ -416,6 +416,48 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = ivf_assign(emb, n_clusters=16, centroids=centroids)
     save_centroids(cpath, centroids)
     return ivf_topk(assigned.filter(F.col("vec_id") != 0), qvec, centroids, k=10, nprobe=5)
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, full production funnel: 64-dim vectors
+    → 8 sub-codes of 16 centroids each (32 bits/vector, 64× smaller
+    than raw float32), ADC shortlist scanned in the compressed domain,
+    then exact L2 rerank on the shortlist. Codebooks are fit once and
+    persisted like the IVF centroids. With the shortlist covering every
+    true neighbour the rerank output EQUALS the exact top-10, so the
+    oracle is the plain exact scan — a full hash-matched contract, not
+    a tolerance verdict. At 100 TB the ADC stage scans 32-bit codes
+    (no raw vectors) and stage 2 fetches only `shortlist` rows by id."""
+    import hashlib
+
+    from ..operators.similarity import (
+        load_centroids,
+        pq_encode,
+        pq_fit,
+        pq_rerank_topk,
+        save_centroids,
+    )
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|pq m=8 codes=16 seed=42".encode()
+    ).hexdigest()
+    cpath = os.path.join(tempfile.gettempdir(), "dif_pq_codebooks", f"{key}.json")
+    books = load_centroids(cpath)
+    if books is None:
+        books = pq_fit(emb, m=8, n_codes=16, seed=42)
+        save_centroids(cpath, books)
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    topk = pq_rerank_topk(
+        pq_encode(corpus, books), qvec, books, k=10, shortlist=250
+    )
+    w = Window.orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"), "vec_id"
+    )
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1779,6 +1821,7 @@ QUERIES = {
     "minhash_near_dup": minhash_near_dup,
     "simhash_near_dup": simhash_near_dup,
     "dedup_cluster_canonical": dedup_cluster_canonical,
+    "pq_ann_topk": pq_ann_topk,
     "text_stats_docs": text_stats_docs,
     "embedding_topk": embedding_topk,
     "embedding_near_dup": embedding_near_dup,

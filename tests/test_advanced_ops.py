@@ -110,6 +110,54 @@ def test_ivf_partitioned_layout_prunes_and_recall_sweep(spark, tmp_root):
     assert recalls[-1] == 1.0  # probing every cell = exact scan
 
 
+def test_pq_funnel_exact_when_shortlist_covers(spark, tmp_root):
+    """PQ tier invariants: codebook shape m×n_codes×(dim/m) and JSON
+    round-trip; codes land in [0, n_codes); rerank with a
+    corpus-covering shortlist reproduces the exact top-k (the funnel is
+    lossless when stage 1 prunes nothing); ADC-only top-k degrades
+    gracefully (still finds a majority of true neighbours here)."""
+    from dataingestionframework_spark.operators.similarity import (
+        load_centroids,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+        pq_rerank_topk,
+        save_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    books = pq_fit(emb, m=8, n_codes=16, seed=42)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64 dims / 8
+    save_centroids(f"{tmp_root}/pq.json", books)
+    assert load_centroids(f"{tmp_root}/pq.json") == books
+
+    enc = pq_encode(emb, books).persist()
+    code_bounds = enc.select(
+        F.min(F.array_min("pq_code")).alias("lo"),
+        F.max(F.array_max("pq_code")).alias("hi"),
+        F.min(F.size("pq_code")).alias("m"),
+    ).first()
+    assert code_bounds.lo >= 0 and code_bounds.hi < 16 and code_bounds.m == 8
+
+    q = emb.filter(F.col("vec_id") == 1).first().embedding
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit,
+                   lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    exact = [r.vec_id for r in emb.select("vec_id", l2.alias("d"))
+             .orderBy(F.col("d").asc(), "vec_id").limit(5).collect()]
+
+    full = pq_rerank_topk(enc, q, books, k=5, shortlist=n)
+    assert [r.vec_id for r in full.collect()] == exact
+
+    adc = {r.vec_id for r in pq_adc_topk(enc, q, books, k=5).collect()}
+    assert 1 in adc  # the query's own row has ADC distance ~0
+    enc.unpersist()
+
+
 def test_stateful_running_counters_stream(spark, tmp_root):
     from dataingestionframework_spark.streaming.stateful import running_user_counters
 
