@@ -107,7 +107,8 @@ def asof_join(
     out = filled.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         in_tol = (
-            F.col("_ts").cast("double") - F.col("_match_ts").cast("double")
+            F.col("_ts").cast("timestamp").cast("double")
+            - F.col("_match_ts").cast("timestamp").cast("double")
         ) <= tolerance_seconds
         out = out.select(
             *[F.col(c) for c in lcols],

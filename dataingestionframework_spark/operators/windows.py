@@ -39,8 +39,11 @@ def sessionize(
     the key, both windows share the same partitioning (no second shuffle).
     """
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak))
-    # cast-to-double keeps sub-second precision (unix_timestamp truncates)
-    gap = F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
+    # cast-to-double keeps sub-second precision (unix_timestamp truncates);
+    # the intermediate timestamp cast accepts TIMESTAMP_NTZ input too
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    prev_sec = F.lag(ts_col).over(w).cast("timestamp").cast("double")
+    gap = sec - prev_sec
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn(
         "session_id",

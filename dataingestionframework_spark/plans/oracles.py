@@ -702,6 +702,53 @@ ORACLES: dict[str, str] = {
         JOIN supplier ON l.l_suppkey = s_suppkey
         GROUP BY s_name
     """,
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                   min(l_extendedprice / l_quantity) AS supp_cost
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+                         AND p_type = 'SMALL' AND p_size BETWEEN 10 AND 20
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+               p_partkey, p_name, round(supp_cost, 4) AS supp_cost
+        FROM offers o
+        WHERE supp_cost = (SELECT min(supp_cost) FROM offers m
+                           WHERE m.p_partkey = o.p_partkey)
+    """,
+    "q12_late_shipment_priority": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate
+        GROUP BY l_returnflag
+    """,
+    "q20_excess_share_suppliers": """
+        WITH per_supp AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM per_supp p
+            WHERE supp_qty * 5 > (SELECT sum(supp_qty) FROM per_supp t
+                                  WHERE t.l_partkey = p.l_partkey)
+        )
+    """,
     "cube_agg": """
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

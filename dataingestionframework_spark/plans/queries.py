@@ -1238,6 +1238,110 @@ def q21_last_shipper_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN subquery (TPC-H Q2 shape; lineitem unit price
+    stands in for ps_supplycost since the schema has no partsupp):
+    for each SMALL mid-size part, the EUROPE supplier(s) offering the
+    minimum unit price. The correlated scalar subquery is decorrelated
+    into a per-part min aggregate joined back — one extra broadcast
+    instead of a per-row subquery re-scan, the plan that survives at
+    100 TB (the offers agg shuffles once on its grain; both the part
+    dim and the per-part min are broadcast)."""
+    t = _t(spark, sf_dir)
+    parts = t("part").filter(
+        (F.col("p_type") == "SMALL") & F.col("p_size").between(10, 20)
+    )
+    europe_supp = (
+        t("supplier")
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        t("lineitem")
+        .join(
+            F.broadcast(parts.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supp_cost"))
+    )
+    min_cost = offers.groupBy("p_partkey").agg(F.min("supp_cost").alias("min_cost"))
+    return (
+        offers.join(F.broadcast(min_cost), "p_partkey")
+        .filter(F.col("supp_cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supp_cost", 4).alias("supp_cost"),
+        )
+    )
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way conditional counts (TPC-H Q12 shape; l_returnflag stands
+    in for l_shipmode and shipped-after-order for the commit/receipt
+    lateness test): per flag, how many late 1996 lines belong to
+    high- vs low-priority orders. The ship-window filter is pushed to
+    the lineitem scan before the join."""
+    t = _t(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN + correlated aggregate (TPC-H Q20 shape; shipped share
+    stands in for the ps_availqty excess test): suppliers that shipped
+    more than 20% of the 1995 volume of some 'small%' part. Two-level
+    aggregate — per (part, supplier) then per part — decorrelated into
+    one reusable shuffle; the 5× multiply keeps the threshold compare
+    in exact integer-valued doubles (quantities are integral), so the
+    verdict can't flip on accumulation order."""
+    t = _t(spark, sf_dir)
+    small_parts = t("part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    l95 = (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_supp = l95.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    excess = (
+        per_supp.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("supp_qty") * 5 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t("supplier")
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with grouping_id — all 4 grouping combinations in a single
     shuffle (extension beyond the reference's flat GROUP BYs)."""
@@ -1777,8 +1881,13 @@ def stream_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         schema = spark.read.parquet(path).schema
         stream = spark.readStream.schema(schema).parquet(src_dir)
-        if dict(stream.dtypes).get("ts") == "bigint":
+        ts_type = dict(stream.dtypes).get("ts")
+        if ts_type == "bigint":
             stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Watermarks require TIMESTAMP (with tz); session tz is UTC so
+            # the cast is value-preserving and the batch oracle matches.
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         agg = tumbling_window_agg(stream, window="1 hour", watermark="10 minutes")
         q = (
             agg.writeStream.format("memory")
@@ -1865,6 +1974,9 @@ QUERIES = {
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "q11_value_share": q11_value_share,
     "q21_last_shipper_multi_supplier": q21_last_shipper_multi_supplier,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q20_excess_share_suppliers": q20_excess_share_suppliers,
     "cube_agg": cube_agg,
     "grouping_sets_agg": grouping_sets_agg,
     "window_value_family": window_value_family,

@@ -23,5 +23,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+        return _tz_normalize(df)
+    return _tz_normalize(spark.read.parquet(path))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP. Parquet writers vary in
+    whether they mark timestamps UTC-adjusted; downstream operators
+    (watermarks, epoch casts) require TIMESTAMP, and with the session
+    pinned to UTC the cast is value-preserving — DuckDB reads the same
+    files as naive timestamps, so oracle values are unchanged."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
