@@ -290,3 +290,96 @@ def train_split_shard(
         shard.cast("int").alias("shard"),
         order_key.alias("order_key"),
     )
+
+
+def global_sort_rank(
+    df: DataFrame,
+    order_col: str,
+    rank_col: str = "rank",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Dense 0-based global rank by a uniformly-distributed hex-string
+    column WITHOUT a single-partition window or a driver-side sort.
+
+    The scalable global-rank pattern: the leading ``prefix_chars`` hex
+    characters of ``order_col`` are a DETERMINISTIC range partitioner
+    (hex-prefix order == full-string lexicographic order, and a uniform
+    hash fills the 16^prefix buckets evenly). Per-bucket row counts are
+    a tiny aggregate (≤ 16^prefix rows) collected to build cumulative
+    offsets; final rank = bucket offset + row_number within the bucket.
+    One windowed shuffle on the bucket key + one count-only pass — the
+    same two-pass shape as ``zipWithIndex``, but deterministic across
+    re-executions (no sampled range boundaries) and never more than
+    16^prefix rows on the driver.
+    """
+    bucket = F.conv(F.substring(F.col(order_col), 1, prefix_chars), 16, 10).cast("int")
+    with_b = df.withColumn("_bucket", bucket)
+    counts = {r["_bucket"]: r["n"] for r in
+              with_b.groupBy("_bucket").agg(F.count("*").alias("n")).collect()}
+    acc, offsets = 0, {}
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_bucket").orderBy(order_col)
+    return (
+        with_b.withColumn(
+            rank_col,
+            (F.row_number().over(w) - 1 + omap[F.col("_bucket")]).cast("bigint"),
+        )
+        .drop("_bucket")
+    )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every row gets a dense 0-based position in the order of
+    ``md5(seed || ':' || id)``. Re-running with the same seed gives the
+    same order on any cluster size; changing the seed reshuffles.
+
+    The hash is engine-portable (md5 of a decimal-string key), so an
+    auditor can recompute any document's position in plain SQL; the
+    rank comes from :func:`global_sort_rank` — no single-partition
+    window, no driver sort, safe at any corpus size.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return global_sort_rank(df.withColumn("_shuffle_key", h), "_shuffle_key", rank_col).drop(
+        "_shuffle_key"
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: every id classified
+    as added / removed / changed / unchanged by content fingerprint.
+
+    One full-outer shuffle join on the id; contents never move — each
+    side is reduced to (id, md5 fingerprint) at the scan, so at 100 TB
+    the join exchanges 48-byte rows, not documents. Feed 'added' +
+    'changed' into the incremental dedup/quality path and 'removed'
+    into retention tooling.
+    """
+    fp = lambda d: d.select(  # noqa: E731
+        F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("_fp")
+    )
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") == F.col("_fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(id_col, status.alias("status"))

@@ -129,3 +129,64 @@ def decode_stub_features(df: DataFrame, col: str, n_features: int = 8) -> DataFr
             yield pdf
 
     return df.mapInPandas(extract, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+    frame_bytes: int = 4096,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame-sampling plumbing for video/audio payloads: split each
+    payload into fixed-size frames, keep every ``stride``-th one, and
+    emit ONE ROW PER SAMPLED FRAME — the doc→frames explode shape a
+    real ffmpeg sampler produces, with the codec replaced by a
+    deterministic chunk decode: md5 over the frame's lowercase hex —
+    hex-first so the exact value is recomputable in engines without
+    blob slicing (the SQL oracle slices ``hex(payload)``).
+
+    Arrow-batched ``mapInPandas``; frame rows inherit the scan
+    partitioning (no shuffle), and payload bytes never leave the task —
+    at 100 TB derive per-frame features here and drop the bytes before
+    any wide operation. Output: (id, frame_idx, frame_size, frame_md5).
+    Swap the md5 line for a real decode on a cluster with codecs.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_size", T.IntegerType(), False),
+            T.StructField("frame_md5", T.StringType(), False),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = raw[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(rid)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    hashes.append(hashlib.md5(chunk.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_size": pd.Series(sizes, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, col).mapInPandas(sample, schema=out_schema)

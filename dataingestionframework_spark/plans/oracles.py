@@ -702,6 +702,45 @@ ORACLES: dict[str, str] = {
         JOIN supplier ON l.l_suppkey = s_suppkey
         GROUP BY s_name
     """,
+    "seeded_shuffle_docs": """
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5(concat('7', ':', CAST(doc_id AS VARCHAR)))
+               ) - 1 AS shuffle_rank
+        FROM documents
+    """,
+    "frame_sample_docs": """
+        WITH f AS (
+            SELECT doc_id, hex(encode(text)) AS ph FROM documents
+        ),
+        g AS (
+            SELECT doc_id, ph,
+                   unnest(range(0, CAST(ceil(length(ph) / 128.0) AS BIGINT), 2)) AS i
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(length(substring(ph, i * 128 + 1, 128)) / 2 AS INTEGER)
+                   AS frame_size,
+               md5(lower(substring(ph, i * 128 + 1, 128))) AS frame_md5
+        FROM g
+    """,
+    "corpus_diff_versions": """
+        WITH old AS (
+            SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0
+        ),
+        new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+            FROM documents WHERE doc_id % 11 <> 0
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
     "q2_min_cost_supplier": """
         WITH offers AS (
             SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,

@@ -1859,6 +1859,55 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seeded_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: dense 0-based rank
+    in md5(seed:id) order via hash-prefix bucketing — no
+    single-partition window, no driver sort, no sampled range
+    boundaries (operators/corpus.py::seeded_shuffle). Oracle: plain
+    row_number over the same portable hash."""
+    from ..operators.corpus import seeded_shuffle
+
+    t = _t(spark, sf_dir)
+    return seeded_shuffle(t("documents").select("doc_id"), seed=7).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+def frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every 2nd 64-byte frame of each
+    payload, one row per sampled frame with a deterministic frame
+    fingerprint (operators/multimodal.py::sample_frames, Arrow-batched
+    mapInPandas). Oracle: generate_series over the same frame grid with
+    the fingerprint recomputed from hex(payload) slices."""
+    from ..operators.multimodal import sample_frames
+
+    t = _t(spark, sf_dir)
+    d = t("documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(d, "payload", frame_bytes=64, stride=2)
+
+
+def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (CDC shape): two synthetic versions of the
+    documents table — old drops doc_id%7==0, new drops doc_id%11==0 and
+    rewrites doc_id%5==0 — classified added/removed/changed/unchanged
+    by content fingerprint over a FULL OUTER join of (id, md5) pairs
+    (operators/corpus.py::corpus_diff)."""
+    from ..operators.corpus import corpus_diff
+
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 def stream_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming parity: the SAME windowed-agg plan as the
     batch form, run as a real stream (file source → tumbling window →
@@ -1977,6 +2026,9 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q12_late_shipment_priority": q12_late_shipment_priority,
     "q20_excess_share_suppliers": q20_excess_share_suppliers,
+    "seeded_shuffle_docs": seeded_shuffle_docs,
+    "frame_sample_docs": frame_sample_docs,
+    "corpus_diff_versions": corpus_diff_versions,
     "cube_agg": cube_agg,
     "grouping_sets_agg": grouping_sets_agg,
     "window_value_family": window_value_family,

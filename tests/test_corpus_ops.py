@@ -98,3 +98,69 @@ def test_train_split_shard_deterministic_and_balanced(spark, docs):
     # Different seed reassigns some documents.
     c = train_split_shard(docs, n_shards=16, seed=8)
     assert a.exceptAll(c).count() > 0
+
+
+def test_seeded_shuffle_is_permutation_and_deterministic(spark, docs):
+    from dataingestionframework_spark.operators.corpus import seeded_shuffle
+
+    out = seeded_shuffle(docs.select("doc_id"), seed=3).cache()
+    n = docs.count()
+    # dense 0..n-1 permutation
+    ranks = [r.shuffle_rank for r in out.select("shuffle_rank").collect()]
+    assert sorted(ranks) == list(range(n))
+    # deterministic across re-execution
+    again = seeded_shuffle(docs.select("doc_id"), seed=3)
+    assert out.orderBy("doc_id").collect() == again.orderBy("doc_id").collect()
+    # a different seed produces a different order (overwhelmingly likely)
+    other = seeded_shuffle(docs.select("doc_id"), seed=4)
+    assert out.orderBy("doc_id").collect() != other.orderBy("doc_id").collect()
+    out.unpersist()
+
+
+def test_global_sort_rank_matches_single_partition_sort(spark):
+    from dataingestionframework_spark.operators.corpus import global_sort_rank
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    got = {r.id: r.rank for r in global_sort_rank(df, "h").collect()}
+    expect = {
+        r.id: i
+        for i, r in enumerate(df.orderBy("h").collect())
+    }
+    assert got == expect
+
+
+def test_corpus_diff_statuses(spark):
+    from dataingestionframework_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_sample_frames_matches_python_reference(spark):
+    import hashlib
+
+    from dataingestionframework_spark.operators.multimodal import sample_frames
+
+    rows = [(1, b"x" * 100), (2, b"abcdefgh" * 40), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_frames(df, "payload", frame_bytes=32, stride=2).collect()
+    expect = []
+    for rid, payload in rows:
+        if payload is None:
+            continue
+        n = (len(payload) + 31) // 32
+        for i in range(0, n, 2):
+            chunk = payload[i * 32 : (i + 1) * 32]
+            expect.append(
+                (rid, i, len(chunk), hashlib.md5(chunk.hex().encode()).hexdigest())
+            )
+    got = sorted((r.doc_id, r.frame_idx, r.frame_size, r.frame_md5) for r in out)
+    assert got == sorted(expect)
