@@ -30,7 +30,13 @@ def optimize_table(
     support skip-scans on those columns — the OPTIMIZE ZORDER analogue)."""
     df = table.read()
     n = target_partitions or max(1, table.spark.sparkContext.defaultParallelism // 4)
-    if zorder_cols:
+    if zorder_cols and len(zorder_cols) > 1:
+        # true multi-dim clustering: interleaved-bit Morton key, so
+        # min/max pruning works on every cluster column
+        from ..operators.bucketing import zorder_sort
+
+        clustered = zorder_sort(df, zorder_cols, partitions=n)
+    elif zorder_cols:
         clustered = df.repartitionByRange(n, *zorder_cols).sortWithinPartitions(*zorder_cols)
     else:
         clustered = df.coalesce(n)

