@@ -702,6 +702,16 @@ ORACLES: dict[str, str] = {
         JOIN supplier ON l.l_suppkey = s_suppkey
         GROUP BY s_name
     """,
+    "stream_stateful_counters_parity": """
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    "stream_dedup_parity": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     "seeded_shuffle_docs": """
         SELECT doc_id,
                row_number() OVER (

@@ -1916,6 +1916,55 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events table: symlink the parquet
+    file into a fresh directory (the streaming source requires one),
+    coerce ``ts`` to TIMESTAMP (watermarks reject NTZ; session tz is
+    UTC so the cast is value-preserving), save/restore the nanos conf.
+    Returns (stream_df, cleanup_fn)."""
+    import shutil
+
+    try:
+        prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        prev_nanos = None
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="dif_stream_src_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+
+    def cleanup():
+        shutil.rmtree(src_dir, ignore_errors=True)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream, cleanup
+
+
+def _drain_stream(df: DataFrame, name: str, output_mode: str):
+    """Run a streaming frame to a memory sink with Trigger.AvailableNow
+    and return the materialized result table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return df.sparkSession.table(name)
+
+
 def stream_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming parity: the SAME windowed-agg plan as the
     batch form, run as a real stream (file source → tumbling window →
@@ -1923,45 +1972,49 @@ def stream_hourly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streams and batch share one logical plan; this proves it."""
     from ..streaming.windows import tumbling_window_agg
 
-    import shutil
+    tune(spark)
+    stream, cleanup = _events_stream(spark, sf_dir)
+    try:
+        agg = tumbling_window_agg(stream, window="1 hour", watermark="10 minutes")
+        return _drain_stream(agg, "stream_hourly_parity", "complete")
+    finally:
+        cleanup()
+
+
+def stream_stateful_counters_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (T8) in the correctness gate: per-user
+    running counters via ``applyInPandasWithState`` — checkpointed
+    per-key state, Arrow-batched callback, update mode — drained with
+    Trigger.AvailableNow. After the drain the state equals the batch
+    aggregate, so the oracle is the plain GROUP BY."""
+    from ..streaming.stateful import running_user_counters
 
     tune(spark)
+    stream, cleanup = _events_stream(spark, sf_dir)
     try:
-        prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
-    except Exception:
-        prev_nanos = None
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    # the streaming file source requires a directory; symlink the table in
-    src_dir = tempfile.mkdtemp(prefix="dif_stream_src_")
-    os.symlink(path, os.path.join(src_dir, "events.parquet"))
-    try:
-        schema = spark.read.parquet(path).schema
-        stream = spark.readStream.schema(schema).parquet(src_dir)
-        ts_type = dict(stream.dtypes).get("ts")
-        if ts_type == "bigint":
-            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # Watermarks require TIMESTAMP (with tz); session tz is UTC so
-            # the cast is value-preserving and the batch oracle matches.
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        agg = tumbling_window_agg(stream, window="1 hour", watermark="10 minutes")
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("stream_hourly_parity")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        q.stop()
+        agg = running_user_counters(stream)
+        return _drain_stream(agg, "stream_stateful_counters", "update")
     finally:
-        shutil.rmtree(src_dir, ignore_errors=True)
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
-    return spark.table("stream_hourly_parity")
+        cleanup()
+
+
+def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` in the correctness gate: each
+    (user_id, event_type) key emitted exactly once (append mode,
+    state bounded by the watermark). Only the key columns are returned,
+    so the result is independent of which duplicate arrived first —
+    the oracle is SELECT DISTINCT."""
+    from ..streaming.windows import streaming_dedup
+
+    tune(spark)
+    stream, cleanup = _events_stream(spark, sf_dir)
+    try:
+        dd = streaming_dedup(stream, keys=["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        )
+        return _drain_stream(dd, "stream_dedup_keys", "append")
+    finally:
+        cleanup()
 
 
 QUERIES = {
@@ -2067,4 +2120,6 @@ QUERIES = {
     "pandas_udf_zscore": pandas_udf_zscore,
     "multimodal_stub_features": multimodal_stub_features,
     "stream_hourly_parity": stream_hourly_parity,
+    "stream_stateful_counters_parity": stream_stateful_counters_parity,
+    "stream_dedup_parity": stream_dedup_parity,
 }
