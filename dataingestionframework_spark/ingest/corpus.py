@@ -103,22 +103,43 @@ class CorpusPrep:
         return pairs.select(F.col("id_b").alias(s.id_col)).distinct()
 
     def run(self, df: DataFrame) -> CorpusPrepResult:
+        from pyspark.sql import Observation
+
         from ..operators.dedup import drop_exact_duplicates
         from ..operators.text import chunk_documents, quality_score
 
         s = self.spec
-        stages: list[tuple[str, int]] = [("input", df.count())]
 
-        cur = df
+        # Per-stage row counts for the report WITHOUT per-stage count()
+        # jobs: the linear stages (input → lang → quality) are tapped
+        # with the Observation API — counters collected as rows flow
+        # through ONE execution, not one full-lineage re-scan per stage
+        # (at 100 TB the old shape re-read the corpus once per report
+        # line). The dedup stages branch the lineage (LSH self-joins),
+        # where observed counters would double-fire, so the gated frame
+        # is persisted once and the remaining counts scan the cache.
+        taps: list[tuple[str, Observation]] = []
+
+        def tap(name: str, frame: DataFrame) -> DataFrame:
+            o = Observation()
+            taps.append((name, o))
+            return frame.observe(o, F.count(F.lit(1)).alias("n"))
+
+        cur = tap("input", df)
         if s.lang_allow is not None:
-            cur = cur.filter(F.col(s.lang_col).isin(s.lang_allow))
-            stages.append(("lang_filter", cur.count()))
+            cur = tap("lang_filter", cur.filter(F.col(s.lang_col).isin(s.lang_allow)))
 
         if s.min_quality is not None:
-            cur = cur.withColumn(
-                "_q", quality_score(F.col(s.text_col))
-            ).filter(F.col("_q") >= s.min_quality).drop("_q")
-            stages.append(("quality_gate", cur.count()))
+            cur = tap(
+                "quality_gate",
+                cur.withColumn("_q", quality_score(F.col(s.text_col)))
+                .filter(F.col("_q") >= s.min_quality)
+                .drop("_q"),
+            )
+
+        cur = cur.persist()
+        cur.count()  # single pass: fires every observation + fills the cache
+        stages: list[tuple[str, int]] = [(name, int(o.get["n"])) for name, o in taps]
 
         if s.dedup == "exact":
             cur = drop_exact_duplicates(cur, s.text_col, s.id_col)
@@ -126,7 +147,7 @@ class CorpusPrep:
         elif s.dedup in ("minhash", "simhash"):
             # exact dedup first (cheap, shrinks the LSH input), then
             # near-dup on the survivors
-            cur = drop_exact_duplicates(cur, s.text_col, s.id_col)
+            cur = drop_exact_duplicates(cur, s.text_col, s.id_col).persist()
             stages.append(("dedup_exact", cur.count()))
             drops = self._near_dup_drop_ids(cur)
             cur = cur.join(drops, s.id_col, "left_anti")

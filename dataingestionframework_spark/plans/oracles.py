@@ -712,6 +712,10 @@ ORACLES: dict[str, str] = {
     "stream_dedup_parity": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
+    "stream_static_enrich_parity": """
+        SELECT event_id, user_id, c_nationkey
+        FROM events JOIN customer ON user_id = c_custkey
+    """,
     "seeded_shuffle_docs": """
         SELECT doc_id,
                row_number() OVER (

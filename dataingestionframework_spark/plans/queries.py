@@ -1998,6 +1998,24 @@ def stream_stateful_counters_parity(spark: SparkSession, sf_dir: str) -> DataFra
         cleanup()
 
 
+def stream_static_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join in the correctness gate: streaming
+    events joined to the static customer dimension — stateless, the
+    static side broadcast fresh each micro-batch (the standard dim
+    enrichment shape; at 100 TB the stream side never shuffles and the
+    dim refreshes per batch). Oracle: the same join in batch SQL."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    stream, cleanup = _events_stream(spark, sf_dir)
+    try:
+        joined = stream.join(
+            F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+        ).select("event_id", "user_id", "c_nationkey")
+        return _drain_stream(joined, "stream_static_enrich", "append")
+    finally:
+        cleanup()
+
+
 def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark`` in the correctness gate: each
     (user_id, event_type) key emitted exactly once (append mode,
@@ -2122,4 +2140,5 @@ QUERIES = {
     "stream_hourly_parity": stream_hourly_parity,
     "stream_stateful_counters_parity": stream_stateful_counters_parity,
     "stream_dedup_parity": stream_dedup_parity,
+    "stream_static_enrich_parity": stream_static_enrich_parity,
 }

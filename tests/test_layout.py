@@ -163,3 +163,58 @@ def test_zorder_sort_balances_pruning_across_columns(spark, tmp_root):
     assert lx < 0.15 and ly > 0.8
     # z-order: BOTH dimensions localized well below the global span
     assert zx < 0.6 and zy < 0.6
+
+
+def test_salted_join_spreads_hot_key_across_tasks(spark):
+    """NOTES gap: demonstrate the salting win on pathological skew.
+    One key owns 95% of rows; after salting, no single shuffle task
+    holds more than ~1/salt of the hot key (unsalted: one task owns
+    it all)."""
+    from dataingestionframework_spark.operators.joins import salted_join
+
+    hot = spark.range(0, 20000).selectExpr("0 AS k", "id AS v")
+    cold = spark.range(0, 1000).selectExpr("1 + (id % 50) AS k", "id AS v")
+    left = hot.union(cold)
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(51)], "k long, name string"
+    )
+
+    def hot_key_layout(joined):
+        """(max rows in any task, #tasks holding hot-key rows)."""
+        sizes = (
+            joined.filter(F.col("k") == 0)
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in sizes), len(sizes)
+
+    # pin off the optimizations that hide partition layout at toy size
+    # (broadcast avoids the shuffle entirely; AQE re-merges the small
+    # post-shuffle partitions) — at 100 TB the dim may exceed broadcast
+    # size and a single hot partition exceeds what AQE can split when
+    # one KEY is hot (split granularity is the map output, not the key)
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        salt = 8
+        plain_max, plain_tasks = hot_key_layout(left.join(right, "k"))
+        salted_max, salted_tasks = hot_key_layout(
+            salted_join(left, right, "k", salt=salt)
+        )
+    finally:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+    # unsalted: ALL hot-key rows in exactly one task
+    assert plain_tasks == 1 and plain_max == 20000
+    # salted: hot key spread over multiple tasks, none holding more
+    # than half the key (salt buckets may co-hash into a partition,
+    # so the spread is >= salt/2 tasks, not exactly salt)
+    assert salted_tasks >= salt // 2
+    assert salted_max <= 20000 / 2
