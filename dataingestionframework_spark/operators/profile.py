@@ -1,0 +1,65 @@
+"""One-pass column profiling (ANALYZE-style table statistics).
+
+The reference inspects data quality ad hoc (per-source count queries in
+``notebooks/Autoloader_daily_log_report.sql``); this is the general
+operator: per-column row/null/distinct counts and min/max, computed in
+ONE wide aggregate — a single job over the table regardless of how many
+columns are profiled. At 100 TB the alternative (one query per column)
+multiplies full scans by the column count.
+
+The 1-row aggregate result is pivoted driver-side into one report row
+per column (driver data = #cols, not #rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Profile ``cols`` (default: all non-complex columns).
+
+    Output: one row per column —
+    (column, n_rows, n_nonnull, n_distinct, min_num, max_num,
+    min_str, max_str); min/max land in the ``_num`` pair for numeric
+    columns and the ``_str`` pair for strings (binary collation in both
+    Spark and the SQL oracle), NULL otherwise.
+    """
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = [c for c, t in df.dtypes if not t.startswith(("array", "map", "struct"))]
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if base in _NUMERIC:
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        elif base == "string":
+            aggs.append(F.min(c).alias(f"{c}__smn"))
+            aggs.append(F.max(c).alias(f"{c}__smx"))
+    row = df.agg(*aggs).first().asDict()
+
+    out = [
+        (
+            c,
+            row["__n"],
+            row[f"{c}__nn"],
+            row[f"{c}__nd"],
+            row.get(f"{c}__mn"),
+            row.get(f"{c}__mx"),
+            row.get(f"{c}__smn"),
+            row.get(f"{c}__smx"),
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n_rows long, n_nonnull long, n_distinct long, "
+        "min_num double, max_num double, min_str string, max_str string",
+    )

@@ -716,6 +716,90 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, c_nationkey
         FROM events JOIN customer ON user_id = c_custkey
     """,
+    "profile_orders": """
+        SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+               count(o_orderkey) AS n_nonnull,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               min(o_totalprice), max(o_totalprice), NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    "expectations_orders": """
+        SELECT 'orderkey_not_null' AS rule, 'o_orderkey' AS "column",
+               'not_null' AS kind, count(*) AS n_rows,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_failed,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique', 'o_orderkey', 'unique', count(*),
+               count(o_orderkey) - count(DISTINCT o_orderkey),
+               count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_range', 'o_totalprice', 'between', count(*),
+               sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 450000.0)
+                        THEN 1 ELSE 0 END),
+               sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 450000.0)
+                        THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'status_domain', 'o_orderstatus', 'in_set', count(*),
+               sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END),
+               sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'priority_format', 'o_orderpriority', 'matches', count(*),
+               sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                        THEN 1 ELSE 0 END),
+               sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                        THEN 1 ELSE 0 END) = 0
+        FROM orders
+    """,
+    "session_window_batch": """
+        WITH ord AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ord
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, sid
+    """,
     "seeded_shuffle_docs": """
         SELECT doc_id,
                row_number() OVER (

@@ -1867,6 +1867,52 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (ANALYZE-style): row/null/distinct counts
+    + typed min/max for five columns in a SINGLE wide aggregate — one
+    job however many columns are profiled
+    (operators/profile.py::profile). Oracle: per-column UNION ALL."""
+    from ..operators.profile import profile
+
+    t = _t(spark, sf_dir)
+    return profile(
+        t("orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules (not_null/unique/between/in_set/
+    regex), ALL evaluated in one aggregate pass
+    (ingest/expectations.py::evaluate) — the data-level validation layer
+    next to the reference's config-level checks (C1/C2) and structural
+    quarantine (T6)."""
+    from ..ingest.expectations import Expectation, evaluate
+
+    t = _t(spark, sf_dir)
+    rules = [
+        Expectation("orderkey_not_null", "o_orderkey", "not_null"),
+        Expectation("orderkey_unique", "o_orderkey", "unique"),
+        Expectation("totalprice_range", "o_totalprice", "between", lo=0.0, hi=450000.0),
+        Expectation("status_domain", "o_orderstatus", "in_set", allowed=("F", "O", "P")),
+        Expectation(
+            "priority_format", "o_orderpriority", "matches", pattern="^[1-5]-[A-Z ]+$"
+        ),
+    ]
+    return evaluate(t("orders"), rules)
+
+
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native dynamic-gap session windows (F.session_window) on a batch
+    frame — the same operator the streaming path uses, so stream/batch
+    share session semantics. Oracle: gaps-and-islands SQL (lag + running
+    sum), with the session end = last event + gap convention."""
+    from ..streaming.windows import session_window_agg
+
+    t = _t(spark, sf_dir)
+    return session_window_agg(t("events"), gap="30 minutes")
+
+
 def seeded_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle: dense 0-based rank
     in md5(seed:id) order via hash-prefix bucketing — no
@@ -2105,6 +2151,9 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q12_late_shipment_priority": q12_late_shipment_priority,
     "q20_excess_share_suppliers": q20_excess_share_suppliers,
+    "session_window_batch": session_window_batch,
+    "profile_orders": profile_orders,
+    "expectations_orders": expectations_orders,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
     "corpus_diff_versions": corpus_diff_versions,

@@ -312,3 +312,44 @@ def test_stateful_session_eviction_on_event_time_timeout(spark, tmp_root):
     # session is still open (no later watermark) and must NOT be emitted
     assert [(r.user_id, str(r.session_start), str(r.session_end), r.n_events)
             for r in rows] == [(1, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)]
+
+
+def test_profile_single_pass_counts(spark):
+    from dataingestionframework_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)],
+        "k long, s string, v double",
+    )
+    rows = {r.column: r for r in profile(df).collect()}
+    assert rows["k"].n_rows == 3 and rows["k"].n_nonnull == 3
+    assert rows["k"].n_distinct == 2
+    assert rows["k"].min_num == 1.0 and rows["k"].max_num == 2.0
+    assert rows["s"].n_nonnull == 2 and rows["s"].min_str == "a"
+    assert rows["s"].min_num is None
+    assert rows["v"].n_nonnull == 2 and rows["v"].max_num == 3.5
+
+
+def test_expectations_rules(spark):
+    from dataingestionframework_spark.ingest.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "y", 50.0), (2, None, -1.0)],
+        "k long, s string, v double",
+    )
+    rules = [
+        Expectation("k_unique", "k", "unique"),
+        Expectation("s_not_null", "s", "not_null"),
+        Expectation("v_range", "v", "between", lo=0.0, hi=10.0),
+        Expectation("s_domain", "s", "in_set", allowed=("x", "y")),
+        Expectation("s_format", "s", "matches", pattern="^[a-z]$"),
+    ]
+    got = {r.rule: (r.n_failed, r.passed) for r in evaluate(df, rules).collect()}
+    assert got["k_unique"] == (1, False)      # one duplicated value
+    assert got["s_not_null"] == (1, False)
+    assert got["v_range"] == (2, False)       # -1.0 and 50.0 out of range
+    assert got["s_domain"] == (0, True)       # nulls not counted by in_set
+    assert got["s_format"] == (0, True)
