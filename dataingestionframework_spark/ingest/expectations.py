@@ -68,3 +68,43 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         "rule string, column string, kind string, n_rows long, "
         "n_failed long, passed boolean",
     )
+
+
+def row_violation(e: Expectation) -> Column:
+    """Boolean column: this row violates ``e``. Aggregate-level kinds
+    (``unique``) have no row predicate — ValueError."""
+    c = F.col(e.column)
+    if e.kind == "not_null":
+        return c.isNull()
+    if e.kind == "between":
+        return ~F.coalesce(c.between(e.lo, e.hi), F.lit(True))
+    if e.kind == "in_set":
+        return ~F.coalesce(c.isin(*e.allowed), F.lit(True))
+    if e.kind == "matches":
+        return ~F.coalesce(c.rlike(e.pattern), F.lit(True))
+    raise ValueError(f"expectation kind {e.kind!r} has no row-level predicate")
+
+
+def split_valid(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows by the row-level rules: (valid, violations).
+
+    Violations carry ``_failed_rules`` (comma-joined rule names) for
+    the quarantine record. Aggregate-level rules (``unique``) are
+    skipped here — run them via :func:`evaluate` as a batch verdict.
+    NULL values only fail ``not_null`` (range/set/regex rules treat
+    NULL as not-applicable, matching SQL three-valued logic).
+    """
+    rules = [e for e in expectations if e.kind != "unique"]
+    if not rules:
+        return df, df.limit(0).withColumn("_failed_rules", F.lit(""))
+    flags = [(e.name, row_violation(e)) for e in rules]
+    failed = F.concat_ws(
+        ",", *[F.when(bad, F.lit(name)) for name, bad in flags]
+    )
+    any_bad = flags[0][1]
+    for _, bad in flags[1:]:
+        any_bad = any_bad | bad
+    viol = df.filter(any_bad).withColumn("_failed_rules", failed)
+    return df.filter(~any_bad), viol

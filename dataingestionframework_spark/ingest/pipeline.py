@@ -104,6 +104,7 @@ class IngestionPipeline:
         needs_second_pass = bool(spec.corrupt_location)
         if needs_second_pass:
             batch_df = batch_df.persist()
+        persisted_out = None
         try:
             # schema drift: one set-difference, spec evolves, mergeSchema write
             new_cols = detect_new_columns(batch_df, spec)
@@ -124,6 +125,33 @@ class IngestionPipeline:
                     raise
 
             out = project_rename_audit(batch_df, spec, batch_id)
+
+            # data-level expectations gate (extension beyond the
+            # reference's config-only validation): row-level rules route
+            # violating rows to the error location with the failed rule
+            # names attached; the batch continues with the valid rows
+            row_rules = [e for e in spec.expectations if e.kind != "unique"]
+            if row_rules:
+                from .expectations import split_valid
+
+                out, viol = split_valid(out, row_rules)
+                out = persisted_out = out.persist()  # consumed by ≥1 write below
+                n_viol = 0
+                if spec.error_location:
+                    viol = viol.persist()
+                    n_viol = viol.count()
+                    if n_viol:
+                        viol.write.mode("append").parquet(
+                            os.path.join(spec.error_location, "_expectations")
+                        )
+                    viol.unpersist()
+                else:
+                    n_viol = viol.count()
+                if n_viol:
+                    self.log.write(
+                        spec.header_id, "EXPECTATION",
+                        f"{n_viol} rows failed expectations", 2, batch_id,
+                    )
 
             # PII fork: masked copy to the PII table, clear data to the main
             # table (reference polarity, modules/auto_loader_steps.py:345-371)
@@ -148,6 +176,8 @@ class IngestionPipeline:
         finally:
             if needs_second_pass:
                 batch_df.unpersist()
+            if persisted_out is not None:
+                persisted_out.unpersist()
 
     # -- batch entry point --------------------------------------------------
 

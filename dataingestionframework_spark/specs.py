@@ -112,6 +112,9 @@ class IngestionSpec:
     partition_columns: list[str] = field(default_factory=list)
     columns: list[ColumnSpec] = field(default_factory=list)
     job: JobSpec = field(default_factory=JobSpec)
+    # data-level quality rules (ingest/expectations.py); row-level kinds
+    # gate rows into the error location during ingest
+    expectations: list = field(default_factory=list)
 
     # ------------------------------------------------------------------
     def ordered_columns(self) -> list[ColumnSpec]:
@@ -180,6 +183,23 @@ CONFIG_SCHEMA = {
         "IgnoreCorruptFiles": {"type": "integer"},
         "IgnoreMissingFiles": {"type": "integer"},
         "JobConfig": {"type": "object"},
+        "Expectations": {
+            "type": "array",
+            "items": {
+                "type": "object",
+                "required": ["Name", "Column", "Kind"],
+                "properties": {
+                    "Name": {"type": "string"},
+                    "Column": {"type": "string"},
+                    "Kind": {"enum": ["not_null", "unique", "between",
+                                      "in_set", "matches"]},
+                    "Lo": {"type": "number"},
+                    "Hi": {"type": "number"},
+                    "Allowed": {"type": "array"},
+                    "Pattern": {"type": "string"},
+                },
+            },
+        },
         "Columns": {
             "type": "array",
             "minItems": 1,
@@ -261,7 +281,29 @@ def spec_from_document(doc: dict) -> IngestionSpec:
             emails=list(jc.get("Emails", [])),
             pause_status=jc.get("PauseStatus", "PAUSED"),
         ),
+        expectations=_parse_expectations(doc.get("Expectations", [])),
     )
+
+
+def _parse_expectations(items: list[dict]) -> list:
+    """Config-document expectations → Expectation rules (extension: the
+    reference validates configs, not data)."""
+    from .ingest.expectations import Expectation  # lazy: avoids import cycle
+
+    out = []
+    for it in items:
+        out.append(
+            Expectation(
+                name=it["Name"],
+                column=it["Column"],
+                kind=it["Kind"],
+                lo=it.get("Lo"),
+                hi=it.get("Hi"),
+                allowed=tuple(it.get("Allowed", ())),
+                pattern=it.get("Pattern"),
+            )
+        )
+    return out
 
 
 def load_specs(config_dir: str) -> list[IngestionSpec]:

@@ -185,3 +185,41 @@ def test_daily_report_pass(spark, catalog, src_dir, tmp_root):
     import re
 
     assert re.fullmatch(r"\d{2}/\d{2}/\d{4} \d{2}:\d{2}", r.SourceFileModified)
+
+
+def test_expectations_gate_routes_bad_rows(spark, catalog, tmp_root):
+    from dataingestionframework_spark.ingest.expectations import Expectation
+
+    d = os.path.join(tmp_root, "srcexp")
+    os.makedirs(d)
+    with open(os.path.join(d, "f1.csv"), "w") as f:
+        f.write(
+            "Id,Item,Dt,Value\n"
+            "1,widget,2024-01-02,10.50\n"
+            "2,gadget,2024-01-03,-3.00\n"   # violates value_nonneg
+            "3,,2024-01-04,7.25\n"          # violates item_not_null
+        )
+    pipe = IngestionPipeline(catalog)
+    spec = _spec(
+        tmp_root, d,
+        header_id=31, table_name="main.exptest", source_name="exptest",
+        pii_table_name="",
+        expectations=[
+            Expectation("value_nonneg", "Value", "between", lo=0.0, hi=1e9),
+            Expectation("item_not_null", "ItemName", "not_null"),
+        ],
+    )
+    res = pipe.run_batch(spec)
+    assert res.rows_loaded == 1  # only the clean row lands
+
+    kept = catalog.table("main.exptest").read().collect()
+    assert [r.Id for r in kept] == [1]
+
+    viol = spark.read.parquet(os.path.join(spec.error_location, "_expectations"))
+    got = {r.Id: r._failed_rules for r in viol.collect()}
+    assert got == {2: "value_nonneg", 3: "item_not_null"}
+
+    logs = pipe.tables.logs.read()
+    assert (
+        logs.filter(F.col("LogEntryType") == "EXPECTATION").count() == 1
+    )

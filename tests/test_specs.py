@@ -89,3 +89,27 @@ def test_duplicate_header_ids(tmp_path):
     (tmp_path / "b.json").write_text(json.dumps(b))
     with pytest.raises(DuplicateHeaderError):
         load_specs(str(tmp_path))
+
+
+def test_expectations_parse_from_document():
+    doc = dict(DOC)
+    doc["Expectations"] = [
+        {"Name": "id_not_null", "Column": "Id", "Kind": "not_null"},
+        {"Name": "value_range", "Column": "Value", "Kind": "between",
+         "Lo": 0, "Hi": 100},
+        {"Name": "item_domain", "Column": "Item", "Kind": "in_set",
+         "Allowed": ["a", "b"]},
+    ]
+    spec = spec_from_document(doc)
+    assert [e.name for e in spec.expectations] == [
+        "id_not_null", "value_range", "item_domain"
+    ]
+    assert spec.expectations[1].lo == 0 and spec.expectations[1].hi == 100
+    assert spec.expectations[2].allowed == ("a", "b")
+
+
+def test_expectations_schema_rejects_bad_kind():
+    doc = dict(DOC)
+    doc["Expectations"] = [{"Name": "x", "Column": "Id", "Kind": "sometimes_null"}]
+    with pytest.raises(SpecValidationError):
+        spec_from_document(doc)
