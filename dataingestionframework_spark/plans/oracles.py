@@ -712,6 +712,14 @@ ORACLES: dict[str, str] = {
     "stream_dedup_parity": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
+    "stream_rollup_merge_parity": """
+        SELECT date_trunc('hour', ts) AS bucket,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
     "stream_static_enrich_parity": """
         SELECT event_id, user_id, c_nationkey
         FROM events JOIN customer ON user_id = c_custkey

@@ -2044,6 +2044,42 @@ def stream_stateful_counters_parity(spark: SparkSession, sf_dir: str) -> DataFra
         cleanup()
 
 
+def stream_rollup_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup in the correctness gate: stream
+    events → foreachBatch partial aggregate → additive MERGE into a
+    managed table (streaming/rollup.py) — the continuous-aggregate
+    pattern where each batch costs O(batch), not O(table). After the
+    AvailableNow drain the table EQUALS the batch rollup, so the oracle
+    is the plain GROUP BY. Exercises K5 MERGE + T2 foreachBatch under
+    the hash contract."""
+    import shutil
+
+    from ..catalog.table import TableCatalog
+    from ..streaming.rollup import streaming_rollup
+
+    tune(spark)
+    stream, cleanup = _events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="dif_rollup_")
+    try:
+        cat = TableCatalog(spark, root)
+        cat.create_schema("main")
+        table = cat.table("main.events_rollup")
+        streaming_rollup(
+            stream, table, checkpoint=os.path.join(root, "ckpt")
+        )
+        out = table.read().select(
+            "bucket",
+            "event_type",
+            "n",
+            F.round("total_value", 2).alias("total_value"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+        return out
+    finally:
+        cleanup()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def stream_static_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join in the correctness gate: streaming
     events joined to the static customer dimension — stateless, the
@@ -2190,4 +2226,5 @@ QUERIES = {
     "stream_stateful_counters_parity": stream_stateful_counters_parity,
     "stream_dedup_parity": stream_dedup_parity,
     "stream_static_enrich_parity": stream_static_enrich_parity,
+    "stream_rollup_merge_parity": stream_rollup_merge_parity,
 }
