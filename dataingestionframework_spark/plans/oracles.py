@@ -724,6 +724,26 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, c_nationkey
         FROM events JOIN customer ON user_id = c_custkey
     """,
+    "unpivot_lineitem_metrics": """
+        WITH u AS (
+            SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+            FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        )
+        SELECT l_returnflag, metric, count(*) AS n, round(avg(val), 4) AS avg_val
+        FROM u GROUP BY l_returnflag, metric
+    """,
+    "window_range_interval": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_trailing_hour,
+               round(sum(value) OVER w, 2) AS value_trailing_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
     "profile_orders": """
         SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
                count(o_orderkey) AS n_nonnull,

@@ -1867,6 +1867,47 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): three measure columns folded into
+    (metric, val) rows — Spark's DataFrame.unpivot — then re-aggregated
+    per flag × metric. Oracle: UNION-ALL melt."""
+    t = _t(spark, sf_dir)
+    return (
+        t("lineitem")
+        .unpivot(
+            ids=["l_returnflag"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .groupBy("l_returnflag", "metric")
+        .agg(F.count("*").alias("n"), F.round(F.avg("val"), 4).alias("avg_val"))
+    )
+
+
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per event, activity of the SAME
+    user over the trailing hour — a value-based (not row-count) frame,
+    exact integer arithmetic on epoch microseconds in both engines.
+    One shuffle on the user key; the frame is evaluated by a sliding
+    aggregate inside the sorted partition (no self-join explosion)."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    hour_us = 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return t("events").select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_trailing_hour"),
+    )
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile (ANALYZE-style): row/null/distinct counts
     + typed min/max for five columns in a SINGLE wide aggregate — one
@@ -2190,6 +2231,8 @@ QUERIES = {
     "session_window_batch": session_window_batch,
     "profile_orders": profile_orders,
     "expectations_orders": expectations_orders,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "window_range_interval": window_range_interval,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
     "corpus_diff_versions": corpus_diff_versions,
