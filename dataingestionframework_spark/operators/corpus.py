@@ -311,6 +311,10 @@ def global_sort_rank(
     same two-pass shape as ``zipWithIndex``, but deterministic across
     re-executions (no sampled range boundaries) and never more than
     16^prefix rows on the driver.
+
+    Ranks are stable only when ``order_col`` values are distinct (ties
+    get an arbitrary-but-valid order); hash keys like md5-of-id satisfy
+    this for all practical purposes.
     """
     bucket = F.conv(F.substring(F.col(order_col), 1, prefix_chars), 16, 10).cast("int")
     with_b = df.withColumn("_bucket", bucket)

@@ -724,6 +724,20 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, c_nationkey
         FROM events JOIN customer ON user_id = c_custkey
     """,
+    "set_ops_all_variants": """
+        WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem
+                   WHERE l_orderkey % 2 = 0),
+             b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+                   WHERE l_orderkey % 3 = 0)
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               'intersect_all' AS op
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        GROUP BY l_returnflag, l_linestatus
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, count(*) AS n, 'except_all' AS op
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        GROUP BY l_returnflag, l_linestatus
+    """,
     "unpivot_lineitem_metrics": """
         WITH u AS (
             SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val

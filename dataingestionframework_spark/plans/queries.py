@@ -1450,6 +1450,30 @@ def except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (bag semantics — multiplicity-aware,
+    unlike the distinct forms above): per flag-status pair, how many
+    copies survive each bag operation between the two lineitem halves.
+    Both are single-shuffle hash operations in Spark (no sort)."""
+    t = _t(spark, sf_dir)
+    l = t("lineitem").select("l_returnflag", "l_linestatus", "l_orderkey")
+    a = l.filter(F.col("l_orderkey") % 2 == 0).select("l_returnflag", "l_linestatus")
+    b = l.filter(F.col("l_orderkey") % 3 == 0).select("l_returnflag", "l_linestatus")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(exc)
+
+
 def window_lead_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Navigation + ranking window family: lag/lead/row_number/ntile/
     percent_rank/cume_dist over a fully deterministic per-customer order."""
@@ -2233,6 +2257,7 @@ QUERIES = {
     "expectations_orders": expectations_orders,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "window_range_interval": window_range_interval,
+    "set_ops_all_variants": set_ops_all_variants,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
     "corpus_diff_versions": corpus_diff_versions,
