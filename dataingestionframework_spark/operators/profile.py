@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 
 
-def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame, cols: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
     """Profile ``cols`` (default: all non-complex columns).
 
     Output: one row per column —
@@ -27,16 +29,24 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     min_str, max_str); min/max land in the ``_num`` pair for numeric
     columns and the ``_str`` pair for strings (binary collation in both
     Spark and the SQL oracle), NULL otherwise.
+
+    ``exact_distinct=True`` uses countDistinct — exact, but N distinct
+    aggregates in one job force an Expand (each input row duplicated
+    per distinct column) before the shuffle. At 100 TB pass
+    ``exact_distinct=False``: approx_count_distinct (HLL++, default 5%
+    rsd) keeps the profile a single no-expand pass, the standard
+    ANALYZE trade.
     """
     dtypes = dict(df.dtypes)
     if cols is None:
         cols = [c for c, t in df.dtypes if not t.startswith(("array", "map", "struct"))]
 
+    distinct_agg = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         base = dtypes[c].split("(")[0]
         aggs.append(F.count(c).alias(f"{c}__nn"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        aggs.append(distinct_agg(c).alias(f"{c}__nd"))
         if base in _NUMERIC:
             aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))

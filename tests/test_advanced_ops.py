@@ -353,3 +353,20 @@ def test_expectations_rules(spark):
     assert got["v_range"] == (2, False)       # -1.0 and 50.0 out of range
     assert got["s_domain"] == (0, True)       # nulls not counted by in_set
     assert got["s_format"] == (0, True)
+
+
+def test_profile_approx_distinct_mode(spark):
+    from dataingestionframework_spark.operators.profile import profile
+
+    df = spark.range(0, 5000).selectExpr("id % 100 AS k")
+    row = profile(df, ["k"], exact_distinct=False).first()
+    assert row.n_rows == 5000
+    assert abs(row.n_distinct - 100) <= 10  # HLL within 10%
+    # approx mode avoids the Expand node (the exact mode's scale cost)
+    plan = (
+        df.agg(F.count("k"), F.approx_count_distinct("k"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
