@@ -190,3 +190,57 @@ def sample_frames(
             )
 
     return df.select(id_col, col).mapInPandas(sample, schema=out_schema)
+
+
+def resize_stub(
+    df: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+    stride: int = 4,
+) -> DataFrame:
+    """Deterministic stand-in for image/audio resampling: keep every
+    ``stride``-th byte of the payload (a real implementation swaps this
+    for PIL.resize / librosa.resample — same Arrow-batched mapInPandas
+    surface, same output contract).
+
+    Output: (id, orig_size, resized_size, resized_md5), where the
+    fingerprint is md5 over the lowercase hex of the resampled bytes —
+    hex-first so the SQL oracle can recompute it from hex(payload)
+    character slices. No shuffle; bytes never leave the task.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("orig_size", T.IntegerType(), False),
+            T.StructField("resized_size", T.IntegerType(), False),
+            T.StructField("resized_md5", T.StringType(), False),
+        ]
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, osz, rsz, h = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                resized = raw[::stride]
+                ids.append(rid)
+                osz.append(len(raw))
+                rsz.append(len(resized))
+                h.append(hashlib.md5(resized.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "orig_size": pd.Series(osz, dtype="int32"),
+                    "resized_size": pd.Series(rsz, dtype="int32"),
+                    "resized_md5": pd.Series(h, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, col).mapInPandas(resample, schema=out_schema)

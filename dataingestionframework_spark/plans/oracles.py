@@ -865,6 +865,28 @@ ORACLES: dict[str, str] = {
                md5(lower(substring(ph, i * 128 + 1, 128))) AS frame_md5
         FROM g
     """,
+    "resize_stub_docs": """
+        WITH f AS (
+            SELECT doc_id, hex(encode(text)) AS ph FROM documents
+        ),
+        g AS (
+            SELECT doc_id, ph,
+                   unnest(range(0, CAST(length(ph) / 2 AS BIGINT), 4)) AS i
+            FROM f
+        ),
+        r AS (
+            SELECT doc_id,
+                   string_agg(substring(ph, i * 2 + 1, 2), '' ORDER BY i) AS rhex,
+                   count(*) AS rn,
+                   max(length(ph) / 2) AS osz
+            FROM g GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(osz AS INTEGER) AS orig_size,
+               CAST(rn AS INTEGER) AS resized_size,
+               md5(lower(rhex)) AS resized_md5
+        FROM r
+    """,
     "corpus_diff_versions": """
         WITH old AS (
             SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0

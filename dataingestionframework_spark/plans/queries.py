@@ -2007,6 +2007,20 @@ def frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d, "payload", frame_bytes=64, stride=2)
 
 
+def resize_stub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize/resample plumbing: keep every 4th payload byte
+    (operators/multimodal.py::resize_stub — the PIL/librosa stand-in,
+    same Arrow mapInPandas surface and output contract). Oracle:
+    strided hex-slice reassembly + md5 in SQL."""
+    from ..operators.multimodal import resize_stub
+
+    t = _t(spark, sf_dir)
+    d = t("documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return resize_stub(d, "payload", stride=4)
+
+
 def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (CDC shape): two synthetic versions of the
     documents table — old drops doc_id%7==0, new drops doc_id%11==0 and
@@ -2260,6 +2274,7 @@ QUERIES = {
     "set_ops_all_variants": set_ops_all_variants,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
+    "resize_stub_docs": resize_stub_docs,
     "corpus_diff_versions": corpus_diff_versions,
     "cube_agg": cube_agg,
     "grouping_sets_agg": grouping_sets_agg,

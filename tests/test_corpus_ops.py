@@ -164,3 +164,26 @@ def test_sample_frames_matches_python_reference(spark):
             )
     got = sorted((r.doc_id, r.frame_idx, r.frame_size, r.frame_md5) for r in out)
     assert got == sorted(expect)
+
+
+def test_resize_stub_matches_python_reference(spark):
+    import hashlib
+
+    from dataingestionframework_spark.operators.multimodal import resize_stub
+
+    rows = [(1, bytes(range(100))), (2, b"xy"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.orig_size, r.resized_size, r.resized_md5)
+        for r in resize_stub(df, "payload", stride=3).collect()
+    }
+    expect = {}
+    for rid, payload in rows:
+        if payload is None:
+            continue
+        resized = payload[::3]
+        expect[rid] = (
+            len(payload), len(resized),
+            hashlib.md5(resized.hex().encode()).hexdigest(),
+        )
+    assert got == expect
