@@ -140,3 +140,48 @@ def test_simhash_pigeonhole_blocking_equals_all_pairs(spark, docs):
             if h <= 20:
                 expected[(ids[i], ids[j])] = h
     assert got == expected
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 30), st.text("ab", max_size=3), max_size=20),
+    new=st.dictionaries(st.integers(0, 30), st.text("ab", max_size=3), max_size=20),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_corpus_diff_matches_dict_diff(spark, old, new):
+    from dataingestionframework_spark.operators.corpus import corpus_diff
+
+    schema = "doc_id long, text string"
+    old_df = spark.createDataFrame(list(old.items()) or [(None, None)], schema).filter(
+        "doc_id IS NOT NULL"
+    )
+    new_df = spark.createDataFrame(list(new.items()) or [(None, None)], schema).filter(
+        "doc_id IS NOT NULL"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old_df, new_df).collect()}
+    expected = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expected[k] = "added"
+        elif k not in new:
+            expected[k] = "removed"
+        elif old[k] == new[k]:
+            expected[k] = "unchanged"
+        else:
+            expected[k] = "changed"
+    assert got == expected
+
+
+@given(ids=st.lists(st.integers(0, 10_000), unique=True, min_size=1, max_size=60),
+       seed=st.integers(0, 5))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_seeded_shuffle_matches_hash_sort(spark, ids, seed):
+    import hashlib
+
+    from dataingestionframework_spark.operators.corpus import seeded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.shuffle_rank for r in seeded_shuffle(df, seed=seed).collect()}
+    order = sorted(ids, key=lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
+    assert got == {i: pos for pos, i in enumerate(order)}
