@@ -49,6 +49,7 @@ def corpus_stream_clean(
     ts_col: str = "ts",
     min_quality: float = 0.5,
     watermark: str = "1 hour",
+    observe_prefix: str | None = None,
 ) -> DataFrame:
     """Streaming corpus intake: quality gate + exact-dedup within the
     watermark, as one incremental plan (the streaming twin of
@@ -59,22 +60,44 @@ def corpus_stream_clean(
     the standard trade for unbounded streams (cross-window dups are
     caught by the periodic batch near-dup sweep instead). Works on
     batch frames too (dropDuplicates on the fingerprint).
+
+    With ``observe_prefix`` set, per-stage named metrics
+    (``<prefix>_input``: rows + mean quality, ``<prefix>_gated``:
+    surviving rows, ``<prefix>_out``: emitted rows) ride each
+    micro-batch's StreamingQueryProgress.observedMetrics — the funnel
+    report costs no extra pass or action at any scale (counters are
+    folded into the batch's own execution, exactly like CorpusPrep's
+    batch-side Observation taps).
     """
     from ..operators.text import fingerprint, quality_score
 
+    q = quality_score(F.col(text_col))
+    if observe_prefix:
+        stream = stream.observe(
+            f"{observe_prefix}_input",
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(q), 6).alias("mean_quality"),
+        )
     gated = (
-        stream.withColumn("_q", quality_score(F.col(text_col)))
+        stream.withColumn("_q", q)
         .filter(F.col("_q") >= min_quality)
         .drop("_q")
         .withColumn("_fp", fingerprint(F.col(text_col)))
     )
+    if observe_prefix:
+        gated = gated.observe(
+            f"{observe_prefix}_gated", F.count(F.lit(1)).alias("n")
+        )
     if stream.isStreaming:
         out = gated.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["_fp"]
         )
     else:
         out = gated.dropDuplicates(["_fp"])
-    return out.drop("_fp")
+    out = out.drop("_fp")
+    if observe_prefix:
+        out = out.observe(f"{observe_prefix}_out", F.count(F.lit(1)).alias("n"))
+    return out
 
 
 class CorpusPrep:

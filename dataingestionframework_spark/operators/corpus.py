@@ -359,6 +359,81 @@ def seeded_shuffle(
     )
 
 
+def temperature_mix_rates(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    target_total: int | None = None,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based corpus mixing rates (the multilingual-LM
+    resampling scheme: sample group g with probability ∝ n_g^alpha,
+    alpha<1 up-weights low-resource groups, alpha=1 is natural
+    frequency, alpha=0 is uniform).
+
+    Returns one row per group: (group, n_docs, mix_weight, sample_rate,
+    expected_docs) where mix_weight = n_g^alpha / Σ n_h^alpha,
+    expected_docs = target_total · mix_weight (target_total defaults to
+    the corpus size), and sample_rate = min(1, expected_docs / n_g) —
+    the per-group Bernoulli keep rate that realizes the mix without
+    replacement.
+
+    Shape: one hash-agg over the corpus → a group-cardinality frame
+    (tiny; one row per language/domain). The weight normalization is a
+    window over that tiny frame, never over the corpus.
+    """
+    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs")
+    )
+    wall = Window.partitionBy()
+    weighted = counts.withColumn("_w", F.pow(F.col("n_docs"), F.lit(alpha)))
+    total = F.coalesce(
+        F.lit(target_total), F.sum("n_docs").over(wall)
+    ).cast("double")
+    return (
+        weighted.withColumn("mix_weight", F.col("_w") / F.sum("_w").over(wall))
+        .withColumn("expected_docs", total * F.col("mix_weight"))
+        .withColumn(
+            "sample_rate",
+            F.least(F.lit(1.0), F.col("expected_docs") / F.col("n_docs")),
+        )
+        .select(
+            "group",
+            "n_docs",
+            F.round("mix_weight", 9).alias("mix_weight"),
+            F.round("sample_rate", 9).alias("sample_rate"),
+            F.round("expected_docs", 4).alias("expected_docs"),
+        )
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    target_total: int | None = None,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministically realize a temperature mix: keep each document
+    iff its engine-portable unit hash falls below its group's
+    :func:`temperature_mix_rates` sample_rate.
+
+    Unlike ``sampleBy`` (partition-order-dependent RNG), the keep
+    decision is a pure function of (seed, doc id) — reproducible across
+    cluster sizes and auditable in plain SQL. The rates frame is one
+    row per group, broadcast; the corpus side never shuffles.
+    """
+    rates = temperature_mix_rates(docs, alpha, target_total, group_col).select(
+        F.col("group").alias(group_col), "sample_rate"
+    )
+    u = _unit_hash("tmix", seed, F.col(id_col))
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("sample_rate"))
+        .drop("sample_rate")
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

@@ -98,6 +98,47 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(text_col)
 
 
+# PII redaction patterns. RE2-safe subset (no backrefs/lookaround) so
+# the same pattern strings run under Java regex (Spark) and RE2-style
+# engines (DuckDB/Go tooling) — redactions are auditable cross-engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone: 2-3 digit groups joined by - (TPC-H
+    # c_phone shape 12-345-678-9012 included)
+    "phone": r"\d{2,3}(-\d{3,4}){2,3}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token_format: str = "<{kind}>",
+) -> DataFrame:
+    """PII scrubbing for corpus text: redact every match of each
+    pattern with a typed placeholder token and count redactions per
+    kind (``n_<kind>`` columns) plus ``n_redactions`` total.
+
+    Pure ``regexp_replace`` / ``regexp_count`` column expressions —
+    JVM-side, codegen'd, zero Python in the executor path; at 100 TB
+    this is a map-only pass fused into whatever scan precedes it.
+    Patterns are applied in dict order; counts are computed on the
+    original text so overlapping patterns report what each saw.
+    """
+    pats = patterns or PII_PATTERNS
+    t = F.col(text_col)
+    out = df
+    scrubbed = t
+    total = F.lit(0)
+    for kind, pat in pats.items():
+        n = F.regexp_count(t, F.lit(pat))
+        out = out.withColumn(f"n_{kind}", n)
+        total = total + n
+        scrubbed = F.regexp_replace(scrubbed, pat, token_format.format(kind=kind))
+    return out.withColumn("n_redactions", total).withColumn(text_col, scrubbed)
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 

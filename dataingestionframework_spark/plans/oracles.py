@@ -376,6 +376,93 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(*) AS total, true AS within_bounds
         FROM documents GROUP BY lang
     """,
+    "temperature_mix_docs": """
+        WITH counts AS (
+            SELECT lang AS grp, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        norm AS (
+            SELECT grp, n_docs,
+                   pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER () AS mw
+            FROM counts
+        ),
+        rates AS (
+            SELECT grp, n_docs,
+                   round(mw, 9) AS mix_weight,
+                   round(least(1.0, 300 * mw / n_docs), 9) AS sample_rate,
+                   round(300 * mw, 4) AS expected_docs
+            FROM norm
+        ),
+        keep AS (
+            SELECT d.lang AS grp, count(*) AS n_sampled
+            FROM documents d JOIN rates r ON d.lang = r.grp
+            WHERE ('0x' || substring(md5('tmix:7:'
+                      || CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                  / 1152921504606846976.0 < r.sample_rate
+            GROUP BY d.lang
+        )
+        SELECT r.grp AS "group",
+               CAST(r.n_docs AS BIGINT) AS n_docs,
+               r.mix_weight, r.sample_rate, r.expected_docs,
+               CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM rates r LEFT JOIN keep k ON k.grp = r.grp
+    """,
+    "scrub_pii_contacts": """
+        WITH c AS (
+            SELECT c_custkey,
+                   concat_ws(' ', c_name,
+                       'user' || CAST(c_custkey AS VARCHAR) || '@example.com',
+                       printf('%02d-%03d-%04d', c_nationkey + 10,
+                              c_custkey % 1000, (c_custkey * 7) % 10000),
+                       c_mktsegment) AS contact
+            FROM customer WHERE c_custkey <= 300
+        )
+        SELECT c_custkey,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(contact,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<email>', 'g'),
+                       '\\d{2,3}(-\\d{3,4}){2,3}', '<phone>', 'g'),
+                   '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g') AS contact,
+               CAST(length(regexp_extract_all(contact,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS INTEGER) AS n_email,
+               CAST(length(regexp_extract_all(contact,
+                   '\\d{2,3}(-\\d{3,4}){2,3}')) AS INTEGER) AS n_phone,
+               CAST(length(regexp_extract_all(contact,
+                   '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+               CAST(length(regexp_extract_all(contact,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + length(regexp_extract_all(contact,
+                       '\\d{2,3}(-\\d{3,4}){2,3}'))
+                   + length(regexp_extract_all(contact,
+                       '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b'))
+                   AS INTEGER) AS n_redactions
+        FROM c
+    """,
+    "mad_outliers_orders": """
+        WITH meds AS (
+            SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+            FROM orders GROUP BY o_orderpriority
+        ),
+        j AS (
+            SELECT o.o_orderpriority, o.o_totalprice, m.med,
+                   abs(o.o_totalprice - m.med) AS adev
+            FROM orders o JOIN meds m USING (o_orderpriority)
+        ),
+        mads AS (
+            SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+            FROM j GROUP BY o_orderpriority
+        )
+        SELECT j.o_orderpriority,
+               count(*) AS n,
+               round(max(j.med), 4) AS median_price,
+               round(max(m.mad), 4) AS mad,
+               CAST(sum(CASE WHEN j.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+        FROM j JOIN mads m USING (o_orderpriority)
+        GROUP BY j.o_orderpriority
+    """,
     "json_extract_events": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value

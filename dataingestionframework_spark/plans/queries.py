@@ -635,6 +635,91 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (p ∝ n^alpha): the per-group
+    rates plus the DETERMINISTIC hash-realized sample count — unlike
+    ``sampleBy``, the keep set is a pure function of (seed, doc_id), so
+    the oracle reproduces it exactly row-for-row."""
+    from ..operators.corpus import temperature_mix_rates, temperature_sample
+
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    rates = temperature_mix_rates(d, alpha=0.5, target_total=300, group_col="lang")
+    sampled = (
+        temperature_sample(
+            d, alpha=0.5, target_total=300, group_col="lang", seed=7
+        )
+        .groupBy(F.col("lang").alias("group"))
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return rates.join(sampled, "group", "left").select(
+        "group",
+        "n_docs",
+        "mix_weight",
+        "sample_rate",
+        "expected_docs",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
+def scrub_pii_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: typed regex redaction (email/phone/ipv4) with
+    per-kind counts, over a synthesized contact blob (name + phone +
+    comment). Pure regexp_replace/regexp_count — map-only at any
+    scale."""
+    from ..operators.text import scrub_pii
+
+    t = _t(spark, sf_dir)
+    phone = F.format_string(
+        "%02d-%03d-%04d",
+        F.col("c_nationkey") + 10,
+        F.pmod(F.col("c_custkey"), F.lit(1000)),
+        F.pmod(F.col("c_custkey") * 7, F.lit(10000)),
+    )
+    email = F.concat(F.lit("user"), F.col("c_custkey"), F.lit("@example.com"))
+    c = (
+        t("customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            F.concat_ws(" ", F.col("c_name"), email, phone, F.col("c_mktsegment")).alias(
+                "contact"
+            ),
+        )
+    )
+    return scrub_pii(c, "contact").select(
+        "c_custkey", "contact", "n_email", "n_phone", "n_ipv4", "n_redactions"
+    )
+
+
+def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-priority median + MAD (median
+    absolute deviation), counting orders beyond 3 MADs. Two grouped
+    exact percentiles + broadcast joins back — the per-group frames are
+    group-cardinality (tiny), so the big side never shuffles twice."""
+    t = _t(spark, sf_dir)
+    o = t("orders").select("o_orderpriority", "o_totalprice")
+    meds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    j = o.join(F.broadcast(meds), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mads = j.groupBy("o_orderpriority").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        j.join(F.broadcast(mads), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 4).alias("median_price"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the events.props payload column."""
     t = _t(spark, sf_dir)
@@ -2233,6 +2318,9 @@ QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
     "approx_percentile_verdict": approx_percentile_verdict,
     "stratified_sample_mix": stratified_sample_mix,
+    "temperature_mix_docs": temperature_mix_docs,
+    "scrub_pii_contacts": scrub_pii_contacts,
+    "mad_outliers_orders": mad_outliers_orders,
     "json_extract_events": json_extract_events,
     "string_regex_orders": string_regex_orders,
     "quality_fingerprint_docs": quality_fingerprint_docs,

@@ -23,6 +23,13 @@ class ProgressRecorder(StreamingQueryListener):
 
     def onQueryProgress(self, event):  # noqa: N802
         p = event.progress
+        observed = {}
+        try:
+            observed = {
+                name: row.asDict() for name, row in p.observedMetrics.items()
+            }
+        except Exception:  # noqa: BLE001 — metrics are best-effort telemetry
+            pass
         with self._lock:
             self.progress.append(
                 {
@@ -30,8 +37,18 @@ class ProgressRecorder(StreamingQueryListener):
                     "batchId": p.batchId,
                     "numInputRows": p.numInputRows,
                     "inputRowsPerSecond": p.inputRowsPerSecond,
+                    "observedMetrics": observed,
                 }
             )
+
+    def observed(self, name: str) -> list[dict]:
+        """All recorded values of one named observe() tap, in batch order."""
+        with self._lock:
+            return [
+                p["observedMetrics"][name]
+                for p in self.progress
+                if name in p.get("observedMetrics", {})
+            ]
 
     def onQueryTerminated(self, event):  # noqa: N802
         with self._lock:

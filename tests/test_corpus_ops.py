@@ -187,3 +187,61 @@ def test_resize_stub_matches_python_reference(spark):
             hashlib.md5(resized.hex().encode()).hexdigest(),
         )
     assert got == expect
+
+
+def test_temperature_mix_rates_invariants(spark, docs):
+    from dataingestionframework_spark.operators.corpus import temperature_mix_rates
+
+    rates = temperature_mix_rates(docs, alpha=0.5, target_total=60).collect()
+    # Weights sum to 1; expected docs sum to the target; rates in (0,1].
+    assert abs(sum(r.mix_weight for r in rates) - 1.0) < 1e-6
+    assert abs(sum(r.expected_docs for r in rates) - 60) < 1e-2
+    assert all(0 < r.sample_rate <= 1.0 for r in rates)
+    # alpha=0 is uniform: every group gets the same weight.
+    uni = temperature_mix_rates(docs, alpha=0.0).collect()
+    ws = {r.mix_weight for r in uni}
+    assert len(ws) == 1
+    # alpha<1 up-weights the smallest group vs natural frequency.
+    nat = {r.group: r.mix_weight for r in temperature_mix_rates(docs, alpha=1.0).collect()}
+    half = {r.group: r.mix_weight for r in temperature_mix_rates(docs, alpha=0.5).collect()}
+    smallest = min(nat, key=nat.get)
+    assert half[smallest] > nat[smallest]
+
+
+def test_temperature_sample_deterministic_and_subset(spark, docs):
+    from dataingestionframework_spark.operators.corpus import temperature_sample
+
+    a = temperature_sample(docs, alpha=0.5, target_total=60, seed=7)
+    b = temperature_sample(docs, alpha=0.5, target_total=60, seed=7)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # pure function of (seed, id) — no RNG state
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(ids_a) <= all_ids
+    # A different seed picks a different subset (overwhelmingly likely).
+    ids_c = sorted(
+        r.doc_id
+        for r in temperature_sample(docs, alpha=0.5, target_total=60, seed=8)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids_a != ids_c
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from dataingestionframework_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org or 212-555-0143 home"),
+        (2, "server at 10.0.42.7 and backup at 192.168.1.250"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io c@d.net one phone 33-444-5555"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in scrub_pii(df, "text").collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 and got[1].n_ipv4 == 0
+    assert got[1].text == "mail <email> or <phone> home"
+    assert got[2].n_ipv4 == 2 and "<ipv4>" in got[2].text
+    assert "10.0.42.7" not in got[2].text
+    assert got[3].n_redactions == 0 and got[3].text == "no pii here at all"
+    assert got[4].n_email == 2 and got[4].n_phone == 1 and got[4].n_redactions == 3

@@ -6,6 +6,7 @@ after watermark closure (complete/update semantics permitting).
 """
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -299,16 +300,32 @@ def test_corpus_stream_clean_quality_and_dedup(spark, tmp_root):
     batch_texts = {r.text for r in batch.collect()}
     assert len(batch_texts) == 2  # dup collapsed, degenerate dropped
 
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    q = (
-        corpus_stream_clean(stream, min_quality=0.6)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("corpus_clean_out")
-        .option("checkpointLocation", f"{tmp_root}/corpus_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = {r.text for r in spark.sql("SELECT * FROM corpus_clean_out").collect()}
-    assert got == batch_texts
+    from dataingestionframework_spark.streaming.observe import attach
+
+    rec = attach(spark)
+    try:
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            corpus_stream_clean(stream, min_quality=0.6, observe_prefix="corpus")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("corpus_clean_out")
+            .option("checkpointLocation", f"{tmp_root}/corpus_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.text for r in spark.sql("SELECT * FROM corpus_clean_out").collect()}
+        assert got == batch_texts
+
+        # Per-stage funnel metrics rode the micro-batch progress:
+        # 4 in → 3 past the quality gate → 2 emitted after dedup.
+        deadline = time.time() + 30
+        while time.time() < deadline and not rec.observed("corpus_out"):
+            time.sleep(0.5)  # listener events are async
+        assert sum(m["n"] for m in rec.observed("corpus_input")) == 4
+        assert sum(m["n"] for m in rec.observed("corpus_gated")) == 3
+        assert sum(m["n"] for m in rec.observed("corpus_out")) == 2
+        assert 0 < rec.observed("corpus_input")[0]["mean_quality"] <= 1.0
+    finally:
+        spark.streams.removeListener(rec)
