@@ -58,6 +58,65 @@ def with_binary_metadata(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _be_uint(col: str, pos: int, nbytes: int):
+    """Big-endian unsigned int from payload bytes [pos, pos+nbytes)
+    (1-indexed): hex the byte slice, parse base 16 — pure JVM exprs."""
+    return F.conv(F.hex(F.expr(f"substring({col}, {pos}, {nbytes})")), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _le_uint(col: str, pos: int, nbytes: int):
+    """Little-endian unsigned int from payload bytes — per-byte hex
+    parse recombined with shifts (no byte-reverse builtin needed)."""
+    total = F.lit(0).cast("bigint")
+    for k in range(nbytes):
+        b = F.conv(F.hex(F.expr(f"substring({col}, {pos + k}, 1)")), 16, 10).cast(
+            "bigint"
+        )
+        total = total + b * F.lit(1 << (8 * k))
+    return total
+
+
+def parse_media_headers(df: DataFrame, col: str) -> DataFrame:
+    """REAL (non-stub) container-metadata decode, no codec libraries:
+    parse PNG IHDR and WAV RIFF headers with pure byte arithmetic.
+
+    Adds: ``media_kind`` (png | wav | other), ``img_width``/
+    ``img_height`` (PNG IHDR big-endian uint32s), ``sample_rate``/
+    ``n_channels`` (WAV fmt-chunk little-endian fields; assumes the
+    canonical fmt-at-13 layout). Everything is substring-on-binary →
+    hex → conv — JVM-side, codegen'd, map-only: at 100 TB this sniffs
+    dimensions across a whole image corpus without one byte of payload
+    entering Python or a shuffle.
+
+    Full pixel decode still needs a codec (``decode_media``); container
+    headers don't — parsing them IS the production fast path for
+    resolution/duration filtering before any expensive decode.
+    """
+    is_png = F.hex(F.expr(f"substring({col}, 1, 8)")) == "89504E470D0A1A0A"
+    is_wav = (F.hex(F.expr(f"substring({col}, 1, 4)")) == "52494646") & (
+        F.hex(F.expr(f"substring({col}, 9, 8)")) == "57415645666D7420"
+    )
+    kind = (
+        F.when(F.col(col).isNull(), None)
+        .when(is_png, "png")
+        .when(is_wav, "wav")
+        .otherwise("other")
+    )
+    return (
+        df.withColumn("media_kind", kind)
+        # PNG: 8-byte magic, 4-byte IHDR length, 4-byte "IHDR" tag,
+        # then width/height as big-endian uint32 at offsets 17 and 21.
+        .withColumn("img_width", F.when(is_png, _be_uint(col, 17, 4)))
+        .withColumn("img_height", F.when(is_png, _be_uint(col, 21, 4)))
+        # WAV: RIFF/WAVE/fmt tags, then LE fields — channels at 23,
+        # sample rate at 25.
+        .withColumn("n_channels", F.when(is_wav, _le_uint(col, 23, 2)))
+        .withColumn("sample_rate", F.when(is_wav, _le_uint(col, 25, 4)))
+    )
+
+
 def read_binary_files(
     spark,
     path: str,

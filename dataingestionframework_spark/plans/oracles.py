@@ -440,6 +440,19 @@ ORACLES: dict[str, str] = {
                    AS INTEGER) AS n_redactions
         FROM c
     """,
+    "media_header_probe": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_kind,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST((doc_id % 1920) + 16 AS BIGINT) END AS img_width,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST((doc_id % 1080) + 16 AS BIGINT) END AS img_height,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(1 + (doc_id % 2) AS BIGINT) END AS n_channels,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) END AS sample_rate
+        FROM documents
+    """,
     "mad_outliers_orders": """
         WITH meds AS (
             SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med

@@ -720,6 +720,59 @@ def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header metadata decode round-trip: per doc, synthesize
+    a REAL PNG IHDR (even ids) or WAV RIFF/fmt (odd ids) header whose
+    fields derive from doc_id, then recover them with
+    ``parse_media_headers`` (pure byte arithmetic — no codecs). The
+    oracle recomputes the source fields directly, so equality proves
+    parse∘build = id on genuine container layouts."""
+    from ..operators.multimodal import parse_media_headers
+
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id")
+    did = F.col("doc_id")
+    w = (F.pmod(did, 1920) + 16).cast("bigint")
+    h = (F.pmod(did, 1080) + 16).cast("bigint")
+    rate = (F.lit(8000) + F.pmod(did, 8) * 4000).cast("bigint")
+    ch = (F.lit(1) + F.pmod(did, 2)).cast("bigint")
+
+    def be_hex(col, nbytes):
+        return F.lpad(F.hex(col), 2 * nbytes, "0")
+
+    def le_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex(F.shiftright(col, 8 * k).bitwiseAND(F.lit(255))), 2, "0"
+                )
+                for k in range(nbytes)
+            ]
+        )
+
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),      # magic
+        F.lit("0000000D49484452"),      # IHDR length + tag
+        be_hex(w, 4),
+        be_hex(h, 4),
+        F.lit("0806000000"),            # bit depth / color / etc
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),              # RIFF
+        F.lit("24000000"),              # chunk size (LE, dummy)
+        F.lit("57415645666D7420"),      # WAVE + 'fmt '
+        F.lit("10000000"),              # fmt size 16 (LE)
+        F.lit("0100"),                  # PCM
+        le_hex(ch, 2),
+        le_hex(rate, 4),
+        F.lit("10B102000400100000"),    # byte rate / align / bits + pad
+    )
+    payload = F.unhex(F.when(did % 2 == 0, png_hex).otherwise(wav_hex))
+    return parse_media_headers(d.withColumn("payload", payload), "payload").select(
+        "doc_id", "media_kind", "img_width", "img_height", "n_channels", "sample_rate"
+    )
+
+
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the events.props payload column."""
     t = _t(spark, sf_dir)
@@ -2321,6 +2374,7 @@ QUERIES = {
     "temperature_mix_docs": temperature_mix_docs,
     "scrub_pii_contacts": scrub_pii_contacts,
     "mad_outliers_orders": mad_outliers_orders,
+    "media_header_probe": media_header_probe,
     "json_extract_events": json_extract_events,
     "string_regex_orders": string_regex_orders,
     "quality_fingerprint_docs": quality_fingerprint_docs,

@@ -309,3 +309,32 @@ def test_corpus_prep_pipeline_end_to_end(spark):
     chunk_docs_ids = {r.doc_id for r in res.chunks.select("doc_id").distinct().collect()}
     assert chunk_docs_ids == clean_ids
     assert res.chunks.filter(F.col("n_chunk_tokens") > 30).count() == 0
+
+
+def test_parse_media_headers_real_containers(spark):
+    """PNG IHDR and WAV fmt headers parsed with pure byte arithmetic —
+    values checked against handcrafted real container headers."""
+    import struct
+
+    from dataingestionframework_spark.operators.multimodal import parse_media_headers
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHH", 16, 1, 2)
+        + struct.pack("<I", 44100) + struct.pack("<IHH", 176400, 4, 16)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(b"junkdata")), (4, None)],
+        "id long, payload binary",
+    )
+    r = {x.id: x for x in parse_media_headers(df, "payload").collect()}
+    assert r[1].media_kind == "png" and (r[1].img_width, r[1].img_height) == (640, 480)
+    assert r[2].media_kind == "wav"
+    assert (r[2].n_channels, r[2].sample_rate) == (2, 44100)
+    assert r[3].media_kind == "other" and r[3].img_width is None
+    assert r[4].media_kind is None
