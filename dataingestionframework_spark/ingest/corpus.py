@@ -100,6 +100,56 @@ def corpus_stream_clean(
     return out
 
 
+def corpus_incremental_intake(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    min_quality: float | None = None,
+):
+    """Incremental corpus build with UNBOUNDED-horizon exact dedup:
+    each micro-batch appends only fingerprint-new documents, anti-joined
+    against the accumulated sink itself (vs the watermark-bounded state
+    of :func:`corpus_stream_clean`).
+
+    The fingerprint column ``_fp`` is persisted in the sink and IS the
+    dedup index: the anti-join reads just that column (parquet column
+    pruning), so each batch costs batch×sink-fingerprints, not
+    batch×documents. The same shape makes epoch REPLAY idempotent —
+    a crashed-and-replayed batch re-filters against what the failed
+    attempt already wrote, so exactly-once lands for free without an
+    epoch ledger. At 100 TB swap the append+anti-join for a Delta MERGE
+    ``whenNotMatchedInsert`` on the same fingerprint key (one log scan
+    instead of a footer listing), or bucket the sink by ``_fp`` prefix
+    so the anti-join prunes to matching buckets.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from ..operators.text import fingerprint, quality_score
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        b = batch
+        if min_quality is not None:
+            b = b.withColumn("_q", quality_score(F.col(text_col))).filter(
+                F.col("_q") >= min_quality
+            ).drop("_q")
+        b = b.withColumn("_fp", fingerprint(F.col(text_col))).dropDuplicates(["_fp"])
+        try:
+            seen = spark.read.parquet(sink_path).select("_fp").distinct()
+            b = b.join(seen, "_fp", "left_anti")
+        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
+            pass
+        b.write.mode("append").parquet(sink_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class CorpusPrep:
     def __init__(self, spec: CorpusPrepSpec):
         self.spec = spec

@@ -440,6 +440,26 @@ ORACLES: dict[str, str] = {
                    AS INTEGER) AS n_redactions
         FROM c
     """,
+    "equi_depth_buckets_docs": """
+        WITH cuts AS (
+            SELECT quantile_cont(n_chars, 0.25) AS c1,
+                   quantile_cont(n_chars, 0.5)  AS c2,
+                   quantile_cont(n_chars, 0.75) AS c3
+            FROM documents
+        ),
+        b AS (
+            SELECT n_chars,
+                   1 + CAST(n_chars > c1 AS INTEGER)
+                     + CAST(n_chars > c2 AS INTEGER)
+                     + CAST(n_chars > c3 AS INTEGER) AS bucket
+            FROM documents, cuts
+        )
+        SELECT bucket, count(*) AS n,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM b GROUP BY bucket
+    """,
     "media_header_probe": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_kind,

@@ -720,6 +720,37 @@ def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def equi_depth_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning — the scale-correct global-ntile
+    replacement: exact quartile cut points reduce to ONE tiny row
+    (grouped percentile agg), each doc's bucket is pure comparison
+    arithmetic against the broadcast cuts, then a per-bucket agg. No
+    global sort, no single-partition window — the shape that survives
+    100 TB where ``ntile() OVER (ORDER BY …)`` cannot."""
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id", "n_chars")
+    cuts = d.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("c1"),
+        F.expr("percentile(n_chars, 0.5)").alias("c2"),
+        F.expr("percentile(n_chars, 0.75)").alias("c3"),
+    )
+    bucketed = d.join(F.broadcast(cuts)).withColumn(
+        "bucket",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("c1")).cast("int")
+            + (F.col("n_chars") > F.col("c2")).cast("int")
+            + (F.col("n_chars") > F.col("c3")).cast("int")
+        ),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
 def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-header metadata decode round-trip: per doc, synthesize
     a REAL PNG IHDR (even ids) or WAV RIFF/fmt (odd ids) header whose
@@ -2375,6 +2406,7 @@ QUERIES = {
     "scrub_pii_contacts": scrub_pii_contacts,
     "mad_outliers_orders": mad_outliers_orders,
     "media_header_probe": media_header_probe,
+    "equi_depth_buckets_docs": equi_depth_buckets_docs,
     "json_extract_events": json_extract_events,
     "string_regex_orders": string_regex_orders,
     "quality_fingerprint_docs": quality_fingerprint_docs,

@@ -329,3 +329,37 @@ def test_corpus_stream_clean_quality_and_dedup(spark, tmp_root):
         assert 0 < rec.observed("corpus_input")[0]["mean_quality"] <= 1.0
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_corpus_incremental_intake_dedups_across_restarts(spark, tmp_root):
+    """Unbounded-horizon dedup: docs seen in ANY earlier run never
+    re-enter the sink; a replayed batch is idempotent by construction."""
+    from dataingestionframework_spark.ingest.corpus import corpus_incremental_intake
+
+    src = os.path.join(tmp_root, "inc_src")
+    sink = os.path.join(tmp_root, "inc_sink")
+    ckpt = os.path.join(tmp_root, "inc_ckpt")
+    schema = "doc_id long, ts string, text string"
+    good = "data stream batch row column table scan filter join agg sort"
+    alt = "the quick brown fox jumps over the lazy dog again and again"
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", good), (2, "2024-01-01 10:01:00", alt)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    st = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    corpus_incremental_intake(st, sink, ckpt).awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 2
+
+    # Second run: one dup of doc 1's text, one genuinely new doc.
+    spark.createDataFrame(
+        [(3, "2024-01-01 11:00:00", good),
+         (4, "2024-01-01 11:01:00", "key agg row scan slow fast table value part hash merge")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    st2 = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    corpus_incremental_intake(st2, sink, ckpt).awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 3  # dup text never re-entered
+    assert len({r.text for r in rows}) == 3
+    assert sorted(r.doc_id for r in rows) == [1, 2, 4]

@@ -43,6 +43,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "tfidf_top_terms_docs": {
         "BroadcastNestedLoopJoin": "1-row corpus-size (N) scalar broadcast"
     },
+    "equi_depth_buckets_docs": {
+        "BroadcastNestedLoopJoin": "1-row quartile cut-point broadcast"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
