@@ -72,12 +72,37 @@ class DeltaManagedTable:
 
     # -- reads ----------------------------------------------------------------
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
         from ..errors import TableNotFoundError
 
         if not self.exists():
             raise TableNotFoundError(self.root)
-        return self.spark.read.format("delta").load(self.root)
+        reader = self.spark.read.format("delta")
+        if version is not None:
+            # native time travel — the parquet backend's manifest-log
+            # read(version=n) maps to Delta's versionAsOf here
+            reader = reader.option("versionAsOf", version)
+        return reader.load(self.root)
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY, normalized to the parquet backend's
+        ``{version, op, ts, n_files}`` shape (n_files from the commit's
+        operationMetrics where Delta reports it, else -1)."""
+        rows = (
+            self._dt()
+            .history()
+            .selectExpr(
+                "version", "operation AS op", "CAST(timestamp AS STRING) AS ts",
+                "operationMetrics",
+            )
+            .collect()
+        )
+        out = []
+        for r in reversed(rows):  # Delta lists newest first; ours oldest first
+            m = r.operationMetrics or {}
+            n_files = int(m.get("numFiles", m.get("numTargetFilesAdded", -1)))
+            out.append({"version": r.version, "op": r.op, "ts": r.ts, "n_files": n_files})
+        return out
 
     def count(self) -> int:
         # Full snapshot count. (Catalyst can sometimes answer COUNT(*)

@@ -36,6 +36,7 @@ from ..errors import TableNotFoundError
 
 _META = "_meta.json"
 _CURRENT = "_current"
+_HISTORY = "_history.jsonl"
 
 
 def _col(expr: Column | str) -> Column:
@@ -115,13 +116,82 @@ class ManagedTable:
                 n += 1
         return n
 
+    # -- commit log (time travel / DESCRIBE HISTORY analogue) --------------
+    #
+    # Every committed operation appends one JSON line: ordinal, op,
+    # version dir, the RELATIVE file list of the table image at that
+    # point, and the schema — a miniature Delta transaction log.
+    # ``read(version=n)`` reconstructs any past image from its manifest
+    # (appends share a version dir, so the file list — not the dir — is
+    # the source of truth). The Delta backend maps these to native
+    # ``versionAsOf`` / ``DeltaTable.history()`` instead.
+
+    def _history_path(self) -> str:
+        return os.path.join(self.root, _HISTORY)
+
+    def _log_commit(self, op: str) -> None:
+        from datetime import datetime, timezone
+
+        entry = {
+            "version": len(self._history_lines()),
+            "op": op,
+            "dir": self._current_version(),
+            "files": sorted(self.data_files()),
+            "schema": self.schema().jsonValue(),
+            "ts": datetime.now(timezone.utc).isoformat(),
+        }
+        with open(self._history_path(), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def _history_lines(self) -> list[dict]:
+        try:
+            with open(self._history_path()) as f:
+                return [json.loads(ln) for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    def history(self) -> list[dict]:
+        """Commit history, oldest first: version / op / ts / n_files —
+        the ``DESCRIBE HISTORY`` analogue."""
+        return [
+            {"version": e["version"], "op": e["op"], "ts": e["ts"],
+             "n_files": len(e["files"])}
+            for e in self._history_lines()
+        ]
+
     # -- reads --------------------------------------------------------------
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
         # Explicit stored schema: files written before a schema evolution
         # lack the new columns; the parquet reader fills them with NULL.
         # (Partition columns in the schema resolve from directory names.)
-        return self.spark.read.schema(self.schema()).parquet(self.data_dir())
+        if version is None:
+            return self.spark.read.schema(self.schema()).parquet(self.data_dir())
+        entries = self._history_lines()
+        by_v = {e["version"]: e for e in entries}
+        if version not in by_v:
+            raise TableNotFoundError(
+                f"{self.root}: version {version} not in history "
+                f"(have {sorted(by_v)}; older versions may be vacuumed)"
+            )
+        e = by_v[version]
+        vdir = os.path.join(self.root, e["dir"])
+        schema = T.StructType.fromJson(e["schema"])
+        paths = [os.path.join(vdir, f) for f in e["files"]]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise TableNotFoundError(
+                f"{self.root}: version {version} files vacuumed ({missing[:3]}…)"
+            )
+        # basePath keeps partition-directory columns resolving when
+        # individual files are listed instead of the table root.
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", vdir)
+            .parquet(*paths)
+        )
 
     def count(self) -> int:
         """Row count from parquet footers — no scan, no Spark job."""
@@ -171,6 +241,7 @@ class ManagedTable:
         self._write_meta(schema, partition_cols or [])
         self._swap(v, schema)
         if partition_cols:
+            self._log_commit("create")
             return self  # partitioned: empty dir IS the empty table
         try:
             # Arrow fast path: an empty parquet file without a Spark job
@@ -185,6 +256,7 @@ class ManagedTable:
         except ValueError:
             # types the fast path doesn't map (nested structs, …) → Spark
             self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+        self._log_commit("create")
         return self
 
     def _merged_schema(self, incoming: T.StructType) -> T.StructType:
@@ -206,6 +278,7 @@ class ManagedTable:
         if not self.exists():
             self.create(df.schema)
             self._writer(df, "overwrite").parquet(self.data_dir())
+            self._log_commit("append")
             return
         schema = self._merged_schema(df.schema) if merge_schema else self.schema()
         out = df.select(
@@ -217,6 +290,7 @@ class ManagedTable:
         self._writer(out, "append").parquet(self.data_dir())
         if merge_schema:
             self._write_meta(schema)
+        self._log_commit("append")
 
     def append_counted(self, df: DataFrame, merge_schema: bool = True) -> int:
         """Append and return the number of rows written — the
@@ -229,18 +303,19 @@ class ManagedTable:
         self.append(df, merge_schema)
         return self._dir_rows(self.data_dir(), self.data_files() - before)
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, _op: str = "overwrite") -> None:
         v, path = self._new_version_dir()
         self._writer(df, "overwrite").parquet(path)
         self._swap(v, df.schema)
+        self._log_commit(_op)
 
     def truncate(self) -> None:
-        self.overwrite(self.spark.createDataFrame([], self.schema()))
+        self.overwrite(self.spark.createDataFrame([], self.schema()), _op="truncate")
 
     # -- DML (copy-on-write; Delta swaps in transparently on a cluster) -----
 
     def delete(self, condition: Column | str) -> None:
-        self.overwrite(self.read().filter(~_col(condition)))
+        self.overwrite(self.read().filter(~_col(condition)), _op="delete")
 
     def update(self, condition: Column | str, set: Mapping[str, Column | str]) -> None:
         cond = _col(condition)
@@ -249,7 +324,7 @@ class ManagedTable:
             F.when(cond, _col(set[c])).otherwise(F.col(c)).alias(c) if c in set else F.col(c)
             for c in df.columns
         ]
-        self.overwrite(df.select(*cols))
+        self.overwrite(df.select(*cols), _op="update")
 
     def merge(
         self,
@@ -305,7 +380,7 @@ class ManagedTable:
             out_cols.append(expr.alias(c))
 
         base = joined if when_not_matched_insert else joined.filter(tgt_present)
-        self.overwrite(base.select(*out_cols))
+        self.overwrite(base.select(*out_cols), _op="merge")
 
     # -- Arrow fast path for tiny control-plane tables ----------------------
     #
@@ -359,6 +434,7 @@ class ManagedTable:
         table = pa.Table.from_pydict(cols, schema=schema)
         out = os.path.join(self.data_dir(), f"part-arrow-{uuid.uuid4().hex}.parquet")
         pq.write_table(table, out)
+        self._log_commit("append")
 
     def update_rows(self, key_col: str, key_val, sets: Mapping[str, object]) -> None:
         """Driver-side single-key update (read-all → mutate → swap).
@@ -389,13 +465,14 @@ class ManagedTable:
             os.path.join(path, f"part-arrow-{uuid.uuid4().hex}.parquet"),
         )
         self._swap(v_name, self.schema())
+        self._log_commit("update")
 
     def optimize(self, target_partitions: int | None = None) -> None:
         """Compact small files (Delta OPTIMIZE analogue): rewrite the
         current image into ``target_partitions`` files."""
         df = self.read()
         n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
-        self.overwrite(df.coalesce(n))
+        self.overwrite(df.coalesce(n), _op="optimize")
 
 
 class TableCatalog:

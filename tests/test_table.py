@@ -167,3 +167,44 @@ def test_delta_backend_crud(spark, tmp_root):
     t.update(F.col("id") == 3, {"name": F.lit("c3")})
     t.delete(F.col("id") == 1)
     assert {r.name for r in t.read().collect()} == {"b2", "c3"}
+
+
+def test_time_travel_history_and_read_version(spark, catalog):
+    """Commit-log time travel: every op is a version; read(version=n)
+    reconstructs the exact table image at that commit (Delta
+    versionAsOf / DESCRIBE HISTORY analogue on plain parquet)."""
+    t = catalog.table("s.tt")
+    t.create(SCHEMA)                                      # v0
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))      # v1
+    t.append(_df(spark, [(3, "c", 1)]))                   # v2
+    t.delete(F.col("id") == 2)                            # v3
+    t.overwrite(_df(spark, [(9, "z", 0)]))                # v4
+
+    hist = t.history()
+    assert [h["op"] for h in hist] == ["create", "append", "append", "delete", "overwrite"]
+    assert [h["version"] for h in hist] == [0, 1, 2, 3, 4]
+
+    def ids(v):
+        return sorted(r.id for r in t.read(version=v).collect())
+
+    assert ids(0) == []
+    assert ids(1) == [1, 2]
+    assert ids(2) == [1, 2, 3]
+    assert ids(3) == [1, 3]
+    assert ids(4) == [9]
+    assert sorted(r.id for r in t.read().collect()) == [9]  # latest = current
+
+    # Appends share a version dir: v1's manifest must NOT see v2's file.
+    assert hist[1]["n_files"] < hist[2]["n_files"]
+
+
+def test_time_travel_after_vacuum_raises(spark, catalog):
+    from dataingestionframework_spark.errors import TableNotFoundError
+
+    t = catalog.table("s.ttv")
+    t.append(_df(spark, [(1, "a", 1)]))
+    t.overwrite(_df(spark, [(2, "b", 1)]))
+    t.vacuum()
+    with pytest.raises(TableNotFoundError):
+        t.read(version=0).collect()   # pre-vacuum image is gone
+    assert [r.id for r in t.read().collect()] == [2]
