@@ -208,3 +208,26 @@ def test_time_travel_after_vacuum_raises(spark, catalog):
     with pytest.raises(TableNotFoundError):
         t.read(version=0).collect()   # pre-vacuum image is gone
     assert [r.id for r in t.read().collect()] == [2]
+
+
+def test_read_changes_append_fast_path_and_row_diff(spark, catalog):
+    """CDC between versions: append-only ranges resolve at FILE level
+    (only the new files are read); ranges containing a rewrite fall
+    back to a row-level bag diff with delete images."""
+    t = catalog.table("s.cdc")
+    t.create(SCHEMA)                                      # v0
+    t.append(_df(spark, [(1, "a", 1), (2, "b", 1)]))      # v1
+    t.append(_df(spark, [(3, "c", 1)]))                   # v2
+    ch = t.read_changes(1, 2)
+    assert {(r.id, r._change_type) for r in ch.collect()} == {(3, "insert")}
+    # file-level path: the scan must touch only v2's new files
+    files_read = [
+        f for f in ch.inputFiles()
+    ]
+    assert len(files_read) < len(t.data_files())
+
+    t.delete(F.col("id") == 1)                            # v3 (rewrite)
+    ch2 = {(r.id, r._change_type) for r in t.read_changes(2).collect()}
+    assert ch2 == {(1, "delete")}
+    ch_all = {(r.id, r._change_type) for r in t.read_changes(0).collect()}
+    assert ch_all == {(2, "insert"), (3, "insert")}
