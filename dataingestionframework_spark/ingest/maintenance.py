@@ -43,6 +43,52 @@ def optimize_table(
     table.overwrite(clustered)
 
 
+def incremental_agg_refresh(
+    src: ManagedTable,
+    agg: ManagedTable,
+    keys: list[str],
+    value_col: str,
+    since_version: int,
+) -> int:
+    """Incremental materialized-aggregate maintenance from the commit
+    log: apply only the rows that changed after ``since_version`` to a
+    (keys, n, total) aggregate table — additive +insert/−delete deltas
+    MERGEd by key — instead of recomputing from the full source.
+
+    Returns the source version the aggregate is now current to (pass it
+    back as ``since_version`` next refresh). Cost per refresh is
+    O(changes) + a merge shuffled on the agg table's keys: at 100 TB the
+    fact table is never re-scanned (for append-only ranges
+    ``read_changes`` reads only the new files), which is the entire
+    point of maintaining a continuous aggregate.
+
+    Delete images subtract; a key whose count reaches 0 keeps its row
+    with n=0 (harmless for additive aggs; filter n>0 on read, or vacuum
+    periodically) — Delta's own CDF-driven MERGE has the same property.
+    """
+    from pyspark.sql import functions as F
+
+    to_version = max(e["version"] for e in src._history_lines())
+    if to_version == since_version:
+        return to_version
+    ch = src.read_changes(since_version, to_version)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = ch.groupBy(*keys).agg(
+        F.sum(sign).alias("n"),
+        F.sum(sign * F.col(value_col)).alias("total"),
+    )
+    agg.merge(
+        delta,
+        on=keys,
+        when_matched_update={
+            "n": F.col("tgt.n") + F.col("src.n"),
+            "total": F.col("tgt.total") + F.col("src.total"),
+        },
+        when_not_matched_insert=True,  # brand-new keys start at their delta
+    )
+    return to_version
+
+
 def optimize_for_spec(table: ManagedTable, spec: IngestionSpec) -> None:
     """Apply the spec's ZOrder column flags (reference pulls them from
     column_config where ZOrder=1)."""

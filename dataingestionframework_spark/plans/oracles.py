@@ -367,6 +367,17 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         FROM orders
     """,
+    "hll_mergeable_rollup": """
+        WITH g AS (
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS exact_custs
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_total,
+               CAST(sum(exact_custs) AS BIGINT) AS sum_group_exact,
+               true AS merged_within_5pct
+        FROM g
+    """,
     "approx_percentile_verdict": """
         SELECT round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
                true AS within_1pct

@@ -593,6 +593,34 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE hierarchical distinct-count pattern
+    at scale: per-group HLL sketches (one shuffle) are UNION-merged into
+    the grand total instead of re-scanning the fact table, exactly how
+    per-day distinct users roll into monthly without a second pass.
+    Cross-engine contract: exact distincts + a 5% relative-error verdict
+    on the merged estimate (Spark's HLL sketches are seed-free)."""
+    t = _t(spark, sf_dir)
+    o = t("orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    merged = per_group.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("hll_total"),
+        F.sum("exact_custs").alias("sum_group_exact"),
+    )
+    exact_total = o.agg(F.countDistinct("o_custkey").alias("exact_total"))
+    return merged.join(F.broadcast(exact_total)).select(
+        "exact_total",
+        "sum_group_exact",  # > exact_total: customers span priorities
+        (
+            (F.abs(F.col("hll_total") - F.col("exact_total")).cast("double")
+             / F.col("exact_total")) < 0.05
+        ).alias("merged_within_5pct"),
+    )
+
+
 def approx_percentile_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL/GK sketch) vs exact: cross-engine contract
     is the exact interpolated percentile plus a 1%-relative-error
@@ -2400,6 +2428,7 @@ QUERIES = {
     "pivot_orders_status": pivot_orders_status,
     "percentiles_orders": percentiles_orders,
     "approx_distinct_parts": approx_distinct_parts,
+    "hll_mergeable_rollup": hll_mergeable_rollup,
     "approx_percentile_verdict": approx_percentile_verdict,
     "stratified_sample_mix": stratified_sample_mix,
     "temperature_mix_docs": temperature_mix_docs,

@@ -231,3 +231,52 @@ def test_read_changes_append_fast_path_and_row_diff(spark, catalog):
     assert ch2 == {(1, "delete")}
     ch_all = {(r.id, r._change_type) for r in t.read_changes(0).collect()}
     assert ch_all == {(2, "insert"), (3, "insert")}
+
+
+def test_incremental_agg_refresh_matches_recompute(spark, catalog):
+    """CDC-driven continuous aggregate: applying only the changed rows
+    must land exactly where a full recompute does — across appends AND
+    a rewrite (delete images subtract)."""
+    from dataingestionframework_spark.ingest.maintenance import incremental_agg_refresh
+
+    src = catalog.table("s.facts")
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    src.create(schema)
+    df = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+    src.append(df([("a", 1), ("a", 2), ("b", 10)]))
+
+    agg = catalog.table("s.facts_agg")
+    agg.create(T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("total", T.LongType(), True),
+    ]))
+    v = incremental_agg_refresh(src, agg, ["k"], "v", since_version=0)
+
+    def snapshot():
+        return {(r.k): (r.n, r.total) for r in agg.read().collect() if r.n}
+
+    assert snapshot() == {"a": (2, 3), "b": (1, 10)}
+
+    src.append(df([("b", 5), ("c", 7)]))          # append-only: file-level CDC
+    v = incremental_agg_refresh(src, agg, ["k"], "v", since_version=v)
+    assert snapshot() == {"a": (2, 3), "b": (2, 15), "c": (1, 7)}
+
+    src.delete(F.col("v") == 2)                   # rewrite: row-diff CDC
+    v = incremental_agg_refresh(src, agg, ["k"], "v", since_version=v)
+    assert snapshot() == {"a": (1, 1), "b": (2, 15), "c": (1, 7)}
+
+    # steady state: no new version → no-op, version unchanged
+    assert incremental_agg_refresh(src, agg, ["k"], "v", since_version=v) == v
+
+    # ground truth: full recompute of the source agrees
+    truth = {
+        r.k: (r.n, r.total)
+        for r in src.read().groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("total")
+        ).collect()
+    }
+    assert snapshot() == truth
