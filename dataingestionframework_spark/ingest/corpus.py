@@ -32,6 +32,9 @@ class CorpusPrepSpec:
     dedup: str = "exact"                  # exact | minhash | simhash | none
     minhash_threshold: float = 0.7
     simhash_max_hamming: int = 3
+    mix_alpha: float | None = None        # temperature mix (None = off)
+    mix_target_total: int | None = None   # defaults to surviving count
+    mix_seed: int = 42
     chunk_size: int = 0                   # 0 = no chunking output
     chunk_stride: int = 0                 # defaults to chunk_size if 0
 
@@ -227,6 +230,21 @@ class CorpusPrep:
             stages.append((f"dedup_{s.dedup}", cur.count()))
         elif s.dedup != "none":
             raise ValueError(f"unknown dedup strategy {self.spec.dedup!r}")
+
+        if s.mix_alpha is not None:
+            # temperature resampling AFTER dedup (so rates reflect the
+            # clean corpus); deterministic portable-hash realization
+            from ..operators.corpus import temperature_sample
+
+            cur = temperature_sample(
+                cur,
+                alpha=s.mix_alpha,
+                target_total=s.mix_target_total,
+                group_col=s.lang_col,
+                id_col=s.id_col,
+                seed=s.mix_seed,
+            )
+            stages.append(("temperature_mix", cur.count()))
 
         chunks = None
         if s.chunk_size > 0:

@@ -434,6 +434,52 @@ def temperature_sample(
     )
 
 
+def select_within_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-greedy corpus selection under a per-group token budget:
+    within each language/domain, keep the highest-quality documents
+    whose cumulative token count stays ≤ ``budget_tokens`` (the
+    data-mixing step that turns 'we can afford N tokens of French' into
+    an actual document set).
+
+    Deterministic: quality is rounded to 4 dp and ties break on doc id,
+    so the selection is a pure function of the corpus. One windowed
+    shuffle per group key — per-reducer state is one running sum;
+    partition skew follows corpus language skew, the same profile every
+    per-language stage here has.
+
+    Returns (group, id, quality, n_tokens, cum_tokens) for the kept
+    docs. Docs with 0 tokens are excluded up front.
+    """
+    from .text import bpe_token_count, quality_score
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality"), F.col(id_col)
+    )
+    sized = (
+        docs.select(
+            F.col(group_col).alias("group"),
+            F.col(id_col),
+            F.round(quality_score(F.col(text_col)), 4).alias("quality"),
+            bpe_token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumnRenamed("group", group_col)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(
+            F.col(group_col).alias("group"), id_col, "quality", "n_tokens", "cum_tokens"
+        )
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

@@ -387,6 +387,40 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(*) AS total, true AS within_bounds
         FROM documents GROUP BY lang
     """,
+    "token_budget_select_docs": f"""
+        WITH t AS (
+            SELECT doc_id, lang, text, {_TOKENS} AS ts FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang,
+                   CAST(len(ts) AS DOUBLE) AS n_tok,
+                   CAST(len(list_distinct(ts)) AS DOUBLE)
+                       / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS ttr,
+                   CAST(len(list_filter(ts, x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
+                       / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS sw,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                       AS INTEGER) AS n_tokens
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id, lang, n_tokens,
+                   round(((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN ttr >= 0.2 THEN 1.0 ELSE ttr / 0.2 END)
+                          + (CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END))
+                         / 3.0, 4) AS quality
+            FROM s WHERE n_tokens > 0
+        ),
+        c AS (
+            SELECT lang AS "group", doc_id, quality, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY quality DESC, doc_id
+                   ) AS cum_tokens
+            FROM q
+        )
+        SELECT "group", doc_id, quality,
+               n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens <= 2000
+    """,
     "temperature_mix_docs": """
         WITH counts AS (
             SELECT lang AS grp, count(*) AS n_docs FROM documents GROUP BY lang

@@ -663,6 +663,15 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy selection under a 2000-token budget per language:
+    one windowed running sum per group — no global sort, no collect."""
+    from ..operators.corpus import select_within_token_budget
+
+    t = _t(spark, sf_dir)
+    return select_within_token_budget(t("documents"), budget_tokens=2000)
+
+
 def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based language mixing (p ∝ n^alpha): the per-group
     rates plus the DETERMINISTIC hash-realized sample count — unlike
@@ -2432,6 +2441,7 @@ QUERIES = {
     "approx_percentile_verdict": approx_percentile_verdict,
     "stratified_sample_mix": stratified_sample_mix,
     "temperature_mix_docs": temperature_mix_docs,
+    "token_budget_select_docs": token_budget_select_docs,
     "scrub_pii_contacts": scrub_pii_contacts,
     "mad_outliers_orders": mad_outliers_orders,
     "media_header_probe": media_header_probe,

@@ -310,6 +310,25 @@ def test_corpus_prep_pipeline_end_to_end(spark):
     assert chunk_docs_ids == clean_ids
     assert res.chunks.filter(F.col("n_chunk_tokens") > 30).count() == 0
 
+    # temperature-mix stage: downsampling to ~half reports its own
+    # stage line, shrinks the corpus, and is deterministic
+    target = len(clean_ids) // 2
+    spec_mix = CorpusPrepSpec(
+        lang_allow=["en", "de", "fr"], min_quality=0.4, dedup="simhash",
+        simhash_max_hamming=3, mix_alpha=0.5, mix_target_total=target,
+    )
+    res_mix = CorpusPrep(spec_mix).run(corpus)
+    mix_stages = {r.stage: (r.rows_in, r.rows_out) for r in res_mix.report.collect()}
+    n_mixed = mix_stages["temperature_mix"][1]
+    assert mix_stages["temperature_mix"][0] == stages["dedup_simhash"][1]
+    assert 0 < n_mixed < len(clean_ids)
+    mixed_ids = {r.doc_id for r in res_mix.clean.select("doc_id").collect()}
+    assert mixed_ids <= clean_ids
+    rerun_ids = {
+        r.doc_id for r in CorpusPrep(spec_mix).run(corpus).clean.select("doc_id").collect()
+    }
+    assert rerun_ids == mixed_ids
+
 
 def test_parse_media_headers_real_containers(spark):
     """PNG IHDR and WAV fmt headers parsed with pure byte arithmetic —
