@@ -22,7 +22,12 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _WORDS = (
     "data stream batch row column table scan filter join agg sort hash "
@@ -79,6 +84,36 @@ class SyntheticCorpusReader(DataSourceReader):
             yield make_document(doc_id, partition.seed)
 
 
+class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded synthetic corpus stream (Spark 4 Python streaming
+    DataSource API): each micro-batch emits the next
+    ``docs_per_batch`` documents of the same deterministic corpus the
+    batch reader generates — a rate-controlled load generator for
+    streaming-pipeline tests with zero storage.
+
+    Offsets are plain doc ordinals, so checkpoint/restart resumes at
+    the exact document; replayed ranges regenerate identical rows
+    (deterministic generator ⇒ exactly-once downstream stays honest).
+    """
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.per_batch = int(options.get("docs_per_batch", 100))
+        self.max_docs = int(options.get("max_docs", 10**12))
+
+    def initialOffset(self):  # noqa: N802 (Spark API names)
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.per_batch, self.max_docs)
+        rows = [make_document(i, self.seed) for i in range(lo, hi)]
+        return rows, {"next": hi}
+
+    def readBetweenOffsets(self, start, end):  # noqa: N802 — replay path
+        return [make_document(i, self.seed) for i in range(start["next"], end["next"])]
+
+
 class SyntheticCorpusDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -89,3 +124,6 @@ class SyntheticCorpusDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticCorpusReader:
         return SyntheticCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticCorpusStreamReader:  # noqa: N802
+        return SyntheticCorpusStreamReader(self.options)

@@ -357,3 +357,69 @@ def test_parse_media_headers_real_containers(spark):
     assert (r[2].n_channels, r[2].sample_rate) == (2, 44100)
     assert r[3].media_kind == "other" and r[3].img_width is None
     assert r[4].media_kind is None
+
+
+def test_synthetic_corpus_stream_source(spark, tmp_root):
+    """Streaming Python DataSource: micro-batches walk the deterministic
+    corpus in offset order; rows equal the batch reader's for the same
+    (seed, ids); restart from checkpoint resumes, never duplicates."""
+    import os
+
+    from dataingestionframework_spark.sources.synthetic import (
+        SyntheticCorpusDataSource,
+    )
+
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    ckpt = os.path.join(tmp_root, "syn_ckpt")
+    sink = os.path.join(tmp_root, "syn_sink")
+
+    def drain(min_rows):
+        import time as t
+
+        st = (
+            spark.readStream.format("synthetic_corpus")
+            .option("seed", 11)
+            .option("docs_per_batch", 40)
+            .load()
+        )
+        q = (
+            st.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = t.time() + 60
+        while t.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() >= min_rows:
+                    break
+            except Exception:
+                pass
+            t.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+        return spark.read.parquet(sink).collect()
+
+    got = drain(80)
+    ids = sorted(r.doc_id for r in got)
+    assert len(ids) == len(set(ids))          # no duplicates
+    assert ids == list(range(ids[-1] + 1))    # contiguous from 0
+
+    # values match the deterministic batch generator
+    batch = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", ids[-1] + 1)
+        .option("seed", 11)
+        .load()
+        .collect()
+    )
+    assert {(r.doc_id, r.text) for r in got} == {(r.doc_id, r.text) for r in batch}
+
+    # restart from the same checkpoint: continues, still no dups
+    more = drain(len(ids) + 80)
+    ids2 = sorted(r.doc_id for r in more)
+    assert len(ids2) == len(set(ids2))
+    assert ids2[0] == 0 and len(ids2) > len(ids)
+    assert ids2 == list(range(ids2[-1] + 1))  # still contiguous
