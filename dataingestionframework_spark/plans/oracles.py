@@ -387,6 +387,21 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(*) AS total, true AS within_bounds
         FROM documents GROUP BY lang
     """,
+    "argmax_agg_family": """
+        SELECT o_orderpriority,
+               arg_max(o_orderkey, o_totalprice) AS top_order,
+               arg_min(o_orderkey, o_totalprice) AS bottom_order,
+               count_if(o_orderstatus = 'F') AS n_f,
+               bool_or(o_totalprice > 400000) AS any_big,
+               bool_and(o_totalprice > 0) AS all_pos
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "variant_json_events": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) <= 50
+    """,
     "token_budget_select_docs": f"""
         WITH t AS (
             SELECT doc_id, lang, text, {_TOKENS} AS ts FROM documents

@@ -1656,6 +1656,40 @@ def except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
+def argmax_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extremum + conditional-boolean aggregate family: max_by /
+    min_by (DuckDB arg_max/arg_min), count_if, bool_or, bool_and.
+    Deterministic on this data: per-priority totalprice maxima/minima
+    are unique at the grading SF (verified), orderkeys are unique."""
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, o_totalprice)").alias("top_order"),
+            F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
+            F.expr("count_if(o_orderstatus = 'F')").alias("n_f"),
+            F.expr("bool_or(o_totalprice > 400000)").alias("any_big"),
+            F.expr("bool_and(o_totalprice > 0)").alias("all_pos"),
+        )
+    )
+
+
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json → variant_get path extraction —
+    the semi-structured fast path (binary variant encoding beats
+    re-parsing JSON text per access). Oracle is plain JSON extraction."""
+    t = _t(spark, sf_dir)
+    return (
+        t("events")
+        .select(
+            "event_id",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_value"),
+        )
+        .filter(F.col("k_value") <= 50)
+    )
+
+
 def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL / EXCEPT ALL (bag semantics — multiplicity-aware,
     unlike the distinct forms above): per flag-status pair, how many
@@ -2485,6 +2519,8 @@ QUERIES = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "window_range_interval": window_range_interval,
     "set_ops_all_variants": set_ops_all_variants,
+    "argmax_agg_family": argmax_agg_family,
+    "variant_json_events": variant_json_events,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
     "resize_stub_docs": resize_stub_docs,
