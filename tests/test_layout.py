@@ -218,3 +218,26 @@ def test_salted_join_spreads_hot_key_across_tasks(spark):
     # so the spread is >= salt/2 tasks, not exactly salt)
     assert salted_tasks >= salt // 2
     assert salted_max <= 20000 / 2
+
+
+def test_join_hints_steer_physical_strategy(spark):
+    """Optimizer control: join hints override Catalyst's size-based
+    choice — the lever for forcing a shuffle-hash join when one side is
+    known-small-per-key but over the broadcast threshold, or a
+    broadcast when statistics lie. Results are identical either way."""
+    left = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+    right = spark.range(0, 2000).selectExpr("id AS k", "id * 3 AS w")
+
+    def physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merged = left.join(right.hint("merge"), "k")
+    assert "SortMergeJoin" in physical(merged)
+    hashed = left.join(right.hint("shuffle_hash"), "k")
+    assert "ShuffledHashJoin" in physical(hashed)
+    bcast = left.join(F.broadcast(right), "k")
+    assert "BroadcastHashJoin" in physical(bcast)
+
+    rows = {(r.k, r.v, r.w) for r in hashed.collect()}
+    assert rows == {(r.k, r.v, r.w) for r in merged.collect()}
+    assert len(rows) == 2000
