@@ -119,31 +119,16 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
+def minhash_band_rows(
+    sig: DataFrame,
     id_col: str = "doc_id",
-    n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via MinHash banding.
-
-    signature → split into ``bands`` groups of ``num_hashes/bands``
-    values → hash each band → self-join per (band_id, band_hash) bucket.
-    The self-join shuffles on the bucket key only; AQE's skew-join
-    handles hot buckets (e.g. boilerplate-heavy corpora).
-    Returns distinct (id_a, id_b) with id_a < id_b.
-
-    Pass precomputed (persisted) ``signatures`` to share them with the
-    estimate stage instead of recomputing.
-    """
+    """Signature columns → LSH band rows (id, band_id, band_hash): one
+    row per (doc, band), the storable/joinable form of the index."""
     rows_per_band = num_hashes // bands
-    sig = signatures if signatures is not None else minhash_signatures(
-        df, text_col, id_col, n, num_hashes
-    )
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -165,6 +150,97 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def update_lsh_index(
+    new_docs: DataFrame,
+    index,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Incremental near-dup indexing — the streaming/batch-incremental
+    shape of MinHash dedup at 100 TB: each new batch's band rows join
+    the PERSISTED index (cost = new×bucket-matches, never all×all),
+    then the batch is appended to the index table for future batches.
+
+    ``index`` is a ManagedTable holding (id, band_id, band_hash) —
+    created on first call. Returns distinct candidate pairs
+    (id_a, id_b), id_a < id_b: cross pairs (new vs already-indexed)
+    plus within-batch pairs. Feed them to :func:`verify_pairs_jaccard`
+    with a frame containing both sides' texts for exact confirmation.
+
+    At scale, bucket the index table by band_hash so each incremental
+    join co-locates without a full shuffle of the accumulated index.
+    """
+    from pyspark.sql import types as T
+
+    sig = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
+    bnew = minhash_band_rows(sig, id_col, num_hashes, bands).cache()
+
+    if not index.exists():
+        index.create(
+            T.StructType(
+                [
+                    T.StructField(id_col, T.LongType(), True),
+                    T.StructField("band_id", T.IntegerType(), True),
+                    T.StructField("band_hash", T.LongType(), True),
+                ]
+            )
+        )
+    old = index.read()
+    cross = (
+        bnew.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+        .join(
+            old.select(F.col(id_col).alias("id_b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    a = bnew.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = bnew.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    within = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    pairs = cross.union(within).filter(F.col("id_a") != F.col("id_b")).distinct()
+    pairs = pairs.cache()
+    pairs.count()  # materialize BEFORE the index grows (self-pair safety)
+    index.append(bnew)
+    bnew.unpersist()
+    return pairs
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    signature → split into ``bands`` groups of ``num_hashes/bands``
+    values → hash each band → self-join per (band_id, band_hash) bucket.
+    The self-join shuffles on the bucket key only; AQE's skew-join
+    handles hot buckets (e.g. boilerplate-heavy corpora).
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Pass precomputed (persisted) ``signatures`` to share them with the
+    estimate stage instead of recomputing.
+    """
+    sig = signatures if signatures is not None else minhash_signatures(
+        df, text_col, id_col, n, num_hashes
+    )
+    banded = minhash_band_rows(sig, id_col, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     return (

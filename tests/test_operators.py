@@ -423,3 +423,43 @@ def test_synthetic_corpus_stream_source(spark, tmp_root):
     assert len(ids2) == len(set(ids2))
     assert ids2[0] == 0 and len(ids2) > len(ids)
     assert ids2 == list(range(ids2[-1] + 1))  # still contiguous
+
+
+def test_update_lsh_index_incremental_candidates(spark, docs, tmp_root):
+    """Incremental MinHash-LSH index: batch 2's near-dup of a batch-1
+    doc is found by joining the persisted band index (new x indexed),
+    never recomputing batch 1; the index accumulates across calls."""
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from dataingestionframework_spark.operators.dedup import (
+        update_lsh_index,
+        verify_pairs_jaccard,
+    )
+    import os
+
+    index = ManagedTable(spark, os.path.join(tmp_root, "lsh_index"))
+    batch1 = docs.filter(F.col("doc_id") < 60)
+    p1 = update_lsh_index(batch1, index)
+    n_idx_1 = index.count()
+    assert n_idx_1 == batch1.count() * 16  # one row per (doc, band)
+
+    # batch 2: a near-dup of doc 0 (one token changed) + fresh docs
+    base = docs.filter(F.col("doc_id") == 0).first().text
+    toks = base.split()
+    toks[len(toks) // 2] = "zzzchanged"
+    near = spark.createDataFrame(
+        [(7000, " ".join(toks), "en", "dup", len(base))], docs.schema
+    )
+    batch2 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80)).union(near)
+    p2 = update_lsh_index(batch2, index)
+    assert index.count() == n_idx_1 + batch2.count() * 16
+
+    cand = {(r.id_a, r.id_b) for r in p2.collect()}
+    assert (0, 7000) in cand  # cross-batch near-dup caught via the index
+    # and the exact verifier confirms it above threshold
+    verified = verify_pairs_jaccard(
+        p2.filter((F.col("id_a") == 0) & (F.col("id_b") == 7000)),
+        docs.union(near), threshold=0.3,
+    )
+    assert verified.count() == 1
+    # batch-1-internal pairs must NOT reappear in batch 2's output
+    assert not any(a < 60 and b < 60 for a, b in cand)
