@@ -245,3 +245,75 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "10.0.42.7" not in got[2].text
     assert got[3].n_redactions == 0 and got[3].text == "no pii here at all"
     assert got[4].n_email == 2 and got[4].n_phone == 1 and got[4].n_redactions == 3
+
+
+def test_llm_pipeline_composition_end_to_end(spark, tmp_path_factory):
+    """The full LLM data-pipeline story composes: streaming intake with
+    sink-horizon dedup → incremental LSH index across two batches →
+    transitive clustering → token-budget selection → sequence packing →
+    deterministic splits. Each hand-off is schema- and id-consistent."""
+    import os
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from dataingestionframework_spark.ingest.corpus import corpus_incremental_intake
+    from dataingestionframework_spark.operators.corpus import (
+        pack_sequences,
+        select_within_token_budget,
+        train_split_shard,
+    )
+    from dataingestionframework_spark.operators.dedup import update_lsh_index
+    from dataingestionframework_spark.operators.graph import dedup_clusters
+    from dataingestionframework_spark.sources.synthetic import (
+        SyntheticCorpusDataSource,
+    )
+
+    root = str(tmp_path_factory.mktemp("llm_e2e"))
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    gen = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 120).option("seed", 5).load()
+        .withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+
+    # 1. stream the corpus in (one exact-dup planted across batches)
+    src, sink, ckpt = (os.path.join(root, d) for d in ("src", "sink", "ckpt"))
+    b1 = gen.filter(F.col("doc_id") < 70)
+    b1.write.mode("append").parquet(src)
+    st = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    corpus_incremental_intake(st, sink, ckpt).awaitTermination(120)
+
+    dup_of_3 = gen.filter(F.col("doc_id") == 3).withColumn(
+        "doc_id", F.col("doc_id") + 5000
+    )
+    gen.filter((F.col("doc_id") >= 70)).union(dup_of_3).write.mode("append").parquet(src)
+    st2 = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    corpus_incremental_intake(st2, sink, ckpt).awaitTermination(120)
+
+    corpus = spark.read.parquet(sink).drop("_fp")
+    assert corpus.count() == 120  # exact dup never re-entered
+
+    # 2. incremental near-dup index over the two intake halves
+    index = ManagedTable(spark, os.path.join(root, "lsh_idx"))
+    half1 = corpus.filter(F.col("doc_id") < 70)
+    half2 = corpus.filter(F.col("doc_id") >= 70)
+    pairs = update_lsh_index(half1, index).union(update_lsh_index(half2, index))
+
+    # 3. transitive clustering → canonical keep-set
+    clusters = dedup_clusters(corpus, pairs)
+    keep = corpus.join(
+        clusters.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+    assert keep.count() <= 120
+
+    # 4. budget selection → packing → splits, ids consistent throughout
+    picked = select_within_token_budget(keep, budget_tokens=1500)
+    picked_docs = keep.join(picked.select("doc_id"), "doc_id")
+    packed = pack_sequences(picked_docs, seq_len=64)
+    splits = train_split_shard(picked_docs, n_shards=8)
+
+    picked_ids = {r.doc_id for r in picked.collect()}
+    assert picked_ids  # budget admits something
+    assert {r.doc_id for r in packed.select("doc_id").distinct().collect()} <= picked_ids
+    assert {r.doc_id for r in splits.collect()} == picked_ids
+    assert set(r.split for r in splits.collect()) <= {"train", "val", "test"}
