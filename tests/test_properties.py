@@ -185,3 +185,78 @@ def test_seeded_shuffle_matches_hash_sort(spark, ids, seed):
     got = {r.doc_id: r.shuffle_rank for r in seeded_shuffle(df, seed=seed).collect()}
     order = sorted(ids, key=lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
     assert got == {i: pos for pos, i in enumerate(order)}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["en", "es", "fr", "de", "zh"]),
+        st.integers(1, 40), min_size=1, max_size=5,
+    ),
+    alpha=st.floats(0.0, 1.0),
+    target=st.integers(1, 60),
+)
+def test_temperature_mix_properties(spark, counts, alpha, target):
+    """For ANY corpus profile: weights sum to 1, expected docs sum to
+    min(target-capped-by-rates, …) per definition, rates ∈ (0, 1], and
+    the realized sample is a subset with per-group size ≤ ceil cap."""
+    from dataingestionframework_spark.operators.corpus import (
+        temperature_mix_rates,
+        temperature_sample,
+    )
+
+    rows = [
+        (lang, i + 1000 * li)
+        for li, (lang, n) in enumerate(sorted(counts.items()))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(doc_id, lang) for lang, doc_id in rows], "doc_id long, lang string"
+    )
+    rates = temperature_mix_rates(df, alpha=alpha, target_total=target).collect()
+    assert abs(sum(r.mix_weight for r in rates) - 1.0) < 1e-6
+    assert all(0 < r.sample_rate <= 1.0 + 1e-9 for r in rates)
+    by_group = {r.group: r for r in rates}
+    sampled = temperature_sample(df, alpha=alpha, target_total=target).collect()
+    all_ids = {r.doc_id for r in df.collect()}
+    assert {r.doc_id for r in sampled} <= all_ids
+    # per-group realized count never exceeds the group's population
+    from collections import Counter
+
+    got = Counter(r.lang for r in sampled)
+    for g, n in got.items():
+        assert n <= by_group[g].n_docs
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    chunks=st.lists(
+        st.sampled_from([
+            "plain words here",
+            "mail me at a.b-c_d@ex-ample.org thanks",
+            "call 212-555-0143 now",
+            "host 10.0.0.1 up",
+            "x@y.io 99-1234-5678",
+        ]),
+        min_size=1, max_size=5,
+    )
+)
+def test_scrub_pii_idempotent_and_clean(spark, chunks):
+    """Scrubbing is idempotent (placeholders contain no PII patterns)
+    and the scrubbed text never matches any pattern again."""
+    from dataingestionframework_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    text = " ".join(chunks)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    once = scrub_pii(df, "text")
+    twice = scrub_pii(once.select("id", "text"), "text")
+    r1 = once.first()
+    r2 = twice.first()
+    assert r2.text == r1.text            # idempotent
+    assert r2.n_redactions == 0          # nothing left to find
+    import re
+
+    for pat in PII_PATTERNS.values():
+        assert not re.search(pat, r1.text)
