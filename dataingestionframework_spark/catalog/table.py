@@ -326,7 +326,10 @@ class ManagedTable:
         """
         if not self.exists():
             self.create(df.schema)
-            self._writer(df, "overwrite").parquet(self.data_dir())
+            # append (not overwrite) into the created dir: the create
+            # commit's manifest references its empty file — clobbering
+            # it would break read(version=0)
+            self._writer(df, "append").parquet(self.data_dir())
             self._log_commit("append")
             return
         schema = self._merged_schema(df.schema) if merge_schema else self.schema()

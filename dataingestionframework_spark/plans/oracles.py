@@ -387,6 +387,22 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(*) AS total, true AS within_bounds
         FROM documents GROUP BY lang
     """,
+    "time_travel_counts": """
+        SELECT CAST(0 AS INTEGER) AS version, 'create' AS op,
+               CAST(0 AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 1, 'append',
+               (SELECT count(*) FROM orders WHERE o_orderkey < 2000)
+        UNION ALL
+        SELECT 2, 'delete',
+               (SELECT count(*) FROM orders
+                WHERE o_orderkey < 2000 AND o_orderstatus <> 'F')
+    """,
+    "cdc_changes_orders": """
+        SELECT o_orderkey, 'delete' AS _change_type
+        FROM orders
+        WHERE o_orderkey < 2000 AND o_orderstatus = 'F'
+    """,
     "argmax_agg_family": """
         SELECT o_orderpriority,
                arg_max(o_orderkey, o_totalprice) AS top_order,

@@ -1656,6 +1656,46 @@ def except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
+def time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the commit log, in the graded gate: build a
+    versioned table (create → append → delete), then read EVERY
+    version's row count via ``read(version=n)``. The oracle recomputes
+    each count from pure predicates over the source — equality proves
+    the manifests reconstruct exact historical images."""
+    from ..catalog.table import ManagedTable
+
+    t = _t(spark, sf_dir)
+    src = t("orders").filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="dif_tt_")
+    table = ManagedTable(spark, os.path.join(root, "orders_tt"))
+    table.append(src)                                   # v0 create, v1 append
+    table.delete(F.col("o_orderstatus") == "F")         # v2 delete
+    rows = [
+        (h["version"], h["op"], table.read(version=h["version"]).count())
+        for h in table.history()
+    ]
+    return spark.createDataFrame(rows, "version int, op string, n_rows long")
+
+
+def cdc_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed in the graded gate: after a delete on a
+    versioned table, ``read_changes`` must emit exactly the deleted
+    row images — the oracle recomputes them as a plain predicate."""
+    from ..catalog.table import ManagedTable
+
+    t = _t(spark, sf_dir)
+    src = t("orders").filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="dif_cdc_")
+    table = ManagedTable(spark, os.path.join(root, "orders_cdc"))
+    table.append(src)                                   # v0 create, v1 append
+    table.delete(F.col("o_orderstatus") == "F")         # v2
+    return table.read_changes(1).select("o_orderkey", "_change_type")
+
+
 def argmax_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-extremum + conditional-boolean aggregate family: max_by /
     min_by (DuckDB arg_max/arg_min), count_if, bool_or, bool_and.
@@ -2521,6 +2561,8 @@ QUERIES = {
     "set_ops_all_variants": set_ops_all_variants,
     "argmax_agg_family": argmax_agg_family,
     "variant_json_events": variant_json_events,
+    "time_travel_counts": time_travel_counts,
+    "cdc_changes_orders": cdc_changes_orders,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
     "resize_stub_docs": resize_stub_docs,
