@@ -387,6 +387,31 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(*) AS total, true AS within_bounds
         FROM documents GROUP BY lang
     """,
+    "incremental_agg_parity": """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS total
+        FROM orders
+        WHERE o_orderkey < 3000 AND o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+    """,
+    # same contract as minhash_near_dup: the incremental two-batch
+    # index must reproduce the exact all-pairs answer
+    "lsh_index_incremental": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
+                  FROM ({_GRAMS3}) GROUP BY doc_id)
+        SELECT id_a, id_b, jaccard_sim
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
+                       AS jaccard_sim
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard_sim >= 0.3
+    """,
     "time_travel_counts": """
         SELECT CAST(0 AS INTEGER) AS version, 'create' AS op,
                CAST(0 AS BIGINT) AS n_rows

@@ -1696,6 +1696,67 @@ def cdc_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_changes(1).select("o_orderkey", "_change_type")
 
 
+def incremental_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven continuous aggregate in the graded gate: a fact table
+    built in three commits (append, append, delete) with the aggregate
+    refreshed INCREMENTALLY after each — signed ±delta merges only,
+    never a fact-table rescan. The oracle recomputes the final
+    aggregate from predicates; equality proves the staged deltas land
+    exactly. Money math in decimal so staged addition is exact."""
+    from ..catalog.table import ManagedTable
+    from ..ingest.maintenance import incremental_agg_refresh
+    from pyspark.sql import types as T
+
+    t = _t(spark, sf_dir)
+    src = t("orders").filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="dif_inc_")
+    facts = ManagedTable(spark, os.path.join(root, "facts"))
+    agg = ManagedTable(spark, os.path.join(root, "agg"))
+    agg.create(
+        T.StructType(
+            [
+                T.StructField("o_orderpriority", T.StringType(), True),
+                T.StructField("n", T.LongType(), True),
+                T.StructField("total", T.DecimalType(28, 2), True),
+            ]
+        )
+    )
+    facts.append(src.filter(F.col("o_orderkey") < 1500))
+    v = incremental_agg_refresh(facts, agg, ["o_orderpriority"], "price", 0)
+    facts.append(src.filter(F.col("o_orderkey") >= 1500))
+    v = incremental_agg_refresh(facts, agg, ["o_orderpriority"], "price", v)
+    facts.delete(F.col("o_orderstatus") == "F")
+    incremental_agg_refresh(facts, agg, ["o_orderpriority"], "price", v)
+    return agg.read().filter(F.col("n") > 0).select(
+        "o_orderpriority", "n", F.col("total").cast("decimal(18,2)").alias("total")
+    )
+
+
+def lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH indexing in the graded gate: the corpus
+    arrives in two batches, each joined against the persisted band
+    index then appended to it; exact-verified pairs from the two
+    increments must equal the one-shot all-pairs answer (the same
+    oracle as minhash_near_dup) — proof the incremental funnel loses
+    nothing."""
+    from ..catalog.table import ManagedTable
+    from ..operators.dedup import update_lsh_index, verify_pairs_jaccard
+
+    t = _t(spark, sf_dir)
+    docs = t("documents")
+    mid = 250
+    root = tempfile.mkdtemp(prefix="dif_lshidx_")
+    index = ManagedTable(spark, os.path.join(root, "bands"))
+    p1 = update_lsh_index(docs.filter(F.col("doc_id") < mid), index)
+    p2 = update_lsh_index(docs.filter(F.col("doc_id") >= mid), index)
+    return verify_pairs_jaccard(p1.union(p2).distinct(), docs, threshold=0.3)
+
+
 def argmax_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-extremum + conditional-boolean aggregate family: max_by /
     min_by (DuckDB arg_max/arg_min), count_if, bool_or, bool_and.
@@ -2563,6 +2624,8 @@ QUERIES = {
     "variant_json_events": variant_json_events,
     "time_travel_counts": time_travel_counts,
     "cdc_changes_orders": cdc_changes_orders,
+    "incremental_agg_parity": incremental_agg_parity,
+    "lsh_index_incremental": lsh_index_incremental,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
     "resize_stub_docs": resize_stub_docs,
