@@ -125,6 +125,11 @@ class ManagedTable:
     # (appends share a version dir, so the file list — not the dir — is
     # the source of truth). The Delta backend maps these to native
     # ``versionAsOf`` / ``DeltaTable.history()`` instead.
+    #
+    # Single-writer assumption: the pointer swap is atomic for readers,
+    # but concurrent WRITERS would interleave log lines — multi-writer
+    # commit arbitration is exactly what the Delta backend's real
+    # transaction log provides on a cluster.
 
     def _history_path(self) -> str:
         return os.path.join(self.root, _HISTORY)

@@ -399,7 +399,8 @@ ORACLES: dict[str, str] = {
     # same contract as minhash_near_dup: the incremental two-batch
     # index must reproduce the exact all-pairs answer
     "lsh_index_incremental": f"""
-        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts
+                      FROM documents WHERE doc_id < 300),
         grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
                   FROM ({_GRAMS3}) GROUP BY doc_id)
         SELECT id_a, id_b, jaccard_sim
