@@ -387,6 +387,32 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(*) AS total, true AS within_bounds
         FROM documents GROUP BY lang
     """,
+    "lateral_topn_per_region": """
+        SELECT r.r_name, t.n_name, t.cnt
+        FROM region r,
+        LATERAL (
+            SELECT n.n_name, count(*) AS cnt
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY cnt DESC, n.n_name
+            LIMIT 2
+        ) t
+    """,
+    "null_safe_join_counts": """
+        WITH a AS (
+            SELECT CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey % 5 END AS k,
+                   count(*) AS n_a
+            FROM orders WHERE o_orderkey < 500 GROUP BY 1
+        ),
+        b AS (
+            SELECT CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey % 5 END AS k,
+                   count(*) AS n_b
+            FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000 GROUP BY 1
+        )
+        SELECT a.k, n_a, n_b
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
     "incremental_agg_parity": """
         SELECT o_orderpriority,
                count(*) AS n,

@@ -1696,6 +1696,52 @@ def cdc_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_changes(1).select("o_orderkey", "_change_type")
 
 
+def lateral_topn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT — the SQL-text form of
+    top-N-per-group (Catalyst decorrelates to a windowed join; no
+    per-row re-execution). Ties broken by name for determinism."""
+    t = _t(spark, sf_dir)
+    for name in ("region", "nation", "customer"):
+        t(name).createOrReplaceTempView(f"_lat_{name}")
+    return spark.sql("""
+        SELECT r.r_name, t.n_name, t.cnt
+        FROM _lat_region r,
+        LATERAL (
+            SELECT n.n_name, count(*) AS cnt
+            FROM _lat_nation n JOIN _lat_customer c
+                 ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY cnt DESC, n.n_name
+            LIMIT 2
+        ) t
+    """)
+
+
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics SQL inner
+    joins silently drop."""
+    t = _t(spark, sf_dir)
+    key = F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderkey") % 5)
+    o = t("orders")
+    a = (
+        o.filter(F.col("o_orderkey") < 500)
+        .select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000))
+        .select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_a", "n_b"
+    )
+
+
 def incremental_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-driven continuous aggregate in the graded gate: a fact table
     built in three commits (append, append, delete) with the aggregate
@@ -2630,6 +2676,8 @@ QUERIES = {
     "cdc_changes_orders": cdc_changes_orders,
     "incremental_agg_parity": incremental_agg_parity,
     "lsh_index_incremental": lsh_index_incremental,
+    "lateral_topn_per_region": lateral_topn_per_region,
+    "null_safe_join_counts": null_safe_join_counts,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
     "resize_stub_docs": resize_stub_docs,
