@@ -184,7 +184,9 @@ class DeltaManagedTable:
             return int(metrics["numOutputRows"])
         return self.count()  # defensive fallback: metrics missing
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, _op: str = "overwrite") -> None:
+        # _op: parquet-backend commit-log label; Delta's own history
+        # records the operation natively, so it is accepted and ignored
         (
             df.write.format("delta")
             .mode("overwrite")

@@ -387,6 +387,28 @@ ORACLES: dict[str, str] = {
         SELECT lang, count(*) AS total, true AS within_bounds
         FROM documents GROUP BY lang
     """,
+    "scd2_customer_dim": """
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 300
+        )
+        -- unchanged keys: still the open seed row
+        SELECT c_custkey, c_mktsegment,
+               DATE '2024-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, true AS is_current
+        FROM base WHERE c_custkey % 3 <> 0
+        UNION ALL
+        -- changed keys: seed row closed at the effective date...
+        SELECT c_custkey, c_mktsegment,
+               DATE '2024-01-01', DATE '2024-06-01', false
+        FROM base WHERE c_custkey % 3 = 0
+        UNION ALL
+        -- ...and the new version open from it
+        SELECT c_custkey, 'UPDATED', DATE '2024-06-01', NULL, true
+        FROM base WHERE c_custkey % 3 = 0
+        UNION ALL
+        -- the brand-new key
+        SELECT 99991, 'NEWSEG', DATE '2024-06-01', NULL, true
+    """,
     "lateral_topn_per_region": """
         SELECT r.r_name, t.n_name, t.cnt
         FROM region r,

@@ -1696,6 +1696,44 @@ def cdc_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_changes(1).select("o_orderkey", "_change_type")
 
 
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance in the graded gate: seed the
+    dim at 2024-01-01, apply a second snapshot at 2024-06-01 that
+    changes every third customer's segment and adds one new key; the
+    full interval history must match the oracle's predicate recompute
+    (closed rows keep their original values with valid_to set; new
+    versions open at the effective date)."""
+    from ..catalog.scd import scd2_apply
+    from ..catalog.table import ManagedTable
+
+    t = _t(spark, sf_dir)
+    base = t("customer").filter(F.col("c_custkey") < 300).select(
+        "c_custkey", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="dif_scd2_")
+    dim = ManagedTable(spark, os.path.join(root, "cust_dim"))
+    seed = base.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim.append(seed)
+    snapshot2 = base.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("UPDATED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).unionByName(
+        spark.createDataFrame([(99991, "NEWSEG")], "c_custkey long, c_mktsegment string")
+    )
+    scd2_apply(dim, snapshot2, ["c_custkey"], ["c_mktsegment"], "2024-06-01")
+    return dim.read().select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
+    )
+
+
 def lateral_topn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with LIMIT — the SQL-text form of
     top-N-per-group (Catalyst decorrelates to a windowed join; no
@@ -2678,6 +2716,7 @@ QUERIES = {
     "lsh_index_incremental": lsh_index_incremental,
     "lateral_topn_per_region": lateral_topn_per_region,
     "null_safe_join_counts": null_safe_join_counts,
+    "scd2_customer_dim": scd2_customer_dim,
     "seeded_shuffle_docs": seeded_shuffle_docs,
     "frame_sample_docs": frame_sample_docs,
     "resize_stub_docs": resize_stub_docs,

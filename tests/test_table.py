@@ -280,3 +280,39 @@ def test_incremental_agg_refresh_matches_recompute(spark, catalog):
         ).collect()
     }
     assert snapshot() == truth
+
+
+def test_scd2_two_applies_full_interval_history(spark, catalog):
+    """SCD2 across two change waves: intervals chain (v1 closes where
+    v2 opens), exactly one current row per live key, history immutable."""
+    from dataingestionframework_spark.catalog.scd import scd2_apply
+
+    dim = catalog.table("s.scd")
+    seed = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, attr string"
+    ).select(
+        "k", "attr",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim.append(seed)
+
+    s1 = spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")], "k long, attr string")
+    scd2_apply(dim, s1, ["k"], ["attr"], "2024-02-01")
+    s2 = spark.createDataFrame([(1, "a3"), (2, "b9"), (3, "c")], "k long, attr string")
+    scd2_apply(dim, s2, ["k"], ["attr"], "2024-03-01")
+
+    rows = {(r.k, r.attr): (str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in dim.read().collect()}
+    assert rows == {
+        (1, "a"):  ("2024-01-01", "2024-02-01", False),
+        (1, "a2"): ("2024-02-01", "2024-03-01", False),
+        (1, "a3"): ("2024-03-01", "None", True),
+        (2, "b"):  ("2024-01-01", "2024-03-01", False),
+        (2, "b9"): ("2024-03-01", "None", True),
+        (3, "c"):  ("2024-02-01", "None", True),
+    }
+    # invariant: exactly one current row per key
+    cur = dim.read().filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
