@@ -292,6 +292,40 @@ def train_split_shard(
     )
 
 
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain frequency cap: keep at most ``cap`` rows per
+    ``group_col``, chosen by a deterministic portable-hash order of the
+    id (md5, ties broken by the id itself) — a pure function of the
+    data, reproducible in any SQL engine, unlike ``rand()`` sampling.
+
+    Web-crawl corpora cap documents per domain so a single site cannot
+    dominate training data. One window rank partitioned by the group —
+    a single shuffle on ``group_col``; no global sort. At 100 TB a
+    hot domain with billions of pages would skew the window partition:
+    pre-aggregate counts and only window groups over the cap, or salt
+    the rank with a two-phase top-k (the bounded per-group heap the
+    windowed rank compiles to under AQE handles moderate skew).
+
+    Adds ``pick_rank`` (1-based deterministic order within the group).
+    """
+    order_key = portable_gram_hash(
+        F.concat_ws(":", F.lit("cap"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key.asc(), F.col(id_col).asc())
+    )
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= cap)
+    )
+
+
 def global_sort_rank(
     df: DataFrame,
     order_col: str,

@@ -263,6 +263,100 @@ def simhash64_df(
     return votes.select(F.col(id_col), packed.alias("sh"))
 
 
+def segment_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 8,
+    delim: str | None = None,
+) -> DataFrame:
+    """Documents → ``(id, seg_id, segment)`` rows.
+
+    With ``delim`` (a split regex, e.g. ``"\\n"``) segments are real
+    lines — the production mode for web-crawl text. Without it, fixed
+    non-overlapping ``words_per_segment``-word windows stand in for
+    lines (the testdata corpus has no newlines). Empty/whitespace
+    segments are dropped. Pure expressions + one explode: no shuffle.
+    """
+    if delim is not None:
+        segs = F.split(F.col(text_col), delim)
+    else:
+        toks = tokens(F.col(text_col))
+        starts = F.sequence(
+            F.lit(0),
+            F.greatest(F.size(toks) - 1, F.lit(0)),
+            F.lit(words_per_segment),
+        )
+        segs = F.transform(
+            starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, words_per_segment))
+        )
+    out = df.select(F.col(id_col), F.posexplode(segs).alias("seg_id", "segment"))
+    return out.filter(F.length(F.trim(F.col("segment"))) > 0)
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 8,
+    max_docs: int = 2,
+    delim: str | None = None,
+    join_sep: str | None = None,
+) -> DataFrame:
+    """CCNet-style line-level dedup: drop every segment (line) whose
+    normalized form appears in ``max_docs`` or more DISTINCT documents
+    corpus-wide, then reassemble each document from its surviving
+    segments in original order.
+
+    This is the boilerplate-removal pass of a web-scale training
+    pipeline (nav menus, cookie banners, footers repeat across pages;
+    prose does not). Reference has no text analytics — capability
+    extension per SURVEY §2 M7.
+
+    Scale shape: one explode, one groupBy on the normalized segment
+    string (frequency), one equi-join back (Catalyst shuffles on the
+    same key — and at 100 TB the segment string can be replaced by its
+    xxhash64 to shrink the shuffle; kept as the string here so the
+    DuckDB oracle is engine-exact), one groupBy per doc to reassemble.
+    All linear in total segments; no pairwise work, no Python.
+
+    Output: (id, n_segments, kept_segments, dropped_segments,
+    clean_text); docs whose every segment was boilerplate keep a row
+    with ``clean_text = ''``.
+    """
+    sep = join_sep if join_sep is not None else ("\n" if delim is not None else " ")
+    segs = segment_documents(df, text_col, id_col, words_per_segment, delim)
+    segs = segs.withColumn("seg_norm", F.lower(F.trim(F.col("segment"))))
+    freq = segs.groupBy("seg_norm").agg(
+        F.count_distinct(id_col).alias("seg_docs")
+    )
+    kept = (
+        segs.join(freq, "seg_norm")
+        .filter(F.col("seg_docs") < max_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("kept_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_id", "segment"))),
+                    lambda x: x["segment"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+    totals = segs.groupBy(id_col).agg(F.count("*").alias("n_segments"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_segments",
+        F.coalesce("kept_segments", F.lit(0)).alias("kept_segments"),
+        (F.col("n_segments") - F.coalesce("kept_segments", F.lit(0))).alias(
+            "dropped_segments"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 __all__ = [
     "DEFAULT_STOPWORDS",
     "LANG_PROFILES",

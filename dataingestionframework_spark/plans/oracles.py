@@ -1649,4 +1649,83 @@ ORACLES: dict[str, str] = {
                true                      AS within_5pct
         FROM lineitem
     """,
+    # line-level (8-word-segment) boilerplate dedup: segments occurring
+    # in >= 2 distinct docs are dropped, survivors reassembled in order.
+    "line_dedup_docs": """
+        WITH w AS (
+            SELECT doc_id, word,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS idx
+            FROM (
+                SELECT doc_id, unnest(ws) AS word,
+                       unnest(range(1, len(ws) + 1)) AS ord
+                FROM (SELECT doc_id,
+                             string_split_regex(text, '\\s+') AS ws
+                      FROM documents)
+            )
+            WHERE word <> ''
+        ),
+        seg AS (
+            SELECT doc_id, CAST(idx // 8 AS INT) AS seg_id,
+                   string_agg(word, ' ' ORDER BY idx) AS segment
+            FROM w GROUP BY doc_id, idx // 8
+        ),
+        segn AS (
+            SELECT *, lower(trim(segment)) AS seg_norm FROM seg
+            WHERE length(trim(segment)) > 0
+        ),
+        freq AS (
+            SELECT seg_norm, count(DISTINCT doc_id) AS seg_docs
+            FROM segn GROUP BY seg_norm
+        ),
+        kept AS (
+            SELECT s.doc_id, count(*) AS kept_segments,
+                   string_agg(s.segment, ' ' ORDER BY s.seg_id) AS clean_text
+            FROM segn s JOIN freq f USING (seg_norm)
+            WHERE f.seg_docs < 2
+            GROUP BY s.doc_id
+        ),
+        totals AS (
+            SELECT doc_id, count(*) AS n_segments FROM segn GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               t.n_segments,
+               coalesce(k.kept_segments, 0)                  AS kept_segments,
+               t.n_segments - coalesce(k.kept_segments, 0)   AS dropped_segments,
+               coalesce(k.clean_text, '')                    AS clean_text
+        FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+    # deterministic per-domain cap: md5-ordered top-15 per source.
+    "cap_per_source_docs": """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substring(md5('cap:'
+                           || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT,
+                                doc_id) AS INT) AS pick_rank
+            FROM documents
+        )
+        SELECT doc_id, source, pick_rank FROM ranked WHERE pick_rank <= 15
+    """,
+    # parse_url/url_decode twin: rebuild the same parts with regexes on
+    # the identically-synthesized URL string.
+    "url_functions_docs": """
+        WITH d AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/' || lang
+                     || '/doc-' || CAST(doc_id AS VARCHAR)
+                     || '?ref=a%20b&page=' || CAST(doc_id % 7 AS VARCHAR)
+                     || '#frag' AS url
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, 'https://([^/]+)/', 1)     AS host,
+               regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]page=([^&#]*)', 1)    AS page_param,
+               replace(regexp_extract(url, '[?&]ref=([^&#]*)', 1),
+                       '%20', ' ')                            AS ref_decoded,
+               regexp_extract(url, '#(.*)$', 1)               AS fragment
+        FROM d
+    """,
 }

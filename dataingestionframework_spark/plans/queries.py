@@ -2625,6 +2625,70 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup()
 
 
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate dedup: drop every 8-word
+    segment whose normalized form occurs in ≥2 distinct documents,
+    reassemble the survivors in order. Linear funnel — explode →
+    segment-frequency agg → equi-join → per-doc reassembly; no
+    pairwise work, no Python."""
+    from ..operators.text import remove_duplicate_segments
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return remove_duplicate_segments(
+        t("documents"), words_per_segment=8, max_docs=2
+    )
+
+
+def cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (web-crawl pipelines cap docs per
+    domain so one site can't dominate the corpus): keep ≤15 docs per
+    ``source``, chosen by a DETERMINISTIC portable-hash order
+    (md5 of doc_id) so the kept set is a pure function of the data —
+    reproducible across engines, unlike rand()-based sampling. One
+    windowed rank per group; no global sort."""
+    from ..operators.corpus import cap_per_group
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    capped = cap_per_group(t("documents"), group_col="source", cap=15)
+    return capped.select("doc_id", "source", "pick_rank")
+
+
+def url_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (host/path/query-param extraction + percent
+    decoding) over synthesized crawl URLs — the normalization step
+    before per-domain dedup. ``parse_url``/``url_decode`` are
+    JVM-side; the oracle rebuilds the same parts with regexes."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=a%20b&page="),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit("#frag"),
+    )
+    d = t("documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", url.alias("url")
+    )
+    return d.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.url_decode(F.parse_url("url", F.lit("QUERY"), F.lit("ref"))).alias(
+            "ref_decoded"
+        ),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2755,4 +2819,7 @@ QUERIES = {
     "stream_dedup_parity": stream_dedup_parity,
     "stream_static_enrich_parity": stream_static_enrich_parity,
     "stream_rollup_merge_parity": stream_rollup_merge_parity,
+    "line_dedup_docs": line_dedup_docs,
+    "cap_per_source_docs": cap_per_source_docs,
+    "url_functions_docs": url_functions_docs,
 }

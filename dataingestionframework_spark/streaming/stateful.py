@@ -117,3 +117,74 @@ def closed_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+TWS_OUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, n_types long"
+)
+
+
+def running_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user running profile on the Spark 4 ``transformWithState``
+    API: event count + value sum in a ``ValueState``, the set of seen
+    event types in a ``MapState`` (the state store holds one entry per
+    (user, type) — no unbounded Python-side set). Emits the updated
+    profile for every user seen in the micro-batch (update mode).
+
+    The older ``applyInPandasWithState`` twin is
+    :func:`running_user_counters`; this is the forward-looking surface
+    (typed state handles, timers, TTL) introduced in Spark 4.0. Batch
+    frames fall back to the equivalent one-pass aggregation.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle):
+            self._counts = handle.getValueState(
+                "counts", "n long, total double"
+            )
+            self._types = handle.getMapState(
+                "types", "t string", "seen boolean"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._counts.get()
+            n, total = got if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for t in pdf["event_type"].unique():
+                    self._types.updateValue((str(t),), (True,))
+            self._counts.update((n, total))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _Profile(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

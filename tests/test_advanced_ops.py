@@ -370,3 +370,65 @@ def test_profile_approx_distinct_mode(spark):
         .toString()
     )
     assert "Expand" not in plan
+
+
+def test_tws_running_profile_stream_matches_batch(spark, tmp_root):
+    """Spark 4 transformWithStateInPandas: streaming running profile
+    (ValueState counts + MapState distinct types) converges to the
+    batch one-pass aggregation over the same input.
+
+    Skips when protobuf is absent: the TWS state-server protocol
+    (pyspark.sql.streaming.proto.StateMessage_pb2) imports
+    google.protobuf at runtime and this container doesn't ship it.
+    The batch fallback is covered unconditionally below.
+    """
+    pytest.importorskip("google.protobuf")
+    from dataingestionframework_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    src = os.path.join(tmp_root, "tws_src")
+    from dataingestionframework_spark.plans.tables import load
+
+    ev = load(spark, SF_DIR, "events").limit(300)
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_user_profile_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.n_types)
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    expected = {
+        r.user_id: (r.n_events, r.total_value, r.n_types)
+        for r in running_user_profile_tws(spark.read.parquet(src)).collect()
+    }
+    assert got == expected
+
+
+def test_tws_running_profile_batch_fallback(spark):
+    from dataingestionframework_spark.plans.tables import load
+    from dataingestionframework_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    ev = load(spark, SF_DIR, "events").limit(300)
+    got = {r.user_id: (r.n_events, r.n_types)
+           for r in running_user_profile_tws(ev).collect()}
+    expected = {
+        r.user_id: (r.cnt, r.nt)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"),
+             F.count_distinct("event_type").alias("nt"))
+        .collect()
+    }
+    assert got == expected

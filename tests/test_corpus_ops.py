@@ -317,3 +317,48 @@ def test_llm_pipeline_composition_end_to_end(spark, tmp_path_factory):
     assert {r.doc_id for r in packed.select("doc_id").distinct().collect()} <= picked_ids
     assert {r.doc_id for r in splits.collect()} == picked_ids
     assert set(r.split for r in splits.collect()) <= {"train", "val", "test"}
+
+
+def test_cap_per_group_cap_and_determinism(spark, docs):
+    from dataingestionframework_spark.operators.corpus import cap_per_group
+
+    capped = cap_per_group(docs, group_col="source", cap=7).cache()
+    per_group = capped.groupBy("source").count().collect()
+    assert per_group and all(r["count"] <= 7 for r in per_group)
+    # groups with >= 7 docs are filled to exactly the cap
+    sizes = {r["source"]: r["cnt"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for r in per_group:
+        assert r["count"] == min(7, sizes[r["source"]])
+    # deterministic: second run picks the identical id set
+    again = cap_per_group(docs, group_col="source", cap=7)
+    assert capped.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    capped.unpersist()
+
+
+def test_remove_duplicate_segments_line_mode_and_reassembly(spark):
+    from dataingestionframework_spark.operators.text import (
+        remove_duplicate_segments,
+    )
+
+    rows = [
+        (1, "unique prose one\nCOOKIE BANNER\nmore unique prose"),
+        (2, "cookie banner\nsecond doc body"),
+        (3, "third doc text\nCookie Banner \nthird doc tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = remove_duplicate_segments(
+        df, delim="\n", max_docs=2
+    ).orderBy("doc_id").collect()
+    # normalized "cookie banner" appears in 3 docs -> dropped everywhere
+    assert [r["dropped_segments"] for r in out] == [1, 1, 1]
+    assert out[0]["clean_text"] == "unique prose one\nmore unique prose"
+    assert out[1]["clean_text"] == "second doc body"
+    assert out[2]["clean_text"] == "third doc text\nthird doc tail"
+    # a doc that is ALL boilerplate keeps its row with empty clean_text
+    df2 = spark.createDataFrame(
+        [(1, "only banner"), (2, "only banner"), (3, "only banner")],
+        ["doc_id", "text"],
+    )
+    out2 = remove_duplicate_segments(df2, delim="\n", max_docs=2).collect()
+    assert all(r["clean_text"] == "" and r["kept_segments"] == 0 for r in out2)
