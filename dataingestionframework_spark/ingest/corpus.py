@@ -103,6 +103,72 @@ def corpus_stream_clean(
     return out
 
 
+def corpus_stream_prep(
+    stream: DataFrame,
+    spec: CorpusPrepSpec,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    observe_prefix: str | None = None,
+) -> DataFrame:
+    """FULL streaming CorpusPrep: the whole batch pipeline — language
+    filter → quality gate → exact-dedup (within the watermark) →
+    context-window chunking — as ONE incremental plan, with a per-stage
+    ``observe()`` funnel riding every micro-batch's progress when
+    ``observe_prefix`` is set (input/lang/gated/deduped/chunks counts,
+    zero extra passes).
+
+    Near-dup (LSH) and temperature-mix stages are deliberately batch-
+    only: both need corpus-global state (band tables / group counts)
+    that a watermark can't bound — at scale they run as the periodic
+    batch sweep over the accumulated sink (``CorpusPrep.run`` /
+    ``update_lsh_index``), the standard lambda split. Works on batch
+    frames too (same plan minus the watermark).
+
+    Returns the chunk stream ``(id, chunk_id, n_chunk_tokens, chunk)``
+    (or clean docs if ``spec.chunk_size == 0``); append-mode safe.
+    """
+    from ..operators.text import chunk_documents, fingerprint, quality_score
+
+    s = spec
+
+    def obs(frame: DataFrame, stage: str, *extra) -> DataFrame:
+        if not observe_prefix:
+            return frame
+        return frame.observe(
+            f"{observe_prefix}_{stage}", F.count(F.lit(1)).alias("n"), *extra
+        )
+
+    q = quality_score(F.col(s.text_col))
+    cur = obs(stream, "input", F.round(F.avg(q), 6).alias("mean_quality"))
+    if s.lang_allow is not None:
+        cur = obs(cur.filter(F.col(s.lang_col).isin(s.lang_allow)), "lang")
+    if s.min_quality is not None:
+        cur = obs(
+            cur.withColumn("_q", q).filter(F.col("_q") >= s.min_quality).drop("_q"),
+            "gated",
+        )
+    cur = cur.withColumn("_fp", fingerprint(F.col(s.text_col)))
+    if stream.isStreaming:
+        cur = cur.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_fp"]
+        )
+    else:
+        cur = cur.dropDuplicates(["_fp"])
+    cur = obs(cur.drop("_fp"), "deduped")
+    if s.chunk_size > 0:
+        cur = obs(
+            chunk_documents(
+                cur,
+                s.text_col,
+                s.id_col,
+                chunk_size=s.chunk_size,
+                stride=s.chunk_stride or s.chunk_size,
+            ),
+            "chunks",
+        )
+    return cur
+
+
 def corpus_incremental_intake(
     stream: DataFrame,
     sink_path: str,

@@ -357,6 +357,65 @@ def remove_duplicate_segments(
     )
 
 
+def dedupe_segments_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 8,
+    delim: str | None = None,
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Intra-document repetition removal: within each document, keep
+    only the FIRST occurrence of each normalized segment (line) and
+    reassemble. Complements :func:`remove_duplicate_segments` (which is
+    corpus-wide): generated/TEMPLATE pages often repeat the same block
+    many times inside one page, and intra-doc dedup needs no
+    corpus-wide frequency table at all — the window is partitioned by
+    (doc, segment), so it shuffles once on the doc id and never sees
+    another document's data. Output: (id, n_segments, kept_segments,
+    dropped_segments, clean_text).
+    """
+    sep = join_sep if join_sep is not None else ("\n" if delim is not None else " ")
+    segs = segment_documents(df, text_col, id_col, words_per_segment, delim)
+    segs = segs.withColumn("seg_norm", F.lower(F.trim(F.col("segment"))))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col, "seg_norm").orderBy(F.col("seg_id").asc())
+    first = segs.withColumn("occ", F.row_number().over(w))
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).alias(
+                "kept_segments"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("occ") == 1,
+                                F.struct("seg_id", "segment"),
+                            )
+                        )
+                    ),
+                    lambda x: x["segment"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "kept_segments",
+            (F.col("n_segments") - F.col("kept_segments")).alias(
+                "dropped_segments"
+            ),
+            "clean_text",
+        )
+    )
+
+
 __all__ = [
     "DEFAULT_STOPWORDS",
     "LANG_PROFILES",

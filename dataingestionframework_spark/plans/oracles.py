@@ -1708,6 +1708,93 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, source, pick_rank FROM ranked WHERE pick_rank <= 15
     """,
+    # full streaming CorpusPrep parity: lang filter -> quality gate ->
+    # exact dedup (one rep per distinct text among filter survivors) ->
+    # 40/30 chunking. doc_id projected away (arrival-order dependent);
+    # chunks are a pure function of the surviving text.
+    "stream_corpus_prep_parity": f"""
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            WHERE doc_id < 200 AND lang IN ('en', 'es')
+            GROUP BY md5(text)
+        ),
+        toks AS (
+            SELECT d.doc_id, {_TOKENS} AS ts
+            FROM documents d JOIN keep USING (doc_id)
+        ),
+        scored AS (
+            SELECT doc_id, ts,
+                   ((CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN CAST(len(list_distinct(ts)) AS DOUBLE)
+                                 / greatest(CAST(len(ts) AS DOUBLE), 1.0) >= 0.2
+                            THEN 1.0
+                            ELSE (CAST(len(list_distinct(ts)) AS DOUBLE)
+                                  / greatest(CAST(len(ts) AS DOUBLE), 1.0)) / 0.2 END)
+                    + (CASE WHEN CAST(len(list_filter(ts,
+                                 x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
+                                 / greatest(CAST(len(ts) AS DOUBLE), 1.0)
+                                 BETWEEN 0.01 AND 0.6
+                            THEN 1.0 ELSE 0.5 END)) / 3.0 AS quality
+            FROM toks
+        ),
+        starts AS (
+            SELECT doc_id, ts,
+                   unnest(range(0, greatest(len(ts), 1), 30)) AS s
+            FROM scored WHERE quality >= 0.5
+        )
+        SELECT CAST(s // 30 AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(ts, s + 1, s + 40)) AS INTEGER)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
+        FROM starts
+        WHERE len(list_slice(ts, s + 1, s + 40)) > 0
+    """,
+    # intra-doc segment dedup: first occurrence per normalized segment.
+    "line_dedup_within_doc": """
+        WITH w AS (
+            SELECT doc_id, word,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS idx
+            FROM (
+                SELECT doc_id, unnest(ws) AS word,
+                       unnest(range(1, len(ws) + 1)) AS ord
+                FROM (SELECT doc_id,
+                             string_split_regex(text, '\\s+') AS ws
+                      FROM documents)
+            )
+            WHERE word <> ''
+        ),
+        seg AS (
+            SELECT doc_id, CAST(idx // 8 AS INT) AS seg_id,
+                   string_agg(word, ' ' ORDER BY idx) AS segment
+            FROM w GROUP BY doc_id, idx // 8
+        ),
+        segn AS (
+            SELECT *, lower(trim(segment)) AS seg_norm,
+                   row_number() OVER (
+                       PARTITION BY doc_id, lower(trim(segment))
+                       ORDER BY seg_id) AS occ
+            FROM seg WHERE length(trim(segment)) > 0
+        )
+        SELECT doc_id,
+               count(*) AS n_segments,
+               sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS kept_segments,
+               count(*) - sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                   AS dropped_segments,
+               string_agg(CASE WHEN occ = 1 THEN segment END,
+                          ' ' ORDER BY seg_id) AS clean_text
+        FROM segn GROUP BY doc_id
+    """,
+    # exact distinct via mergeable bitmaps == plain COUNT(DISTINCT).
+    "bitmap_distinct_rollup": """
+        SELECT n.n_name, count(DISTINCT c.c_custkey) AS distinct_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        UNION ALL
+        SELECT 'ALL' AS n_name, count(DISTINCT c_custkey) AS distinct_customers
+        FROM customer
+    """,
     # parse_url/url_decode twin: rebuild the same parts with regexes on
     # the identically-synthesized URL string.
     "url_functions_docs": """

@@ -2689,6 +2689,91 @@ def url_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_corpus_prep_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming CorpusPrep in the correctness gate: language
+    filter → quality gate → dedup-within-watermark → context-window
+    chunking, run as a real stream (file source, AvailableNow drain)
+    and hash-matched against the batch SQL composition. ``doc_id`` is
+    projected away: which duplicate survives depends on arrival order,
+    but chunks are a pure function of the surviving TEXT, so the
+    (chunk_id, tokens, chunk) multiset is deterministic."""
+    from ..ingest.corpus import CorpusPrepSpec, corpus_stream_prep
+
+    tune(spark)
+    src_dir = tempfile.mkdtemp(prefix="dif_corpus_prep_src_")
+    path = os.path.join(sf_dir, "documents.parquet")
+    os.symlink(path, os.path.join(src_dir, "documents.parquet"))
+    try:
+        schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("doc_id") < 200)
+            .withColumn(
+                "ts",
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id").cast("double")),
+            )
+        )
+        spec = CorpusPrepSpec(
+            min_quality=0.5,
+            lang_allow=["en", "es"],
+            dedup="exact",
+            chunk_size=40,
+            chunk_stride=30,
+        )
+        chunks = corpus_stream_prep(stream, spec).select(
+            "chunk_id", "n_chunk_tokens", "chunk"
+        )
+        return _drain_stream(chunks, "stream_corpus_prep", "append")
+    finally:
+        import shutil
+
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def line_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: keep only the first
+    occurrence of each normalized 8-word segment WITHIN a document
+    (template pages repeat blocks inside one page). No corpus-wide
+    state — one shuffle on the doc id."""
+    from ..operators.text import dedupe_segments_within_doc
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return dedupe_segments_within_doc(
+        t("documents"), words_per_segment=8
+    )
+
+
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count sketch: per-nation customer
+    bitmaps (bitmap_construct_agg over bit positions, bucketed) are
+    OR-merged to the grand total — the exact-count twin of the HLL
+    rollup (`hll_mergeable_rollup`): hierarchy levels come from
+    merging per-group sketches, never a second scan of the fact data.
+    At 100 TB the bitmap per (group, bucket) is ≤4 KB regardless of
+    row count."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    c = t("customer").join(
+        F.broadcast(t("nation")), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "c_custkey")
+    buckets = c.groupBy(
+        "n_name", F.bitmap_bucket_number("c_custkey").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("c_custkey")).alias("bm"))
+    per_nation = buckets.groupBy("n_name").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_customers")
+    )
+    grand = (
+        buckets.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_customers"))
+        .select(F.lit("ALL").alias("n_name"), "distinct_customers")
+    )
+    return per_nation.unionByName(grand)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2822,4 +2907,7 @@ QUERIES = {
     "line_dedup_docs": line_dedup_docs,
     "cap_per_source_docs": cap_per_source_docs,
     "url_functions_docs": url_functions_docs,
+    "line_dedup_within_doc": line_dedup_within_doc,
+    "bitmap_distinct_rollup": bitmap_distinct_rollup,
+    "stream_corpus_prep_parity": stream_corpus_prep_parity,
 }

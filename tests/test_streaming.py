@@ -363,3 +363,73 @@ def test_corpus_incremental_intake_dedups_across_restarts(spark, tmp_root):
     assert len(rows) == 3  # dup text never re-entered
     assert len({r.text for r in rows}) == 3
     assert sorted(r.doc_id for r in rows) == [1, 2, 4]
+
+
+def test_corpus_stream_prep_full_funnel(spark, tmp_root):
+    """Full streaming CorpusPrep: lang filter -> quality gate ->
+    watermark dedup -> chunking in one incremental plan, with the
+    per-stage observe() funnel riding the micro-batch progress."""
+    from dataingestionframework_spark.ingest.corpus import (
+        CorpusPrepSpec,
+        corpus_stream_prep,
+    )
+    from dataingestionframework_spark.streaming.observe import attach
+
+    rows = [
+        (1, "en", "2024-01-01 10:00:00",
+         "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "en", "2024-01-01 10:05:00",
+         "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "de", "2024-01-01 10:10:00",
+         "data stream batch row column table scan filter join agg sort"),
+        (4, "en", "2024-01-01 10:15:00", "a a a"),
+    ]
+    src = os.path.join(tmp_root, "prep_src")
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, ts string, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(src)
+
+    spec = CorpusPrepSpec(
+        min_quality=0.6, lang_allow=["en"], dedup="exact",
+        chunk_size=5, chunk_stride=5,
+    )
+    # batch form: doc 3 lang-filtered, doc 4 quality-gated, dup 1/2
+    # collapsed -> one doc of 12 tokens -> 3 chunks of 5/5/2
+    batch = corpus_stream_prep(spark.read.parquet(src), spec)
+    got_b = sorted(
+        (r.chunk_id, r.n_chunk_tokens) for r in batch.collect()
+    )
+    assert got_b == [(0, 5), (1, 5), (2, 2)]
+
+    rec = attach(spark)
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            corpus_stream_prep(stream, spec, observe_prefix="prep")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("prep_out")
+            .option("checkpointLocation", f"{tmp_root}/prep_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got_s = sorted(
+            (r.chunk_id, r.n_chunk_tokens)
+            for r in spark.sql("SELECT * FROM prep_out").collect()
+        )
+        assert got_s == got_b
+
+        deadline = time.time() + 30
+        while time.time() < deadline and not rec.observed("prep_chunks"):
+            time.sleep(0.5)
+        assert sum(m["n"] for m in rec.observed("prep_input")) == 4
+        assert sum(m["n"] for m in rec.observed("prep_lang")) == 3
+        assert sum(m["n"] for m in rec.observed("prep_gated")) == 2
+        assert sum(m["n"] for m in rec.observed("prep_deduped")) == 1
+        assert sum(m["n"] for m in rec.observed("prep_chunks")) == 3
+    finally:
+        spark.streams.removeListener(rec)
