@@ -416,12 +416,173 @@ def dedupe_segments_within_doc(
     )
 
 
+# The 8 "required words" of the Gopher repetition/quality rules
+# (Rae et al. 2021 §A1.1, public paper) — a document failing to contain
+# at least 2 of these is very unlikely to be English prose.
+GOPHER_REQUIRED_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_required_hits: int = 2,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public) as
+    pure column expressions — the standard pre-training quality gate.
+
+    Adds one measured column and one boolean per rule plus the overall
+    ``pass_gopher`` verdict; callers filter or audit on them. Every
+    rule is a scan-side expression (tokenize once, reuse): zero
+    shuffles, zero Python — the whole gate runs inside one
+    WholeStageCodegen span over the scan, so at 100 TB its cost is the
+    read itself. Capability extension (reference has no text
+    analytics).
+    """
+    t = F.col(text_col)
+    ws = tokens(t)
+    n = F.size(ws)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    mean_wl = (
+        F.aggregate(ws, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")) / nd
+    )
+    sym = (F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))).cast(
+        "double"
+    ) / nd
+    alpha = F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nd
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(ws, F.lower)), req)
+    )
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))).cast("double")
+        / nl
+    )
+    ellipsis = (
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        / nl
+    )
+    out = (
+        df.withColumn("n_words", n)
+        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn("symbol_ratio", F.round(sym, 4))
+        .withColumn("alpha_word_frac", F.round(alpha, 4))
+        .withColumn("required_hits", hits)
+        .withColumn("bullet_line_frac", F.round(bullet, 4))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis, 4))
+        .withColumn(
+            "ok_word_count", (n >= min_words) & (n <= max_words)
+        )
+        .withColumn(
+            "ok_mean_word_len",
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len),
+        )
+        .withColumn("ok_symbol_ratio", F.col("symbol_ratio") <= max_symbol_ratio)
+        .withColumn("ok_alpha_words", F.col("alpha_word_frac") >= min_alpha_word_frac)
+        .withColumn("ok_required_words", hits >= min_required_hits)
+        .withColumn(
+            "ok_line_shape",
+            (F.col("bullet_line_frac") <= max_bullet_line_frac)
+            & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac),
+        )
+    )
+    return out.withColumn(
+        "pass_gopher",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_required_words")
+        & F.col("ok_line_shape"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str | None = None,
+    words_per_segment: int = 8,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_segments: int = 1,
+) -> DataFrame:
+    """C4-style line cleaning (Raffel et al. 2020 §2.2, public): keep
+    only lines with ≥ ``min_words`` words, (optionally) ending in
+    terminal punctuation, and containing no blocklisted phrase; then
+    drop documents left with fewer than ``min_kept_segments`` lines.
+
+    With ``delim="\\n"`` segments are real lines (production mode);
+    without it, fixed word windows stand in (the testdata corpus has no
+    newlines — same convention as :func:`remove_duplicate_segments`).
+
+    Scale shape: explode → per-segment predicate (pure expressions) →
+    one per-doc groupBy to reassemble. Linear, one shuffle on the doc
+    id, no Python. Output: (id, n_segments, kept_segments,
+    dropped_segments, clean_text).
+    """
+    sep = "\n" if delim is not None else " "
+    segs = segment_documents(df, text_col, id_col, words_per_segment, delim)
+    seg = F.trim(F.col("segment"))
+    keep = F.size(tokens(seg)) >= min_words
+    if require_terminal_punct:
+        keep = keep & seg.rlike('[.!?"]$')
+    low = F.lower(seg)
+    for phrase in blocklist:
+        keep = keep & ~low.contains(phrase.lower())
+    flagged = segs.withColumn("keep", keep)
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("keep").cast("int")).alias("kept_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("seg_id", "segment"))
+                        )
+                    ),
+                    lambda x: x["segment"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .filter(F.col("kept_segments") >= min_kept_segments)
+        .select(
+            id_col,
+            "n_segments",
+            "kept_segments",
+            (F.col("n_segments") - F.col("kept_segments")).alias("dropped_segments"),
+            "clean_text",
+        )
+    )
+
+
 __all__ = [
     "DEFAULT_STOPWORDS",
     "LANG_PROFILES",
+    "GOPHER_REQUIRED_WORDS",
     "with_text_stats",
     "quality_score",
     "lang_guess",
     "fingerprint",
     "simhash64_df",
+    "gopher_quality_flags",
+    "c4_line_filter",
 ]

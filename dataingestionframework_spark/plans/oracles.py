@@ -1815,4 +1815,128 @@ ORACLES: dict[str, str] = {
                regexp_extract(url, '#(.*)$', 1)               AS fragment
         FROM d
     """,
+    # Gopher quality rules per source; gate params min_words=30,
+    # min_required_hits=1 (see queries.gopher_quality_docs).
+    "gopher_quality_docs": """
+        WITH m AS (
+            SELECT source,
+                   len(ws) AS n_words,
+                   round(list_aggregate(
+                       list_transform(ws, w -> CAST(len(w) AS DOUBLE)), 'sum')
+                       / greatest(len(ws), 1), 4) AS mean_word_len,
+                   (len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')))
+                       / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_ratio,
+                   len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                       / CAST(greatest(len(ws), 1) AS DOUBLE) AS alpha_frac,
+                   len(list_intersect(
+                       list_distinct(list_transform(ws, w -> lower(w))),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS required_hits,
+                   len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]')))
+                       / CAST(greatest(len(lns), 1) AS DOUBLE) AS bullet_frac,
+                   len(list_filter(lns,
+                       l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                       / CAST(greatest(len(lns), 1) AS DOUBLE) AS ellipsis_frac
+            FROM (
+                SELECT source, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w <> '') AS ws,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> length(trim(l)) > 0) AS lns
+                FROM documents
+            )
+        ),
+        r AS (
+            SELECT source, mean_word_len,
+                   CASE WHEN n_words BETWEEN 30 AND 100000 THEN 1 ELSE 0 END AS ok_wc,
+                   CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS ok_mwl,
+                   CASE WHEN round(symbol_ratio, 4) <= 0.1 THEN 1 ELSE 0 END AS ok_sym,
+                   CASE WHEN round(alpha_frac, 4) >= 0.8 THEN 1 ELSE 0 END AS ok_alpha,
+                   CASE WHEN required_hits >= 1 THEN 1 ELSE 0 END AS ok_req,
+                   CASE WHEN round(bullet_frac, 4) <= 0.9
+                         AND round(ellipsis_frac, 4) <= 0.3 THEN 1 ELSE 0 END AS ok_line
+            FROM m
+        )
+        SELECT source,
+               count(*)                       AS n_docs,
+               sum(1 - ok_wc)                 AS fail_word_count,
+               sum(1 - ok_mwl)                AS fail_mean_word_len,
+               sum(1 - ok_sym)                AS fail_symbol_ratio,
+               sum(1 - ok_alpha)              AS fail_alpha_words,
+               sum(1 - ok_req)                AS fail_required_words,
+               sum(1 - ok_line)               AS fail_line_shape,
+               sum(ok_wc * ok_mwl * ok_sym * ok_alpha * ok_req * ok_line) AS n_pass,
+               round(avg(mean_word_len), 4)   AS avg_mean_word_len
+        FROM r GROUP BY source
+    """,
+    # C4 line cleaning on 8-word segments: keep >=5-word segments not
+    # containing 'customer'; drop docs left with <3 kept segments.
+    "c4_clean_docs": """
+        WITH w AS (
+            SELECT doc_id, word,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS idx
+            FROM (
+                SELECT doc_id, unnest(ws) AS word,
+                       unnest(range(1, len(ws) + 1)) AS ord
+                FROM (SELECT doc_id,
+                             string_split_regex(text, '\\s+') AS ws
+                      FROM documents)
+            )
+            WHERE word <> ''
+        ),
+        seg AS (
+            SELECT doc_id, CAST(idx // 8 AS INT) AS seg_id,
+                   string_agg(word, ' ' ORDER BY idx) AS segment
+            FROM w GROUP BY doc_id, idx // 8
+        ),
+        flag AS (
+            SELECT doc_id, seg_id, segment,
+                   CASE WHEN len(list_filter(
+                            string_split_regex(trim(segment), '\\s+'),
+                            x -> x <> '')) >= 5
+                         AND NOT contains(lower(trim(segment)), 'customer')
+                        THEN 1 ELSE 0 END AS keep
+            FROM seg WHERE length(trim(segment)) > 0
+        )
+        SELECT doc_id,
+               count(*)                AS n_segments,
+               sum(keep)               AS kept_segments,
+               count(*) - sum(keep)    AS dropped_segments,
+               coalesce(string_agg(CASE WHEN keep = 1 THEN segment END,
+                                   ' ' ORDER BY seg_id), '') AS clean_text
+        FROM flag
+        GROUP BY doc_id
+        HAVING sum(keep) >= 3
+    """,
+    # stream-stream interval join parity: clicks x same-user purchases
+    # within 30 minutes.
+    "stream_join_parity": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+          AND p.event_type = 'purchase'
+    """,
+    # ORC/CSV/JSON roundtrip: each leg must equal the direct aggregate.
+    "format_roundtrip_agg": """
+        WITH base AS (
+            SELECT count(*) AS n_rows,
+                   sum(CAST(round(o_totalprice, 2) AS DECIMAL(12,2)))
+                       AS total_price,
+                   count(DISTINCT o_orderstatus) AS n_status
+            FROM orders WHERE o_orderkey < 5000
+        )
+        SELECT 'orc' AS fmt, n_rows, total_price, n_status FROM base
+        UNION ALL
+        SELECT 'csv', n_rows, total_price, n_status FROM base
+        UNION ALL
+        SELECT 'json', n_rows, total_price, n_status FROM base
+    """,
 }

@@ -2774,6 +2774,129 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_nation.unionByName(grand)
 
 
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (operators/text.py::gopher_quality_flags)
+    rolled up per source: every rule is a scan-side column expression,
+    so the whole gate is one pass over the corpus — zero shuffles
+    beyond the final per-source agg. Gate params tuned to the testdata
+    distribution (word counts 10–99, 'the' in ~76% of docs) so both
+    word-count and required-word rules actually discriminate."""
+    from ..operators.text import gopher_quality_flags
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    flags = gopher_quality_flags(
+        t("documents"), min_words=30, min_required_hits=1
+    )
+    b = lambda c: F.sum((~F.col(c)).cast("int"))  # noqa: E731 — rule-failure count
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        b("ok_word_count").alias("fail_word_count"),
+        b("ok_mean_word_len").alias("fail_mean_word_len"),
+        b("ok_symbol_ratio").alias("fail_symbol_ratio"),
+        b("ok_alpha_words").alias("fail_alpha_words"),
+        b("ok_required_words").alias("fail_required_words"),
+        b("ok_line_shape").alias("fail_line_shape"),
+        F.sum(F.col("pass_gopher").cast("int")).alias("n_pass"),
+        F.round(F.avg("mean_word_len"), 4).alias("avg_mean_word_len"),
+    )
+
+
+def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (operators/text.py::c4_line_filter): keep
+    segments with ≥5 words and no blocklisted phrase ('customer' here —
+    the corpus has it, so the rule bites), then drop docs left with <3
+    segments. Terminal-punctuation rule off: the testdata corpus has no
+    punctuation (the real-line mode is pytest-covered). Explode →
+    per-segment predicate → one per-doc reassembly shuffle."""
+    from ..operators.text import c4_line_filter
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return c4_line_filter(
+        t("documents"),
+        words_per_segment=8,
+        min_words=5,
+        require_terminal_punct=False,
+        blocklist=("customer",),
+        min_kept_segments=3,
+    )
+
+
+def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 stream-stream INTERVAL JOIN: clicks joined to same-user
+    purchases within 30 minutes, both sides watermarked (1 h) so Spark
+    can bound join state — the exact shape of a funnel-attribution
+    stream at scale (state per user pruned as the watermark advances).
+    AvailableNow drain; batch SQL range-join oracle proves parity."""
+    from ..streaming.joins import stream_interval_join
+
+    tune(spark)
+    stream, cleanup = _events_stream(spark, sf_dir)
+    try:
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        joined = stream_interval_join(
+            purchases, clicks, on="user_id", within="30 minutes"
+        ).select("user_id", F.col("r_click_id").alias("click_id"), "purchase_id")
+        return _drain_stream(joined, "stream_join_pairs", "append")
+    finally:
+        cleanup()
+
+
+def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format coverage under the hash gate: the same orders slice is
+    written to ORC, CSV and JSON sinks, read back through each source,
+    and aggregated — one row per format, value-identical to the direct
+    SQL aggregate. totalprice is carried as DECIMAL(12,2) so the text
+    formats round-trip exactly. Each leg is a full sink+source proof;
+    at scale all three writes are parallel partitioned writes."""
+    import shutil
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    src = (
+        t("orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="dif_fmt_")
+    schema = "o_orderkey bigint, o_orderstatus string, price decimal(12,2)"
+    frames = []
+    try:
+        for fmt in ("orc", "csv", "json"):
+            path = os.path.join(root, fmt)
+            w = src.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.save(path)
+            r = spark.read.format(fmt)
+            if fmt == "csv":
+                r = r.option("header", "true")
+            back = r.schema(schema).load(path)
+            frames.append(
+                back.agg(
+                    F.lit(fmt).alias("fmt"),
+                    F.count("*").alias("n_rows"),
+                    F.sum("price").alias("total_price"),
+                    F.count_distinct("o_orderstatus").alias("n_status"),
+                )
+            )
+        out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        rows = out.collect()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2910,4 +3033,8 @@ QUERIES = {
     "line_dedup_within_doc": line_dedup_within_doc,
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
     "stream_corpus_prep_parity": stream_corpus_prep_parity,
+    "gopher_quality_docs": gopher_quality_docs,
+    "c4_clean_docs": c4_clean_docs,
+    "stream_join_parity": stream_join_parity,
+    "format_roundtrip_agg": format_roundtrip_agg,
 }

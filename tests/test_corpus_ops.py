@@ -362,3 +362,62 @@ def test_remove_duplicate_segments_line_mode_and_reassembly(spark):
     )
     out2 = remove_duplicate_segments(df2, delim="\n", max_docs=2).collect()
     assert all(r["clean_text"] == "" and r["kept_segments"] == 0 for r in out2)
+
+
+def test_gopher_quality_flags_rules(spark):
+    from dataingestionframework_spark.operators.text import (
+        GOPHER_REQUIRED_WORDS,
+        gopher_quality_flags,
+    )
+
+    prose = (
+        "the quick brown fox jumps over that lazy dog and runs off to "
+        "be with the pack of hounds that have gathered near the river "
+        "bank with great enthusiasm while the sun sets slowly behind "
+        "distant hills and evening light fades into a calm night that "
+        "wraps the whole valley in stillness and quiet sounds of water"
+    )
+    bullets = "\n".join(f"- item {i} of the listing to be had" for i in range(10))
+    salad = "zz qq ww ee rr tt yy uu ii oo pp " * 10
+    symbols = ("the code ### uses ### many ### hashes " + "tag# " * 60).strip()
+    df = spark.createDataFrame(
+        [(1, prose), (2, bullets), (3, salad), (4, symbols)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(df, min_words=40).collect()
+    }
+    assert out[1]["pass_gopher"]
+    assert out[1]["required_hits"] >= 2
+    # bullet-heavy doc fails the line-shape rule specifically
+    assert out[2]["bullet_line_frac"] == 1.0 and not out[2]["ok_line_shape"]
+    # word salad has none of the 8 required words
+    assert out[3]["required_hits"] == 0 and not out[3]["ok_required_words"]
+    # hash-riddled doc fails the symbol-ratio rule
+    assert out[4]["symbol_ratio"] > 0.1 and not out[4]["ok_symbol_ratio"]
+    assert set(GOPHER_REQUIRED_WORDS) >= {"the", "and", "that"}
+
+
+def test_c4_line_filter_real_lines(spark):
+    from dataingestionframework_spark.operators.text import c4_line_filter
+
+    doc1 = (
+        "This is a complete sentence with enough words.\n"
+        "too short.\n"
+        "Menu Home About Contact\n"
+        "Another proper sentence follows right here today.\n"
+        "And a third full sentence closes the document nicely."
+    )
+    doc2 = "Lorem ipsum dolor sit amet and more filler text here.\nOk."
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], ["doc_id", "text"])
+    out = c4_line_filter(
+        df, delim="\n", min_words=5, require_terminal_punct=True,
+        blocklist=("lorem ipsum",), min_kept_segments=2,
+    ).collect()
+    # doc2: its only long line is blocklisted, "Ok." is too short -> doc dropped
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    # "too short." fails min_words; "Menu Home About Contact" lacks punctuation
+    assert r["n_segments"] == 5 and r["kept_segments"] == 3
+    assert r["clean_text"].count("\n") == 2
+    assert "Menu Home" not in r["clean_text"]
