@@ -1939,4 +1939,36 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'json', n_rows, total_price, n_status FROM base
     """,
+    # identical recursion in DuckDB ('//' is its integer division).
+    "recursive_cte_rollup": """
+        WITH RECURSIVE h(p_partkey, root, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+          UNION ALL
+          SELECT p.p_partkey, h.root, h.depth + 1
+          FROM part p JOIN h ON p.p_partkey // 10 = h.p_partkey
+          WHERE p.p_partkey >= 10
+        )
+        SELECT depth,
+               count(*)       AS n_parts,
+               sum(root)      AS sum_roots,
+               min(p_partkey) AS min_key,
+               max(p_partkey) AS max_key
+        FROM h GROUP BY depth
+    """,
+    # approx_top_k is exact when ndv <= maxItemsTracked.
+    "approx_topk_orders": """
+        SELECT o_orderpriority AS priority, count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "sql_pipe_q6": """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        GROUP BY l_returnflag
+    """,
 }

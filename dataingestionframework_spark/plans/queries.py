@@ -2897,6 +2897,79 @@ def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 WITH RECURSIVE: multi-hop traversal of a 10-ary part
+    hierarchy (parent = partkey div 10, roots < 10), rolled up per
+    depth. Each recursion step is one distributed self-join against the
+    frontier — frontier size, not corpus size, bounds the iteration
+    state, the same shape as BOM/org-chart walks at scale. DuckDB runs
+    the identical recursion."""
+    from .. import sql as sqlmod
+
+    tune(spark)
+    sqlmod.register_test_tables(spark, sf_dir)
+    return sqlmod.run(
+        spark,
+        """
+        WITH RECURSIVE h(p_partkey, root, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+          UNION ALL
+          SELECT p.p_partkey, h.root, h.depth + 1
+          FROM part p JOIN h ON p.p_partkey div 10 = h.p_partkey
+          WHERE p.p_partkey >= 10
+        )
+        SELECT depth,
+               count(*)       AS n_parts,
+               sum(root)      AS sum_roots,
+               min(p_partkey) AS min_key,
+               max(p_partkey) AS max_key
+        FROM h GROUP BY depth
+        """,
+    )
+
+
+def approx_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4.1): on a
+    column whose cardinality fits maxItemsTracked the sketch is exact,
+    so the cross-engine contract is plain GROUP BY counts. At 100 TB
+    the sketch is the point: fixed-size state, partial-merge across
+    executors, no full-cardinality shuffle."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .agg(F.expr("approx_top_k(o_orderpriority, 5, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("priority"),
+            F.col("e.count").alias("n_orders"),
+        )
+    )
+
+
+def sql_pipe_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4) front door: TPC-H Q6 predicates
+    grouped by return flag, written as a |> chain — same Catalyst plan
+    as the nested form, proving the front door is syntax-deep only."""
+    from .. import sql as sqlmod
+
+    tune(spark)
+    sqlmod.register_test_tables(spark, sf_dir)
+    return sqlmod.run(
+        spark,
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07
+           AND l_quantity < 24
+        |> AGGREGATE round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                     count(*) AS n_items
+           GROUP BY l_returnflag
+        """,
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3037,4 +3110,7 @@ QUERIES = {
     "c4_clean_docs": c4_clean_docs,
     "stream_join_parity": stream_join_parity,
     "format_roundtrip_agg": format_roundtrip_agg,
+    "recursive_cte_rollup": recursive_cte_rollup,
+    "approx_topk_orders": approx_topk_orders,
+    "sql_pipe_q6": sql_pipe_q6,
 }
