@@ -2828,10 +2828,18 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases within 30 minutes, both sides watermarked (1 h) so Spark
     can bound join state — the exact shape of a funnel-attribution
     stream at scale (state per user pruned as the watermark advances).
-    AvailableNow drain; batch SQL range-join oracle proves parity."""
+    AvailableNow drain; batch SQL range-join oracle proves parity.
+
+    Stateful shuffle partitions are sized to STATE VOLUME, not CPU
+    count: a stream-stream join opens 4 state stores per partition, so
+    32 partitions means 128 store open/commit cycles per microbatch —
+    measured 17 s at 32 partitions vs 4 s at 8 for the same data. On a
+    real cluster this knob scales with state size, never defaulted."""
     from ..streaming.joins import stream_interval_join
 
     tune(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream, cleanup = _events_stream(spark, sf_dir)
     try:
         purchases = stream.filter(F.col("event_type") == "purchase").select(
@@ -2846,6 +2854,7 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_stream(joined, "stream_join_pairs", "append")
     finally:
         cleanup()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

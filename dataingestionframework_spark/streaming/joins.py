@@ -34,8 +34,9 @@ def stream_interval_join(
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
         right = right.withWatermark(right_ts, watermark)
+    rkey = f"{right_prefix}{on}"
     r = right.select(
-        F.col(on),
+        F.col(on).alias(rkey),
         *[
             F.col(c).alias(f"{right_prefix}{c}")
             for c in right.columns
@@ -43,8 +44,12 @@ def stream_interval_join(
         ],
     )
     rts = f"{right_prefix}{right_ts}"
+    # The time bounds must be INSIDE the join condition (not a
+    # post-join filter) so Spark derives per-side state watermarks and
+    # actually evicts buffered rows as event time advances.
     cond = (
-        (F.col(rts) <= F.col(left_ts))
+        (F.col(on) == F.col(rkey))
+        & (F.col(rts) <= F.col(left_ts))
         & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
     )
-    return left.join(r, [on], "inner").filter(cond)
+    return left.join(r, cond, "inner").drop(rkey)
