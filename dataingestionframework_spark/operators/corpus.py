@@ -542,3 +542,32 @@ def corpus_diff(
         .otherwise("changed")
     )
     return joined.select(id_col, status.alias("status"))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirtakis A-ES, public algorithm): each row gets key = u^(1/w) with
+    u a portable unit hash of (seed, id); the k largest keys form an
+    exact weighted sample without replacement.
+
+    The mixture-sampling primitive for training-data assembly (pick k
+    docs biased by quality/length/domain weight) made REPRODUCIBLE:
+    the sample is a pure function of (data, seed) — no rand(), so any
+    engine re-derives the identical set. Scale shape: scan-side key
+    expression + top-k (TakeOrderedAndProject — per-partition heaps,
+    no global sort). Weights must be > 0.
+    """
+    u = _unit_hash("aes", seed, F.col(id_col))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        docs.withColumn("aes_key", key)
+        .orderBy(F.desc("aes_key"), F.col(id_col))
+        .limit(k)
+        .drop("aes_key")
+    )

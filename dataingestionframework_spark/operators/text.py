@@ -586,3 +586,36 @@ __all__ = [
     "gopher_quality_flags",
     "c4_line_filter",
 ]
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 1024,
+    score_col: str = "score",
+) -> DataFrame:
+    """FastText-style linear-classifier INFERENCE as pure column
+    expressions: hashing-trick featurization (token → portable 60-bit
+    hash mod ``dim``) and a fixed weight table w(b) = ((b·2654435761)
+    mod 2000)/1000 − 1 ∈ [−1, 1), logit = mean token weight, score =
+    sigmoid(logit).
+
+    The weights are a deterministic stand-in for a trained model (the
+    container has no ML runtime); the POINT is the serving plumbing —
+    token→bucket→weight-lookup→pool→sigmoid runs entirely inside
+    whole-stage codegen, so classifier-based quality filtering (the
+    FineWeb-Edu shape) costs one scan at 100 TB, no Python, no shuffle.
+    A real model swaps the weight expression for an ``F.element_at``
+    into a broadcast weight array; everything else is unchanged.
+    """
+    ws = tokens(F.col(text_col))
+    n = F.greatest(F.size(ws), F.lit(1)).cast("double")
+    weight_of = lambda tok: (  # noqa: E731
+        (F.pmod(portable_gram_hash(tok), F.lit(dim)) * F.lit(2654435761))
+        % F.lit(2000)
+    ).cast("double") / F.lit(1000.0) - F.lit(1.0)
+    logit = F.aggregate(ws, F.lit(0.0), lambda a, x: a + weight_of(x)) / n
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.withColumn("n_tokens", F.size(ws)).withColumn(
+        score_col, F.round(score, 4)
+    )

@@ -1960,6 +1960,45 @@ ORACLES: dict[str, str] = {
         SELECT o_orderpriority AS priority, count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
+    # A-ES weighted sample: key = u^(1/weight), u = md5-top-60-bit unit
+    # hash of 'aes:42:<id>'; top-100 keys are the sample.
+    "weighted_sample_docs": """
+        SELECT doc_id, n_chars AS weight
+        FROM (
+            SELECT doc_id, n_chars,
+                   pow(('0x' || substring(md5('aes:42:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                        / 1152921504606846976.0,
+                       1.0 / n_chars) AS aes_key
+            FROM documents
+        )
+        ORDER BY aes_key DESC, doc_id
+        LIMIT 100
+    """,
+    # hashing-trick linear scorer: bucket = md5-60bit % 1024,
+    # w(b) = ((b*2654435761) % 2000)/1000 - 1, score = sigmoid(mean w).
+    "quality_classifier_docs": """
+        SELECT doc_id,
+               len(ws) AS n_tokens,
+               round(1.0 / (1.0 + exp(-(
+                   list_aggregate(list_transform(ws, w ->
+                       CAST((('0x' || substring(md5(w), 1, 15))::UBIGINT
+                              % 1024) * 2654435761 % 2000 AS DOUBLE)
+                           / 1000.0 - 1.0), 'sum')
+                   / greatest(len(ws), 1)))), 4) AS score,
+               round(1.0 / (1.0 + exp(-(
+                   list_aggregate(list_transform(ws, w ->
+                       CAST((('0x' || substring(md5(w), 1, 15))::UBIGINT
+                              % 1024) * 2654435761 % 2000 AS DOUBLE)
+                           / 1000.0 - 1.0), 'sum')
+                   / greatest(len(ws), 1)))), 4) >= 0.5 AS keep
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents
+        )
+    """,
     "sql_pipe_q6": """
         SELECT l_returnflag,
                round(sum(l_extendedprice * l_discount), 2) AS revenue,

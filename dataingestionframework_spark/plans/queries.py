@@ -2906,6 +2906,37 @@ def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES; operators/
+    corpus.py::weighted_sample): top-100 docs by u^(1/n_chars) with a
+    portable unit hash — an exact, REPRODUCIBLE length-biased sample.
+    Compiles to TakeOrderedAndProject (per-partition heaps); the oracle
+    re-derives the identical set from the same formula."""
+    from ..operators.corpus import weighted_sample
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return weighted_sample(
+        t("documents"), weight_col="n_chars", k=100, seed=42
+    ).select("doc_id", F.col("n_chars").alias("weight"))
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (FineWeb-Edu shape) with the
+    model as a hashing-trick linear scorer (operators/text.py::
+    hashed_linear_score): featurize→score→threshold entirely in
+    whole-stage codegen — one scan, no Python. Oracle recomputes the
+    same hash/weights/sigmoid in SQL."""
+    from ..operators.text import hashed_linear_score
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    scored = hashed_linear_score(t("documents"), dim=1024)
+    return scored.select(
+        "doc_id", "n_tokens", "score", (F.col("score") >= 0.5).alias("keep")
+    )
+
+
 def recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 WITH RECURSIVE: multi-hop traversal of a 10-ary part
     hierarchy (parent = partkey div 10, roots < 10), rolled up per
@@ -3122,4 +3153,6 @@ QUERIES = {
     "recursive_cte_rollup": recursive_cte_rollup,
     "approx_topk_orders": approx_topk_orders,
     "sql_pipe_q6": sql_pipe_q6,
+    "weighted_sample_docs": weighted_sample_docs,
+    "quality_classifier_docs": quality_classifier_docs,
 }

@@ -421,3 +421,35 @@ def test_c4_line_filter_real_lines(spark):
     assert r["n_segments"] == 5 and r["kept_segments"] == 3
     assert r["clean_text"].count("\n") == 2
     assert "Menu Home" not in r["clean_text"]
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from dataingestionframework_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, weight_col="w", k=100, seed=7)
+    ids = [r.doc_id for r in got.collect()]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    # the 50 weight-100 rows are ~100x likelier per unit than the rest;
+    # essentially all of them make a top-100 cut over 1000 rows
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 40
+    # reproducible: same seed -> same set; different seed -> different set
+    again = {r.doc_id for r in weighted_sample(df, "w", 100, seed=7).collect()}
+    assert again == set(ids)
+    other = {r.doc_id for r in weighted_sample(df, "w", 100, seed=8).collect()}
+    assert other != set(ids)
+
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    from dataingestionframework_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in hashed_linear_score(df).collect()}
+    assert out[1].score == out[2].score  # pure function of text
+    assert all(0.0 <= r.score <= 1.0 for r in out.values())
+    assert out[1].n_tokens == 3 and out[3].n_tokens == 1
