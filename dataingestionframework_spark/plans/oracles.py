@@ -1827,7 +1827,7 @@ ORACLES: dict[str, str] = {
                    (len(regexp_extract_all(text, '#'))
                     + len(regexp_extract_all(text, '\\.\\.\\.')))
                        / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_ratio,
-                   len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                   len(list_filter(ws, w -> lower(w) <> upper(w)))
                        / CAST(greatest(len(ws), 1) AS DOUBLE) AS alpha_frac,
                    len(list_intersect(
                        list_distinct(list_transform(ws, w -> lower(w))),
