@@ -74,3 +74,28 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     except Exception:
         pass
     return spark
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> SparkSession:
+    """Switch stateful streaming to the RocksDB state store.
+
+    The default HDFSBacked provider keeps every state row on the JVM
+    heap — fine for demo state, fatal when stream-stream joins or
+    dedup-within-watermark accumulate tens of GB per executor. RocksDB
+    spills to local SSD and (with changelog checkpointing) uploads only
+    per-batch deltas instead of full snapshots, so state size is bounded
+    by disk, not heap. Runtime-settable; takes effect for queries
+    STARTED after the call (running queries keep their provider).
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog else "false",
+    )
+    return spark

@@ -433,3 +433,42 @@ def test_corpus_stream_prep_full_funnel(spark, tmp_root):
         assert sum(m["n"] for m in rec.observed("prep_chunks")) == 3
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_rocksdb_state_store_runs_stateful_agg(spark, tmp_root):
+    """RocksDB state store provider (the state>>heap scale path): a
+    stateful aggregation runs under it and reports RocksDB-specific
+    custom metrics, proving the provider was actually engaged."""
+    import os
+
+    from dataingestionframework_spark.session import use_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        src = os.path.join(tmp_root, "rdb_src")
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(100)], "id long, k long"
+        ).write.parquet(src)
+        st = spark.readStream.schema("id long, k long").parquet(src)
+        q = (
+            st.groupBy("k")
+            .count()
+            .writeStream.format("memory")
+            .queryName("rdb_agg")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp_root, "rdb_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r.k, r["count"]) for r in spark.table("rdb_agg").collect()}
+        assert got == {(0, 34), (1, 33), (2, 33)}
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        assert any("rocksdb" in k.lower() or "SnapshotLastUploaded" in k for k in metrics)
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
