@@ -1938,6 +1938,8 @@ ORACLES: dict[str, str] = {
         SELECT 'csv', n_rows, total_price, n_status FROM base
         UNION ALL
         SELECT 'json', n_rows, total_price, n_status FROM base
+        UNION ALL
+        SELECT 'xml', n_rows, total_price, n_status FROM base
     """,
     # identical recursion in DuckDB ('//' is its integer division).
     "recursive_cte_rollup": """
@@ -1959,6 +1961,14 @@ ORACLES: dict[str, str] = {
     "approx_topk_orders": """
         SELECT o_orderpriority AS priority, count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
+    """,
+    # binaryFile ingest: payload bytes are the utf-8 text, so length
+    # and sha256 are recomputable straight from the table.
+    "binary_file_ingest": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text)               AS sha256
+        FROM documents WHERE doc_id < 200
     """,
     # A-ES weighted sample: key = u^(1/weight), u = md5-top-60-bit unit
     # hash of 'aes:42:<id>'; top-100 keys are the sample.

@@ -2859,11 +2859,13 @@ def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format coverage under the hash gate: the same orders slice is
-    written to ORC, CSV and JSON sinks, read back through each source,
-    and aggregated — one row per format, value-identical to the direct
-    SQL aggregate. totalprice is carried as DECIMAL(12,2) so the text
-    formats round-trip exactly. Each leg is a full sink+source proof;
-    at scale all three writes are parallel partitioned writes."""
+    written to ORC, CSV, JSON and XML (built-in since Spark 4) sinks,
+    read back through each source, and aggregated — one row per format,
+    value-identical to the direct SQL aggregate. totalprice is carried
+    as DECIMAL(12,2) so the text formats round-trip exactly. Each leg
+    is a full sink+source proof; at scale all four writes are parallel
+    partitioned writes. (Avro needs the external spark-avro module —
+    absent from this pip distribution, documented env gap.)"""
     import shutil
 
     tune(spark)
@@ -2881,15 +2883,19 @@ def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "o_orderkey bigint, o_orderstatus string, price decimal(12,2)"
     frames = []
     try:
-        for fmt in ("orc", "csv", "json"):
+        for fmt in ("orc", "csv", "json", "xml"):
             path = os.path.join(root, fmt)
             w = src.write.mode("overwrite").format(fmt)
             if fmt == "csv":
                 w = w.option("header", "true")
+            elif fmt == "xml":
+                w = w.option("rootTag", "orders").option("rowTag", "order")
             w.save(path)
             r = spark.read.format(fmt)
             if fmt == "csv":
                 r = r.option("header", "true")
+            elif fmt == "xml":
+                r = r.option("rowTag", "order")
             back = r.schema(schema).load(path)
             frames.append(
                 back.agg(
@@ -2899,7 +2905,41 @@ def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count_distinct("o_orderstatus").alias("n_status"),
                 )
             )
-        out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        rows = out.collect()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest front door: the ``binaryFile`` source reads
+    opaque payloads as (path, length, content) — how image/audio blobs
+    enter a Spark pipeline from object storage. Here 200 payload files
+    are materialized from the documents slice (at scale they already
+    sit in object storage; writing them is fixture setup), read back
+    through binaryFile, and verified by sha256 + id parsed from the
+    path — both scan-side expressions."""
+    import shutil
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    src = t("documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dif_bin_")
+    try:
+        for r in src.collect():  # fixture creation, not the measured path
+            with open(os.path.join(root, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        binf = spark.read.format("binaryFile").load(os.path.join(root, "*.bin"))
+        out = binf.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        )
         rows = out.collect()  # materialize before the temp dir is removed
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3155,4 +3195,5 @@ QUERIES = {
     "sql_pipe_q6": sql_pipe_q6,
     "weighted_sample_docs": weighted_sample_docs,
     "quality_classifier_docs": quality_classifier_docs,
+    "binary_file_ingest": binary_file_ingest,
 }
