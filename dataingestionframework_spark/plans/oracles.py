@@ -1962,6 +1962,12 @@ ORACLES: dict[str, str] = {
         SELECT o_orderpriority AS priority, count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
+    # GROUPED_AGG pandas UDF twin: geometric mean = exp(avg(ln x)).
+    "pandas_grouped_agg_gmean": """
+        SELECT o_orderpriority,
+               round(exp(avg(ln(o_totalprice))), 2) AS gmean_price
+        FROM orders GROUP BY o_orderpriority
+    """,
     # binaryFile ingest: payload bytes are the utf-8 text, so length
     # and sha256 are recomputable straight from the table.
     "binary_file_ingest": """

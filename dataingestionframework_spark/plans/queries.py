@@ -2914,6 +2914,35 @@ def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def pandas_grouped_agg_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 GROUPED_AGG Pandas UDF (the one UDF variant the other
+    entries don't cover): per-priority geometric mean of order value as
+    an Arrow-batched vectorized aggregate (AggregateInPandas — one
+    batch per group partition, NOT row-at-a-time). Oracle:
+    exp(avg(ln(x))). Production note: built-in exp/avg/ln expresses
+    this exactly (and faster) — the entry exists to prove the custom-
+    UDAF surface, the shape you reach for when the aggregate is NOT
+    SQL-expressible."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, so type-hint inference sees strings and fails
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gmean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v).mean()))
+
+    return (
+        t("orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(gmean("o_totalprice"), 2).alias("gmean_price"))
+    )
+
+
 def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal ingest front door: the ``binaryFile`` source reads
     opaque payloads as (path, length, content) — how image/audio blobs
@@ -3196,4 +3225,5 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "binary_file_ingest": binary_file_ingest,
+    "pandas_grouped_agg_gmean": pandas_grouped_agg_gmean,
 }
