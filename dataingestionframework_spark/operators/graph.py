@@ -122,3 +122,52 @@ def dedup_clusters(
     return assigned.join(sizes, "canonical_id").select(
         "doc_id", "canonical_id", "cluster_size"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Simplified PageRank (rank = (1-d) + d·Σ in-contribs) for a fixed
+    iteration count — the iterative-numeric-fixpoint shape (influence /
+    centrality over citation-, link- or dedup-graphs).
+
+    Scale design: each iteration is exactly two shuffles — the
+    contribution aggregation (edges ⋈ ranks on src, groupBy dst) and
+    the node-table left join; the out-degree table is computed once.
+    ``localCheckpoint`` (on by default) truncates lineage each round so
+    the plan and its recompute cost stay O(1) in the iteration count —
+    without it iteration k replans all k-1 predecessors. Dangling
+    nodes (no in-edges) settle at 1-d. Deterministic given the edge
+    list; no driver-side data beyond the loop counter.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if checkpoint:
+        ranks = ranks.localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            edges.join(deg, src)
+            .join(ranks.select(F.col("node").alias(src), "rank"), src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -1962,6 +1962,37 @@ ORACLES: dict[str, str] = {
         SELECT o_orderpriority AS priority, count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
+    # 3 unrolled PageRank iterations over the same functional graph.
+    "pagerank_doc_graph": """
+        WITH e AS (
+            SELECT doc_id AS src, (doc_id * 31 + 7) % 400 AS dst
+            FROM documents
+        ),
+        nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+        c1 AS (SELECT e.dst AS node, sum(r.rank / d.out_deg) AS contrib
+               FROM e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src
+               GROUP BY e.dst),
+        r1 AS (SELECT n.node,
+                      0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
+               FROM nodes n LEFT JOIN c1 c USING (node)),
+        c2 AS (SELECT e.dst AS node, sum(r.rank / d.out_deg) AS contrib
+               FROM e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src
+               GROUP BY e.dst),
+        r2 AS (SELECT n.node,
+                      0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
+               FROM nodes n LEFT JOIN c2 c USING (node)),
+        c3 AS (SELECT e.dst AS node, sum(r.rank / d.out_deg) AS contrib
+               FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src
+               GROUP BY e.dst),
+        r3 AS (SELECT n.node,
+                      0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
+               FROM nodes n LEFT JOIN c3 c USING (node))
+        SELECT node, round(rank, 6) AS rank FROM r3
+    """,
     # GROUPED_AGG pandas UDF twin: geometric mean = exp(avg(ln x)).
     "pandas_grouped_agg_gmean": """
         SELECT o_orderpriority,

@@ -2914,6 +2914,24 @@ def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative numeric fixpoint in the gate: 3 PageRank iterations
+    (operators/graph.py::pagerank) over a deterministic functional
+    graph derived from the documents table (doc_id → (31·doc_id+7) mod
+    400). The oracle unrolls the same 3 iterations as chained CTEs —
+    bit-comparable after round(,6)."""
+    from ..operators.graph import pagerank
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    edges = t("documents").select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.lit(400)).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def pandas_grouped_agg_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 GROUPED_AGG Pandas UDF (the one UDF variant the other
     entries don't cover): per-priority geometric mean of order value as
@@ -3226,4 +3244,5 @@ QUERIES = {
     "quality_classifier_docs": quality_classifier_docs,
     "binary_file_ingest": binary_file_ingest,
     "pandas_grouped_agg_gmean": pandas_grouped_agg_gmean,
+    "pagerank_doc_graph": pagerank_doc_graph,
 }

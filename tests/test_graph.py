@@ -87,3 +87,23 @@ def test_dedup_clusters_covers_unpaired_docs(spark):
     # The keep-set is exactly one doc per cluster.
     keep = [d for d, (c, _) in out.items() if d == c]
     assert sorted(keep) == [0, 1, 2, 3, 5, 6, 8]
+
+
+def test_pagerank_star_and_cycle(spark):
+    from dataingestionframework_spark.operators.graph import pagerank
+
+    # 2-cycle: symmetric, every rank stays exactly 1.0 at any iteration
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(cyc, iterations=4).collect()}
+    assert got == {1: 1.0, 2: 1.0}
+    # star 1..4 -> 0: leaves settle at 1-d, the hub at (1-d)(1+4d)
+    star = spark.createDataFrame([(i, 0) for i in range(1, 5)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(star, iterations=3).collect()}
+    assert abs(got[0] - 0.15 * (1 + 4 * 0.85)) < 1e-9
+    assert all(abs(got[i] - 0.15) < 1e-9 for i in range(1, 5))
+    # checkpoint=False yields identical values (pure lineage question)
+    got2 = {
+        r.node: r.rank
+        for r in pagerank(star, iterations=3, checkpoint=False).collect()
+    }
+    assert got == got2
