@@ -197,6 +197,22 @@ class DeltaManagedTable:
     def truncate(self) -> None:
         self._dt().delete()
 
+    def replace_where(self, df: DataFrame, condition: Column | str) -> None:
+        """Native ``replaceWhere`` overwrite: Delta validates incoming
+        rows against the predicate and rewrites only matching files —
+        the exact semantics the parquet backend emulates copy-on-write
+        (catalog/table.py::ManagedTable.replace_where). ``condition``
+        must be a SQL predicate string for the native option; a Column
+        is rendered via the plan (cluster-only path, untestable here).
+        """
+        pred = condition if isinstance(condition, str) else condition._jc.toString()
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("replaceWhere", pred)
+            .save(self.root)
+        )
+
     def evolve_schema(self, merged: T.StructType) -> None:
         """Add any new columns (NULL-backfilled) — Delta ALTER TABLE."""
         current = {f.name for f in self.schema().fields}

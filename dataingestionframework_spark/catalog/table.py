@@ -369,6 +369,26 @@ class ManagedTable:
     def truncate(self) -> None:
         self.overwrite(self.spark.createDataFrame([], self.schema()), _op="truncate")
 
+    def replace_where(self, df: DataFrame, condition: Column | str) -> None:
+        """Delta ``replaceWhere`` analogue: atomically replace exactly
+        the rows matching ``condition`` with ``df``. Incoming rows are
+        validated against the condition first (as Delta does) so a bad
+        predicate can't silently leak rows into foreign partitions.
+        The scale pattern this serves is idempotent partition reloads:
+        re-run yesterday's ingest, replace only ``dt = yesterday``.
+        Copy-on-write here; the Delta backend maps to a native
+        replaceWhere overwrite that rewrites only matching files.
+        """
+        cond = _col(condition)
+        n_bad = df.filter(~cond).count()
+        if n_bad:
+            raise ValueError(
+                f"replace_where: {n_bad} incoming rows do not match the "
+                "replacement condition"
+            )
+        merged = self.read().filter(~cond).unionByName(df)
+        self.overwrite(merged, _op="replace_where")
+
     # -- DML (copy-on-write; Delta swaps in transparently on a cluster) -----
 
     def delete(self, condition: Column | str) -> None:

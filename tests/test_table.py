@@ -316,3 +316,56 @@ def test_scd2_two_applies_full_interval_history(spark, catalog):
     # invariant: exactly one current row per key
     cur = dim.read().filter(F.col("is_current")).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_replace_where_swaps_only_matching_rows(spark, tmp_root):
+    import os
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "rw"))
+    t.append(
+        spark.createDataFrame(
+            [(d, i, 1.0) for d in ("a", "b") for i in range(5)],
+            "dt string, id int, v double",
+        )
+    )
+    t.replace_where(
+        spark.createDataFrame([("b", 99, 2.0)], "dt string, id int, v double"),
+        F.col("dt") == "b",
+    )
+    rows = {(r.dt, r.id) for r in t.read().collect()}
+    assert rows == {("a", i) for i in range(5)} | {("b", 99)}
+    assert t.history()[-1]["op"] == "replace_where"
+    # rows that violate the predicate are rejected, table untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.replace_where(
+            spark.createDataFrame([("a", 1, 0.0)], "dt string, id int, v double"),
+            F.col("dt") == "b",
+        )
+    assert {(r.dt, r.id) for r in t.read().collect()} == rows
+
+
+def test_dynamic_partition_overwrite_native(spark, tmp_root):
+    """spark.sql.sources.partitionOverwriteMode=dynamic: an overwrite
+    rewrites ONLY the partitions present in the incoming frame — the
+    idempotent daily-reload pattern on plain partitioned parquet."""
+    import os
+
+    tgt = os.path.join(tmp_root, "dpo")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "dt string, v int"
+    ).write.partitionBy("dt").parquet(tgt)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame([("b", 99)], "dt string, v int").write.mode(
+            "overwrite"
+        ).partitionBy("dt").parquet(tgt)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(r.dt, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 99)}
