@@ -277,3 +277,41 @@ def test_analyze_stats_feed_cbo(spark, tmp_root):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS cbo_t1")
+
+
+def test_parquet_bloom_filter_written_for_high_ndv_column(spark, tmp_root):
+    """Parquet bloom filters (point-lookup row-group skipping on high-
+    cardinality columns — the id-lookup path at 100 TB). parquet-mr
+    only materializes the bloom when the column escapes full dictionary
+    encoding, so the fixture uses 100k distinct md5 strings; presence
+    is asserted via the on-disk footprint delta and the lookup path is
+    verified for correctness."""
+    import os
+
+    def write(path, with_bloom):
+        w = (
+            spark.range(100000)
+            .selectExpr("id", "md5(cast(id as string)) AS k")
+            .coalesce(1)
+            .write
+        )
+        if with_bloom:
+            w = w.option("parquet.bloom.filter.enabled#k", "true").option(
+                "parquet.bloom.filter.expected.ndv#k", "100000"
+            )
+        w.parquet(path)
+        f = [x for x in os.listdir(path) if x.endswith(".parquet")][0]
+        return os.path.getsize(os.path.join(path, f))
+
+    bf = write(os.path.join(tmp_root, "bf"), True)
+    nobf = write(os.path.join(tmp_root, "nobf"), False)
+    assert bf - nobf > 50_000  # bloom bitsets are actually on disk
+    import pyspark.sql.functions as F
+
+    probe = spark.range(1).selectExpr("md5('7777') AS k").collect()[0].k
+    got = (
+        spark.read.parquet(os.path.join(tmp_root, "bf"))
+        .filter(F.col("k") == probe)
+        .collect()
+    )
+    assert [r.id for r in got] == [7777]
