@@ -1,0 +1,118 @@
+"""Lexical retrieval: BM25 scoring and inverted-index construction.
+
+Complements the embedding-side ANN operators (operators/similarity.py)
+with the keyword side of corpus search — dedup forensics ("which docs
+mention this phrase"), contamination triage, and hybrid retrieval all
+start from BM25/posting lists. Capability extension beyond the
+reference surface (the reference has no text analytics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 (Robertson-Sparck Jones, public) for a
+    short keyword query.
+
+    Scale shape for few-term queries: pass 1 aggregates the corpus
+    statistics BM25 needs — N, avgdl, and one document frequency per
+    term — into a SINGLE row (a broadcast join of one row is constant
+    cost); pass 2 computes every per-doc score as pure column
+    expressions over the token array (tf per term is a scan-side
+    ``filter`` count — no explode, no per-term shuffle) and takes
+    top-k via TakeOrderedAndProject. Total cost: two scans + one 1-row
+    broadcast, independent of query length for realistic queries.
+
+    Output: (id, doc_len, score) with ``score`` rounded to 4 so the
+    DuckDB oracle hash-matches despite float summation order.
+    """
+    terms = [t.lower() for t in query_terms]
+    ws = F.transform(tokens(F.col(text_col)), F.lower)
+    dl = F.size(ws)
+    base = docs.select(F.col(id_col), ws.alias("ws"), dl.alias("doc_len"))
+
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        *[
+            F.sum(
+                (F.array_contains("ws", t)).cast("long")
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    def idf(i):
+        n, dfc = F.col("n_docs"), F.col(f"df_{i}")
+        return F.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+
+    def tf(t):
+        return F.size(F.filter(F.col("ws"), lambda w: w == t)).cast("double")
+
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl")
+    )
+    score = None
+    for i, t in enumerate(terms):
+        part = idf(i) * tf(t) * F.lit(k1 + 1.0) / (tf(t) + norm)
+        score = part if score is None else score + part
+    return (
+        base.join(F.broadcast(stats))
+        .select(
+            id_col,
+            "doc_len",
+            F.round(score, 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Term → posting-list table: one row per term with its document
+    frequency and the sorted posting list of (doc, tf) pairs.
+
+    One explode + one (term, doc) count + one per-term reassembly —
+    the standard two-shuffle index build, linear in total tokens. At
+    100 TB the posting arrays for stop-like terms get large: filter
+    them with ``min_df``'s sibling max-df in the caller, or store the
+    index bucketed by term (write_bucketed) so query-time term lookups
+    prune to one bucket.
+
+    Output: (term, df, postings array<struct<doc,tf>> sorted by doc).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc").agg(F.count("*").alias("tf"))
+    idx = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc"), F.col("tf")))
+        ).alias("postings"),
+    )
+    return idx.filter(F.col("df") >= min_df)
+
+
+__all__ = ["bm25_topk", "build_inverted_index"]

@@ -1962,6 +1962,64 @@ ORACLES: dict[str, str] = {
         SELECT o_orderpriority AS priority, count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
+    # BM25 closed form: idf = ln((N-df+.5)/(df+.5)+1),
+    # score = sum_t idf_t * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).
+    "bm25_search_docs": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_transform(list_filter(
+                       string_split_regex(text, '\s+'), w -> w <> ''),
+                       w -> lower(w)) AS ws
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, ws, len(ws) AS doc_len,
+                   CAST(len(list_filter(ws, w -> w = 'spark'))  AS DOUBLE) AS tf0,
+                   CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) AS tf1,
+                   CAST(len(list_filter(ws, w -> w = 'merge'))  AS DOUBLE) AS tf2
+            FROM base
+        ),
+        s AS (
+            SELECT count(*) AS n, avg(doc_len) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM d
+        )
+        SELECT doc_id, doc_len,
+               round(
+                 ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+                   / (tf0 + 1.2 * (0.25 + 0.75 * doc_len / avgdl))
+               + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+                   / (tf1 + 1.2 * (0.25 + 0.75 * doc_len / avgdl))
+               + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+                   / (tf2 + 1.2 * (0.25 + 0.75 * doc_len / avgdl)), 4)
+                 AS score
+        FROM d, s
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+    # inverted index summarized per term: df, total tf, first posting.
+    "inverted_index_docs": """
+        WITH toks AS (
+            SELECT doc_id AS doc, lower(w) AS term
+            FROM (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(text, '\s+'), w -> w <> '')) AS w
+                FROM documents
+            )
+        ),
+        tf AS (
+            SELECT term, doc, count(*) AS tf
+            FROM toks GROUP BY term, doc
+        )
+        SELECT term,
+               count(*)                              AS df,
+               sum(tf)                               AS total_tf,
+               min(doc)                              AS first_doc,
+               first(tf ORDER BY doc)                AS first_tf
+        FROM tf GROUP BY term
+    """,
     # 3 unrolled PageRank iterations over the same functional graph.
     "pagerank_doc_graph": """
         WITH e AS (

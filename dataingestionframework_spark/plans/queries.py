@@ -2914,6 +2914,43 @@ def format_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-20 for a 3-term query
+    (operators/retrieval.py::bm25_topk) — corpus stats collapse to one
+    broadcast row, per-doc scores are scan-side expressions, top-k is
+    TakeOrderedAndProject. The oracle recomputes the same closed-form
+    BM25 in SQL."""
+    from ..operators.retrieval import bm25_topk
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return bm25_topk(
+        t("documents"), ["spark", "window", "merge"], k=20
+    )
+
+
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/retrieval.py::
+    build_inverted_index) summarized per term: document frequency,
+    total tf, and the first posting. The full posting arrays are built
+    (and verified through df/total/first-posting which are functions of
+    them); two linear shuffles, no Python."""
+    from ..operators.retrieval import build_inverted_index
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    idx = build_inverted_index(t("documents"))
+    return idx.select(
+        "term",
+        "df",
+        F.aggregate(
+            "postings", F.lit(0).cast("long"), lambda a, x: a + x["tf"]
+        ).alias("total_tf"),
+        F.element_at("postings", 1)["doc"].alias("first_doc"),
+        F.element_at("postings", 1)["tf"].alias("first_tf"),
+    )
+
+
 def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative numeric fixpoint in the gate: 3 PageRank iterations
     (operators/graph.py::pagerank) over a deterministic functional
@@ -3245,4 +3282,6 @@ QUERIES = {
     "binary_file_ingest": binary_file_ingest,
     "pandas_grouped_agg_gmean": pandas_grouped_agg_gmean,
     "pagerank_doc_graph": pagerank_doc_graph,
+    "bm25_search_docs": bm25_search_docs,
+    "inverted_index_docs": inverted_index_docs,
 }

@@ -453,3 +453,34 @@ def test_hashed_linear_score_deterministic_and_bounded(spark):
     assert out[1].score == out[2].score  # pure function of text
     assert all(0.0 <= r.score <= 1.0 for r in out.values())
     assert out[1].n_tokens == 3 and out[3].n_tokens == 1
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from dataingestionframework_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark spark fast engine"),
+        (2, "spark is one word here among many other words today"),
+        (3, "nothing relevant at all in this document"),
+        (4, "spark spark distributed"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(df, ["spark"], k=3).collect()
+    assert [r.doc_id for r in got][:2] == [1, 4]  # tf-dense and short win
+    assert got[0].score > got[1].score > got[2].score
+    assert all(r.doc_id != 3 for r in got) or got[-1].score == 0.0
+
+
+def test_inverted_index_postings_sorted_and_counted(spark):
+    from dataingestionframework_spark.operators.retrieval import (
+        build_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [(2, "b a b"), (1, "a b a")], ["doc_id", "text"]
+    )
+    idx = {r.term: r for r in build_inverted_index(df).collect()}
+    assert idx["a"].df == 2 and idx["b"].df == 2
+    assert [(p.doc, p.tf) for p in idx["a"].postings] == [(1, 2), (2, 1)]
+    assert [(p.doc, p.tf) for p in idx["b"].postings] == [(1, 1), (2, 2)]
+    assert build_inverted_index(df, min_df=3).count() == 0

@@ -49,6 +49,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "hll_mergeable_rollup": {
         "BroadcastNestedLoopJoin": "1-row exact-total scalar broadcast"
     },
+    "bm25_search_docs": {
+        "BroadcastNestedLoopJoin": "1-row corpus-stats (N, avgdl, dfs) broadcast"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
