@@ -1999,6 +1999,74 @@ ORACLES: dict[str, str] = {
         ORDER BY score DESC, doc_id
         LIMIT 20
     """,
+    # RRF fusion of the BM25 and cosine closed forms (k=50 each).
+    "hybrid_search_rrf": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_transform(list_filter(
+                       string_split_regex(text, '\\s+'), w -> w <> ''),
+                       w -> lower(w)) AS ws
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, len(ws) AS doc_len,
+                   CAST(len(list_filter(ws, w -> w = 'spark'))  AS DOUBLE) AS tf0,
+                   CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) AS tf1,
+                   CAST(len(list_filter(ws, w -> w = 'merge'))  AS DOUBLE) AS tf2
+            FROM base
+        ),
+        s AS (
+            SELECT count(*) AS n, avg(doc_len) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM d
+        ),
+        lex AS (
+            SELECT doc_id,
+                   round(
+                     ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+                       / (tf0 + 1.2 * (0.25 + 0.75 * doc_len / avgdl))
+                   + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+                       / (tf1 + 1.2 * (0.25 + 0.75 * doc_len / avgdl))
+                   + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+                       / (tf2 + 1.2 * (0.25 + 0.75 * doc_len / avgdl)), 4)
+                     AS score
+            FROM d, s
+            ORDER BY score DESC, doc_id
+            LIMIT 50
+        ),
+        lexr AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS lex_rank
+            FROM lex
+        ),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 0),
+        sem AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine_sim DESC, e.vec_id
+            LIMIT 50
+        ),
+        semr AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cosine_sim DESC, doc_id)
+                        AS INT) AS sem_rank
+            FROM sem
+        )
+        SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+               l.lex_rank, r.sem_rank,
+               round(coalesce(1.0 / (l.lex_rank + 60), 0.0)
+                   + coalesce(1.0 / (r.sem_rank + 60), 0.0), 6) AS rrf
+        FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id
+        ORDER BY rrf DESC, coalesce(l.doc_id, r.doc_id)
+        LIMIT 20
+    """,
     # inverted index summarized per term: df, total tf, first posting.
     "inverted_index_docs": """
         WITH toks AS (

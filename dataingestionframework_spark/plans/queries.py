@@ -2951,6 +2951,41 @@ def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (lexical) and cosine top-50
+    (semantic, the aligned embeddings table) fused by reciprocal-rank
+    fusion (RRF, Cormack et al. 2009: Σ 1/(60+rank)). The two branches
+    are the already-proven operators; fusion is a full-outer join of
+    two 50-row frames — negligible at any scale, the cost lives in the
+    branches. Top-20 of the fused score."""
+    from ..operators.retrieval import bm25_topk
+    from ..operators.similarity import cosine_topk
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    lex = bm25_topk(t("documents"), ["spark", "window", "merge"], k=50)
+    emb = t("embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    sem = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=50)
+    wl = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    ws = Window.orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+    semr = sem.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(ws).alias("sem_rank")
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.col("lex_rank") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("sem_rank") + 60), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.col("doc_id")).limit(20)
+
+
 def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative numeric fixpoint in the gate: 3 PageRank iterations
     (operators/graph.py::pagerank) over a deterministic functional
@@ -3283,5 +3318,6 @@ QUERIES = {
     "pandas_grouped_agg_gmean": pandas_grouped_agg_gmean,
     "pagerank_doc_graph": pagerank_doc_graph,
     "bm25_search_docs": bm25_search_docs,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "inverted_index_docs": inverted_index_docs,
 }

@@ -52,6 +52,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "bm25_search_docs": {
         "BroadcastNestedLoopJoin": "1-row corpus-stats (N, avgdl, dfs) broadcast"
     },
+    "hybrid_search_rrf": {
+        "BroadcastNestedLoopJoin": "1-row corpus-stats broadcast (BM25 branch)"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
