@@ -1999,6 +1999,29 @@ ORACLES: dict[str, str] = {
         ORDER BY score DESC, doc_id
         LIMIT 20
     """,
+    # conditional-min funnel: one agg per user, no self-joins.
+    "funnel_stages_events": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+                   min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                        THEN 1 ELSE 0 END) AS n_signup_click,
+               sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         AND t_purchase > t_click
+                        THEN 1 ELSE 0 END) AS n_full_funnel,
+               round(median(CASE WHEN t_signup IS NOT NULL
+                                  AND t_click > t_signup
+                                  AND t_purchase > t_click
+                            THEN epoch(t_purchase) - epoch(t_signup) END)
+                     / 3600.0, 4) AS median_hours_to_purchase
+        FROM firsts
+    """,
     # RRF fusion of the BM25 and cosine closed forms (k=50 each).
     "hybrid_search_rrf": """
         WITH base AS (

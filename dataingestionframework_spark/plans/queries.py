@@ -2951,6 +2951,46 @@ def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_stages_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (signup → click → purchase by FIRST
+    occurrence time per user): one conditional-min aggregation per user
+    — a single hash-agg shuffle regardless of funnel depth, no self-
+    joins (the naive N-stage funnel is N-1 self-joins; conditional
+    minima replace them all). Output: entered/completed counts per
+    stage plus median hours signup→purchase for completers."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    firsts = (
+        t("events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    hours = (
+        F.col("t_purchase").cast("double") - F.col("t_signup").cast("double")
+    ) / 3600.0
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(s1.cast("int")).alias("n_signup"),
+        F.sum(s2.cast("int")).alias("n_signup_click"),
+        F.sum(s3.cast("int")).alias("n_full_funnel"),
+        F.round(
+            F.expr(
+                "percentile(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup "
+                "AND t_purchase > t_click THEN "
+                "(cast(t_purchase AS double) - cast(t_signup AS double)) / 3600.0 END, 0.5)"
+            ),
+            4,
+        ).alias("median_hours_to_purchase"),
+    )
+
+
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-50 (lexical) and cosine top-50
     (semantic, the aligned embeddings table) fused by reciprocal-rank
@@ -3319,5 +3359,6 @@ QUERIES = {
     "pagerank_doc_graph": pagerank_doc_graph,
     "bm25_search_docs": bm25_search_docs,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "funnel_stages_events": funnel_stages_events,
     "inverted_index_docs": inverted_index_docs,
 }
