@@ -527,9 +527,13 @@ class ManagedTable:
         pdf = pq.read_table(self.data_dir()).to_pandas()
         mask = pdf[key_col] == key_val
         for c, v in sets.items():
-            if isinstance(v, datetime) and v.tzinfo is None:
-                v = v.replace(tzinfo=timezone.utc)  # match tz-aware dtype
-            if pdf[c].dtype == object or v is None:
+            if isinstance(v, datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=timezone.utc)  # match tz-aware dtype
+                # make the column tz-aware BEFORE assignment — setting a
+                # tz-aware value into naive datetime64[ns] is deprecated
+                pdf[c] = pd.to_datetime(pdf[c], utc=True)
+            elif pdf[c].dtype == object or v is None:
                 pdf[c] = pdf[c].astype(object)
             pdf.loc[mask, c] = v
         for f in schema:

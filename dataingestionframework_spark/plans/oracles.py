@@ -1999,6 +1999,23 @@ ORACLES: dict[str, str] = {
         ORDER BY score DESC, doc_id
         LIMIT 20
     """,
+    # cohort retention: first-seen week per user, then cohort x offset.
+    "cohort_retention_events": """
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+        )
+        SELECT f.cohort_wk,
+               CAST(floor((epoch(e.wk) - epoch(f.cohort_wk))
+                          / (7 * 86400)) AS INT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM ev e JOIN first f USING (user_id)
+        GROUP BY f.cohort_wk, week_offset
+    """,
     # conditional-min funnel: one agg per user, no self-joins.
     "funnel_stages_events": """
         WITH firsts AS (

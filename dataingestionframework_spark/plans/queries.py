@@ -2991,6 +2991,31 @@ def funnel_stages_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week
+    (cohort), counted by distinct activity in each subsequent week
+    offset. Two hash-agg shuffles (first-seen per user, then
+    cohort×offset distinct count) — no self-join of the event log with
+    itself, which is the naive formulation and quadratic-prone at
+    100 TB."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events").select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.col("wk").cast("double") - F.col("cohort_wk").cast("double"))
+                / (7 * 86400)
+            ).cast("int"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-50 (lexical) and cosine top-50
     (semantic, the aligned embeddings table) fused by reciprocal-rank
@@ -3360,5 +3385,6 @@ QUERIES = {
     "bm25_search_docs": bm25_search_docs,
     "hybrid_search_rrf": hybrid_search_rrf,
     "funnel_stages_events": funnel_stages_events,
+    "cohort_retention_events": cohort_retention_events,
     "inverted_index_docs": inverted_index_docs,
 }
