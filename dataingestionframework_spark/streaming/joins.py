@@ -22,13 +22,18 @@ def stream_interval_join(
     watermark: str = "1 hour",
     within: str = "1 hour",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``on`` where the right event happened
-    at or before the left event and within ``within`` of it.
+    """Join two streams on ``on`` where the right event happened at or
+    before the left event and within ``within`` of it.
 
-    Right columns (except the key) come back prefixed. Works on batch
-    frames too (same plan, no watermark needed) — which is exactly how
-    the streaming result is oracle-checked in tests.
+    ``how='left_outer'`` adds the null-extension semantics: an
+    unmatched left row is emitted (right columns null) only once the
+    watermark proves no matching right row can still arrive — so outer
+    results trail the watermark delay, they are not instant. Right
+    columns (except the key) come back prefixed. Works on batch frames
+    too (same plan, no watermark needed) — which is exactly how the
+    streaming result is oracle-checked in tests.
     """
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
@@ -52,4 +57,4 @@ def stream_interval_join(
         & (F.col(rts) <= F.col(left_ts))
         & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
     )
-    return left.join(r, cond, "inner").drop(rkey)
+    return left.join(r, cond, how).drop(rkey)

@@ -472,3 +472,68 @@ def test_rocksdb_state_store_runs_stateful_agg(spark, tmp_root):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_interval_left_outer_join_null_extension(spark, tmp_root):
+    """Left-outer stream-stream join: the unmatched left row is NOT
+    emitted in the batch it arrives (a match could still come); it
+    emits with null right columns only after a later batch advances the
+    watermark past its join window."""
+    import os
+    from datetime import datetime, timedelta
+
+    from dataingestionframework_spark.streaming.joins import stream_interval_join
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    lsrc = os.path.join(tmp_root, "lo_left")
+    rsrc = os.path.join(tmp_root, "lo_right")
+    out = os.path.join(tmp_root, "lo_out")
+    ckpt = os.path.join(tmp_root, "lo_ckpt")
+    spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=30), 100), (2, t0 + timedelta(minutes=30), 200)],
+        "user_id long, ts timestamp, left_id long",
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        [(1, t0, 900)], "user_id long, ts timestamp, right_id long"
+    ).write.parquet(rsrc)
+
+    def run_once():
+        lp = spark.readStream.schema("user_id long, ts timestamp, left_id long").parquet(lsrc)
+        rp = spark.readStream.schema("user_id long, ts timestamp, right_id long").parquet(rsrc)
+        q = (
+            stream_interval_join(
+                lp, rp, on="user_id", watermark="10 minutes",
+                within="1 hour", how="left_outer",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.user_id, r.left_id, r.r_right_id)
+            for r in spark.read.schema(
+                "user_id long, ts timestamp, left_id long, r_ts timestamp, r_right_id long"
+            ).parquet(out).collect()
+        }
+
+    first = run_once()
+    assert first == {(1, 100, 900)}  # match emits; unmatched left held back
+    # the GLOBAL watermark is the MIN across both inputs
+    # (multipleWatermarkPolicy=min): BOTH streams must observe later
+    # events before user 2's window can expire
+    spark.createDataFrame(
+        [(99, t0 + timedelta(days=2), 901)],
+        "user_id long, ts timestamp, right_id long",
+    ).write.mode("append").parquet(rsrc)
+    spark.createDataFrame(
+        [(98, t0 + timedelta(days=2), 101)],
+        "user_id long, ts timestamp, left_id long",
+    ).write.mode("append").parquet(lsrc)
+    run_once()          # processes the late rows, advances the watermark
+    third = run_once()  # no-data batch emits the expired unmatched left
+    assert (2, 200, None) in third  # null-extended after expiry
+    assert (1, 100, 900) in third
