@@ -260,3 +260,64 @@ def test_scrub_pii_idempotent_and_clean(spark, chunks):
 
     for pat in PII_PATTERNS.values():
         assert not re.search(pat, r1.text)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.integers(1, 1000), min_size=1, max_size=30),
+    k=st.integers(1, 10),
+    seed=st.integers(0, 3),
+)
+def test_weighted_sample_matches_python_reference(spark, weights, k, seed):
+    """A-ES sampling is a pure function of (data, seed): the Spark
+    result must equal a python re-derivation of key = u^(1/w) top-k."""
+    import hashlib
+
+    from dataingestionframework_spark.operators.corpus import weighted_sample
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(
+        r.doc_id for r in weighted_sample(df, "w", k, seed=seed).collect()
+    )
+
+    def unit(i):
+        h = hashlib.md5(f"aes:{seed}:{i}".encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60)
+
+    keys = [(unit(i) ** (1.0 / w), -i) for i, w in rows]
+    expect = sorted(
+        sorted(range(len(rows)), key=lambda i: (-keys[i][0], i))[: min(k, len(rows))]
+    )
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "spark"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bm25_matches_python_reference(spark, docs):
+    """BM25 scores equal the closed-form python computation."""
+    import math
+
+    from dataingestionframework_spark.operators.retrieval import bm25_topk
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.score for r in bm25_topk(df, ["spark"], k=len(rows)).collect()}
+
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    dfc = sum(1 for d in docs if "spark" in d)
+    idf = math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+    for i, d in enumerate(docs):
+        tf = float(d.count("spark"))
+        expect = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
+        if i in got:
+            assert abs(got[i] - round(expect, 4)) <= 1e-4
