@@ -1999,6 +1999,16 @@ ORACLES: dict[str, str] = {
         ORDER BY score DESC, doc_id
         LIMIT 20
     """,
+    # try_* family: NULL instead of ANSI errors.
+    "try_functions_orders": """
+        SELECT o_orderkey,
+               o_totalprice / nullif(o_orderkey % 3, 0) AS div_or_null,
+               TRY_CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1)
+                        AS INT)                          AS prio_num,
+               TRY_CAST(o_orderstatus AS INT)            AS status_as_int,
+               string_split(o_orderpriority, '-')[2]     AS prio_word
+        FROM orders WHERE o_orderkey < 2000
+    """,
     # cohort retention: first-seen week per user, then cohort x offset.
     "cohort_retention_events": """
         WITH ev AS (

@@ -2991,6 +2991,30 @@ def funnel_stages_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def try_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic family: try_divide / try_cast /
+    try_add / try_element_at return NULL where strict ANSI semantics
+    would raise — the error-tolerant path ETL needs when a 100 TB scan
+    must not die on one malformed row. Oracle: TRY_CAST + NULLIF
+    equivalents."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    o = t("orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias(
+            "div_or_null"
+        ),
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+        .try_cast("int")
+        .alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.try_element_at(
+            F.split("o_orderpriority", "-"), F.lit(2)
+        ).alias("prio_word"),
+    )
+
+
 def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week
     (cohort), counted by distinct activity in each subsequent week
@@ -3386,5 +3410,6 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "funnel_stages_events": funnel_stages_events,
     "cohort_retention_events": cohort_retention_events,
+    "try_functions_orders": try_functions_orders,
     "inverted_index_docs": inverted_index_docs,
 }
