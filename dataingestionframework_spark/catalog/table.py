@@ -411,7 +411,9 @@ class ManagedTable:
         when_not_matched_insert: bool = True,
         when_not_matched_by_source_update: Mapping[str, Column | str] | None = None,
         matched_condition: Column | str | None = None,
-    ) -> None:
+        merge_schema: bool = False,
+        return_metrics: bool = False,
+    ) -> dict | None:
         """Delta-style MERGE on equality keys ``on``.
 
         Emulated as one full-outer join + per-column CASE — a single
@@ -423,7 +425,18 @@ class ManagedTable:
         ``when_matched_update``: dict of target column -> expr over the
         joined frame (source cols as ``src.<c>``), or "all" to take every
         source column.
+
+        ``merge_schema=True`` = Delta ``withSchemaEvolution()``: source
+        columns absent from the target are admitted first (NULL-backfilled
+        on historic rows), so upstream producers can add fields without a
+        migration step. ``return_metrics=True`` returns Delta-operation-
+        metrics-style counts {n_matched, n_inserted, n_not_matched_by_
+        source} at the cost of one extra aggregate job over the join.
         """
+        if merge_schema:
+            known = set(self.schema().fieldNames())
+            if any(f.name not in known for f in source.schema.fields):
+                self.evolve_schema(source.schema)
         target = self.read()
         tcols = target.columns
         # Presence sentinels survive the full-outer join where key columns
@@ -456,8 +469,19 @@ class ManagedTable:
                 expr = F.when(~tgt_present & src_present, src_c).otherwise(expr)
             out_cols.append(expr.alias(c))
 
+        metrics = None
+        if return_metrics:
+            m = joined.agg(
+                F.sum(matched.cast("long")).alias("n_matched"),
+                F.sum((src_present & ~tgt_present).cast("long")).alias("n_inserted"),
+                F.sum((tgt_present & ~src_present).cast("long")).alias(
+                    "n_not_matched_by_source"
+                ),
+            ).first()
+            metrics = {k: (m[k] or 0) for k in m.asDict()}
         base = joined if when_not_matched_insert else joined.filter(tgt_present)
         self.overwrite(base.select(*out_cols), _op="merge")
+        return metrics
 
     # -- Arrow fast path for tiny control-plane tables ----------------------
     #

@@ -369,3 +369,29 @@ def test_dynamic_partition_overwrite_native(spark, tmp_root):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     got = {(r.dt, r.v) for r in spark.read.parquet(tgt).collect()}
     assert got == {("a", 1), ("a", 2), ("b", 99)}
+
+
+def test_merge_schema_evolution_and_metrics(spark, tmp_root):
+    """MERGE with schema evolution (Delta withSchemaEvolution analogue):
+    a source column unknown to the target is admitted, historic rows
+    NULL-backfill; Delta-style operation metrics come back on request."""
+    import os
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "mse"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    src = spark.createDataFrame(
+        [(2, "B", 9.5), (3, "C", 1.5)], "id long, v string, score double"
+    )
+    metrics = t.merge(
+        src,
+        on=["id"],
+        when_matched_update="all",
+        merge_schema=True,
+        return_metrics=True,
+    )
+    assert metrics == {"n_matched": 1, "n_inserted": 1, "n_not_matched_by_source": 1}
+    got = {r.id: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("C", 1.5)}
+    assert [f.name for f in t.schema().fields] == ["id", "v", "score"]
