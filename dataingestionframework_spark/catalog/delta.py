@@ -238,10 +238,15 @@ class DeltaManagedTable:
         when_not_matched_insert: bool = True,
         when_not_matched_by_source_update: Mapping[str, Column | str] | None = None,
         matched_condition: Column | str | None = None,
-    ) -> None:
+        merge_schema: bool = False,
+        return_metrics: bool = False,
+    ) -> dict | None:
         """Native Delta MERGE — same keyword surface as the parquet
         backend's emulated merge, same five reference variants
-        (``modules/insert_config.py:146-468``)."""
+        (``modules/insert_config.py:146-468``). ``merge_schema`` maps to
+        withSchemaEvolution(); ``return_metrics`` reads the commit's
+        operationMetrics (no extra job — Delta records them natively).
+        """
         cond = " AND ".join(f"tgt.`{c}` = src.`{c}`" for c in on)
         m = self._dt().alias("tgt").merge(source.alias("src"), cond)
         if when_matched_update == "all":
@@ -259,7 +264,19 @@ class DeltaManagedTable:
             m = m.whenNotMatchedBySourceUpdate(
                 set={c: _col(v) for c, v in when_not_matched_by_source_update.items()}
             )
+        if merge_schema:
+            m = m.withSchemaEvolution()
         m.execute()
+        if return_metrics:
+            om = (self._dt().history(1).select("operationMetrics").first() or [{}])[0]
+            return {
+                "n_matched": int(om.get("numTargetRowsUpdated", 0) or 0),
+                "n_inserted": int(om.get("numTargetRowsInserted", 0) or 0),
+                "n_not_matched_by_source": int(
+                    om.get("numTargetRowsNotMatchedBySourceUpdated", 0) or 0
+                ) + int(om.get("numTargetRowsNotMatchedBySourceDeleted", 0) or 0),
+            }
+        return None
 
     # -- control-plane row ops (Delta's log makes these cheap natively) -------
 
