@@ -115,4 +115,50 @@ def build_inverted_index(
     return idx.filter(F.col("df") >= min_df)
 
 
-__all__ = ["bm25_topk", "build_inverted_index"]
+def hashed_embedding(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing text embeddings (Weinberger et al. 2009, public):
+    each token lands in bucket ``h(w) mod dim`` with sign from a second
+    hash bit; per-doc bucket sums are L2-normalized. The deterministic,
+    model-free text → vector link in front of the ANN operators
+    (IVF/PQ/SRP all consume its output shape) — and the plumbing is
+    identical when a real encoder replaces the hash (mapInPandas batch
+    inference writing the same (id, dim, value) layout).
+
+    Scale shape: one explode (one hash per token, NOT dim hashes), one
+    (id, dim) sum shuffle, one per-doc window for the norm. Output is
+    LONG format (id, dim, value) — the layout that joins/pivots cheaply
+    and keeps sparse dims free.
+    """
+    from ..operators.text import portable_gram_hash
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("term"),
+    )
+    h = portable_gram_hash(F.col("term"))
+    # sign from hash bit 32 — integer ops only (float division of a
+    # 60-bit hash would lose the low bits)
+    signed = toks.select(
+        "id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("dim"),
+        (F.pmod(F.shiftrightunsigned(h, 32), F.lit(2)) * 2 - 1)
+        .cast("double")
+        .alias("sign"),
+    )
+    sums = signed.groupBy("id", "dim").agg(F.sum("sign").alias("v"))
+    from pyspark.sql import Window
+
+    norm = F.sqrt(F.sum(F.col("v") * F.col("v")).over(Window.partitionBy("id")))
+    return sums.select(
+        "id",
+        "dim",
+        F.round(F.col("v") / F.greatest(norm, F.lit(1e-12)), 6).alias("value"),
+    )
+
+
+__all__ = ["bm25_topk", "build_inverted_index", "hashed_embedding"]

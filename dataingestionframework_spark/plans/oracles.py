@@ -1999,6 +1999,32 @@ ORACLES: dict[str, str] = {
         ORDER BY score DESC, doc_id
         LIMIT 20
     """,
+    # feature-hashing embedding: bucket = h%64, sign = bit 32 of h,
+    # L2-normalized per doc; long format.
+    "hashed_embedding_docs": """
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   ('0x' || substring(md5(lower(w)), 1, 15))::UBIGINT AS h
+            FROM (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(text, '\\s+'), w -> w <> '')) AS w
+                FROM documents WHERE doc_id < 300
+            )
+        ),
+        signed AS (
+            SELECT id, CAST(h % 64 AS INT) AS dim,
+                   CAST(CAST((h >> 32) % 2 AS BIGINT) * 2 - 1 AS DOUBLE)
+                       AS sign
+            FROM toks
+        ),
+        sums AS (
+            SELECT id, dim, sum(sign) AS v FROM signed GROUP BY id, dim
+        )
+        SELECT id, dim,
+               round(v / greatest(sqrt(sum(v * v) OVER (PARTITION BY id)),
+                                  1e-12), 6) AS value
+        FROM sums
+    """,
     # try_* family: NULL instead of ANSI errors.
     "try_functions_orders": """
         SELECT o_orderkey,

@@ -2991,6 +2991,20 @@ def funnel_stages_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hashed_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings (operators/retrieval.py::
+    hashed_embedding): the deterministic text→vector link ahead of the
+    ANN family. Long-format (id, dim, value) output keeps the hash gate
+    array-free; the oracle recomputes bucket/sign/normalize in SQL."""
+    from ..operators.retrieval import hashed_embedding
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return hashed_embedding(
+        t("documents").filter(F.col("doc_id") < 300), dim=64
+    )
+
+
 def try_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-mode-safe arithmetic family: try_divide / try_cast /
     try_add / try_element_at return NULL where strict ANSI semantics
@@ -3411,5 +3425,6 @@ QUERIES = {
     "funnel_stages_events": funnel_stages_events,
     "cohort_retention_events": cohort_retention_events,
     "try_functions_orders": try_functions_orders,
+    "hashed_embedding_docs": hashed_embedding_docs,
     "inverted_index_docs": inverted_index_docs,
 }

@@ -484,3 +484,28 @@ def test_inverted_index_postings_sorted_and_counted(spark):
     assert [(p.doc, p.tf) for p in idx["a"].postings] == [(1, 2), (2, 1)]
     assert [(p.doc, p.tf) for p in idx["b"].postings] == [(1, 1), (2, 2)]
     assert build_inverted_index(df, min_df=3).count() == 0
+
+
+def test_hashed_embedding_unit_norm_and_similarity(spark):
+    """Feature-hashing embeddings: unit L2 norm per doc; identical texts
+    map to identical vectors; disjoint vocabularies are (near-)
+    orthogonal by construction (different buckets)."""
+    from dataingestionframework_spark.operators.retrieval import hashed_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = hashed_embedding(df, dim=16).collect()
+    vecs = {}
+    for r in rows:
+        vecs.setdefault(r.id, {})[r.dim] = r.value
+    for vid, v in vecs.items():
+        assert abs(sum(x * x for x in v.values()) - 1.0) < 1e-6, vid
+    assert vecs[1] == vecs[2]
+    dot13 = sum(vecs[1].get(d, 0.0) * vecs[3].get(d, 0.0) for d in range(16))
+    assert abs(dot13) < 1.0  # distinct vocab: not the identical vector
