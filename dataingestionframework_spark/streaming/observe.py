@@ -54,6 +54,20 @@ class ProgressRecorder(StreamingQueryListener):
         with self._lock:
             self.terminated.append(str(event.id))
 
+    def wait_for_progress(self, n: int = 1, timeout_s: float = 15.0) -> bool:
+        """Block until ≥ n progress events arrived (listener delivery is
+        ASYNC — a query can finish before its events are dispatched).
+        Returns True if reached, False on timeout."""
+        import time
+
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            with self._lock:
+                if len(self.progress) >= n:
+                    return True
+            time.sleep(0.1)
+        return False
+
     def onQueryIdle(self, event):  # noqa: N802
         pass
 

@@ -76,7 +76,8 @@ def test_streaming_tumbling_from_file_source(spark, tmp_root):
     g = {(r.window_start, r.event_type): (r.n, r.total_value) for r in got}
     e = {(r.window_start, r.event_type): (r.n, r.total_value) for r in expected}
     assert g == e
-    # listener observed progress
+    # listener delivery is async — wait bounded, then assert
+    assert rec.wait_for_progress(1)
     assert any(p["numInputRows"] > 0 for p in rec.progress)
 
 
