@@ -1968,7 +1968,7 @@ ORACLES: dict[str, str] = {
         WITH base AS (
             SELECT doc_id,
                    list_transform(list_filter(
-                       string_split_regex(text, '\s+'), w -> w <> ''),
+                       string_split_regex(text, '\\s+'), w -> w <> ''),
                        w -> lower(w)) AS ws
             FROM documents
         ),
@@ -2149,7 +2149,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id AS doc, lower(w) AS term
             FROM (
                 SELECT doc_id, unnest(list_filter(
-                    string_split_regex(text, '\s+'), w -> w <> '')) AS w
+                    string_split_regex(text, '\\s+'), w -> w <> '')) AS w
                 FROM documents
             )
         ),
