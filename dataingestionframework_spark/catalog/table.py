@@ -80,13 +80,75 @@ class ManagedTable:
             f.write(version)
         os.replace(tmp, self._pointer())  # atomic on POSIX
 
-    def _write_meta(self, schema: T.StructType, partition_cols: list[str] | None = None) -> None:
+    def _meta(self) -> dict:
+        try:
+            with open(os.path.join(self.root, _META)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_meta(
+        self,
+        schema: T.StructType,
+        partition_cols: list[str] | None = None,
+        constraints: dict | None = None,
+    ) -> None:
         if partition_cols is None:
             partition_cols = self.partition_cols()
+        if constraints is None:
+            constraints = self._meta().get("constraints") or {}
         tmp = os.path.join(self.root, _META + f".tmp-{uuid.uuid4().hex[:6]}")
         with open(tmp, "w") as f:
-            json.dump({"schema": schema.jsonValue(), "partition_cols": partition_cols}, f)
+            json.dump(
+                {
+                    "schema": schema.jsonValue(),
+                    "partition_cols": partition_cols,
+                    "constraints": constraints,
+                },
+                f,
+            )
         os.replace(tmp, os.path.join(self.root, _META))
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity) --------
+
+    def constraints(self) -> dict[str, str]:
+        return dict(self._meta().get("constraints") or {})
+
+    def add_check_constraint(self, name: str, expr: str) -> None:
+        """Register a CHECK constraint (SQL predicate over the row).
+        Existing data is validated first — exactly Delta's ALTER TABLE
+        ADD CONSTRAINT semantics (the scan is the price of the
+        guarantee); subsequent Spark-path writes are validated in one
+        aggregate pass per write. The driver-side Arrow fast path
+        (control-plane tables) is exempt by design — control tables
+        define no constraints."""
+        cons = self.constraints()
+        cons[name] = expr
+        if self.exists():
+            self._validate_constraints(self.read(), cons={name: expr})
+        self._write_meta(self.schema() if self.exists() else T.StructType(), constraints=cons)
+
+    def drop_check_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        self._write_meta(self.schema(), constraints=cons)
+
+    def _validate_constraints(self, df: DataFrame, cons: dict | None = None) -> None:
+        from ..errors import ConstraintViolationError
+
+        cons = self.constraints() if cons is None else cons
+        if not cons:
+            return
+        # one aggregate job counts every constraint's violations at once
+        counts = df.agg(
+            *[
+                F.sum((~F.expr(e)).cast("long")).alias(n)
+                for n, e in cons.items()
+            ]
+        ).first()
+        bad = {n: int(counts[n] or 0) for n in cons if (counts[n] or 0) > 0}
+        if bad:
+            raise ConstraintViolationError(self.root, bad)
 
     def schema(self) -> T.StructType:
         with open(os.path.join(self.root, _META)) as f:
@@ -329,6 +391,7 @@ class ManagedTable:
         back as NULL for them), matching Delta ``mergeSchema``; without,
         the frame is conformed to the stored schema.
         """
+        self._validate_constraints(df)
         if not self.exists():
             self.create(df.schema)
             # append (not overwrite) into the created dir: the create
@@ -361,6 +424,9 @@ class ManagedTable:
         return self._dir_rows(self.data_dir(), self.data_files() - before)
 
     def overwrite(self, df: DataFrame, _op: str = "overwrite") -> None:
+        # UPDATE/MERGE expressions can break constraints just as inserts
+        # can; every Spark-path write funnels through here or append()
+        self._validate_constraints(df)
         v, path = self._new_version_dir()
         self._writer(df, "overwrite").parquet(path)
         self._swap(v, df.schema)

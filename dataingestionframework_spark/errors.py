@@ -46,3 +46,13 @@ class StreamRestartRequired(EngineError):
 
 class DuplicateHeaderError(SpecValidationError):
     """HeaderID uniqueness violated (reference: modules/insert_config.py:94-120)."""
+
+
+class ConstraintViolationError(EngineError):
+    """A write would violate a table CHECK constraint."""
+
+    def __init__(self, table: str, violations: dict[str, int]):
+        self.table = table
+        self.violations = violations
+        detail = ", ".join(f"{k}: {v} rows" for k, v in violations.items())
+        super().__init__(f"{table}: CHECK constraint violation ({detail})")

@@ -395,3 +395,37 @@ def test_merge_schema_evolution_and_metrics(spark, tmp_root):
     got = {r.id: (r.v, r.score) for r in t.read().collect()}
     assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("C", 1.5)}
     assert [f.name for f in t.schema().fields] == ["id", "v", "score"]
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_root):
+    """Delta ADD CONSTRAINT parity: existing data validated at ADD;
+    appends, UPDATEs and MERGEs that would violate are rejected whole
+    (no partial write); dropping the constraint re-opens the gate."""
+    import os
+
+    import pytest as _pytest
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from dataingestionframework_spark.errors import ConstraintViolationError
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "ck"))
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"))
+    t.add_check_constraint("v_positive", "v > 0")
+    assert t.constraints() == {"v_positive": "v > 0"}
+    # adding a constraint existing data violates fails
+    with _pytest.raises(ConstraintViolationError):
+        t.add_check_constraint("v_small", "v < 15")
+    # bad append rejected atomically
+    with _pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(3, -1.0)], "id long, v double"))
+    assert t.count() == 2
+    # bad UPDATE rejected too (funnels through overwrite)
+    with _pytest.raises(ConstraintViolationError):
+        t.update(F.col("id") == 1, {"v": F.lit(-5.0)})
+    assert {r.v for r in t.read().collect()} == {10.0, 20.0}
+    # good writes pass; dropping the constraint admits the bad row
+    t.append(spark.createDataFrame([(3, 5.0)], "id long, v double"))
+    t.drop_check_constraint("v_positive")
+    t.append(spark.createDataFrame([(4, -1.0)], "id long, v double"))
+    assert t.count() == 4
