@@ -92,11 +92,15 @@ class ManagedTable:
         schema: T.StructType,
         partition_cols: list[str] | None = None,
         constraints: dict | None = None,
+        tags: dict | None = None,
     ) -> None:
+        prev = self._meta()
         if partition_cols is None:
             partition_cols = self.partition_cols()
         if constraints is None:
-            constraints = self._meta().get("constraints") or {}
+            constraints = prev.get("constraints") or {}
+        if tags is None:
+            tags = prev.get("tags") or {}
         tmp = os.path.join(self.root, _META + f".tmp-{uuid.uuid4().hex[:6]}")
         with open(tmp, "w") as f:
             json.dump(
@@ -104,6 +108,7 @@ class ManagedTable:
                     "schema": schema.jsonValue(),
                     "partition_cols": partition_cols,
                     "constraints": constraints,
+                    "tags": tags,
                 },
                 f,
             )
@@ -167,16 +172,47 @@ class ManagedTable:
         self._write_meta(self._merged_schema(merged))
 
     def vacuum(self, keep_current: bool = True) -> int:
-        """Drop non-current version directories (Delta VACUUM analogue)."""
+        """Drop non-current version directories (Delta VACUUM analogue).
+        Version dirs referenced by a TAG are pinned and survive."""
         if not self.exists():
             return 0
         current = self._current_version()
+        pinned = {current} if keep_current else set()
+        tags = self._meta().get("tags") or {}
+        if tags:
+            by_v = {e["version"]: e["dir"] for e in self._history_lines()}
+            pinned |= {by_v[v] for v in tags.values() if v in by_v}
         n = 0
         for d in os.listdir(self.root):
-            if d.startswith("v-") and (d != current or not keep_current):
+            if d.startswith("v-") and d not in pinned:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
                 n += 1
         return n
+
+    # -- tags (named, vacuum-pinned snapshots — Iceberg-tag analogue) -------
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._meta().get("tags") or {})
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot (default: the latest committed version).
+        Tagged versions are PINNED: vacuum will not delete their files,
+        so ``read(tag=...)`` keeps working — the reproducibility anchor
+        a training run records ('trained on corpus@v2024-08')."""
+        if version is None:
+            entries = self._history_lines()
+            if not entries:
+                raise TableNotFoundError(f"{self.root}: no commits to tag")
+            version = entries[-1]["version"]
+        tags = self.tags()
+        tags[name] = version
+        self._write_meta(self.schema(), tags=tags)
+        return version
+
+    def untag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        self._write_meta(self.schema(), tags=tags)
 
     # -- commit log (time travel / DESCRIBE HISTORY analogue) --------------
     #
@@ -277,10 +313,19 @@ class ManagedTable:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         # Explicit stored schema: files written before a schema evolution
         # lack the new columns; the parquet reader fills them with NULL.
         # (Partition columns in the schema resolve from directory names.)
+        if tag is not None:
+            if version is not None:
+                raise ValueError("read: pass version OR tag, not both")
+            tags = self.tags()
+            if tag not in tags:
+                raise TableNotFoundError(
+                    f"{self.root}: unknown tag {tag!r} (have {sorted(tags)})"
+                )
+            version = tags[tag]
         if version is None:
             return self.spark.read.schema(self.schema()).parquet(self.data_dir())
         entries = self._history_lines()

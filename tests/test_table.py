@@ -429,3 +429,34 @@ def test_check_constraints_enforced_on_writes(spark, tmp_root):
     t.drop_check_constraint("v_positive")
     t.append(spark.createDataFrame([(4, -1.0)], "id long, v double"))
     assert t.count() == 4
+
+
+def test_tags_pin_versions_against_vacuum(spark, tmp_root):
+    """Iceberg-tag analogue: a named snapshot stays readable after
+    VACUUM (its version dir is pinned); untagged old versions are
+    reclaimed; read(tag=) resolves by name."""
+    import os
+
+    import pytest as _pytest
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from dataingestionframework_spark.errors import TableNotFoundError
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "tags"))
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "id long"))
+    tagged_v = t.tag("corpus-2024-08")       # latest commit
+    t.delete(F.col("id") >= 5)               # new version
+    t.delete(F.col("id") >= 3)               # another
+    assert t.read(tag="corpus-2024-08").count() == 10
+    t.vacuum()
+    # tagged image survives vacuum; current image intact
+    assert t.read(tag="corpus-2024-08").count() == 10
+    assert t.count() == 3
+    assert t.tags() == {"corpus-2024-08": tagged_v}
+    with _pytest.raises(TableNotFoundError):
+        t.read(tag="nope")
+    t.untag("corpus-2024-08")
+    t.vacuum()
+    with _pytest.raises(TableNotFoundError):
+        t.read(tag="corpus-2024-08")
