@@ -93,6 +93,7 @@ class ManagedTable:
         partition_cols: list[str] | None = None,
         constraints: dict | None = None,
         tags: dict | None = None,
+        generated: dict | None = None,
     ) -> None:
         prev = self._meta()
         if partition_cols is None:
@@ -101,6 +102,8 @@ class ManagedTable:
             constraints = prev.get("constraints") or {}
         if tags is None:
             tags = prev.get("tags") or {}
+        if generated is None:
+            generated = prev.get("generated") or {}
         tmp = os.path.join(self.root, _META + f".tmp-{uuid.uuid4().hex[:6]}")
         with open(tmp, "w") as f:
             json.dump(
@@ -109,6 +112,7 @@ class ManagedTable:
                     "partition_cols": partition_cols,
                     "constraints": constraints,
                     "tags": tags,
+                    "generated": generated,
                 },
                 f,
             )
@@ -213,6 +217,39 @@ class ManagedTable:
         tags = self.tags()
         tags.pop(name, None)
         self._write_meta(self.schema(), tags=tags)
+
+    # -- generated columns (Delta GENERATED ALWAYS AS (expr) parity) --------
+
+    def generated_columns(self) -> dict[str, str]:
+        return dict(self._meta().get("generated") or {})
+
+    def set_generated_column(self, name: str, expr: str) -> None:
+        """Declare ``name`` as GENERATED ALWAYS AS (expr): appends that
+        omit the column get it computed server-side; appends that supply
+        it are validated against the expression (Delta's rule — a
+        caller may not disagree with the generator). The standard use
+        is derived partition keys (``dt = to_date(ts)``) so writers
+        never hand-maintain them."""
+        gen = self.generated_columns()
+        gen[name] = expr
+        self._write_meta(self.schema(), generated=gen)
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        from ..errors import ConstraintViolationError
+
+        gen = self.generated_columns()
+        for name, expr in gen.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                n_bad = df.filter(
+                    ~(F.col(name).eqNullSafe(F.expr(expr)))
+                ).count()
+                if n_bad:
+                    raise ConstraintViolationError(
+                        self.root, {f"generated:{name}": n_bad}
+                    )
+        return df
 
     # -- commit log (time travel / DESCRIBE HISTORY analogue) --------------
     #
@@ -436,6 +473,7 @@ class ManagedTable:
         back as NULL for them), matching Delta ``mergeSchema``; without,
         the frame is conformed to the stored schema.
         """
+        df = self._apply_generated(df)
         self._validate_constraints(df)
         if not self.exists():
             self.create(df.schema)

@@ -460,3 +460,45 @@ def test_tags_pin_versions_against_vacuum(spark, tmp_root):
     t.vacuum()
     with _pytest.raises(TableNotFoundError):
         t.read(tag="corpus-2024-08")
+
+
+def test_generated_columns_computed_and_validated(spark, tmp_root):
+    """GENERATED ALWAYS AS parity: omitted generated columns are
+    computed at append; supplied values disagreeing with the generator
+    are rejected; agreeing values pass."""
+    import os
+
+    import pytest as _pytest
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from dataingestionframework_spark.errors import ConstraintViolationError
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "gen"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024-03-05 10:00:00")], "id long, ts string"
+        ).selectExpr("id", "cast(ts as timestamp) AS ts")
+    )
+    t.set_generated_column("dt", "to_date(ts)")
+    t.append(
+        spark.createDataFrame(
+            [(2, "2024-04-01 09:00:00")], "id long, ts string"
+        ).selectExpr("id", "cast(ts as timestamp) AS ts")
+    )
+    got = {r.id: str(r.dt) for r in t.read().collect() if r.dt is not None}
+    assert got[2] == "2024-04-01"  # computed server-side
+    with _pytest.raises(ConstraintViolationError):
+        t.append(
+            spark.createDataFrame(
+                [(3, "2024-05-01 09:00:00", "1999-01-01")],
+                "id long, ts string, dt string",
+            ).selectExpr("id", "cast(ts as timestamp) AS ts", "cast(dt as date) AS dt")
+        )
+    # a caller supplying the CORRECT value is accepted
+    t.append(
+        spark.createDataFrame(
+            [(4, "2024-06-02 09:00:00", "2024-06-02")],
+            "id long, ts string, dt string",
+        ).selectExpr("id", "cast(ts as timestamp) AS ts", "cast(dt as date) AS dt")
+    )
+    assert t.count() == 3  # ids 1,2,4 (id 3 was rejected atomically)
