@@ -400,8 +400,15 @@ class ManagedTable:
         import pyarrow.parquet as pq
 
         total = 0
-        for base, _, files in os.walk(d):
+        for base, dirs, files in os.walk(d):
+            # Spark stages in-flight output under _temporary/ and commits
+            # by atomic rename — only committed files are countable
+            # (in-flight part files read as 0-byte parquet and crash the
+            # footer reader when a stream appends concurrently)
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
             for f in files:
+                if f.startswith(("_", ".")):
+                    continue
                 p = os.path.join(base, f)
                 rel = os.path.relpath(p, d)
                 if f.endswith(".parquet") and (only_files is None or rel in only_files):
@@ -410,12 +417,15 @@ class ManagedTable:
 
     def data_files(self) -> set[str]:
         d = self.data_dir()
-        return {
-            os.path.relpath(os.path.join(base, f), d)
-            for base, _, files in os.walk(d)
-            for f in files
-            if f.endswith(".parquet")
-        }
+        out: set[str] = set()
+        for base, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            out |= {
+                os.path.relpath(os.path.join(base, f), d)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            }
+        return out
 
     def _writer(self, df: DataFrame, mode: str):
         w = df.write.mode(mode)
@@ -506,12 +516,27 @@ class ManagedTable:
         self.append(df, merge_schema)
         return self._dir_rows(self.data_dir(), self.data_files() - before)
 
-    def overwrite(self, df: DataFrame, _op: str = "overwrite") -> None:
+    def overwrite(
+        self, df: DataFrame, _op: str = "overwrite", expect_version: str | None = None
+    ) -> None:
         # UPDATE/MERGE expressions can break constraints just as inserts
         # can; every Spark-path write funnels through here or append()
         self._validate_constraints(df)
+        if expect_version is None and self.exists():
+            expect_version = self._current_version()
         v, path = self._new_version_dir()
         self._writer(df, "overwrite").parquet(path)
+        # optimistic concurrency (Delta commit-conflict analogue): the
+        # new image was computed FROM expect_version — if another writer
+        # swapped the pointer meanwhile, committing would silently drop
+        # their write, so fail instead. The loser recomputes and retries.
+        if expect_version is not None and self.exists():
+            now = self._current_version()
+            if now != expect_version:
+                from ..errors import ConcurrentWriteError
+
+                shutil.rmtree(path, ignore_errors=True)
+                raise ConcurrentWriteError(self.root, expect_version, now)
         self._swap(v, df.schema)
         self._log_commit(_op)
 
@@ -535,22 +560,27 @@ class ManagedTable:
                 f"replace_where: {n_bad} incoming rows do not match the "
                 "replacement condition"
             )
+        base = self._current_version()
         merged = self.read().filter(~cond).unionByName(df)
-        self.overwrite(merged, _op="replace_where")
+        self.overwrite(merged, _op="replace_where", expect_version=base)
 
     # -- DML (copy-on-write; Delta swaps in transparently on a cluster) -----
 
     def delete(self, condition: Column | str) -> None:
-        self.overwrite(self.read().filter(~_col(condition)), _op="delete")
+        base = self._current_version()
+        self.overwrite(
+            self.read().filter(~_col(condition)), _op="delete", expect_version=base
+        )
 
     def update(self, condition: Column | str, set: Mapping[str, Column | str]) -> None:
         cond = _col(condition)
+        base = self._current_version()
         df = self.read()
         cols = [
             F.when(cond, _col(set[c])).otherwise(F.col(c)).alias(c) if c in set else F.col(c)
             for c in df.columns
         ]
-        self.overwrite(df.select(*cols), _op="update")
+        self.overwrite(df.select(*cols), _op="update", expect_version=base)
 
     def merge(
         self,

@@ -56,3 +56,14 @@ class ConstraintViolationError(EngineError):
         self.violations = violations
         detail = ", ".join(f"{k}: {v} rows" for k, v in violations.items())
         super().__init__(f"{table}: CHECK constraint violation ({detail})")
+
+
+class ConcurrentWriteError(EngineError):
+    """A copy-on-write commit raced another writer (pointer moved)."""
+
+    def __init__(self, table: str, expected: str, actual: str):
+        self.table, self.expected, self.actual = table, expected, actual
+        super().__init__(
+            f"{table}: concurrent write detected (image computed from "
+            f"{expected}, pointer now {actual}); recompute and retry"
+        )

@@ -502,3 +502,33 @@ def test_generated_columns_computed_and_validated(spark, tmp_root):
         ).selectExpr("id", "cast(ts as timestamp) AS ts", "cast(dt as date) AS dt")
     )
     assert t.count() == 3  # ids 1,2,4 (id 3 was rejected atomically)
+
+
+def test_concurrent_write_conflict_detected(spark, tmp_root):
+    """Optimistic concurrency: a copy-on-write commit whose base version
+    moved underneath it fails with ConcurrentWriteError instead of
+    silently dropping the other writer's commit; retry then succeeds."""
+    import os
+
+    import pytest as _pytest
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from dataingestionframework_spark.errors import ConcurrentWriteError
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "occ"))
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "id long"))
+    base = t._current_version()
+    # writer B lands a commit while writer A's image is in flight
+    t2 = ManagedTable(spark, t.root)
+    t2.delete(F.col("id") == 9)
+    with _pytest.raises(ConcurrentWriteError):
+        t.overwrite(
+            t.read(version=0).filter(F.col("id") < 5),
+            _op="delete",
+            expect_version=base,
+        )
+    # B's commit survived (nothing was clobbered); A retries and wins
+    assert t.count() == 9
+    t.delete(F.col("id") >= 5)
+    assert t.count() == 5
