@@ -261,10 +261,13 @@ class ManagedTable:
     # the source of truth). The Delta backend maps these to native
     # ``versionAsOf`` / ``DeltaTable.history()`` instead.
     #
-    # Single-writer assumption: the pointer swap is atomic for readers,
-    # but concurrent WRITERS would interleave log lines — multi-writer
-    # commit arbitration is exactly what the Delta backend's real
-    # transaction log provides on a cluster.
+    # Concurrency: the pointer swap is atomic for readers, and
+    # copy-on-write commits carry their base version — a raced commit
+    # fails with ConcurrentWriteError rather than clobbering (see
+    # overwrite()). Remaining gap: two APPENDS in the same instant interleave
+    # log lines benignly (both files land; counts stay right). Full
+    # multi-writer arbitration is what the Delta backend's transaction
+    # log provides on a cluster.
 
     def _history_path(self) -> str:
         return os.path.join(self.root, _HISTORY)
