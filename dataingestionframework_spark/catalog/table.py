@@ -394,6 +394,20 @@ class ManagedTable:
             .parquet(*paths)
         )
 
+    def read_stream(self) -> DataFrame:
+        """The table as a STREAMING source (Delta ``readStream`` parity
+        for the append path): downstream consumers incrementally process
+        rows as appends land, with checkpointed exactly-once file
+        tracking. Valid for append-only usage — copy-on-write DML swaps
+        the version directory out from under a running stream (Delta
+        raises the same way without ``skipChangeCommits``); restart the
+        stream after DML, or consume DML via ``read_changes``."""
+        return (
+            self.spark.readStream.schema(self.schema())
+            .option("maxFilesPerTrigger", "64")
+            .parquet(self.data_dir())
+        )
+
     def count(self) -> int:
         """Row count from parquet footers — no scan, no Spark job."""
         return self._dir_rows(self.data_dir())

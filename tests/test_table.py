@@ -532,3 +532,34 @@ def test_concurrent_write_conflict_detected(spark, tmp_root):
     assert t.count() == 9
     t.delete(F.col("id") >= 5)
     assert t.count() == 5
+
+
+def test_read_stream_incremental_appends(spark, tmp_root):
+    """Managed table as a streaming source: a checkpointed AvailableNow
+    drain picks up exactly the rows appended since the last drain."""
+    import os
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "rs"))
+    t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    ckpt = os.path.join(tmp_root, "rs_ckpt")
+    out = os.path.join(tmp_root, "rs_out")
+
+    def drain():
+        q = (
+            t.read_stream()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r.id for r in spark.read.schema("id long").parquet(out).collect()
+        )
+
+    assert drain() == [1, 2]
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    assert drain() == [1, 2, 3]  # only id=3 processed in the second drain
