@@ -289,6 +289,28 @@ class DeltaManagedTable:
             F.col(key_col) == F.lit(key_val), {c: F.lit(v) for c, v in sets.items()}
         )
 
+    # -- round-2 surface parity (cluster-only; no delta jars here) ------------
+
+    def add_check_constraint(self, name: str, expr: str) -> None:
+        """Native Delta CHECK constraint (validates existing data at ADD,
+        every write thereafter — same contract as the parquet backend)."""
+        self.spark.sql(
+            f"ALTER TABLE delta.`{self.root}` ADD CONSTRAINT {name} CHECK ({expr})"
+        )
+
+    def drop_check_constraint(self, name: str) -> None:
+        self.spark.sql(f"ALTER TABLE delta.`{self.root}` DROP CONSTRAINT {name}")
+
+    def constraints(self) -> dict:
+        props = self.spark.sql(f"SHOW TBLPROPERTIES delta.`{self.root}`").collect()
+        pre = "delta.constraints."
+        return {r.key[len(pre):]: r.value for r in props if r.key.startswith(pre)}
+
+    def read_stream(self) -> DataFrame:
+        """Native Delta streaming source (appends; callers set
+        skipChangeCommits upstream DML tolerance)."""
+        return self.spark.readStream.format("delta").load(self.root)
+
     # -- maintenance -----------------------------------------------------------
 
     def optimize(self, target_partitions: int | None = None, zorder_by: list[str] | None = None) -> None:
@@ -313,3 +335,4 @@ class DeltaManagedTable:
             )
         self._dt().vacuum(retention_hours)
         return -1
+
