@@ -39,6 +39,36 @@ class CorpusPrepSpec:
     chunk_stride: int = 0                 # defaults to chunk_size if 0
 
 
+    _DEDUP_MODES = ("exact", "minhash", "simhash", "none")
+
+    @classmethod
+    def from_json(cls, doc: dict) -> "CorpusPrepSpec":
+        """Load from a JSON document (the reference's config-driven
+        ethos applied to the LLM pipeline: corpus-prep jobs ship as
+        data, not code). Unknown keys and mode typos fail loudly —
+        a silently-ignored config field is a misconfigured 100 TB run.
+        """
+        from ..errors import SpecValidationError
+
+        known = set(cls.__dataclass_fields__)
+        unknown = set(doc) - known
+        if unknown:
+            raise SpecValidationError(
+                f"corpus-prep config: unknown fields {sorted(unknown)}"
+            )
+        spec = cls(**doc)
+        if spec.dedup not in cls._DEDUP_MODES:
+            raise SpecValidationError(
+                f"corpus-prep config: dedup={spec.dedup!r} not in "
+                f"{cls._DEDUP_MODES}"
+            )
+        if spec.chunk_size < 0 or spec.chunk_stride < 0:
+            raise SpecValidationError("corpus-prep config: negative chunking")
+        if spec.mix_alpha is not None and spec.mix_alpha <= 0:
+            raise SpecValidationError("corpus-prep config: mix_alpha must be > 0")
+        return spec
+
+
 @dataclass
 class CorpusPrepResult:
     clean: DataFrame                      # surviving documents

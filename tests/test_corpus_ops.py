@@ -509,3 +509,21 @@ def test_hashed_embedding_unit_norm_and_similarity(spark):
     assert vecs[1] == vecs[2]
     dot13 = sum(vecs[1].get(d, 0.0) * vecs[3].get(d, 0.0) for d in range(16))
     assert abs(dot13) < 1.0  # distinct vocab: not the identical vector
+
+
+def test_corpus_prep_spec_from_json(spark):
+    import pytest as _pytest
+
+    from dataingestionframework_spark.errors import SpecValidationError
+    from dataingestionframework_spark.ingest.corpus import CorpusPrepSpec
+
+    s = CorpusPrepSpec.from_json(
+        {"min_quality": 0.4, "dedup": "minhash", "chunk_size": 40}
+    )
+    assert s.dedup == "minhash" and s.chunk_size == 40
+    with _pytest.raises(SpecValidationError):
+        CorpusPrepSpec.from_json({"dedup": "fuzzy"})
+    with _pytest.raises(SpecValidationError):
+        CorpusPrepSpec.from_json({"dedupe": "exact"})  # typo'd key
+    with _pytest.raises(SpecValidationError):
+        CorpusPrepSpec.from_json({"mix_alpha": -1.0})
