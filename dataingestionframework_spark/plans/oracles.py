@@ -982,6 +982,9 @@ ORACLES: dict[str, str] = {
     "stream_dedup_parity": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
+    "stream_dedup_rocksdb_parity": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     "stream_rollup_merge_parity": """
         SELECT date_trunc('hour', ts) AS bucket,
                event_type,

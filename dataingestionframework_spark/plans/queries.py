@@ -2625,6 +2625,36 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup()
 
 
+def stream_dedup_rocksdb_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same watermarked stateful dedup, but with the RocksDB state
+    store engaged (session.use_rocksdb_state) — proving the
+    state≫heap provider under the hash gate, not just in pytest. The
+    provider binds at query start; the prior provider is restored
+    after."""
+    from ..session import use_rocksdb_state
+    from ..streaming.windows import streaming_dedup
+
+    tune(spark)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    use_rocksdb_state(spark)
+    stream, cleanup = _events_stream(spark, sf_dir)
+    try:
+        dd = streaming_dedup(stream, keys=["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        )
+        return _drain_stream(dd, "stream_dedup_rocksdb_keys", "append")
+    finally:
+        cleanup()
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
 def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style line-level boilerplate dedup: drop every 8-word
     segment whose normalized form occurs in ≥2 distinct documents,
@@ -3400,6 +3430,7 @@ QUERIES = {
     "stream_hourly_parity": stream_hourly_parity,
     "stream_stateful_counters_parity": stream_stateful_counters_parity,
     "stream_dedup_parity": stream_dedup_parity,
+    "stream_dedup_rocksdb_parity": stream_dedup_rocksdb_parity,
     "stream_static_enrich_parity": stream_static_enrich_parity,
     "stream_rollup_merge_parity": stream_rollup_merge_parity,
     "line_dedup_docs": line_dedup_docs,

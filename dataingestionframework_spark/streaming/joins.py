@@ -57,4 +57,6 @@ def stream_interval_join(
         & (F.col(rts) <= F.col(left_ts))
         & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
     )
-    return left.join(r, cond, how).drop(rkey)
+    out = left.join(r, cond, how)
+    # right-only rows (full_outer) carry the key only on the right side
+    return out.withColumn(on, F.coalesce(F.col(on), F.col(rkey))).drop(rkey)

@@ -538,3 +538,60 @@ def test_stream_interval_left_outer_join_null_extension(spark, tmp_root):
     third = run_once()  # no-data batch emits the expired unmatched left
     assert (2, 200, None) in third  # null-extended after expiry
     assert (1, 100, 900) in third
+
+
+def test_stream_interval_full_outer_join_both_sides_extend(spark, tmp_root):
+    """Full-outer stream-stream join: BOTH sides' unmatched rows emit
+    null-extended once the global watermark passes their windows."""
+    import os
+    from datetime import datetime, timedelta
+
+    from dataingestionframework_spark.streaming.joins import stream_interval_join
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    lsrc = os.path.join(tmp_root, "fo_left")
+    rsrc = os.path.join(tmp_root, "fo_right")
+    out = os.path.join(tmp_root, "fo_out")
+    ckpt = os.path.join(tmp_root, "fo_ckpt")
+    spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=30), 100), (2, t0 + timedelta(minutes=30), 200)],
+        "user_id long, ts timestamp, left_id long",
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        [(1, t0, 900), (7, t0, 901)],  # user 7 purchase has no left row
+        "user_id long, ts timestamp, right_id long",
+    ).write.parquet(rsrc)
+
+    def run_once():
+        lp = spark.readStream.schema("user_id long, ts timestamp, left_id long").parquet(lsrc)
+        rp = spark.readStream.schema("user_id long, ts timestamp, right_id long").parquet(rsrc)
+        q = (
+            stream_interval_join(
+                lp, rp, on="user_id", watermark="10 minutes",
+                within="1 hour", how="full_outer",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.user_id, r.left_id, r.r_right_id)
+            for r in spark.read.schema(
+                "user_id long, ts timestamp, left_id long, r_ts timestamp, r_right_id long"
+            ).parquet(out).collect()
+        }
+
+    assert run_once() == {(1, 100, 900)}
+    for src, row_schema, row in (
+        (rsrc, "user_id long, ts timestamp, right_id long", (99, t0 + timedelta(days=2), 902)),
+        (lsrc, "user_id long, ts timestamp, left_id long", (98, t0 + timedelta(days=2), 102)),
+    ):
+        spark.createDataFrame([row], row_schema).write.mode("append").parquet(src)
+    run_once()
+    final = run_once()
+    assert (2, 200, None) in final       # unmatched left
+    assert (7, None, 901) in final       # unmatched right
