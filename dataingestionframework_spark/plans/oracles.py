@@ -2055,6 +2055,14 @@ ORACLES: dict[str, str] = {
         FROM ev e JOIN first f USING (user_id)
         GROUP BY f.cohort_wk, week_offset
     """,
+    # bucketed co-located join: values equal the plain join aggregate.
+    "bucketed_join_agg": """
+        SELECT c_mktsegment,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
     # conditional-min funnel: one agg per user, no self-joins.
     "funnel_stages_events": """
         WITH firsts AS (

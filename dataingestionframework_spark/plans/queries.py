@@ -2981,6 +2981,47 @@ def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join UNDER THE HASH GATE: customer and
+    orders are written bucketed by custkey (16 buckets) and joined with
+    broadcast disabled — the physical plan contains no Exchange above
+    either scan (asserted here, not just in pytest: the gate entry
+    FAILS if a shuffle sneaks back in). The bucket layout is the 100 TB
+    lever: the shuffle is paid once at write time, amortized over every
+    later join."""
+    from ..operators.bucketing import bucketed_join, write_bucketed
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    write_bucketed(
+        t("customer").select("c_custkey", "c_mktsegment"), "gate_bkt_cust",
+        "c_custkey", n_buckets=16,
+    )
+    write_bucketed(
+        t("orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        ),
+        "gate_bkt_ord", "c_custkey", n_buckets=16,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "gate_bkt_cust", "gate_bkt_ord", "c_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange hashpartitioning" in plan:
+            raise AssertionError("bucketed join planned a shuffle Exchange")
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
+        spark.sql("DROP TABLE IF EXISTS gate_bkt_ord")
+    return spark.createDataFrame(rows, out.schema)
+
+
 def funnel_stages_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (signup → click → purchase by FIRST
     occurrence time per user): one conditional-min aggregation per user
@@ -3454,6 +3495,7 @@ QUERIES = {
     "bm25_search_docs": bm25_search_docs,
     "hybrid_search_rrf": hybrid_search_rrf,
     "funnel_stages_events": funnel_stages_events,
+    "bucketed_join_agg": bucketed_join_agg,
     "cohort_retention_events": cohort_retention_events,
     "try_functions_orders": try_functions_orders,
     "hashed_embedding_docs": hashed_embedding_docs,
