@@ -113,3 +113,28 @@ def test_expectations_schema_rejects_bad_kind():
     doc["Expectations"] = [{"Name": "x", "Column": "Id", "Kind": "sometimes_null"}]
     with pytest.raises(SpecValidationError):
         spec_from_document(doc)
+
+
+REFERENCE_CONFIG_GLOB = "/root/reference/config/*/main_config/*.json"
+
+
+@pytest.mark.skipif(
+    not __import__("glob").glob(REFERENCE_CONFIG_GLOB),
+    reason="reference snapshot not present",
+)
+def test_every_reference_config_document_loads():
+    """Sweeping parity proof: ALL of the reference's shipped config
+    documents — Development, Pre-production and Production — parse into
+    valid specs with no translation. A reference user points this
+    engine at their existing config directory and it loads."""
+    import glob
+
+    files = sorted(glob.glob(REFERENCE_CONFIG_GLOB))
+    assert len(files) >= 8
+    for f in files:
+        with open(f) as fh:
+            doc = json.load(fh)
+        s = spec_from_document(doc)
+        assert s.table_name and s.file_format in ("csv", "json", "parquet")
+        assert s.ordered_columns(), f
+        assert s.target_schema().fields, f
