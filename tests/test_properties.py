@@ -321,3 +321,51 @@ def test_bm25_matches_python_reference(spark, docs):
         expect = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
         if i in got:
             assert abs(got[i] - round(expect, 4)) <= 1e-4
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=pair_lists,
+    right=pair_lists,
+    how=st.sampled_from(["inner", "left_outer", "full_outer"]),
+)
+def test_interval_join_matches_python_reference(spark, left, right, how):
+    """stream_interval_join on batch frames == a python reference for
+    inner/left_outer/full_outer (right event at-or-before left, within
+    1000 ms)."""
+    from dataingestionframework_spark.streaming.joins import stream_interval_join
+
+    ldf = spark.createDataFrame(
+        [(k, BASE + timedelta(milliseconds=ms), i) for i, (k, ms) in enumerate(left)],
+        "user_id long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + timedelta(milliseconds=ms), i) for i, (k, ms) in enumerate(right)],
+        "user_id long, ts timestamp, rid long",
+    )
+    got = {
+        (r.user_id, r.lid, r.r_rid)
+        for r in stream_interval_join(
+            ldf, rdf, on="user_id", within="1 seconds", how=how
+        ).collect()
+    }
+
+    matches = {
+        (lk, li, ri)
+        for li, (lk, lms) in enumerate(left)
+        for ri, (rk, rms) in enumerate(right)
+        if lk == rk and rms <= lms and rms >= lms - 1000
+    }
+    expect = set(matches)
+    if how in ("left_outer", "full_outer"):
+        matched_l = {li for _, li, _ in matches}
+        expect |= {
+            (lk, li, None) for li, (lk, _) in enumerate(left) if li not in matched_l
+        }
+    if how == "full_outer":
+        matched_r = {ri for _, _, ri in matches}
+        expect |= {
+            (rk, None, ri) for ri, (rk, _) in enumerate(right) if ri not in matched_r
+        }
+    assert got == expect
