@@ -51,13 +51,23 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row: columns of the latest right row with
-    ``right.ts <= left.ts`` on the same key (NULLs if none).
+    """For every left row, columns of the matching right row on the
+    same key (NULLs if none):
 
-    ``tolerance_seconds`` drops matches older than the tolerance
-    (like pandas ``merge_asof(tolerance=...)``).
+    - ``backward`` (default): latest right with ``right.ts <= left.ts``
+    - ``forward``: earliest right with ``right.ts >= left.ts``
+    - ``nearest``: whichever of the two is closer (ties -> backward,
+      pandas ``merge_asof`` convention)
+
+    ``tolerance_seconds`` drops matches farther than the tolerance in
+    the match direction. Union + per-key window (no range join, no
+    per-row subquery): one shuffle on the key, linear in rows — the
+    100 TB shape for sensor/trade alignment.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     l = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
@@ -88,28 +98,58 @@ def asof_join(
         )
     )
 
-    # right rows sort before left rows at the same instant (asof is <=)
-    w = (
+    # right rows sort before left rows at the same instant (asof is
+    # inclusive in both directions)
+    wb = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        *[F.col(c) for c in lcols],
-        "_side",
-        "_ts",
-        F.last("_rts", ignorenulls=True).over(w).alias("_match_ts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = filled.filter(F.col("_side") == 1)
+    want_b = direction in ("backward", "nearest")
+    want_f = direction in ("forward", "nearest")
+    proj = [*[F.col(c) for c in lcols], "_side", "_ts"]
+    if want_b:
+        proj.append(F.last("_rts", ignorenulls=True).over(wb).alias("_bts"))
+        proj += [
+            F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
+            for c in right_cols
+        ]
+    if want_f:
+        proj.append(F.last("_rts", ignorenulls=True).over(wf).alias("_fts"))
+        proj += [
+            F.last(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+            for c in right_cols
+        ]
+    filled = unioned.select(*proj).filter(F.col("_side") == 1)
+
+    sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    if direction == "backward":
+        pick_b = F.lit(True)
+    elif direction == "forward":
+        pick_b = F.lit(False)
+    else:
+        db = sec("_ts") - sec("_bts")
+        df_ = sec("_fts") - sec("_ts")
+        pick_b = F.col("_bts").isNotNull() & (
+            F.col("_fts").isNull() | (db <= df_)
+        )
+    mts = F.when(pick_b, F.col("_bts") if want_b else F.lit(None)).otherwise(
+        F.col("_fts") if want_f else F.lit(None)
+    )
+    out_cols = [*[F.col(c) for c in lcols], mts.alias("_match_ts")]
+    for c in right_cols:
+        bcol = F.col(f"_b_{c}") if want_b else F.lit(None)
+        fcol = F.col(f"_f_{c}") if want_f else F.lit(None)
+        out_cols.append(F.when(pick_b, bcol).otherwise(fcol).alias(f"{c}{suffix}"))
+    out = filled.select(*out_cols, F.col("_ts"))
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("_ts").cast("timestamp").cast("double")
-            - F.col("_match_ts").cast("timestamp").cast("double")
-        ) <= tolerance_seconds
+        delta = F.abs(sec("_ts") - sec("_match_ts"))
+        in_tol = delta <= tolerance_seconds
         out = out.select(
             *[F.col(c) for c in lcols],
             F.when(in_tol, F.col("_match_ts")).alias("_match_ts"),

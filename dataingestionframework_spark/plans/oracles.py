@@ -803,6 +803,34 @@ ORACLES: dict[str, str] = {
                         WHERE event_type = 'signup') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
+    # nearest asof: backward + forward ASOF candidates, pick the closer
+    # (ties -> backward).
+    "asof_join_nearest_events": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, event_id AS click_event FROM events
+              WHERE event_type = 'click'),
+        b AS (
+            SELECT l.event_id, r.ts AS bts, r.click_event AS bev
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        ),
+        f AS (
+            SELECT l.event_id, r.ts AS fts, r.click_event AS fev
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        )
+        SELECT l.event_id, l.user_id, l.ts,
+               CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+                         OR epoch(l.ts) - epoch(b.bts)
+                            <= epoch(f.fts) - epoch(l.ts))
+                    THEN b.bts ELSE f.fts END AS ts_right,
+               CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+                         OR epoch(l.ts) - epoch(b.bts)
+                            <= epoch(f.fts) - epoch(l.ts))
+                    THEN b.bev ELSE f.fev END AS click_event_right
+        FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
     "lang_id_docs": f"""
         WITH t AS (
             SELECT doc_id, lang,

@@ -942,6 +942,30 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof semantics, ties
+    break backward): each purchase matched to the user's CLOSEST click
+    in either direction. Same union+window machinery as backward —
+    two window passes over one shuffle, still no range explosion. The
+    oracle derives both candidates with DuckDB ASOF joins and picks
+    the closer."""
+    from ..operators.joins import asof_join
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    e = t("events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event")
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_event"], direction="nearest",
+    )
+
+
 def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: top-3 neighbours for each of the first 50 vectors
     (broadcast-kNN path: small right side collected + BLAS matmul)."""
@@ -3394,6 +3418,7 @@ QUERIES = {
     "knn_join_sample": knn_join_sample,
     "knn_join_bucketed": knn_join_bucketed_q,
     "asof_join_events": asof_join_events,
+    "asof_join_nearest_events": asof_join_nearest_events,
     "decimal_agg": decimal_agg,
     "q4_exists_priority": q4_exists_priority,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,

@@ -463,3 +463,38 @@ def test_update_lsh_index_incremental_candidates(spark, docs, tmp_root):
     assert verified.count() == 1
     # batch-1-internal pairs must NOT reappear in batch 2's output
     assert not any(a < 60 and b < 60 for a, b in cand)
+
+
+def test_asof_join_directions(spark):
+    """backward / forward / nearest asof variants (pandas merge_asof
+    semantics: nearest ties break backward)."""
+    from datetime import datetime, timedelta
+
+    from dataingestionframework_spark.operators.joins import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + timedelta(seconds=s), s) for s in (40, 60, 50)],
+        "k long, ts timestamp, lval long",
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 100), (1, t0 + timedelta(seconds=100), 200)],
+        "k long, ts timestamp, rval long",
+    )
+
+    def run(direction, **kw):
+        return {
+            r.lval: r.rval_right
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                direction=direction, **kw,
+            ).collect()
+        }
+
+    assert run("backward") == {40: 100, 60: 100, 50: 100}
+    assert run("forward") == {40: 200, 60: 200, 50: 200}
+    # nearest: 40 -> backward(40<60); 60 -> forward(40<60... 60 vs 40) ->
+    # deltas: |60-0|=60 vs |100-60|=40 -> forward; 50 is the tie -> backward
+    assert run("nearest") == {40: 100, 60: 200, 50: 100}
+    # tolerance drops far matches (backward within 45 s: only left@40)
+    assert run("backward", tolerance_seconds=45) == {40: 100, 60: None, 50: None}
