@@ -626,3 +626,61 @@ def hashed_linear_score(
     return df.withColumn("n_tokens", F.size(ws)).withColumn(
         score_col, F.round(score, 4)
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the CCNet-style
+    LM quality filter with the LM trained on the corpus itself, no
+    external model: P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V) with add-k
+    smoothing, doc score = mean ln P over its bigrams (higher = more
+    typical of the corpus; boilerplate scores high, noise scores low).
+
+    Scale shape: one explode to bigram rows, two count aggregations
+    (bigram, unigram), two equi-joins back, one per-doc mean — all
+    linear, shuffling on the bigram/unigram keys. V (vocab size) is a
+    1-row broadcast. At web scale the count tables ARE the model; they
+    persist as bucketed tables and re-score any new batch with joins
+    alone.
+
+    Output: (id, n_bigrams, lm_score) — lm_score NULL for docs with
+    fewer than 2 tokens.
+    """
+    ws = F.transform(tokens(F.col(text_col)), F.lower)
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at(ws, i + 1).alias("w1"),
+                    F.element_at(ws, i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2").filter(F.col("w2").isNotNull())
+    c12 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = grams.select(
+        F.count_distinct("w1").alias("v")
+    )  # conditioning-context vocabulary
+    scored = (
+        grams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("lm_score"),
+    )

@@ -3005,6 +3005,18 @@ def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality scoring (operators/text.py::
+    bigram_lm_score): the CCNet LM-filter shape without an external
+    model. Counts ARE the model; scoring is joins + one mean — all
+    linear. Oracle recomputes counts and add-k probabilities in SQL."""
+    from ..operators.text import bigram_lm_score
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return bigram_lm_score(t("documents").filter(F.col("doc_id") < 300))
+
+
 def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join UNDER THE HASH GATE: customer and
     orders are written bucketed by custkey (16 buckets) and joined with
@@ -3521,6 +3533,7 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "funnel_stages_events": funnel_stages_events,
     "bucketed_join_agg": bucketed_join_agg,
+    "bigram_lm_score_docs": bigram_lm_score_docs,
     "cohort_retention_events": cohort_retention_events,
     "try_functions_orders": try_functions_orders,
     "hashed_embedding_docs": hashed_embedding_docs,

@@ -527,3 +527,18 @@ def test_corpus_prep_spec_from_json(spark):
         CorpusPrepSpec.from_json({"dedupe": "exact"})  # typo'd key
     with _pytest.raises(SpecValidationError):
         CorpusPrepSpec.from_json({"mix_alpha": -1.0})
+
+
+def test_bigram_lm_score_separates_typical_from_noise(spark):
+    from dataingestionframework_spark.operators.text import bigram_lm_score
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(8)] + [(99, "zq xv jk pw qa lz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r.lm_score for r in bigram_lm_score(df).collect()}
+    # repeated prose bigrams dominate the corpus -> high (less negative)
+    # score; the noise doc's bigrams are singletons -> much lower
+    assert got[0] == got[7]             # identical docs, identical score
+    assert got[0] > got[99] + 0.5
+    n = {r.id: r.n_bigrams for r in bigram_lm_score(df).collect()}
+    assert n[0] == 5 and n[99] == 5

@@ -55,6 +55,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "hybrid_search_rrf": {
         "BroadcastNestedLoopJoin": "1-row corpus-stats broadcast (BM25 branch)"
     },
+    "bigram_lm_score_docs": {
+        "BroadcastNestedLoopJoin": "1-row vocabulary-size (V) scalar broadcast"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
