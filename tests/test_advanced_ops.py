@@ -432,3 +432,36 @@ def test_tws_running_profile_batch_fallback(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """§2.10 depth: a POLYMORPHIC Python UDTF (Spark 4 analyze()) whose
+    output schema is computed from its literal argument at plan time —
+    the table-function surface for schema-bearing decoders (fixed-width
+    splitters, typed extractors) without hardcoding column counts."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitN:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"part{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = (text or "").split(" ")
+            yield tuple(parts[i] if i < len(parts) else None for i in range(n))
+
+    spark.udtf.register("split_n_test", SplitN)
+    got = spark.sql(
+        "SELECT s.* FROM VALUES ('a b c'), ('x y') t(v), "
+        "LATERAL split_n_test(v, 3) s"
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", "b", "c"), ("x", "y", None)]
+    # a different literal arg yields a different schema — same UDTF
+    two = spark.sql("SELECT s.* FROM VALUES ('p q') t(v), LATERAL split_n_test(v, 2) s")
+    assert two.columns == ["part0", "part1"]
