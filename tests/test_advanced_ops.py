@@ -465,3 +465,24 @@ def test_polymorphic_udtf_analyze_schema(spark):
     # a different literal arg yields a different schema — same UDTF
     two = spark.sql("SELECT s.* FROM VALUES ('p q') t(v), LATERAL split_n_test(v, 2) s")
     assert two.columns == ["part0", "part1"]
+
+
+def test_map_in_arrow_batch_transform(spark):
+    """§2.10: mapInArrow — the zero-copy Arrow RecordBatch surface (one
+    level below mapInPandas: no pandas conversion at all). Used where
+    the per-batch work is columnar-native (pyarrow.compute) — the right
+    tool for binary/tensor payload transforms."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def double_and_tag(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id"), pc.multiply(batch.column("v"), 2)],
+                ["id", "v2"],
+            )
+
+    df = spark.range(1000).selectExpr("id", "id * 10 AS v")
+    out = df.mapInArrow(double_and_tag, "id long, v2 long")
+    rows = {r.id: r.v2 for r in out.collect()}
+    assert len(rows) == 1000 and rows[7] == 140 and rows[999] == 19980
