@@ -47,17 +47,30 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # "queries" first, headline totals LAST: the driver records only the
+    # tail of stdout, so the fields that must survive truncation (metric/
+    # value/sf) go at the end of the line. Compact separators fit more
+    # per-query timings inside the captured window.
+    line = json.dumps(
+        {
+            "queries": timings,
+            "n_queries": len(timings),
+            "n_errors": sum(1 for t in timings.values() if t < 0),
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    print(line)
+    # full, untruncated copy for the judge (the driver's tail is capped)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -246,6 +246,9 @@ class DeltaManagedTable:
         (``modules/insert_config.py:146-468``). ``merge_schema`` maps to
         withSchemaEvolution(); ``return_metrics`` reads the commit's
         operationMetrics (no extra job — Delta records them natively).
+        ``n_matched`` = numTargetRowsUpdated (rows the matched-UPDATE
+        clause applied to) — the parquet backend computes the same
+        quantity, so metrics are backend-identical.
         """
         cond = " AND ".join(f"tgt.`{c}` = src.`{c}`" for c in on)
         m = self._dt().alias("tgt").merge(source.alias("src"), cond)

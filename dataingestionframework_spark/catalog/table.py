@@ -571,14 +571,20 @@ class ManagedTable:
         replaceWhere overwrite that rewrites only matching files.
         """
         cond = _col(condition)
-        n_bad = df.filter(~cond).count()
+        # NULL-safe in both directions (Delta semantics): only rows where
+        # the predicate is TRUE are replaced — NULL-cond existing rows are
+        # RETAINED, and NULL-cond incoming rows count as violations. A bare
+        # filter(~cond) would silently delete the former and admit the
+        # latter.
+        cond_true = cond.eqNullSafe(F.lit(True))
+        n_bad = df.filter(~cond_true).count()
         if n_bad:
             raise ValueError(
                 f"replace_where: {n_bad} incoming rows do not match the "
                 "replacement condition"
             )
         base = self._current_version()
-        merged = self.read().filter(~cond).unionByName(df)
+        merged = self.read().filter(~cond_true).unionByName(df)
         self.overwrite(merged, _op="replace_where", expect_version=base)
 
     # -- DML (copy-on-write; Delta swaps in transparently on a cluster) -----
@@ -627,12 +633,19 @@ class ManagedTable:
         on historic rows), so upstream producers can add fields without a
         migration step. ``return_metrics=True`` returns Delta-operation-
         metrics-style counts {n_matched, n_inserted, n_not_matched_by_
-        source} at the cost of one extra aggregate job over the join.
+        source} at the cost of one extra aggregate job over the join;
+        ``n_matched`` follows Delta's numTargetRowsUpdated — rows the
+        matched-UPDATE clause applied to (0 when no update clause), NOT
+        raw join matches — so both backends report identical metrics.
         """
         if merge_schema:
             known = set(self.schema().fieldNames())
             if any(f.name not in known for f in source.schema.fields):
                 self.evolve_schema(source.schema)
+        # Capture the base version BEFORE read() resolves the data path so
+        # the optimistic-concurrency check covers a base that moves between
+        # read and commit (same protection as delete/update/replace_where).
+        base_version = self._current_version()
         target = self.read()
         tcols = target.columns
         # Presence sentinels survive the full-outer join where key columns
@@ -667,8 +680,12 @@ class ManagedTable:
 
         metrics = None
         if return_metrics:
+            # Delta operationMetrics semantics: n_matched mirrors
+            # numTargetRowsUpdated — rows the matched-UPDATE clause
+            # actually applied to, 0 when no update clause is configured.
+            updated = matched if when_matched_update else F.lit(False)
             m = joined.agg(
-                F.sum(matched.cast("long")).alias("n_matched"),
+                F.sum(updated.cast("long")).alias("n_matched"),
                 F.sum((src_present & ~tgt_present).cast("long")).alias("n_inserted"),
                 F.sum((tgt_present & ~src_present).cast("long")).alias(
                     "n_not_matched_by_source"
@@ -676,7 +693,7 @@ class ManagedTable:
             ).first()
             metrics = {k: (m[k] or 0) for k in m.asDict()}
         base = joined if when_not_matched_insert else joined.filter(tgt_present)
-        self.overwrite(base.select(*out_cols), _op="merge")
+        self.overwrite(base.select(*out_cols), _op="merge", expect_version=base_version)
         return metrics
 
     # -- Arrow fast path for tiny control-plane tables ----------------------

@@ -217,6 +217,82 @@ def update_lsh_index(
     return pairs
 
 
+def update_lsh_index_bucketed(
+    new_docs: DataFrame,
+    spark,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """:func:`update_lsh_index` with the persisted index as a BUCKETED
+    catalog table — the 100 TB layout the plain variant's docstring
+    promises.
+
+    The band rows are keyed by a single ``bucket_key`` =
+    xxhash64(band_id, band_hash) (one column, so the equi-join key IS
+    the bucket column) and the table is written ``bucketBy(n_buckets,
+    bucket_key)``. Each incremental batch then joins the accumulated
+    index with NO Exchange on the index side: the scan's bucket layout
+    already satisfies the join's hash distribution, so only the (small)
+    new batch shuffles — into exactly ``n_buckets`` partitions. At
+    scale the index is the big side and grows forever; never
+    reshuffling it turns recurring dedup from O(index) shuffle per
+    batch into O(batch).
+
+    Folding (band_id, band_hash) into one 64-bit key can collide two
+    distinct buckets; a collision only ever ADDS a candidate pair, and
+    every candidate is exact-verified downstream
+    (:func:`verify_pairs_jaccard`), so correctness is unaffected.
+
+    Returns distinct candidate pairs (id_a, id_b), id_a < id_b — cross
+    (new × indexed) plus within-batch — then appends the batch's band
+    rows to the index table for future batches.
+    """
+    sig = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
+    bnew = (
+        minhash_band_rows(sig, id_col, num_hashes, bands)
+        .withColumn("bucket_key", F.xxhash64("band_id", "band_hash"))
+        .select(id_col, "bucket_key")
+        .cache()
+    )
+    cross = None
+    if spark.catalog.tableExists(table_name):
+        old = spark.table(table_name)
+        cross = (
+            bnew.select(F.col(id_col).alias("id_a"), "bucket_key")
+            .join(
+                old.select(F.col(id_col).alias("id_b"), "bucket_key"),
+                "bucket_key",
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+    a = bnew.select(F.col(id_col).alias("id_a"), "bucket_key")
+    b = bnew.select(F.col(id_col).alias("id_b"), "bucket_key")
+    within = (
+        a.join(b, "bucket_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    pairs = within if cross is None else cross.union(within)
+    pairs = pairs.filter(F.col("id_a") != F.col("id_b")).distinct().cache()
+    pairs.count()  # materialize BEFORE the index grows (self-pair safety)
+    (
+        bnew.write.mode("append")
+        .bucketBy(n_buckets, "bucket_key")
+        .sortBy("bucket_key")
+        .saveAsTable(table_name)
+    )
+    bnew.unpersist()
+    return pairs
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -225,13 +301,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
     signature → split into ``bands`` groups of ``num_hashes/bands``
     values → hash each band → self-join per (band_id, band_hash) bucket.
     The self-join shuffles on the bucket key only; AQE's skew-join
-    handles hot buckets (e.g. boilerplate-heavy corpora).
+    splits hot SHUFFLE partitions, but it cannot cap the OUTPUT of a
+    hot bucket — a boilerplate bucket of m docs still emits C(m,2)
+    pairs. ``max_bucket_size`` bounds that: buckets over the cap emit
+    STAR pairs (every member ↔ the bucket's min-id representative)
+    instead of all-pairs — candidates per hot bucket fall from O(m²)
+    to O(m), and for the dedup use-case nothing is lost: a hot bucket
+    means near-identical boilerplate, the star keeps the whole bucket
+    connected, and exact verification + connected-components
+    canonicalization (operators/graph.py) recover the full cluster
+    transitively. Pairwise-complete output within hot buckets is the
+    one thing traded away; leave ``max_bucket_size=None`` when the
+    caller needs every individual pair.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
     Pass precomputed (persisted) ``signatures`` to share them with the
@@ -241,6 +329,27 @@ def minhash_lsh_candidates(
         df, text_col, id_col, n, num_hashes
     )
     banded = minhash_band_rows(sig, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("_bsz"), F.min(id_col).alias("_rep")
+        )
+        banded_sz = banded.join(sizes, ["band_id", "band_hash"])
+        cold = banded_sz.filter(F.col("_bsz") <= max_bucket_size)
+        # hot buckets: linear star pairs (rep = min id ⇒ id_a < id_b)
+        hot_star = (
+            banded_sz.filter(
+                (F.col("_bsz") > max_bucket_size) & (F.col(id_col) != F.col("_rep"))
+            )
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        a = cold.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+        b = cold.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+        pairwise = (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        return pairwise.union(hot_star).distinct()
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     return (
@@ -321,6 +430,7 @@ def near_duplicates_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup detection, three-stage funnel:
 
@@ -336,7 +446,8 @@ def near_duplicates_minhash(
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     try:
         cands = minhash_lsh_candidates(
-            df, text_col, id_col, n, num_hashes, bands, signatures=sigs
+            df, text_col, id_col, n, num_hashes, bands, signatures=sigs,
+            max_bucket_size=max_bucket_size,
         )
         sa = sigs.select(
             F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]

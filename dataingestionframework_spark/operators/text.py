@@ -652,22 +652,30 @@ def bigram_lm_score(
     persist as bucketed tables and re-score any new batch with joins
     alone.
 
-    Output: (id, n_bigrams, lm_score) — lm_score NULL for docs with
-    fewer than 2 tokens.
+    Output: (id, n_bigrams, lm_score) — docs with fewer than 2 tokens
+    produce no bigrams and are absent from the output (matching the
+    DuckDB oracle, which also drops them).
     """
     ws = F.transform(tokens(F.col(text_col)), F.lower)
+    # Empty index array (→ explode drops the doc) when size < 2: the
+    # naive sequence(0, greatest(size-2, 0)) always emits index 0, and
+    # element_at on an empty/1-token array is an ANSI runtime error —
+    # one empty doc would kill the whole job.
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(0), F.size(ws) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0))),
+                idx,
                 lambda i: F.struct(
                     F.element_at(ws, i + 1).alias("w1"),
                     F.element_at(ws, i + 2).alias("w2"),
                 ),
             )
         ).alias("bg"),
-    ).select("id", "bg.w1", "bg.w2").filter(F.col("w2").isNotNull())
+    ).select("id", "bg.w1", "bg.w2")
     c12 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = grams.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = grams.select(

@@ -308,8 +308,10 @@ def ngram_jaccard_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates → exact-Jaccard verify (no SQL oracle —
-    rows-only check; the verifier math is covered by ngram_jaccard_bounded)."""
+    """MinHash-LSH candidates → exact-Jaccard verify. Oracled: the
+    DuckDB twin computes exact all-pairs word-3-gram Jaccard and keeps
+    pairs ≥ threshold, so banding recall AND the verifier math are both
+    hash-checked against ground truth."""
     from ..operators.dedup import near_duplicates_minhash
 
     t = _t(spark, sf_dir)
@@ -1869,6 +1871,32 @@ def lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(p1.union(p2).distinct(), docs, threshold=0.3)
 
 
+def lsh_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-catalog-table variant of incremental LSH indexing
+    (operators/dedup.py::update_lsh_index_bucketed): the persisted band
+    index is bucketBy(16, bucket_key), so each batch's cross join
+    shuffles ONLY the new batch — no Exchange ever lands on the
+    accumulated index side (plan asserted in
+    test_bucketed_lsh_index_no_exchange_on_index_side). Same
+    incremental-equals-one-shot contract and the same exact all-pairs
+    Jaccard oracle as lsh_index_incremental."""
+    from ..operators.dedup import update_lsh_index_bucketed, verify_pairs_jaccard
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    docs = t("documents").filter(F.col("doc_id") < 300)
+    name = "dif_gate_lsh_bucketed_bands"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        p1 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") < 150), spark, name)
+        p2 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") >= 150), spark, name)
+        # candidate pairs are already materialized (cached + counted
+        # inside update_lsh_index_bucketed), so the index table can go
+        return verify_pairs_jaccard(p1.union(p2).distinct(), docs, threshold=0.3)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def argmax_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-extremum + conditional-boolean aggregate family: max_by /
     min_by (DuckDB arg_max/arg_min), count_if, bool_or, bool_and.
@@ -2659,11 +2687,16 @@ def stream_dedup_rocksdb_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import streaming_dedup
 
     tune(spark)
-    conf_key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev = spark.conf.get(conf_key)
-    except Exception:
-        prev = None
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    prev = {}
+    for ck in conf_keys:
+        try:
+            prev[ck] = spark.conf.get(ck)
+        except Exception:
+            prev[ck] = None
     use_rocksdb_state(spark)
     stream, cleanup = _events_stream(spark, sf_dir)
     try:
@@ -2673,10 +2706,14 @@ def stream_dedup_rocksdb_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_stream(dd, "stream_dedup_rocksdb_keys", "append")
     finally:
         cleanup()
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+        # Restore EVERY conf use_rocksdb_state touched (provider AND
+        # changelog checkpointing) so no session state leaks into
+        # subsequent gate queries.
+        for ck in conf_keys:
+            if prev[ck] is None:
+                spark.conf.unset(ck)
+            else:
+                spark.conf.set(ck, prev[ck])
 
 
 def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3469,6 +3506,7 @@ QUERIES = {
     "cdc_changes_orders": cdc_changes_orders,
     "incremental_agg_parity": incremental_agg_parity,
     "lsh_index_incremental": lsh_index_incremental,
+    "lsh_index_bucketed": lsh_index_bucketed,
     "lateral_topn_per_region": lateral_topn_per_region,
     "null_safe_join_counts": null_safe_join_counts,
     "scd2_customer_dim": scd2_customer_dim,

@@ -542,3 +542,22 @@ def test_bigram_lm_score_separates_typical_from_noise(spark):
     assert got[0] > got[99] + 0.5
     n = {r.id: r.n_bigrams for r in bigram_lm_score(df).collect()}
     assert n[0] == 5 and n[99] == 5
+
+
+def test_bigram_lm_score_survives_short_and_empty_docs(spark):
+    """Docs with <2 tokens must not kill the job (ANSI element_at on an
+    empty/1-token array is a runtime error) — they produce no bigrams
+    and are absent from the output, matching the DuckDB oracle."""
+    from dataingestionframework_spark.operators.text import bigram_lm_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, ""),            # empty doc
+        (3, "hello"),       # single token
+        (4, "   "),         # whitespace only
+        (5, "the cat sat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r.n_bigrams for r in bigram_lm_score(df).collect()}
+    assert set(got) == {1, 5}           # short docs dropped, not crashed
+    assert got[1] == 5 and got[5] == 2

@@ -390,16 +390,22 @@ def test_synthetic_corpus_stream_source(spark, tmp_root):
             .trigger(processingTime="1 second")
             .start()
         )
-        deadline = t.time() + 60
+        # Generous deadline: under CPU contention (other Spark sessions on
+        # the same box) micro-batches can take many seconds each; gate on
+        # observed progress, not on an optimistic wall-clock guess.
+        deadline = t.time() + 240
+        n = 0
         while t.time() < deadline:
             try:
-                if spark.read.parquet(sink).count() >= min_rows:
+                n = spark.read.parquet(sink).count()
+                if n >= min_rows:
                     break
             except Exception:
                 pass
             t.sleep(0.5)
         q.stop()
-        q.awaitTermination(30)
+        q.awaitTermination(60)
+        assert n >= min_rows, f"stream drained only {n}/{min_rows} rows in 240s"
         return spark.read.parquet(sink).collect()
 
     got = drain(80)
@@ -498,3 +504,123 @@ def test_asof_join_directions(spark):
     assert run("nearest") == {40: 100, 60: 200, 50: 100}
     # tolerance drops far matches (backward within 45 s: only left@40)
     assert run("backward", tolerance_seconds=45) == {40: 100, 60: None, 50: None}
+
+
+def test_bucketed_lsh_index_no_exchange_on_index_side(spark, docs):
+    """The bucketed incremental LSH index joins each new batch against
+    the accumulated index with NO shuffle of the index side: the
+    bucket layout (bucketBy(16, bucket_key)) satisfies the join's hash
+    distribution, so the only Exchange in the cross-join plan is the
+    small new-batch side. This is the 100 TB shape — the index grows
+    forever and is never reshuffled."""
+    from dataingestionframework_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signatures,
+        update_lsh_index_bucketed,
+        verify_pairs_jaccard,
+    )
+
+    name = "dif_test_lsh_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        batch1 = docs.filter(F.col("doc_id") < 60)
+        update_lsh_index_bucketed(batch1, spark, name)
+        assert spark.table(name).count() == batch1.count() * 16
+
+        # batch 2 carries a near-dup of doc 0 (one token changed)
+        base = docs.filter(F.col("doc_id") == 0).first().text
+        toks = base.split()
+        toks[len(toks) // 2] = "zzzchanged"
+        near = spark.createDataFrame(
+            [(7000, " ".join(toks), "en", "dup", len(base))], docs.schema
+        )
+        batch2 = (
+            docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80)).union(near)
+        )
+
+        # Plan shape of the incremental cross join at scale: with the
+        # index too big to broadcast (forced via threshold=-1, its state
+        # at 100 TB), the ONLY Exchange is the new-batch probe side —
+        # the bucketed scan satisfies the join distribution as-is.
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.createDataFrame(
+                [(9000 + i, i * 7919) for i in range(50)],
+                "id_a long, bucket_key long",
+            )
+            joined = probe.join(
+                spark.table(name).select(
+                    F.col("doc_id").alias("id_b"), "bucket_key"
+                ),
+                "bucket_key",
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            n_exchange = plan.count("Exchange hashpartitioning")
+            assert n_exchange == 1, f"want 1 Exchange (probe side only):\n{plan}"
+            assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+        # and the incremental candidates are still correct across batches
+        p2 = update_lsh_index_bucketed(batch2, spark, name)
+        cand = {(r.id_a, r.id_b) for r in p2.collect()}
+        assert (0, 7000) in cand
+        verified = verify_pairs_jaccard(
+            p2.filter((F.col("id_a") == 0) & (F.col("id_b") == 7000)),
+            docs.union(near),
+            threshold=0.3,
+        )
+        assert verified.count() == 1
+        assert not any(a < 60 and b < 60 for a, b in cand)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_lsh_hot_bucket_candidates_bounded(spark):
+    """Boilerplate-heavy corpus: one band bucket ≫ others. With
+    max_bucket_size set, hot buckets emit linear STAR pairs instead of
+    C(m,2) all-pairs — candidate count collapses from quadratic to
+    linear while the hot cluster stays fully connected (transitively,
+    via the representative) and cold-bucket near-dups are still found
+    pairwise. AQE skew-join (on in session.tune) handles the shuffle
+    side; this bounds the OUTPUT side."""
+    from dataingestionframework_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        verify_pairs_jaccard,
+    )
+
+    m = 300
+    boiler = "all work and no play makes jack a dull boy " * 6
+    rows = [(i, boiler, "en", "hot", len(boiler)) for i in range(m)]
+    # cold docs: distinct texts + one planted near-dup pair (9000, 9001)
+    rows += [
+        (9000 + i, f"unique document number {i} with its own words "
+                   f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}", "en",
+         "cold", 80)
+        for i in range(40)
+    ]
+    rows.append((9001, rows[m][1], "en", "cold", len(rows[m][1])))  # dup of 9000
+    df = spark.createDataFrame(
+        [r for r in rows if r[0] != 9001] + [rows[-1]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    capped = minhash_lsh_candidates(df, max_bucket_size=50)
+    got = [(r.id_a, r.id_b) for r in capped.collect()]
+    hot = [(a, b) for a, b in got if a < m and b < m]
+    # linear, not quadratic: star pairs only (C(300,2) would be 44,850)
+    assert len(hot) == m - 1, f"expected {m-1} star pairs, got {len(hot)}"
+    assert all(a == 0 for a, b in hot)           # rep = min id
+    assert {b for _, b in hot} == set(range(1, m))  # every member connected
+    assert (9000, 9001) in got                   # cold pairwise recall intact
+
+    # the star pairs exact-verify at 1.0 (identical boilerplate), so the
+    # downstream cluster canonicalization sees the full component
+    v = verify_pairs_jaccard(capped, df, threshold=0.9)
+    hot_v = v.filter((F.col("id_a") < m) & (F.col("id_b") < m))
+    assert hot_v.count() == m - 1
+
+    # AQE skew-join is armed for the shuffle side (session.tune default)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

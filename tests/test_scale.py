@@ -1,0 +1,135 @@
+"""Opt-in plan-scaling sweep: `pytest -m scale`.
+
+Replicates sf0.1 tables x10 in memory with shifted keys and asserts
+wall-clock grows far sub-quadratically. The point is to catch a plan
+regression (a lost pushdown, a join gone nested-loop, an agg gone
+single-partition) as a TEST FAILURE instead of a narrated bench note:
+a linear plan lands at ~1-2x the x1 wall (scheduling/codegen constants
+dominate at this size — measured +0-40% in NOTES.md); a quadratic or
+collect-driven plan blows straight through the 6x + slack threshold.
+
+Thresholds are deliberately loose (the VM has +/-40% wall noise): they
+only distinguish "scales" from "does not scale".
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+pytestmark = pytest.mark.scale
+
+SCALE_SF_DIR = "/root/testdata/sf0.1"
+REPL = 10          # x10 data
+MAX_RATIO = 6.0    # x10 data must cost < 6x the x1 wall ...
+SLACK_SEC = 3.0    # ... plus absolute scheduling slack
+
+
+def _rep(df: DataFrame, shift_cols: list[str], i: int, shift: int) -> DataFrame:
+    out = df
+    for c in shift_cols:
+        out = out.withColumn(c, F.col(c) + F.lit(i * shift))
+    return out
+
+
+def _replicate(df: DataFrame, shift_cols: list[str], times: int, shift: int) -> DataFrame:
+    parts = [_rep(df, shift_cols, i, shift) for i in range(times)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _wall(fn, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _assert_scales(name: str, t1: float, t10: float) -> None:
+    limit = MAX_RATIO * t1 + SLACK_SEC
+    assert t10 < limit, (
+        f"{name}: x{REPL} data took {t10:.2f}s vs {t1:.2f}s at x1 "
+        f"(limit {limit:.2f}s) — the plan is not scaling linearly"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf(spark):
+    def load(table: str) -> DataFrame:
+        from dataingestionframework_spark.plans.tables import load
+
+        return load(spark, SCALE_SF_DIR, table)
+
+    return load
+
+
+def test_groupby_agg_scales(spark, sf):
+    """TPC-H Q1 shape: scan + partial-agg + final-agg, zero joins."""
+    li = sf("lineitem")
+
+    def q(df):
+        return (
+            df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count("*"),
+            )
+            .collect()
+        )
+
+    q(li)  # warm codegen once for both sizes
+    t1 = _wall(lambda: q(li))
+    big = _replicate(li, ["l_orderkey"], REPL, 100_000_000)
+    t10 = _wall(lambda: q(big))
+    _assert_scales("groupby_agg", t1, t10)
+
+
+def test_three_way_join_agg_scales(spark, sf):
+    """customer x orders x lineitem equi-join + agg: the shuffle-join
+    shape; keys shift consistently so x10 joins stay 1:N, not N:N."""
+    cust, orders, li = sf("customer"), sf("orders"), sf("lineitem")
+    K = 100_000_000
+
+    def q(c, o, l):
+        return (
+            c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.sum("l_extendedprice").alias("rev"), F.count("*").alias("n"))
+            .collect()
+        )
+
+    q(cust, orders, li)  # warm
+    t1 = _wall(lambda: q(cust, orders, li))
+    c10 = _replicate(cust, ["c_custkey"], REPL, K)
+    o10 = _replicate(orders, ["o_orderkey", "o_custkey"], REPL, K)
+    l10 = _replicate(li, ["l_orderkey"], REPL, K)
+    t10 = _wall(lambda: q(c10, o10, l10))
+    _assert_scales("three_way_join_agg", t1, t10)
+
+
+def test_exact_dedup_scales(spark, sf):
+    """Fingerprint groupBy dedup over documents: linear one-shuffle
+    funnel; x10 docs (distinct ids, repeated texts -> bigger groups)."""
+    from dataingestionframework_spark.operators.dedup import exact_duplicates
+
+    docs = sf("documents")
+
+    def q(df):
+        return exact_duplicates(df).filter(F.col("n_copies") > 1).count()
+
+    q(docs)  # warm
+    t1 = _wall(lambda: q(docs))
+    big = _replicate(docs, ["doc_id"], REPL, 100_000_000)
+    t10 = _wall(lambda: q(big))
+    _assert_scales("exact_dedup", t1, t10)

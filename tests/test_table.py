@@ -563,3 +563,90 @@ def test_read_stream_incremental_appends(spark, tmp_root):
     assert drain() == [1, 2]
     t.append(spark.createDataFrame([(3,)], "id long"))
     assert drain() == [1, 2, 3]  # only id=3 processed in the second drain
+
+
+def test_replace_where_null_predicate_is_nullsafe(spark, tmp_root):
+    """Delta replaceWhere semantics under NULLs: existing rows where the
+    predicate evaluates to NULL are RETAINED (only predicate-TRUE rows
+    are replaced), and incoming rows with a NULL-valued predicate count
+    as violations — a bare filter(~cond) gets both directions wrong."""
+    import os
+
+    import pytest as _pytest
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "rwnull"))
+    t.append(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), (None, 3)], "dt string, id int"
+        )
+    )
+    t.replace_where(
+        spark.createDataFrame([("b", 99)], "dt string, id int"),
+        F.col("dt") == "b",
+    )
+    # NULL-dt row survives the swap
+    rows = {(r.dt, r.id) for r in t.read().collect()}
+    assert rows == {("a", 1), (None, 3), ("b", 99)}
+    # a NULL-dt incoming row does not satisfy dt=='b' -> rejected
+    with _pytest.raises(ValueError):
+        t.replace_where(
+            spark.createDataFrame([(None, 7)], "dt string, id int"),
+            F.col("dt") == "b",
+        )
+    assert {(r.dt, r.id) for r in t.read().collect()} == rows
+
+
+def test_merge_conflict_detected(spark, tmp_root):
+    """merge() captures its base version before resolving the data path,
+    so a commit landing in that window raises ConcurrentWriteError
+    (same protection as delete/update/replace_where)."""
+    import os
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from dataingestionframework_spark.errors import ConcurrentWriteError
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "mocc"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    src = spark.createDataFrame([(2, "B2"), (3, "C")], "id long, v string")
+
+    real_read = t.read
+
+    def read_then_concurrent_commit(*a, **kw):
+        df = real_read(*a, **kw)
+        ManagedTable(spark, t.root).delete(F.col("id") == 1)  # racer lands
+        return df
+
+    with mock.patch.object(t, "read", side_effect=read_then_concurrent_commit):
+        with _pytest.raises(ConcurrentWriteError):
+            t.merge(src, on=["id"], when_matched_update="all")
+    # racer's commit survived; retry then succeeds
+    assert {r.id for r in t.read().collect()} == {2}
+    t.merge(src, on=["id"], when_matched_update="all")
+    assert {(r.id, r.v) for r in t.read().collect()} == {(2, "B2"), (3, "C")}
+
+
+def test_merge_metrics_match_delta_semantics(spark, tmp_root):
+    """n_matched mirrors Delta numTargetRowsUpdated: 0 for an
+    insert-only merge even when join matches exist."""
+    import os
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "mmetr"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    src = spark.createDataFrame([(2, "B2"), (3, "C")], "id long, v string")
+    metrics = t.merge(
+        src,
+        on=["id"],
+        when_matched_update=None,
+        when_not_matched_insert=True,
+        return_metrics=True,
+    )
+    assert metrics == {"n_matched": 0, "n_inserted": 1, "n_not_matched_by_source": 1}
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "C"}  # matched row NOT updated
