@@ -14,6 +14,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_table_and_location(spark: SparkSession, table_name: str) -> None:
+    """DROP TABLE IF EXISTS *and* remove its default-warehouse
+    directory. A fresh session's metastore does not know tables a
+    previous session created, so DROP alone leaves the files behind and
+    the next ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS —
+    anything that (re)creates a managed table at a well-known name
+    should call this first.
+    """
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    loc = os.path.join(wh, table_name.split(".")[-1].lower())
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -418,16 +418,18 @@ def knn_join_bucketed(
     Output: (left_id, right_id, cosine_sim rounded to 6, rank 1..k) with
     deterministic (sim DESC, right_id) tie-breaks.
     """
-    from pyspark.sql import Window
-
     assigned, centroids = ivf_assign(
         right, vec_col=vec_col, n_clusters=n_clusters, centroids=centroids
     )
     r = assigned.select(
         F.col(right_id).alias("right_id"), F.col(vec_col).alias("rvec"), "ivf_cell"
     )
+    return _probe_join_topk(left, r, centroids, k, left_id, vec_col, nprobe)
 
-    # each left row's nprobe nearest cells — pure column expression
+
+def _probe_cells_expr(vec_col: str, centroids: list[list[float]], nprobe: int):
+    """Each row's ``nprobe`` nearest IVF cells — pure column expression
+    (argmin over the broadcast centroid literals), no shuffle."""
     scored = F.array(
         *[
             F.struct(
@@ -445,15 +447,27 @@ def knn_join_bucketed(
             for i, c in enumerate(centroids)
         ]
     )
-    probe_cells = F.transform(
-        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
-    )
+    return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"])
+
+
+def _probe_join_topk(
+    left: DataFrame,
+    r: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    left_id: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Shared tail of the IVF kNN joins: explode probe cells, equi-join
+    on ivf_cell, window top-k per left row."""
+    from pyspark.sql import Window
+
     l = left.select(
         F.col(left_id).alias("left_id"),
         F.col(vec_col).alias("lvec"),
-        F.explode(probe_cells).alias("ivf_cell"),
+        F.explode(_probe_cells_expr(vec_col, centroids, nprobe)).alias("ivf_cell"),
     )
-
     w = Window.partitionBy("left_id").orderBy(
         F.col("cosine_sim").desc(), F.col("right_id")
     )
@@ -468,6 +482,69 @@ def knn_join_bucketed(
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def save_ivf_index(
+    right: DataFrame,
+    spark,
+    table_name: str,
+    vec_col: str = "embedding",
+    right_id: str = "vec_id",
+    n_clusters: int = 8,
+    centroids: list[list[float]] | None = None,
+    n_buckets: int = 8,
+) -> list[list[float]]:
+    """Persist the corpus as a BUCKETED IVF index: rows assigned to
+    their nearest centroid (scan-side argmin), written
+    ``bucketBy(n_buckets, ivf_cell)``. Every later
+    :func:`knn_join_indexed` equi-joins probe rows against this table
+    with NO Exchange on the corpus side — the bucket layout is the
+    shuffle, paid once at index-build time and amortized over every
+    query batch. At 100 TB the corpus is the big side; never
+    reshuffling it is what makes recurring retrieval O(batch), not
+    O(corpus). Returns the (fitted or passed-through) centroids —
+    persist them beside the table with :func:`save_centroids`.
+    """
+    assigned, centroids = ivf_assign(
+        right, vec_col=vec_col, n_clusters=n_clusters, centroids=centroids
+    )
+    (
+        assigned.select(
+            F.col(right_id).alias("right_id"),
+            F.col(vec_col).alias("rvec"),
+            "ivf_cell",
+        )
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "ivf_cell")
+        .sortBy("ivf_cell")
+        .saveAsTable(table_name)
+    )
+    return centroids
+
+
+def knn_join_indexed(
+    left: DataFrame,
+    spark,
+    table_name: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    left_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """k-NN join against a persisted :func:`save_ivf_index` table: the
+    serving path for recurring retrieval. Probe rows explode to their
+    ``nprobe`` nearest cells and hash-join the bucketed corpus on
+    ivf_cell — only the (small) probe batch shuffles; the corpus scan
+    is already bucket-partitioned
+    (test_knn_join_indexed_no_exchange_on_corpus_side asserts the
+    plan). Same output contract and approximation semantics as
+    :func:`knn_join_bucketed`; exhaustive probing (nprobe =
+    n_clusters) is exact by construction.
+    """
+    return _probe_join_topk(
+        left, spark.table(table_name), centroids, k, left_id, vec_col, nprobe
     )
 
 

@@ -895,6 +895,22 @@ ORACLES: dict[str, str] = {
               FROM s)
         WHERE rank <= 3
     """,
+    # persisted bucketed-index variant: exhaustive probe of the same
+    # corpus => identical exact-kNN answer
+    "knn_join_indexed": """
+        WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
+                   FROM embeddings WHERE vec_id < 50),
+             r AS (SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS rv
+                   FROM embeddings WHERE vec_id >= 50),
+             s AS (SELECT left_id, right_id,
+                          round(list_cosine_similarity(lv, rv), 6) AS cosine_sim
+                   FROM l CROSS JOIN r)
+        SELECT left_id, right_id, cosine_sim, rank
+        FROM (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY left_id ORDER BY cosine_sim DESC, right_id) AS INTEGER) AS rank
+              FROM s)
+        WHERE rank <= 3
+    """,
     "q6_forecast_revenue": """
         SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue
         FROM lineitem

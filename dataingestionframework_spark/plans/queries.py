@@ -1015,6 +1015,46 @@ def knn_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-path variant of knn_join_bucketed: the corpus is
+    persisted once as a bucketBy(ivf_cell) catalog table
+    (operators/similarity.py::save_ivf_index) and every query batch
+    joins it with NO Exchange on the corpus side (plan asserted in
+    test_knn_join_indexed_no_exchange_on_corpus_side). Exhaustive
+    probing => exact, so the oracle is the same exact-kNN SQL."""
+    import hashlib
+
+    from ..operators.similarity import (
+        ivf_fit,
+        knn_join_indexed,
+        load_centroids,
+        save_centroids,
+        save_ivf_index,
+    )
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    left = emb.filter(F.col("vec_id") < 50)
+    right = emb.filter(F.col("vec_id") >= 50)
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|knn-right|k=8|seed=42".encode()
+    ).hexdigest()
+    cpath = os.path.join(tempfile.gettempdir(), "dif_ivf_centroids", f"{key}.json")
+    centroids = load_centroids(cpath)
+    if centroids is None:
+        centroids = ivf_fit(right, n_clusters=8)
+        save_centroids(cpath, centroids)
+    from ..operators.bucketing import drop_table_and_location
+
+    name = "dif_gate_ivf_index"
+    drop_table_and_location(spark, name)  # also clears stale warehouse dirs
+    save_ivf_index(right, spark, name, n_clusters=8, centroids=centroids)
+    # index table must outlive the returned (lazy) DataFrame — it is
+    # re-created from scratch on every run, so no cleanup needed here
+    return knn_join_indexed(left, spark, name, centroids, k=3, nprobe=8)
+
+
 def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS with a correlated non-equi predicate → left-semi join with
     compound condition (TPC-H Q4 shape)."""
@@ -1885,8 +1925,10 @@ def lsh_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     t = _t(spark, sf_dir)
     docs = t("documents").filter(F.col("doc_id") < 300)
+    from ..operators.bucketing import drop_table_and_location
+
     name = "dif_gate_lsh_bucketed_bands"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    drop_table_and_location(spark, name)  # also clears stale warehouse dirs
     try:
         p1 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") < 150), spark, name)
         p2 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") >= 150), spark, name)
@@ -3466,6 +3508,7 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "knn_join_sample": knn_join_sample,
     "knn_join_bucketed": knn_join_bucketed_q,
+    "knn_join_indexed": knn_join_indexed_q,
     "asof_join_events": asof_join_events,
     "asof_join_nearest_events": asof_join_nearest_events,
     "decimal_agg": decimal_agg,

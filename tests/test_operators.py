@@ -520,8 +520,12 @@ def test_bucketed_lsh_index_no_exchange_on_index_side(spark, docs):
         verify_pairs_jaccard,
     )
 
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+
     name = "dif_test_lsh_bucketed"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    drop_table_and_location(spark, name)
     try:
         batch1 = docs.filter(F.col("doc_id") < 60)
         update_lsh_index_bucketed(batch1, spark, name)
@@ -624,3 +628,52 @@ def test_lsh_hot_bucket_candidates_bounded(spark):
     # AQE skew-join is armed for the shuffle side (session.tune default)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_knn_join_indexed_no_exchange_on_corpus_side(spark, emb):
+    """Persisted bucketed IVF index: the serving-path kNN join shuffles
+    ONLY the probe batch — the corpus scan is already bucket-partitioned
+    on ivf_cell. Results are identical to the unindexed knn_join_bucketed
+    with the same centroids (both exhaustive-probe => exact)."""
+    from dataingestionframework_spark.operators.similarity import (
+        ivf_fit,
+        knn_join_bucketed,
+        knn_join_indexed,
+        save_ivf_index,
+    )
+
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+
+    name = "dif_test_ivf_index"
+    drop_table_and_location(spark, name)
+    try:
+        left = emb.filter(F.col("vec_id") < 30)
+        right = emb.filter(F.col("vec_id") >= 30)
+        cents = ivf_fit(right, n_clusters=4)
+        save_ivf_index(right, spark, name, n_clusters=4, centroids=cents)
+
+        out = knn_join_indexed(left, spark, name, cents, k=3, nprobe=4)
+        ref = knn_join_bucketed(left, right, k=3, n_clusters=4, nprobe=4,
+                                centroids=cents)
+        got = {(r.left_id, r.right_id, r.rank) for r in out.collect()}
+        want = {(r.left_id, r.right_id, r.rank) for r in ref.collect()}
+        assert got == want and len(got) == 30 * 3
+
+        # plan shape with the corpus too big to broadcast: one Exchange
+        # (probe side), none above the bucketed corpus scan
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.createDataFrame(
+                [(i, i % 4) for i in range(20)], "left_id long, ivf_cell int"
+            )
+            joined = probe.join(spark.table(name), "ivf_cell")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+            assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
