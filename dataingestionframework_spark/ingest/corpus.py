@@ -249,6 +249,66 @@ def corpus_incremental_intake(
     )
 
 
+def corpus_incremental_near_dup_intake(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+):
+    """Incremental corpus build with UNBOUNDED-horizon NEAR-dup dedup:
+    the streaming composition of :func:`corpus_incremental_intake`
+    (exact fingerprints) and the bucketed MinHash-LSH index.
+
+    Each micro-batch: (1) replay-guard anti-join against sink ids,
+    (2) :func:`~..operators.dedup.update_lsh_index_bucketed` joins the
+    batch's band rows against the PERSISTED bucketed index — cost is
+    new×bucket, the index side never reshuffles — and appends them,
+    (3) candidates exact-verify (n-gram Jaccard) against batch + sink
+    texts, (4) batch docs that verify against an earlier id are
+    dropped, survivors append to the sink.
+
+    Assumes intake ids are monotone over time (append-log ids), so the
+    larger id of a verified pair is always the newer doc. Replay is
+    idempotent: re-appended band rows only produce duplicate candidates
+    (distinct-ed), and the id anti-join stops double sink writes.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from ..operators.dedup import update_lsh_index_bucketed, verify_pairs_jaccard
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        b = batch.dropDuplicates([id_col])
+        try:
+            seen = spark.read.parquet(sink_path).select(id_col, text_col)
+        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
+            seen = None
+        if seen is not None:
+            b = b.join(seen.select(id_col), id_col, "left_anti")
+        b = b.localCheckpoint()  # pin the batch image across the two passes
+        pairs = update_lsh_index_bucketed(
+            b, spark, index_table, text_col=text_col, id_col=id_col
+        )
+        texts = b.select(id_col, text_col)
+        if seen is not None:
+            texts = texts.unionByName(seen)
+        verified = verify_pairs_jaccard(
+            pairs, texts, text_col, id_col, threshold=threshold
+        )
+        drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+        b.join(drop, id_col, "left_anti").write.mode("append").parquet(sink_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class CorpusPrep:
     def __init__(self, spec: CorpusPrepSpec):
         self.spec = spec

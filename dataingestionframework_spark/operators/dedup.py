@@ -251,6 +251,11 @@ def update_lsh_index_bucketed(
     Returns distinct candidate pairs (id_a, id_b), id_a < id_b — cross
     (new × indexed) plus within-batch — then appends the batch's band
     rows to the index table for future batches.
+
+    Session note: Spark's table-relation cache is per-session — a
+    DIFFERENT session (e.g. the driver session while foreachBatch
+    appends from its cloned session) must ``spark.catalog.refreshTable``
+    before re-reading the index, or it sees the pre-append file list.
     """
     sig = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
     bnew = (

@@ -697,3 +697,93 @@ def bigram_lm_score(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("lm_score"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup (the Lee-et-al. "Deduplicating Training
+    Data" pass, word-token granularity): every SLIDING window of ``k``
+    tokens that occurs in ``min_docs`` or more distinct documents marks
+    its covered token positions for removal; each document is then
+    reassembled from its surviving tokens in order.
+
+    Differs from :func:`remove_duplicate_segments` (CCNet line dedup)
+    in alignment: segments are fixed, aligned blocks — a repeated
+    passage straddling a segment boundary escapes; sliding windows
+    catch cross-doc repeats at ANY offset, which is why this is the
+    memorization-removal pass of LM-corpus pipelines.
+
+    Scale shape (all linear in total tokens, no pairwise work, no
+    Python): one explode to (doc, pos, gram) windows, one groupBy on
+    the gram (distinct-doc count), one equi-join back, one positional
+    explode of the flagged windows, one anti-join on (doc, pos), one
+    per-doc reassembly. The gram stays a STRING so the DuckDB oracle
+    is engine-exact; at 100 TB swap it for xxhash64(gram) to shrink
+    the shuffle (collision odds ~n²/2⁶⁴, and a collision only
+    over-removes one window).
+
+    Output: (id, n_tokens, n_removed, clean_text) for EVERY input doc;
+    docs shorter than ``k`` tokens pass through untouched.
+    """
+    ws = tokens(F.col(text_col))
+    # sliding k-token windows: (doc, start pos, gram string), 1-based
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                F.size(ws) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - k + 1),
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.concat_ws(" ", F.slice(ws, p, k)).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
+        ).alias("w"),
+    ).select("id", "w.p", "w.gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select("id", F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("pos"))
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(ws).alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = (
+        toks.join(covered, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.size(ws).alias("n_tokens"))
+        .join(kept, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1716,6 +1716,32 @@ ORACLES: dict[str, str] = {
     """,
     # line-level (8-word-segment) boilerplate dedup: segments occurring
     # in >= 2 distinct docs are dropped, survivors reassembled in order.
+    # sliding 8-token windows in >=2 distinct docs -> covered token
+    # positions removed, docs reassembled from survivors in order
+    "substring_dedup_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        w AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS p
+              FROM toks WHERE len(ts) >= 8),
+        g AS (SELECT doc_id, p, array_to_string(ts[p : p + 7], ' ') AS gram
+              FROM w),
+        dup AS (SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT doc_id, pos FROM (
+                    SELECT doc_id, unnest(range(p, p + 8)) AS pos
+                    FROM g JOIN dup USING (gram))),
+        t AS (SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(1, len(ts) + 1)) AS pos
+              FROM toks),
+        kept AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                 FROM t ANTI JOIN cov USING (doc_id, pos)
+                 GROUP BY doc_id)
+        SELECT toks.doc_id AS id,
+               CAST(len(ts) AS INTEGER) AS n_tokens,
+               CAST(len(ts) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
+               coalesce(clean_text, '') AS clean_text
+        FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
+    """,
     "line_dedup_docs": """
         WITH w AS (
             SELECT doc_id, word,

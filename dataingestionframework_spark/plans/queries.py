@@ -2758,6 +2758,21 @@ def stream_dedup_rocksdb_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(ck, prev[ck])
 
 
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al.): every SLIDING 8-token window
+    occurring in ≥2 distinct docs marks its token span for removal;
+    docs reassemble from surviving tokens. Catches cross-doc repeats at
+    ANY offset — the memorization-removal pass line_dedup's aligned
+    segments cannot express. Linear funnel: window explode →
+    gram-frequency agg → join → positional anti-join → per-doc
+    reassembly."""
+    from ..operators.text import remove_duplicate_spans
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return remove_duplicate_spans(t("documents"), k=8, min_docs=2)
+
+
 def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style line-level boilerplate dedup: drop every 8-word
     segment whose normalized form occurs in ≥2 distinct documents,
@@ -3593,6 +3608,7 @@ QUERIES = {
     "stream_static_enrich_parity": stream_static_enrich_parity,
     "stream_rollup_merge_parity": stream_rollup_merge_parity,
     "line_dedup_docs": line_dedup_docs,
+    "substring_dedup_docs": substring_dedup_docs,
     "cap_per_source_docs": cap_per_source_docs,
     "url_functions_docs": url_functions_docs,
     "line_dedup_within_doc": line_dedup_within_doc,

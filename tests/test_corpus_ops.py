@@ -561,3 +561,36 @@ def test_bigram_lm_score_survives_short_and_empty_docs(spark):
     got = {r.id: r.n_bigrams for r in bigram_lm_score(df).collect()}
     assert set(got) == {1, 5}           # short docs dropped, not crashed
     assert got[1] == 5 and got[5] == 2
+
+
+def test_remove_duplicate_spans_unaligned_repeat(spark):
+    """Sliding-window substring dedup: a 10-token passage shared at
+    DIFFERENT offsets in two docs (which aligned segment dedup misses)
+    is removed from both; unique surroundings survive; short docs pass
+    through untouched."""
+    from dataingestionframework_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    passage = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+    rows = [
+        (1, "intro words here " + passage + " tail one"),
+        (2, "a completely different and longer leading preamble "
+            + passage + " other ending"),
+        (3, "totally unique document with no shared windows at all ok"),
+        (4, "tiny doc"),  # < k tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r for r in remove_duplicate_spans(df, k=8, min_docs=2).collect()}
+
+    assert set(out) == {1, 2, 3, 4}
+    # the shared passage is gone from both docs, at either offset
+    for i in (1, 2):
+        assert "quick brown fox" not in out[i].clean_text
+        assert out[i].n_removed >= 10
+    # unique surroundings survive
+    assert "intro words here" in out[1].clean_text
+    assert "other ending" in out[2].clean_text
+    # untouched docs
+    assert out[3].n_removed == 0 and out[3].clean_text.startswith("totally")
+    assert out[4].n_removed == 0 and out[4].clean_text == "tiny doc"

@@ -595,3 +595,61 @@ def test_stream_interval_full_outer_join_both_sides_extend(spark, tmp_root):
     final = run_once()
     assert (2, 200, None) in final       # unmatched left
     assert (7, None, 901) in final       # unmatched right
+
+
+def test_corpus_incremental_near_dup_intake(spark, tmp_root):
+    """Streaming near-dup intake over the bucketed LSH index: a later
+    batch's near-duplicate (one token changed) of an earlier-ingested
+    doc is dropped by joining the PERSISTED band index — batch 1 is
+    never recomputed; genuinely new docs land; the index accumulates."""
+    from dataingestionframework_spark.ingest.corpus import (
+        corpus_incremental_near_dup_intake,
+    )
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+
+    src = os.path.join(tmp_root, "nd_src")
+    sink = os.path.join(tmp_root, "nd_sink")
+    ckpt = os.path.join(tmp_root, "nd_ckpt")
+    idx = "dif_test_nd_intake_idx"
+    drop_table_and_location(spark, idx)
+    try:
+        schema = "doc_id long, text string"
+        base = ("data stream batch row column table scan filter join agg "
+                "sort window group limit union merge insert update delete")
+        other = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the deep dark quiet forest tonight")
+
+        spark.createDataFrame(
+            [(1, base), (2, other)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        st = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        corpus_incremental_near_dup_intake(
+            st, sink, ckpt, idx, threshold=0.5
+        ).awaitTermination(180)
+        assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == [1, 2]
+        # foreachBatch runs in a CLONED session; this session's relation
+        # cache doesn't see the clone's appends without a refresh
+        spark.catalog.refreshTable(idx)
+        n_idx_1 = spark.table(idx).count()
+        assert n_idx_1 == 2 * 16  # one band row per (doc, band)
+
+        # batch 2: near-dup of doc 1 (one token changed) + a new doc
+        near = base.replace("window", "zzzchanged")
+        fresh = ("completely novel content about ships harbors tides "
+                 "storms lighthouses captains sailors maps compasses stars")
+        spark.createDataFrame(
+            [(10, near), (11, fresh)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        st2 = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        corpus_incremental_near_dup_intake(
+            st2, sink, ckpt, idx, threshold=0.5
+        ).awaitTermination(180)
+
+        got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+        assert got == [1, 2, 11]  # near-dup 10 dropped, fresh 11 kept
+        spark.catalog.refreshTable(idx)
+        assert spark.table(idx).count() == n_idx_1 + 2 * 16  # index grew
+    finally:
+        drop_table_and_location(spark, idx)
