@@ -705,6 +705,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_docs: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup (the Lee-et-al. "Deduplicating Training
     Data" pass, word-token granularity): every SLIDING window of ``k``
@@ -722,16 +723,24 @@ def remove_duplicate_spans(
     Python): one explode to (doc, pos, gram) windows, one groupBy on
     the gram (distinct-doc count), one equi-join back, one positional
     explode of the flagged windows, one anti-join on (doc, pos), one
-    per-doc reassembly. The gram stays a STRING so the DuckDB oracle
-    is engine-exact; at 100 TB swap it for xxhash64(gram) to shrink
-    the shuffle (collision odds ~n²/2⁶⁴, and a collision only
-    over-removes one window).
+    per-doc reassembly. By default the gram stays a STRING so the
+    DuckDB oracle is engine-exact; ``hash_grams=True`` is the 100 TB
+    configuration — grams shuffle as xxhash64 longs (8 bytes instead
+    of ~50+), identical output short of a 2⁻⁶⁴-odds collision, which
+    would only over-remove one window (equivalence pytest-asserted on
+    the gate corpus).
 
     Output: (id, n_tokens, n_removed, clean_text) for EVERY input doc;
     docs shorter than ``k`` tokens pass through untouched.
     """
     ws = tokens(F.col(text_col))
-    # sliding k-token windows: (doc, start pos, gram string), 1-based
+
+    def gram_of(p):
+        s = F.concat_ws(" ", F.slice(ws, p, k))
+        return F.xxhash64(s) if hash_grams else s
+
+    gram_t = "bigint" if hash_grams else "string"
+    # sliding k-token windows: (doc, start pos, gram), 1-based
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -739,12 +748,9 @@ def remove_duplicate_spans(
                 F.size(ws) >= k,
                 F.transform(
                     F.sequence(F.lit(1), F.size(ws) - k + 1),
-                    lambda p: F.struct(
-                        p.alias("p"),
-                        F.concat_ws(" ", F.slice(ws, p, k)).alias("gram"),
-                    ),
+                    lambda p: F.struct(p.alias("p"), gram_of(p).alias("gram")),
                 ),
-            ).otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
+            ).otherwise(F.array().cast(f"array<struct<p:int,gram:{gram_t}>>"))
         ).alias("w"),
     ).select("id", "w.p", "w.gram")
     dup = (
@@ -786,4 +792,123 @@ def remove_duplicate_spans(
             ),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def _bigram_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2, gram_key) sliding bigrams — shared by the in-plan
+    scorer and the persisted-model build/serve paths. gram_key =
+    xxhash64(w1, w2): ONE join column, so the bigram-count table can be
+    bucketed on it and serving joins never reshuffle the model."""
+    ws = F.transform(tokens(F.col(text_col)), F.lower)
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(0), F.size(ws) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(ws, i + 1).alias("w1"),
+                        F.element_at(ws, i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("id", "bg.w1", "bg.w2")
+        .withColumn("gram_key", F.xxhash64("w1", "w2"))
+    )
+
+
+def save_bigram_lm(
+    docs: DataFrame,
+    spark,
+    prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Train-and-persist the corpus bigram LM as BUCKETED count tables —
+    the "counts ARE the model" claim of :func:`bigram_lm_score` made
+    concrete: ``<prefix>_c12`` (w1, w2, gram_key, c12) bucketed by
+    gram_key and ``<prefix>_c1`` (w1, c1) bucketed by w1. Any later
+    batch re-scores with two hash joins in which the MODEL side never
+    shuffles (the bucket layout satisfies each join's distribution);
+    only the incoming batch's bigram rows move. At web scale the model
+    tables are billions of rows — this is what makes LM filtering an
+    O(batch) recurring cost instead of O(model) per batch.
+    """
+    from .bucketing import drop_table_and_location
+
+    grams = _bigram_rows(docs, text_col, id_col)
+    drop_table_and_location(spark, f"{prefix}_c12")
+    (
+        grams.groupBy("gram_key", "w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "gram_key")
+        .sortBy("gram_key")
+        .saveAsTable(f"{prefix}_c12")
+    )
+    drop_table_and_location(spark, f"{prefix}_c1")
+    (
+        grams.groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "w1")
+        .sortBy("w1")
+        .saveAsTable(f"{prefix}_c1")
+    )
+
+
+def bigram_lm_score_with(
+    docs: DataFrame,
+    spark,
+    prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score a (new) batch against a :func:`save_bigram_lm` model:
+    P(w2|w1) = (c12+k) / (c1 + k·V) with add-k smoothing; unseen
+    bigrams/contexts fall back to c12=0 / c1=0 via left joins, so any
+    batch scores — not just the training corpus. V is the c1 table's
+    row count (1-row broadcast agg). Join keys equal the model tables'
+    bucket columns, so neither model table ever reshuffles. Output:
+    (id, n_bigrams, lm_score), short docs absent (same contract as
+    :func:`bigram_lm_score`).
+    """
+    grams = _bigram_rows(docs, text_col, id_col)
+    c12 = spark.table(f"{prefix}_c12")
+    c1 = spark.table(f"{prefix}_c1")
+    vocab = c1.agg(F.count("*").alias("v"))
+    scored = (
+        grams.join(
+            c12.select("gram_key", F.col("w1").alias("_w1"), F.col("w2").alias("_w2"), "c12"),
+            "gram_key",
+            "left",
+        )
+        # guard the 2^-64 gram_key collision: count only true (w1,w2) hits
+        .withColumn(
+            "c12",
+            F.when(
+                (F.col("_w1") == F.col("w1")) & (F.col("_w2") == F.col("w2")),
+                F.col("c12"),
+            ).otherwise(F.lit(0)),
+        )
+        .join(c1, "w1", "left")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("lm_score"),
     )

@@ -2168,6 +2168,32 @@ ORACLES: dict[str, str] = {
         JOIN c1 USING (w1), v
         GROUP BY g.id
     """,
+    # persisted-model serving path: trained on and scored over the same
+    # slice, so build∘serve must equal the in-plan scorer exactly
+    "bigram_lm_persisted_docs": """
+        WITH ws AS (
+            SELECT doc_id AS id,
+                   list_transform(list_filter(
+                       string_split_regex(text, '\\s+'), w -> w <> ''),
+                       w -> lower(w)) AS ws
+            FROM documents WHERE doc_id < 300
+        ),
+        grams AS (
+            SELECT id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM ws, unnest(range(1, greatest(len(ws), 2))) AS t(i)
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2),
+        c1  AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1),
+        v   AS (SELECT count(DISTINCT w1) AS v FROM grams)
+        SELECT g.id,
+               count(*) AS n_bigrams,
+               round(avg(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 4)
+                   AS lm_score
+        FROM grams g
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1), v
+        GROUP BY g.id
+    """,
     # bucketed co-located join: values equal the plain join aggregate.
     "bucketed_join_agg": """
         SELECT c_mktsegment,

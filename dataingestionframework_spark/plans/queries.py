@@ -3111,6 +3111,25 @@ def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(t("documents").filter(F.col("doc_id") < 300))
 
 
+def bigram_lm_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-model serving path of bigram LM filtering:
+    save_bigram_lm writes the count tables bucketed (c12 by gram_key,
+    c1 by w1), bigram_lm_score_with re-scores via joins whose keys ARE
+    the bucket columns — the model side never reshuffles, each batch is
+    O(batch). Trained on and scored over the same 300-doc slice, so the
+    result (and oracle) is identical to the in-plan bigram_lm_score —
+    proving build∘serve == train-in-plan. Unseen-bigram fallback is
+    covered in pytest."""
+    from ..operators.text import bigram_lm_score_with, save_bigram_lm
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    docs = t("documents").filter(F.col("doc_id") < 300)
+    prefix = "dif_gate_bigram_lm"
+    save_bigram_lm(docs, spark, prefix)
+    return bigram_lm_score_with(docs, spark, prefix)
+
+
 def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join UNDER THE HASH GATE: customer and
     orders are written bucketed by custkey (16 buckets) and joined with
@@ -3631,6 +3650,7 @@ QUERIES = {
     "funnel_stages_events": funnel_stages_events,
     "bucketed_join_agg": bucketed_join_agg,
     "bigram_lm_score_docs": bigram_lm_score_docs,
+    "bigram_lm_persisted_docs": bigram_lm_persisted_docs,
     "cohort_retention_events": cohort_retention_events,
     "try_functions_orders": try_functions_orders,
     "hashed_embedding_docs": hashed_embedding_docs,

@@ -594,3 +594,81 @@ def test_remove_duplicate_spans_unaligned_repeat(spark):
     # untouched docs
     assert out[3].n_removed == 0 and out[3].clean_text.startswith("totally")
     assert out[4].n_removed == 0 and out[4].clean_text == "tiny doc"
+
+
+def test_remove_duplicate_spans_hash_grams_equivalent(spark):
+    """hash_grams=True (8-byte shuffle keys, the 100 TB config) produces
+    byte-identical output to the string-gram reference on a real corpus
+    slice with planted overlaps."""
+    from dataingestionframework_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    passage = " shared passage tokens one two three four five six seven eight"
+    extra = spark.createDataFrame(
+        [(9001, "left context" + passage), (9002, "other start" + passage + " tail")],
+        ["doc_id", "text"],
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+
+    a = {r.id: (r.n_tokens, r.n_removed, r.clean_text)
+         for r in remove_duplicate_spans(df, k=8).collect()}
+    b = {r.id: (r.n_tokens, r.n_removed, r.clean_text)
+         for r in remove_duplicate_spans(df, k=8, hash_grams=True).collect()}
+    assert a == b
+    assert a[9001][1] >= 8  # the planted overlap was actually removed
+
+
+def test_bigram_lm_persisted_model_serves_and_generalizes(spark):
+    """save_bigram_lm + bigram_lm_score_with: (1) scoring the training
+    corpus through the persisted bucketed tables equals the in-plan
+    scorer exactly; (2) a NEW doc with unseen bigrams scores via the
+    add-k fallback (lower than typical corpus prose, no crash); (3) the
+    serving joins leave the bucketed model tables unshuffled."""
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+    from dataingestionframework_spark.operators.text import (
+        bigram_lm_score,
+        bigram_lm_score_with,
+        save_bigram_lm,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(8)] + [(99, "zq xv jk pw qa lz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prefix = "dif_test_bigram_lm"
+    try:
+        save_bigram_lm(df, spark, prefix)
+        served = {r.id: (r.n_bigrams, r.lm_score)
+                  for r in bigram_lm_score_with(df, spark, prefix).collect()}
+        inplan = {r.id: (r.n_bigrams, r.lm_score)
+                  for r in bigram_lm_score(df).collect()}
+        assert served == inplan
+
+        novel = spark.createDataFrame(
+            [(500, "the cat sat on the mat", ),       # all seen bigrams
+             (501, "completely novel words never seen before anywhere")],
+            ["doc_id", "text"],
+        )
+        out = {r.id: r for r in bigram_lm_score_with(novel, spark, prefix).collect()}
+        assert out[500].lm_score == inplan[0][1]       # seen doc scores as trained
+        assert out[501].n_bigrams == 6
+        assert out[501].lm_score < out[500].lm_score   # unseen -> low, not crash
+
+        # model side never reshuffles: only Exchanges in the serving plan
+        # are on the batch's gram rows, none above the bucketed scans
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                bigram_lm_score_with(novel, spark, prefix)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        drop_table_and_location(spark, f"{prefix}_c12")
+        drop_table_and_location(spark, f"{prefix}_c1")

@@ -58,6 +58,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "bigram_lm_score_docs": {
         "BroadcastNestedLoopJoin": "1-row vocabulary-size (V) scalar broadcast"
     },
+    "bigram_lm_persisted_docs": {
+        "BroadcastNestedLoopJoin": "1-row vocabulary-size (V) scalar broadcast"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
