@@ -2398,6 +2398,15 @@ ORACLES: dict[str, str] = {
             FROM documents
         )
     """,
+    # GROUP BY ALL is shared syntax — the oracle is near-verbatim
+    "sql_group_by_all": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*)                    AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderkey < 5000
+        GROUP BY ALL
+    """,
     "sql_pipe_q6": """
         SELECT l_returnflag,
                round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -3469,6 +3469,30 @@ def approx_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/4 SQL sugar): grouping keys inferred
+    from the non-aggregate select expressions — compiles to the
+    identical Catalyst plan as the explicit form (DuckDB shares the
+    syntax, so the oracle is nearly verbatim). No ORDER BY: the gate
+    compare is order-insensitive and an unbounded global sort is a
+    plan-audit anti-pattern."""
+    from .. import sql as sqlmod
+
+    tune(spark)
+    sqlmod.register_test_tables(spark, sf_dir)
+    return sqlmod.run(
+        spark,
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*)                   AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderkey < 5000
+        GROUP BY ALL
+        """,
+    )
+
+
 def sql_pipe_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4) front door: TPC-H Q6 predicates
     grouped by return flag, written as a |> chain — same Catalyst plan
@@ -3640,6 +3664,7 @@ QUERIES = {
     "recursive_cte_rollup": recursive_cte_rollup,
     "approx_topk_orders": approx_topk_orders,
     "sql_pipe_q6": sql_pipe_q6,
+    "sql_group_by_all": sql_group_by_all,
     "weighted_sample_docs": weighted_sample_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "binary_file_ingest": binary_file_ingest,

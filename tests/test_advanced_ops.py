@@ -486,3 +486,72 @@ def test_map_in_arrow_batch_transform(spark):
     out = df.mapInArrow(double_and_tag, "id long, v2 long")
     rows = {r.id: r.v2 for r in out.collect()}
     assert len(rows) == 1000 and rows[7] == 140 and rows[999] == 19980
+
+
+def test_arrow_python_udf_plans_arrow_eval(spark):
+    """Arrow-optimized scalar Python UDF (useArrow=True, Spark 4):
+    executes correctly AND plans as ArrowEvalPython — the sanctioned
+    Python-boundary node (plan_audit bans row-pickling
+    BatchEvalPython). Completes the §2.10 Python-surface matrix:
+    pandas_udf / mapInPandas / applyInPandas(+WithState) / UDTF /
+    mapInArrow / GROUPED_AGG / arrow-scalar-udf."""
+    from pyspark.sql import functions as F
+
+    rev = F.udf(lambda s: s[::-1] if s else s, "string", useArrow=True)
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "xy"), (3, None)], "id long, s string"
+    ).withColumn("r", rev("s"))
+    got = {r.id: r.r for r in df.collect()}
+    assert got == {1: "cba", 2: "yx", 3: None}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_python_datasource_writer_batch_and_stream(spark, tmp_root):
+    """Custom Python DataSource WRITE path (sources/pysink.py): batch
+    save writes part files + one manifest; orphan (uncommitted) parts
+    are invisible to the manifest reader; the streaming form commits
+    one manifest per epoch and an availableNow drain lands every row
+    exactly once."""
+    import json
+    import os
+
+    from dataingestionframework_spark.sources.pysink import (
+        NdjsonDirDataSource,
+        committed_rows,
+    )
+
+    spark.dataSource.register(NdjsonDirDataSource)
+
+    # batch write + manifest commit
+    out = os.path.join(tmp_root, "ndjson_out")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    df.write.format("ndjson_dir").mode("append").option("path", out).save()
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+    got = {(r["id"], r["v"]) for r in committed_rows(out)}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    # an orphan part (crashed attempt) is ignored by the manifest reader
+    with open(os.path.join(out, "part-orphan.ndjson"), "w") as f:
+        f.write(json.dumps({"id": 99, "v": "zz"}) + "\n")
+    assert (99, "zz") not in {(r["id"], r["v"]) for r in committed_rows(out)}
+
+    # streaming write: per-epoch manifests, exactly-once under availableNow
+    src = os.path.join(tmp_root, "ndjson_src")
+    sout = os.path.join(tmp_root, "ndjson_stream_out")
+    spark.createDataFrame(
+        [(10, "x"), (11, "y")], "id long, v string"
+    ).coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, v string").parquet(src)
+        .writeStream.format("ndjson_dir")
+        .option("path", sout)
+        .option("checkpointLocation", os.path.join(tmp_root, "ndjson_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert any(f.startswith("_epoch-") for f in os.listdir(sout))
+    sgot = {(r["id"], r["v"]) for r in committed_rows(sout)}
+    assert sgot == {(10, "x"), (11, "y")}

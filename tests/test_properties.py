@@ -369,3 +369,45 @@ def test_interval_join_matches_python_reference(spark, left, right, how):
             (rk, None, ri) for ri, (rk, _) in enumerate(right) if ri not in matched_r
         }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(st.text(alphabet="ab c", min_size=0, max_size=50),
+                     min_size=1, max_size=6),
+       k=st.integers(2, 4))
+def test_substring_dedup_matches_python_reference(spark, docs, k):
+    """remove_duplicate_spans == the obvious Python implementation for
+    every (corpus, k): same covered positions, same survivor counts,
+    same reassembled text — including empty docs, docs shorter than k,
+    and repeats at arbitrary offsets. (The tiny 'ab c' alphabet makes
+    cross-doc window collisions common, which is the interesting case.)"""
+    from collections import defaultdict
+
+    from dataingestionframework_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_duplicate_spans(df, k=k, min_docs=2).collect()
+    }
+
+    toks = {i: t.split() for i, t in enumerate(docs)}
+    owners = defaultdict(set)
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            owners[tuple(ts[p : p + k])].add(i)
+    dup = {g for g, o in owners.items() if len(o) >= 2}
+    expected = {}
+    for i, ts in toks.items():
+        cov = set()
+        for p in range(len(ts) - k + 1):
+            if tuple(ts[p : p + k]) in dup:
+                cov.update(range(p, p + k))
+        kept = [t for j, t in enumerate(ts) if j not in cov]
+        expected[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    assert got == expected
