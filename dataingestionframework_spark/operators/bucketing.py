@@ -51,6 +51,71 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def compact_bucketed_table(
+    spark: SparkSession, table_name: str, n_buckets: int, bucket_col: str,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Compact a bucketed catalog table that has accreted small files —
+    every append (e.g. each incremental-LSH batch, each IVF index
+    refresh) adds one file per bucket per writer, and after thousands
+    of batches the scan-side cost is file-open overhead, not bytes.
+
+    Rewrites the full table once through a staging table with the SAME
+    bucket spec (one file per bucket afterwards), then swaps names via
+    the catalog. Bucket layout — and therefore every downstream
+    shuffle-elision guarantee — is preserved; the swap is two metadata
+    operations, so readers never see a half-written table (they see
+    old-or-new, same contract as ManagedTable's pointer swap).
+
+    Returns (files_before, files_after).
+    """
+    import os
+
+    def _count_files(name: str) -> int:
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .filter("col_name = 'Location'")
+            .first()[1]
+        )
+        for prefix in ("file://", "file:"):
+            if loc.startswith(prefix):
+                loc = loc[len(prefix):]
+                break
+        return sum(
+            1
+            for root, _, fs in os.walk(loc)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    before = _count_files(table_name)
+    staging = f"{table_name}__compact"
+    drop_table_and_location(spark, staging)
+    # Force the bucket-aligned scan: each task reads exactly one
+    # bucket's files and writes them back as ONE file — a shuffle-free
+    # compaction. Without this, autoBucketedScan reads plain byte
+    # splits (nothing downstream "requires" the distribution — an
+    # explicit repartition gets optimizer-elided because the table
+    # metadata already claims it), every task holds many buckets, and
+    # the rewrite EXPLODES the file count instead of shrinking it.
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        w = spark.table(table_name).write.mode("overwrite").bucketBy(
+            n_buckets, bucket_col
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(staging)
+    finally:
+        spark.conf.set(conf_key, prev)
+    drop_table_and_location(spark, table_name)
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    spark.catalog.refreshTable(table_name)
+    return before, _count_files(table_name)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
 ) -> DataFrame:

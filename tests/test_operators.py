@@ -677,3 +677,61 @@ def test_knn_join_indexed_no_exchange_on_corpus_side(spark, emb):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_compact_bucketed_lsh_index_preserves_layout_and_results(spark, docs):
+    """After many incremental appends the band index is one-file-per-
+    bucket-per-batch; compaction rewrites it to one file per bucket,
+    keeps the bucket layout (join still elides the index-side
+    Exchange), and changes no candidate results."""
+    from dataingestionframework_spark.operators.bucketing import (
+        compact_bucketed_table,
+        drop_table_and_location,
+    )
+    from dataingestionframework_spark.operators.dedup import (
+        update_lsh_index_bucketed,
+    )
+
+    name = "dif_test_lsh_compact"
+    drop_table_and_location(spark, name)
+    try:
+        for lo in range(0, 80, 20):  # 4 small appends
+            update_lsh_index_bucketed(
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 20)),
+                spark,
+                name,
+            )
+        pre = {(r.doc_id, r.bucket_key) for r in spark.table(name).collect()}
+
+        before, after = compact_bucketed_table(
+            spark, name, n_buckets=16, bucket_col="bucket_key",
+            sort_cols=["bucket_key"],
+        )
+        assert before > 16 and after <= 16, (before, after)
+        assert {(r.doc_id, r.bucket_key)
+                for r in spark.table(name).collect()} == pre
+
+        # bucket layout survived: probe join still leaves the index side
+        # unshuffled with broadcast off
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.createDataFrame(
+                [(i, i * 31) for i in range(10)], "id_a long, bucket_key long"
+            )
+            plan = (
+                probe.join(spark.table(name), "bucket_key")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # and the index still works incrementally after the swap
+        p = update_lsh_index_bucketed(
+            docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 90)),
+            spark, name,
+        )
+        assert p.count() >= 0  # executes against the compacted table
+    finally:
+        drop_table_and_location(spark, name)
