@@ -315,3 +315,67 @@ def test_parquet_bloom_filter_written_for_high_ndv_column(spark, tmp_root):
         .collect()
     )
     assert [r.id for r in got] == [7777]
+
+
+def test_parquet_aggregate_pushdown_to_footer_stats(spark, tmp_root):
+    """Parquet aggregate pushdown (DSv2): COUNT/MIN/MAX answered from
+    footer statistics — the scan node carries PushedAggregation and no
+    row data flows. At 100 TB this turns full-table profiling queries
+    into a metadata pass."""
+    import os
+
+    p = os.path.join(tmp_root, "aggpd")
+    spark.range(100000).write.parquet(p)
+    confs = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(p).agg(
+            F.count("*").alias("n"), F.min("id").alias("lo"), F.max("id").alias("hi")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(id), MAX(id)]" in plan, plan
+        r = df.first()
+        assert (r.n, r.lo, r.hi) == (100000, 0, 99999)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark, tmp_root):
+    """Runtime bloom-filter join (InjectRuntimeFilter): a selective
+    filter on the dim side materializes a bloom filter that pre-prunes
+    the fact scan (might_contain before the shuffle) — the
+    shuffle-volume killer for selective star joins when the dim side
+    is too big to broadcast. Thresholds lowered to trigger at test
+    scale; results equal the unfiltered join."""
+    import os
+
+    fact_p = os.path.join(tmp_root, "bf_fact")
+    dim_p = os.path.join(tmp_root, "bf_dim")
+    spark.range(100000).write.parquet(fact_p)
+    spark.range(50).withColumn("k", F.col("id") * 1000).write.parquet(dim_p)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("id") < 10)
+        j = fact.join(dim, fact.id == dim.k)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+        got = sorted(r[0] for r in j.select(fact.id).collect())
+        assert got == [i * 1000 for i in range(10)]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
