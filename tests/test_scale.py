@@ -133,3 +133,77 @@ def test_exact_dedup_scales(spark, sf):
     big = _replicate(docs, ["doc_id"], REPL, 100_000_000)
     t10 = _wall(lambda: q(big))
     _assert_scales("exact_dedup", t1, t10)
+
+
+def _perturbed_docs(docs: DataFrame, times: int, shift: int) -> DataFrame:
+    """Replicate docs with shifted ids AND per-replica token suffixes —
+    every gram differs across replicas, so replication scales the
+    corpus without fabricating cross-replica near-duplicates (which
+    would quadratically inflate the candidate set by construction and
+    measure the data, not the plan)."""
+    from dataingestionframework_spark.functions import tokens
+
+    parts = []
+    for i in range(times):
+        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+        if i > 0:
+            p = p.withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        tokens(F.col("text")),
+                        lambda t: F.concat(t, F.lit(f"r{i}")),
+                    ),
+                ),
+            )
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_minhash_banding_scales(spark, sf):
+    """The MinHash funnel (signatures -> banding -> candidate pairs):
+    one explode + one wide min-agg + a bucket-key self-join, all linear
+    in docs. The flagship dedup plan must not regress to anything
+    pairwise."""
+    from dataingestionframework_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = sf("documents")
+
+    def q(df):
+        return minhash_lsh_candidates(df, max_bucket_size=200).count()
+
+    q(docs)  # warm the 64-column codegen once
+    t1 = _wall(lambda: q(docs))
+    big = _perturbed_docs(docs, REPL, 100_000_000)
+    t10 = _wall(lambda: q(big))
+    _assert_scales("minhash_banding", t1, t10)
+
+
+def test_substring_dedup_scales(spark, sf):
+    """Sliding-window substring dedup (hash-gram config): window
+    explode -> gram-frequency agg -> positional anti-join -> per-doc
+    reassembly, linear in total tokens."""
+    from dataingestionframework_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    docs = sf("documents")
+
+    def q(df):
+        return (
+            remove_duplicate_spans(df, k=8, hash_grams=True)
+            .agg(F.sum("n_removed"))
+            .collect()
+        )
+
+    q(docs)  # warm
+    t1 = _wall(lambda: q(docs))
+    big = _perturbed_docs(docs, REPL, 100_000_000)
+    t10 = _wall(lambda: q(big))
+    _assert_scales("substring_dedup", t1, t10)
