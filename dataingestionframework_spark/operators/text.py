@@ -912,3 +912,40 @@ def bigram_lm_score_with(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("lm_score"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-internal novelty scoring: per doc, the fraction of its
+    DISTINCT word n-grams that occur in no other document. Low novelty
+    = boilerplate/templated text (near-dup candidates, SEO spam); high
+    novelty = unique prose — the complement of :func:`bigram_lm_score`
+    (which rewards typicality) in a quality-signal ensemble.
+
+    Linear: per-doc distinct grams (one explode + distinct), gram
+    document-frequency agg, join back, per-doc ratio. Shuffles on the
+    gram key only; swap the gram string for xxhash64 at 100 TB like
+    the other gram operators. Docs with fewer than ``n`` tokens have
+    no grams and are absent from the output (oracle-matching).
+
+    Output: (id, n_grams, n_novel, novelty).
+    """
+    from ..functions import exploded_word_ngrams
+
+    g = exploded_word_ngrams(df, text_col, id_col, n).distinct()
+    dfreq = g.groupBy("gram").agg(F.count_distinct(id_col).alias("gdf"))
+    return (
+        g.join(dfreq, "gram")
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("gdf") == 1).cast("long")).alias("n_novel"),
+            F.round(
+                F.sum((F.col("gdf") == 1).cast("double")) / F.count("*"), 4
+            ).alias("novelty"),
+        )
+    )

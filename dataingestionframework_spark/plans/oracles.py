@@ -1716,6 +1716,52 @@ ORACLES: dict[str, str] = {
     """,
     # line-level (8-word-segment) boilerplate dedup: segments occurring
     # in >= 2 distinct docs are dropped, survivors reassembled in order.
+    # per-doc distinct 3-grams; novelty = share with corpus df == 1
+    "ngram_novelty_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        g AS (SELECT DISTINCT doc_id, gram FROM ({_GRAMS3})),
+        dfq AS (SELECT gram, count(DISTINCT doc_id) AS gdf
+                FROM g GROUP BY gram)
+        SELECT doc_id AS id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+               round(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS novelty
+        FROM g JOIN dfq USING (gram)
+        GROUP BY doc_id
+    """,
+    # exact linear-interpolation percentiles (quantile_cont == Spark
+    # percentile)
+    "percentile_family_orders": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+               round(quantile_cont(o_totalprice, 0.5),  2) AS p50,
+               round(quantile_cont(o_totalprice, 0.9),  2) AS p90,
+               round(avg(o_totalprice), 2)                 AS mean
+        FROM orders GROUP BY o_orderstatus
+    """,
+    # hourly spine per user + forward fill of gap hours
+    "resample_ffill_events": """
+        WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+                    FROM events WHERE user_id < 20),
+        hourly AS (SELECT user_id, h, round(avg(value), 4) AS v
+                   FROM ev GROUP BY user_id, h),
+        bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                   FROM ev GROUP BY user_id),
+        spine AS (SELECT user_id,
+                         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds),
+        j AS (SELECT s.user_id, s.h, hourly.v
+              FROM spine s LEFT JOIN hourly USING (user_id, h))
+        SELECT user_id, h,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled,
+               v IS NULL AS is_gap
+        FROM j
+    """,
     # sliding 8-token windows in >=2 distinct docs -> covered token
     # positions removed, docs reassembled from survivors in order
     "substring_dedup_docs": f"""

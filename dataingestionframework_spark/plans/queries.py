@@ -2758,6 +2758,79 @@ def stream_dedup_rocksdb_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(ck, prev[ck])
 
 
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal novelty: per doc, the share of its distinct
+    word-3-grams found in no other doc (operators/text.py::
+    ngram_novelty). The anti-boilerplate quality signal — complements
+    bigram LM typicality in an ensemble. Linear gram-frequency funnel."""
+    from ..operators.text import ngram_novelty
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return ngram_novelty(t("documents"), n=3)
+
+
+def percentile_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile family (Spark percentile == DuckDB
+    quantile_cont, linear interpolation): p25/median/p90 of order value
+    per status — the profiling aggregate approx_percentile shortcuts;
+    exact is affordable per-group because the sort is within the hash
+    aggregate's groups, not global."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return (
+        t("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean"),
+        )
+    )
+
+
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: per-user hourly spine
+    (sequence generator between the user's first and last hour), left
+    join the hourly means, gap-fill with last-non-null over an ordered
+    window — the standard sensor/metrics densification. Spine
+    generation is a scan-side sequence (no join to a calendar table);
+    the fill window partitions per user (bounded state)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
+
+
 def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al.): every SLIDING 8-token window
     occurring in ≥2 distinct docs marks its token span for removal;
@@ -3652,6 +3725,9 @@ QUERIES = {
     "stream_rollup_merge_parity": stream_rollup_merge_parity,
     "line_dedup_docs": line_dedup_docs,
     "substring_dedup_docs": substring_dedup_docs,
+    "ngram_novelty_docs": ngram_novelty_docs,
+    "percentile_family_orders": percentile_family_orders,
+    "resample_ffill_events": resample_ffill_events,
     "cap_per_source_docs": cap_per_source_docs,
     "url_functions_docs": url_functions_docs,
     "line_dedup_within_doc": line_dedup_within_doc,
