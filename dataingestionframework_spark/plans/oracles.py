@@ -1716,6 +1716,38 @@ ORACLES: dict[str, str] = {
     """,
     # line-level (8-word-segment) boilerplate dedup: segments occurring
     # in >= 2 distinct docs are dropped, survivors reassembled in order.
+    # top-20 heaviest keys with share and cumulative share
+    "skew_report_events": """
+        WITH tot AS (SELECT count(*) AS t FROM events),
+        top AS (
+            SELECT user_id, count(*) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 20
+        )
+        SELECT user_id, n,
+               round(n / (SELECT t::DOUBLE FROM tot), 6) AS share,
+               round(sum(n) OVER (ORDER BY n DESC, user_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                     / (SELECT t::DOUBLE FROM tot), 6) AS cum_share,
+               CAST(row_number() OVER (ORDER BY n DESC, user_id)
+                    AS INTEGER) AS rank
+        FROM top
+    """,
+    # per-doc char distribution -> Shannon entropy (bits/char)
+    "char_entropy_docs": """
+        WITH chars AS (
+            SELECT doc_id AS id, unnest(string_split(text, '')) AS c
+            FROM documents
+        ),
+        k AS (SELECT id, c, count(*) AS k
+              FROM chars WHERE c <> '' GROUP BY id, c)
+        SELECT id,
+               sum(k) AS n_chars,
+               round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 4)
+                   AS entropy_bits
+        FROM k GROUP BY id
+    """,
     # per-doc distinct 3-grams; novelty = share with corpus df == 1
     "ngram_novelty_docs": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),

@@ -2758,6 +2758,66 @@ def stream_dedup_rocksdb_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(ck, prev[ck])
 
 
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: top-20 heaviest join/group keys with row
+    share and cumulative share — the report you run BEFORE choosing
+    salting vs AQE for a 100 TB join (one hash agg + a 20-row window;
+    TakeOrderedAndProject keeps the top-k selection distributed)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events")
+    total = ev.count()  # scalar; parquet footer count at scan level
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    return counts.select(
+        "user_id",
+        "n",
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        F.round(
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            / F.lit(float(total)),
+            6,
+        ).alias("cum_share"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc — the
+    compression-ratio-style junk detector (degenerate/repetitive text
+    scores low, natural prose ~4 bits/char). Linear: explode to (doc,
+    char) counts, one agg per doc; both shuffles on bounded keys."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    chars = (
+        t("documents")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.split(F.col("text"), "")).alias("c"),
+        )
+        .filter(F.col("c") != "")
+        .groupBy("id", "c")
+        .agg(F.count("*").alias("k"))
+    )
+    # H = -Σ (k/N)·log2(k/N) = log2(N) - (Σ k·log2 k)/N — one agg, no
+    # second pass for the per-doc total
+    n = F.sum("k")
+    s = F.sum(F.col("k") * F.log2("k"))
+    return chars.groupBy("id").agg(
+        n.alias("n_chars"),
+        F.round(F.log2(n) - s / n, 4).alias("entropy_bits"),
+    )
+
+
 def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal novelty: per doc, the share of its distinct
     word-3-grams found in no other doc (operators/text.py::
@@ -3726,6 +3786,8 @@ QUERIES = {
     "line_dedup_docs": line_dedup_docs,
     "substring_dedup_docs": substring_dedup_docs,
     "ngram_novelty_docs": ngram_novelty_docs,
+    "skew_report_events": skew_report_events,
+    "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,
     "cap_per_source_docs": cap_per_source_docs,
