@@ -1881,6 +1881,25 @@ ORACLES: dict[str, str] = {
     # exact dedup (one rep per distinct text among filter survivors) ->
     # 40/30 chunking. doc_id projected away (arrival-order dependent);
     # chunks are a pure function of the surviving text.
+    # streaming near-dup intake survivor set: with monotone ids across
+    # batches, a doc survives iff NO smaller-id doc is >=0.3 similar
+    "stream_near_dup_intake_parity": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts
+                      FROM documents WHERE doc_id < 300),
+        grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
+                  FROM ({_GRAMS3}) GROUP BY doc_id),
+        dropped AS (
+            SELECT DISTINCT greatest(a.doc_id, b.doc_id) AS doc_id
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                        / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
+                  >= 0.3
+        )
+        SELECT d.doc_id
+        FROM documents d
+        WHERE d.doc_id < 300
+          AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
     "stream_corpus_prep_parity": f"""
         WITH keep AS (
             SELECT min(doc_id) AS doc_id

@@ -2970,6 +2970,52 @@ def url_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_near_dup_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup intake UNDER THE HASH GATE: two micro-batches
+    (maxFilesPerTrigger=1 over two mtime-ordered files) flow through
+    corpus_incremental_near_dup_intake — batch 2 joins batch 1 only via
+    the persisted bucketed band index. With monotone ids, the survivor
+    set has a declarative definition the oracle states directly: a doc
+    survives iff NO smaller-id doc is ≥ 0.3 exact-Jaccard similar. The
+    streaming machinery (foreachBatch, checkpoint, index appends) must
+    reproduce that set exactly."""
+    from ..ingest.corpus import corpus_incremental_near_dup_intake
+    from ..operators.bucketing import drop_table_and_location
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="dif_nd_parity_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    idx = "dif_gate_nd_intake_idx"
+    drop_table_and_location(spark, idx)
+    t = _t(spark, sf_dir)
+    docs = t("documents").select("doc_id", "text").filter(F.col("doc_id") < 300)
+    # two files = two micro-batches, ordered oldest-first by mtime
+    import time as _time
+
+    now = _time.time()
+    for i, (lo, hi) in enumerate(((0, 150), (150, 300))):
+        p = os.path.join(src, f"batch{i}.parquet")
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 600 + i * 300,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+    q = corpus_incremental_near_dup_intake(
+        stream, sink, ckpt, idx, threshold=0.3
+    )
+    q.awaitTermination(300)
+    drop_table_and_location(spark, idx)
+    return spark.read.parquet(sink).select("doc_id")
+
+
 def stream_corpus_prep_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL streaming CorpusPrep in the correctness gate: language
     filter → quality gate → dedup-within-watermark → context-window
@@ -3795,6 +3841,7 @@ QUERIES = {
     "line_dedup_within_doc": line_dedup_within_doc,
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
     "stream_corpus_prep_parity": stream_corpus_prep_parity,
+    "stream_near_dup_intake_parity": stream_near_dup_intake_parity,
     "gopher_quality_docs": gopher_quality_docs,
     "c4_clean_docs": c4_clean_docs,
     "stream_join_parity": stream_join_parity,
