@@ -523,6 +523,43 @@ def save_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    new_vecs: DataFrame,
+    spark,
+    table_name: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    right_id: str = "vec_id",
+    n_buckets: int = 8,
+) -> None:
+    """Incremental corpus growth for a :func:`save_ivf_index` table:
+    assign the new batch to the EXISTING centroids (scan-side argmin —
+    no k-means on the ingest path) and append with the same bucket
+    spec, so the layout and every shuffle-elision guarantee survive.
+    Cost is O(batch); the accumulated corpus is never rewritten
+    (compact small files periodically with
+    :func:`~..operators.bucketing.compact_bucketed_table`).
+
+    Centroids are a routing structure, not ground truth: as the data
+    distribution drifts, cells skew and recall-per-nprobe degrades
+    gracefully rather than breaking. Monitor cell occupancy and
+    re-fit + rebuild (:func:`save_ivf_index`) when it skews — the
+    rebuild is one linear pass.
+    """
+    assigned, _ = ivf_assign(new_vecs, vec_col=vec_col, centroids=centroids)
+    (
+        assigned.select(
+            F.col(right_id).alias("right_id"),
+            F.col(vec_col).alias("rvec"),
+            "ivf_cell",
+        )
+        .write.mode("append")
+        .bucketBy(n_buckets, "ivf_cell")
+        .sortBy("ivf_cell")
+        .saveAsTable(table_name)
+    )
+
+
 def knn_join_indexed(
     left: DataFrame,
     spark,

@@ -3317,10 +3317,17 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAILS if a shuffle sneaks back in). The bucket layout is the 100 TB
     lever: the shuffle is paid once at write time, amortized over every
     later join."""
-    from ..operators.bucketing import bucketed_join, write_bucketed
+    from ..operators.bucketing import (
+        bucketed_join,
+        drop_table_and_location,
+        write_bucketed,
+    )
 
     tune(spark)
     t = _t(spark, sf_dir)
+    # clear any stale warehouse dirs a crashed prior session left behind
+    drop_table_and_location(spark, "gate_bkt_cust")
+    drop_table_and_location(spark, "gate_bkt_ord")
     write_bucketed(
         t("customer").select("c_custkey", "c_mktsegment"), "gate_bkt_cust",
         "c_custkey", n_buckets=16,

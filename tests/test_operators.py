@@ -735,3 +735,43 @@ def test_compact_bucketed_lsh_index_preserves_layout_and_results(spark, docs):
         assert p.count() >= 0  # executes against the compacted table
     finally:
         drop_table_and_location(spark, name)
+
+
+def test_append_to_ivf_index_matches_full_rebuild(spark, emb):
+    """Incremental IVF growth: index half the corpus, append the rest
+    with the SAME centroids — serving results equal a one-shot index of
+    the full corpus (exhaustive probe => exact either way), and the
+    bucket layout survives the append."""
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+    from dataingestionframework_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_fit,
+        knn_join_indexed,
+        save_ivf_index,
+    )
+
+    inc, full = "dif_test_ivf_inc", "dif_test_ivf_full"
+    drop_table_and_location(spark, inc)
+    drop_table_and_location(spark, full)
+    try:
+        left = emb.filter(F.col("vec_id") < 20)
+        corpus = emb.filter(F.col("vec_id") >= 20)
+        half1 = corpus.filter(F.col("vec_id") % 2 == 0)
+        half2 = corpus.filter(F.col("vec_id") % 2 == 1)
+        cents = ivf_fit(corpus, n_clusters=4)
+
+        save_ivf_index(half1, spark, inc, n_clusters=4, centroids=cents)
+        append_to_ivf_index(half2, spark, inc, cents)
+        spark.catalog.refreshTable(inc)
+        save_ivf_index(corpus, spark, full, n_clusters=4, centroids=cents)
+
+        a = {(r.left_id, r.right_id, r.rank)
+             for r in knn_join_indexed(left, spark, inc, cents, k=3, nprobe=4).collect()}
+        b = {(r.left_id, r.right_id, r.rank)
+             for r in knn_join_indexed(left, spark, full, cents, k=3, nprobe=4).collect()}
+        assert a == b and len(a) == 20 * 3
+    finally:
+        drop_table_and_location(spark, inc)
+        drop_table_and_location(spark, full)
