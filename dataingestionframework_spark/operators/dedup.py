@@ -43,6 +43,38 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
     return df.join(keep, id_col, "left_semi")
 
 
+def drop_duplicates_keep_best(
+    df: DataFrame,
+    order_by: list,
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy per duplicate group instead of
+    the min id — what production pipelines actually want (the longest /
+    highest-quality / most-recent duplicate survives; near-identical
+    scrapes often differ in truncation). ``order_by`` are Column sort
+    expressions; make them total (append the id) or the survivor is
+    tie-nondeterministic. Group key defaults to the content fingerprint
+    of ``text_col``.
+
+    One window over the fingerprint partition — same single-shuffle
+    cost as min-id dedup; no global sort.
+    """
+    from pyspark.sql import Window
+
+    from .text import fingerprint
+
+    keys = key_cols or ["_fp"]
+    d = df if key_cols else df.withColumn("_fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", *([] if key_cols else ["_fp"]))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (the verifier; quadratic — bound it or feed it LSH pairs)
 # ---------------------------------------------------------------------------

@@ -1716,6 +1716,19 @@ ORACLES: dict[str, str] = {
     """,
     # line-level (8-word-segment) boilerplate dedup: segments occurring
     # in >= 2 distinct docs are dropped, survivors reassembled in order.
+    # keep the longest copy per normalized-content group
+    "dedup_keep_best_docs": """
+        SELECT doc_id, n_chars
+        FROM (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                       ORDER BY length(text) DESC, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+    """,
     # top-20 heaviest keys with share and cumulative share
     "skew_report_events": """
         WITH tot AS (SELECT count(*) AS t FROM events),

@@ -2758,6 +2758,27 @@ def stream_dedup_rocksdb_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(ck, prev[ck])
 
 
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST copy (longest text, id tie-break)
+    per NORMALIZED-content group (lowercased, whitespace-collapsed) —
+    production pipelines keep the least-truncated scrape, not the
+    min id. One window over the fingerprint partition; no global
+    sort."""
+    from ..operators.dedup import drop_duplicates_keep_best
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    d = t("documents").withColumn(
+        "_k", F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    out = drop_duplicates_keep_best(
+        d,
+        order_by=[F.length("text").desc(), F.col("doc_id")],
+        key_cols=["_k"],
+    )
+    return out.select("doc_id", "n_chars")
+
+
 def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic: top-20 heaviest join/group keys with row
     share and cumulative share — the report you run BEFORE choosing
@@ -3840,6 +3861,7 @@ QUERIES = {
     "substring_dedup_docs": substring_dedup_docs,
     "ngram_novelty_docs": ngram_novelty_docs,
     "skew_report_events": skew_report_events,
+    "dedup_keep_best_docs": dedup_keep_best_docs,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

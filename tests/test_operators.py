@@ -775,3 +775,27 @@ def test_append_to_ivf_index_matches_full_rebuild(spark, emb):
     finally:
         drop_table_and_location(spark, inc)
         drop_table_and_location(spark, full)
+
+
+def test_drop_duplicates_keep_best_prefers_longest(spark):
+    """Keep-best dedup: case/whitespace variants group under the
+    normalized key and the LONGEST raw copy survives (ties break on
+    id); distinct docs pass through."""
+    from dataingestionframework_spark.operators.dedup import (
+        drop_duplicates_keep_best,
+    )
+
+    rows = [
+        (1, "The Quick  Brown Fox"),
+        (2, "the quick brown fox"),          # same normalized, shorter
+        (3, "the  quick   brown    fox"),    # same normalized, longest
+        (4, "a completely different doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "_k", F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    out = drop_duplicates_keep_best(
+        df, order_by=[F.length("text").desc(), F.col("doc_id")], key_cols=["_k"]
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [3, 4]  # longest variant kept, unique doc kept
