@@ -1716,6 +1716,25 @@ ORACLES: dict[str, str] = {
     """,
     # line-level (8-word-segment) boilerplate dedup: segments occurring
     # in >= 2 distinct docs are dropped, survivors reassembled in order.
+    # variance + least-squares aggregate family on scaled columns
+    "stats_regression_orders": """
+        WITH d AS (
+            SELECT o_orderstatus,
+                   o_totalprice / 100000.0 AS s,
+                   o_orderkey::DOUBLE / 100000.0 AS k
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               round(var_pop(s), 6)           AS vpop,
+               round(var_samp(s), 6)          AS vsamp,
+               round(stddev_samp(s), 6)       AS sd,
+               round(corr(s, k), 6)           AS c,
+               round(regr_slope(s, k), 6)     AS slope,
+               round(regr_intercept(s, k), 6) AS icept,
+               round(regr_r2(s, k), 6)        AS r2,
+               regr_count(s, k)               AS n
+        FROM d GROUP BY o_orderstatus
+    """,
     # keep the longest copy per normalized-content group
     "dedup_keep_best_docs": """
         SELECT doc_id, n_chars

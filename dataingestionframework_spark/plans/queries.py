@@ -2758,6 +2758,30 @@ def stream_dedup_rocksdb_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(ck, prev[ck])
 
 
+def stats_regression_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance + least-squares aggregate family (var_pop/var_samp/
+    stddev_samp, corr, regr_slope/intercept/r2/count) — definitions
+    shared exactly with DuckDB. Values computed on a scaled column
+    (price/1e5) so double summation-order differences between engines
+    stay far below the rounding cut (the checker compares absolute
+    decimals)."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    s = (F.col("o_totalprice") / F.lit(100000.0)).alias("s")
+    k = (F.col("o_orderkey").cast("double") / F.lit(100000.0)).alias("k")
+    d = t("orders").select("o_orderstatus", s, k)
+    return d.groupBy("o_orderstatus").agg(
+        F.round(F.var_pop("s"), 6).alias("vpop"),
+        F.round(F.var_samp("s"), 6).alias("vsamp"),
+        F.round(F.stddev_samp("s"), 6).alias("sd"),
+        F.round(F.corr("s", "k"), 6).alias("c"),
+        F.round(F.expr("regr_slope(s, k)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(s, k)"), 6).alias("icept"),
+        F.round(F.expr("regr_r2(s, k)"), 6).alias("r2"),
+        F.expr("regr_count(s, k)").alias("n"),
+    )
+
+
 def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the BEST copy (longest text, id tie-break)
     per NORMALIZED-content group (lowercased, whitespace-collapsed) —
@@ -3862,6 +3886,7 @@ QUERIES = {
     "ngram_novelty_docs": ngram_novelty_docs,
     "skew_report_events": skew_report_events,
     "dedup_keep_best_docs": dedup_keep_best_docs,
+    "stats_regression_orders": stats_regression_orders,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,
