@@ -571,3 +571,59 @@ def weighted_sample(
         .limit(k)
         .drop("aes_key")
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus documents whose
+    word-``n``-gram Jaccard similarity to ANY benchmark document is ≥
+    ``threshold`` — catching paraphrased/reformatted eval leakage the
+    exact-overlap :func:`decontaminate` counter misses.
+
+    Same MinHash-LSH architecture as the near-dup stack, pointed
+    across two datasets: signatures for both sides, candidate
+    (corpus, benchmark) pairs from an equi-join on (band_id,
+    band_hash) — corpus×bucket, never corpus×benchmark — then exact
+    Jaccard verification on candidates only. Corpus and benchmark ids
+    must be disjoint (they share one id space in the verify join).
+
+    Returns one row per CONTAMINATED corpus doc:
+    (doc_id, bench_id, jaccard_sim) with the strongest benchmark match
+    (ties → lowest bench id).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import minhash_band_rows, minhash_signatures, verify_pairs_jaccard
+
+    csig = minhash_signatures(corpus, text_col, id_col, n, num_hashes)
+    bsig = minhash_signatures(benchmark, text_col, id_col, n, num_hashes)
+    cband = minhash_band_rows(csig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    bband = minhash_band_rows(bsig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    cand = cband.join(bband, ["band_id", "band_hash"]).select("id_a", "id_b").distinct()
+    verified = verify_pairs_jaccard(
+        cand, corpus.unionByName(benchmark), text_col, id_col, n, threshold
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("jaccard_sim").desc(), F.col("id_b").asc()
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("bench_id"),
+            "jaccard_sim",
+        )
+    )

@@ -303,3 +303,143 @@ def resize_stub(
             )
 
     return df.select(id_col, col).mapInPandas(resample, schema=out_schema)
+
+
+AHASH_BITS = 64
+AHASH_BANDS = 4
+
+
+def ahash_stub(
+    df: DataFrame,
+    col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over the STUB
+    decoder's 64 deterministic "pixels" — the image near-dup sketch
+    with the real plumbing and a fake decode (no codec libs in this
+    environment; a real decoder swaps in as a mapInPandas stage that
+    emits the same 64-luma-pixel rows, see :func:`decode_media`).
+
+    Pixels: p_i = md5-derived portable hash of (md5(payload), i) mod
+    256 — engine-portable byte arithmetic, no Python. Bit_i is the
+    INTEGER comparison 64·p_i ≥ Σp (pixel above mean) — no float
+    anywhere, so the sketch is bit-identical in any engine. Bits pack
+    into ``AHASH_BANDS`` 16-bit band values (the LSH blocking keys)
+    plus the full hash for hamming math.
+
+    Plan shape (same lesson as ``dedup.minhash_signatures``): pixels
+    are exploded to 64 rows/doc so each md5 evaluates ONCE, then a
+    single groupBy materializes (Σp, sorted pixel array) in agg
+    buffers; band packing runs over the MATERIALIZED array. The naive
+    all-in-one-projection form re-inlines the md5 chain into every
+    bit×band expression after Catalyst's CollapseProject (≈4k md5
+    evals/row — measured 103 s vs 1.5 s at 5k docs). One shuffle on
+    the id.
+    """
+    rows = (
+        df.select(F.col(id_col), F.md5(F.col(col)).alias("_ph"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(AHASH_BITS - 1))).alias("_i"),
+            F.col("_ph"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_i"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("_ph"), F.lit("|"), F.col("_i").cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 256
+            ).alias("_p"),
+        )
+    )
+    agg = rows.groupBy(id_col).agg(
+        F.sum("_p").alias("_tot"),
+        F.array_sort(F.collect_list(F.struct("_i", "_p"))).alias("_ps"),
+    )
+    per_band = AHASH_BITS // AHASH_BANDS
+    pix_arr = F.transform(F.col("_ps"), lambda s: s["_p"])
+    band_cols = []
+    for b in range(AHASH_BANDS):
+        band_cols.append(
+            F.aggregate(
+                F.slice(pix_arr, b * per_band + 1, per_band),
+                F.struct(
+                    F.lit(0).cast("long").alias("v"),
+                    F.lit(1).cast("long").alias("place"),
+                ),
+                lambda acc, x: F.struct(
+                    (
+                        acc["v"]
+                        + F.when(
+                            x * AHASH_BITS >= F.col("_tot"), acc["place"]
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).alias("v"),
+                    (acc["place"] * 2).alias("place"),
+                ),
+                lambda acc: acc["v"],
+            ).alias(f"ab{b}")
+        )
+    return agg.select(F.col(id_col), *band_cols)
+
+
+def ahash_near_dup_pairs(
+    df: DataFrame,
+    col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs by aHash hamming distance ≤ ``max_hamming``
+    with pigeonhole blocking: with 4 bands of 16 bits, any pair within
+    hamming 3 agrees EXACTLY on ≥ 1 band, so candidate generation is a
+    union of 4 equi self-joins on (band_id, band_value) — never
+    all-pairs, recall provably total. Same architecture as the SimHash
+    text blocker (``operators/dedup.py::simhash_pairs``); AQE
+    skew-join covers hot buckets (e.g. flat-color images).
+
+    Returns (id_a, id_b, hamming).
+    """
+    sk = ahash_stub(df, col, id_col)
+    bands = None
+    for b in range(AHASH_BANDS):
+        part = sk.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band_id"),
+            F.col(f"ab{b}").alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = sk.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"ab{b}").alias(f"a{b}") for b in range(AHASH_BANDS)]
+    )
+    bb = sk.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"ab{b}").alias(f"b{b}") for b in range(AHASH_BANDS)]
+    )
+    ham = None
+    for b in range(AHASH_BANDS):
+        h = F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        ham = h if ham is None else ham + h
+    return (
+        cand.join(a, "id_a")
+        .join(bb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -764,3 +764,153 @@ def pq_rerank_topk(
         .orderBy(F.col("l2_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def assign_nearest_centroid_df(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_id_col: str = "cid",
+    cent_vec_col: str = "cvec",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid assignment with the centroid set as a (small)
+    DataFrame: broadcast join × K rows per vector, cosine per pair, one
+    row_number window keyed on the vector id picks the winner.
+
+    Differs from :func:`ivf_assign` (which inlines driver-held centroid
+    lists as literal expressions): here centroids stay a DataFrame, so
+    the assignment is re-runnable from a persisted centroid table and
+    the argmax is on ROUNDED cosine (6 dp) with centroid-id tiebreak —
+    deterministic across engines, which the SemDeDup oracle requires.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import cosine_similarity
+
+    c = centroids.select(
+        F.col(cent_id_col).alias("_cid"), F.col(cent_vec_col).alias("_cvec")
+    )
+    scored = df.join(F.broadcast(c)).withColumn(
+        "_cos",
+        F.round(
+            cosine_similarity(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.transform(F.col("_cvec"), lambda x: x.cast("double")),
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cvec", "_cos")
+        .withColumnRenamed("_cid", out_col)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_id_col: str = "cid",
+    cent_vec_col: str = "cvec",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    cluster, then drop near-identical pairs WITHIN each cluster only.
+
+    The cluster assignment is the blocking step: the quadratic
+    cosine-pair search never crosses cluster boundaries, so cost is
+    Σ cluster_size² — with K sized so clusters hold ~1-10k vectors,
+    that is the tractable diagonal of an intractable n² problem. The
+    within-cluster pair join is an equi hash join on ``cluster_id``
+    (one shuffle; AQE splits skewed clusters), survivor rule =
+    lowest-id vector of each ≥-threshold neighborhood, matching the
+    keep-one-per-duplicate-set convention of the text dedup stack.
+
+    Production note: fit centroids with :func:`ivf_fit` (k-means) and
+    persist via :func:`save_centroids`; any fixed centroid set works —
+    determinism of the PLAN does not depend on centroid quality, only
+    recall/efficiency does.
+
+    Returns surviving (id, cluster_id) rows.
+    """
+    from ..functions import cosine_similarity
+
+    asn = assign_nearest_centroid_df(
+        df, centroids, vec_col, id_col, cent_id_col, cent_vec_col
+    ).select(
+        F.col(id_col),
+        "cluster_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    a = asn.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster_id").alias("_cl"),
+        F.col("_v").alias("_va"),
+    )
+    b = asn.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster_id").alias("_cl"),
+        F.col("_v").alias("_vb"),
+    )
+    dups = (
+        a.join(b, "_cl")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return asn.join(dups, id_col, "left_anti").select(id_col, "cluster_id")
+
+
+def int8_quantize_error(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension scalar int8 quantization + reconstruction error.
+
+    The storage play for 100 TB embedding corpora: 4×+ compression
+    (float32 → uint8) before ANN indexing. Codes are
+    ``floor((x - min_d) / scale_d + 0.5)`` with per-dimension
+    min/max — the stats table is ``dim`` rows (a broadcast), built by
+    one posexplode + groupBy pass (linear, one shuffle on the dim key).
+
+    Returns (id, rmse, max_abs_err) of the dequantized reconstruction,
+    rounded — the audit report that decides whether int8 is safe for a
+    given corpus, and the oracle-checkable surface of the codec.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    ).select(id_col, (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
+    stats = ex.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(float(levels))
+    j = ex.join(F.broadcast(stats), "dim")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5)),
+    ).otherwise(F.lit(0))
+    recon = F.when(
+        F.col("mx") > F.col("mn"), F.col("mn") + code * scale
+    ).otherwise(F.col("mn"))
+    err = F.col("x") - recon
+    return (
+        j.withColumn("_e", err)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sqrt(F.avg(F.col("_e") * F.col("_e"))), 6).alias("rmse"),
+            F.round(F.max(F.abs(F.col("_e"))), 6).alias("max_abs_err"),
+        )
+    )

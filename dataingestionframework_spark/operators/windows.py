@@ -65,3 +65,72 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def ewma_finite(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    order_by: list[str],
+    alpha: float = 0.5,
+    window: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Finite-window exponentially weighted moving average.
+
+    True recursive EWMA needs unbounded recursion (not expressible as a
+    window frame); the standard distributed form truncates the kernel:
+    weights (1-α)^i over the last ``window`` rows, renormalized over
+    the rows actually present, so the head of each partition is an
+    expanding-window average, not a NULL ramp. Expressed as a fixed sum
+    of ``lag`` terms — pure window expressions, whole-stage codegen'd,
+    one shuffle on the partition keys. With (1-α)^window ≈ 1e-2..1e-3
+    the truncation error is below any monitoring threshold; a larger
+    ``window`` buys precision for ``window`` extra lag columns, still
+    O(rows).
+
+    The term order is fixed (i = 0..window-1, left-assoc adds), so the
+    double result is bit-reproducible across engines that evaluate the
+    same expression — the property the oracle twin relies on.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(window):
+        v = F.lag(F.col(value_col), i).over(w)
+        wt = float((1.0 - alpha) ** i)
+        num = num + F.coalesce(v, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(v.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, num / den)
+
+
+def trailing_zscore(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    order_by: list[str],
+    lookback: int = 12,
+    min_periods: int = 6,
+    z_col: str = "z",
+    n_col: str = "z_n",
+) -> DataFrame:
+    """Self-excluding trailing z-score for anomaly detection.
+
+    Mean/stddev over ROWS BETWEEN ``lookback`` PRECEDING AND 1
+    PRECEDING — the current row is excluded so a genuine spike cannot
+    inflate its own baseline. ``z`` is NULL until ``min_periods``
+    history rows exist or when the trailing stddev is 0 (constant
+    history), so warm-up rows never alert. One shuffle on the
+    partition keys; the frame aggregate is a single pass per
+    partition.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-lookback, -1)
+    )
+    m = F.avg(value_col).over(w)
+    s = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when((n >= min_periods) & (s > 0), (F.col(value_col) - m) / s)
+    return df.withColumn(n_col, n).withColumn(z_col, z)

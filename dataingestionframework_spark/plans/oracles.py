@@ -2548,3 +2548,191 @@ ORACLES: dict[str, str] = {
         GROUP BY l_returnflag
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: time-series anomaly, entity resolution, SemDeDup,
+# int8 quantization, aHash image near-dup, triangles, fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+def _ewma_sql(alpha: float = 0.5, window: int = 8) -> str:
+    """Finite-window EWMA + trailing z-score, with lag terms written in
+    the exact arithmetic order of operators/windows.py::ewma_finite so
+    the doubles agree bit-for-bit before display rounding."""
+    lags = ",\n               ".join(
+        f"lag(value, {i}) OVER w AS v{i}" for i in range(window)
+    )
+    num = " + ".join(
+        f"coalesce(v{i}, 0.0) * {float((1.0 - alpha) ** i)!r}"
+        for i in range(window)
+    )
+    den = " + ".join(
+        f"(CASE WHEN v{i} IS NOT NULL THEN {float((1.0 - alpha) ** i)!r} "
+        "ELSE 0.0 END)"
+        for i in range(window)
+    )
+    return f"""
+        WITH b AS (
+            SELECT event_id, user_id, value,
+               {lags},
+               avg(value)         OVER wt AS m,
+               stddev_samp(value) OVER wt AS s,
+               count(value)       OVER wt AS n
+            FROM events
+            WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   wt AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, value,
+               round((0.0 + {num}) / (0.0 + {den}), 4) AS ewma,
+               round((value - m) / s, 4) AS z
+        FROM b
+        WHERE n >= 6 AND s > 0 AND round(abs((value - m) / s), 6) > 3
+    """
+
+
+def _ahash_sql(max_hamming: int = 3) -> str:
+    """aHash sketch + all-pairs hamming, rebuilt in pure integer SQL —
+    pixels/bits/bands exactly as operators/multimodal.py::ahash_stub.
+    All-pairs here proves the Spark side's band blocking lost nothing."""
+    pix = ",\n                   ".join(
+        f"(('0x' || substring(md5(ph || '|{i}'), 1, 15))::UBIGINT % 256)"
+        f"::BIGINT AS p{i}"
+        for i in range(64)
+    )
+    tot = " + ".join(f"p{i}" for i in range(64))
+    bands = []
+    for b in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN p{b * 16 + j} * 64 >= tot THEN 1 ELSE 0 END) "
+            f"* {1 << j}"
+            for j in range(16)
+        )
+        bands.append(f"({terms})::BIGINT AS ab{b}")
+    band_sql = ",\n                   ".join(bands)
+    ham = " + ".join(f"bit_count(xor(a.ab{b}, b.ab{b}))" for b in range(4))
+    return f"""
+        WITH ph_t AS (SELECT doc_id, md5(substring(text, 1, 80)) AS ph
+                      FROM documents),
+        px AS (SELECT doc_id,
+                   {pix}
+               FROM ph_t),
+        pt AS (SELECT *, ({tot}) AS tot FROM px),
+        sk AS (SELECT doc_id,
+                   {band_sql}
+               FROM pt)
+        SELECT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST({ham} AS INTEGER) AS hamming
+            FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= {max_hamming}
+    """
+
+
+ORACLES.update({
+    # finite-window EWMA + self-excluding trailing z-score, |z| > 3
+    "ewma_anomaly_events": _ewma_sql(),
+    # blocked entity resolution: levenshtein <= 1 within (nation, segment)
+    "entity_match_customers": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    # SemDeDup: nearest seed centroid (vec_id < 8), within-cluster
+    # cosine >= 0.4 dup pairs, survivor = lowest id
+    "semantic_dedup_embeddings": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT e.vec_id, c.cid,
+                   round(list_cosine_similarity(e.v, c.cv), 6) AS cs
+            FROM e CROSS JOIN c
+        ),
+        asn AS (
+            SELECT vec_id, cid AS cluster_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cid) AS rn
+            FROM scored
+        ),
+        av AS (SELECT a.vec_id, a.cluster_id, e.v
+               FROM asn a JOIN e USING (vec_id) WHERE rn = 1),
+        dups AS (
+            SELECT DISTINCT a.vec_id
+            FROM av a JOIN av b
+              ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        )
+        SELECT vec_id, cluster_id FROM av
+        WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+    # int8 per-dimension scalar quantization reconstruction audit
+    "int8_quantize_embeddings": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        ex AS (SELECT vec_id,
+                      unnest(range(1, len(v) + 1)) AS dim,
+                      unnest(v) AS x
+               FROM e),
+        st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+        r AS (
+            SELECT vec_id,
+                   x - (CASE WHEN mx > mn
+                        THEN mn + floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                                  * ((mx - mn) / 255.0)
+                        ELSE mn END) AS er
+            FROM ex JOIN st USING (dim)
+        )
+        SELECT vec_id,
+               round(sqrt(avg(er * er)), 6) AS rmse,
+               round(max(abs(er)), 6)       AS max_abs_err
+        FROM r GROUP BY vec_id
+    """,
+    # aHash image near-dup: all-pairs hamming <= 3 over the stub sketch
+    "image_ahash_near_dup": _ahash_sql(),
+    # per-node triangle counts on the mixed-modulus doc graph
+    "triangle_count_doc_graph": """
+        WITH raw AS (SELECT doc_id % 60 AS a, (doc_id % 97) % 60 AS b
+                     FROM documents),
+        e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+              FROM raw WHERE a <> b),
+        t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        g AS (SELECT x AS node FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t)
+        SELECT node, count(*) AS n_triangles FROM g GROUP BY node
+    """,
+    # fuzzy decontamination: exact all-pairs cross-set Jaccard >= 0.3,
+    # strongest benchmark match per contaminated doc
+    "fuzzy_decontaminate_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
+                  FROM ({_GRAMS3}) GROUP BY doc_id),
+        corp AS (SELECT d.doc_id, g.g FROM documents d
+                 JOIN grams g USING (doc_id) WHERE d.source <> 'src0'),
+        bench AS (SELECT d.doc_id, g.g FROM documents d
+                  JOIN grams g USING (doc_id) WHERE d.source = 'src0'),
+        pairs AS (
+            SELECT c.doc_id, b.doc_id AS bench_id,
+                   round(CAST(len(list_intersect(c.g, b.g)) AS DOUBLE)
+                         / CAST(len(list_distinct(c.g || b.g)) AS DOUBLE), 4)
+                       AS jaccard_sim
+            FROM corp c CROSS JOIN bench b
+        ),
+        flagged AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY jaccard_sim DESC,
+                                                  bench_id) AS rn
+            FROM pairs WHERE jaccard_sim >= 0.3
+        )
+        SELECT doc_id, bench_id, jaccard_sim FROM flagged WHERE rn = 1
+    """,
+})

@@ -3747,6 +3747,136 @@ def sql_pipe_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: finite-window EWMA (α=0.5, 8
+    lags) + self-excluding trailing z-score per user, flagging
+    |z| > 3 events. Pure window algebra — fixed lag terms in a pinned
+    arithmetic order, so the doubles match the oracle bit-for-bit
+    before the 4-dp display rounding. One shuffle on user_id."""
+    from ..operators.windows import ewma_finite, trailing_zscore
+
+    t = _t(spark, sf_dir)
+    e = ewma_finite(
+        t("events"), "value", ["user_id"], ["ts", "event_id"],
+        alpha=0.5, window=8,
+    )
+    z = trailing_zscore(
+        e, "value", ["user_id"], ["ts", "event_id"],
+        lookback=12, min_periods=6,
+    )
+    return (
+        z.filter(F.round(F.abs(F.col("z")), 6) > 3)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round("ewma", 4).alias("ewma"),
+            F.round("z", 4).alias("z"),
+        )
+    )
+
+
+def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via blocking + edit distance: candidate pairs
+    only within (nation, market segment) blocks, Levenshtein ≤ 1 on the
+    name. Σ block² cost instead of n² — the record-linkage twin of the
+    LSH bucket-then-verify dedup architecture."""
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    t = _t(spark, sf_dir)
+    return blocked_fuzzy_pairs(
+        t("customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_distance=1,
+    )
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: nearest-centroid clustering blocks the quadratic
+    cosine search — near-identical pairs are only sought WITHIN a
+    cluster; survivor = lowest id per neighborhood. Centroids here are
+    a fixed seed set (vec_id < 8) so the oracle can replay the exact
+    assignment; production fits them with ivf_fit and persists them.
+    The within-cluster join is an equi hash join on cluster_id."""
+    from ..operators.similarity import semantic_dedup
+
+    t = _t(spark, sf_dir)
+    e = t("embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return semantic_dedup(e, cents, threshold=0.4)
+
+
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit: per-dimension min/max codec
+    (64-row broadcast stats table), reconstruction RMSE + max abs
+    error per vector — the 4× storage-compression gate a 100 TB
+    embedding corpus runs before committing to int8 ANN serving."""
+    from ..operators.similarity import int8_quantize_error
+
+    t = _t(spark, sf_dir)
+    return int8_quantize_error(t("embeddings"))
+
+
+def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: aHash over the stub decoder's
+    64 deterministic pixels (engine-portable md5 byte arithmetic — a
+    real codec swaps in as a mapInPandas stage emitting the same pixel
+    rows), pigeonhole band blocking (4×16 bits ⇒ hamming ≤ 3 pairs
+    always share a band), hamming verify on candidates only. The
+    oracle rebuilds pixels, bits, and all-pairs hamming in SQL, so
+    blocking recall is hash-proven total."""
+    from ..operators.multimodal import ahash_near_dup_pairs
+
+    t = _t(spark, sf_dir)
+    # payload = first 80 chars rendered to bytes — a stand-in for "image
+    # of the document header"; prefix collisions exist at every SF, so
+    # the hamming-0 (identical-image) pairs are a non-empty result set.
+    d = t("documents").select(
+        "doc_id",
+        F.encode(F.substring(F.col("text"), 1, 80), "UTF-8").alias("payload"),
+    )
+    return ahash_near_dup_pairs(d, col="payload", max_hamming=3)
+
+
+def triangle_count_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting (NodeIterator++: two equi hash joins
+    over canonicalized a<b edges — each triangle found exactly once as
+    a<b<c, no Cartesian) on a deterministic mixed-modulus graph derived
+    from the documents table."""
+    from ..operators.graph import triangle_counts
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    edges = t("documents").select(
+        F.pmod(F.col("doc_id"), F.lit(60)).alias("src"),
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(97)), F.lit(60)).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: src0 documents play the eval
+    suite; corpus docs with word-3-gram Jaccard ≥ 0.3 to ANY benchmark
+    doc are flagged with their strongest match. MinHash-LSH across the
+    two sets — candidates from the (band_id, band_hash) equi-join
+    (corpus×bucket, never corpus×benchmark), exact-Jaccard verify on
+    candidates only. Oracle = exact all-pairs cross-set Jaccard, so
+    banding recall is hash-proven."""
+    from ..operators.corpus import fuzzy_decontaminate
+
+    t = _t(spark, sf_dir)
+    docs = t("documents")
+    return fuzzy_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        threshold=0.3,
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3887,6 +4017,13 @@ QUERIES = {
     "skew_report_events": skew_report_events,
     "dedup_keep_best_docs": dedup_keep_best_docs,
     "stats_regression_orders": stats_regression_orders,
+    "ewma_anomaly_events": ewma_anomaly_events,
+    "entity_match_customers": entity_match_customers,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "int8_quantize_embeddings": int8_quantize_embeddings,
+    "image_ahash_near_dup": image_ahash_near_dup,
+    "triangle_count_doc_graph": triangle_count_doc_graph,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

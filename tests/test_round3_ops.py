@@ -1,0 +1,203 @@
+"""Round-3 operators: EWMA anomaly, entity linkage, SemDeDup, int8
+quantization, aHash image near-dup, triangle counts, fuzzy
+decontamination — planted-fixture unit proofs (the oracle gate proves
+them again against DuckDB at sf0.01)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_ewma_finite_matches_hand_computation(spark):
+    from dataingestionframework_spark.operators.windows import ewma_finite
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])],
+        "k int, seq int, value double",
+    )
+    out = {
+        r.seq: r.ewma
+        for r in ewma_finite(
+            df, "value", ["k"], ["seq"], alpha=0.5, window=8
+        ).collect()
+    }
+    # row 0: only itself; row 1: (20*1 + 10*.5)/1.5; row 3: weights 1,.5,.25,.125
+    assert out[0] == pytest.approx(10.0)
+    assert out[1] == pytest.approx((20 + 10 * 0.5) / 1.5)
+    assert out[3] == pytest.approx(
+        (40 + 30 * 0.5 + 20 * 0.25 + 10 * 0.125) / (1 + 0.5 + 0.25 + 0.125)
+    )
+
+
+def test_trailing_zscore_excludes_current_row_and_warmup(spark):
+    from dataingestionframework_spark.operators.windows import trailing_zscore
+
+    rows = [(1, i, 10.0) for i in range(8)] + [(1, 8, 100.0)]
+    df = spark.createDataFrame(rows, "k int, seq int, value double")
+    out = {
+        r.seq: r
+        for r in trailing_zscore(
+            df, "value", ["k"], ["seq"], lookback=12, min_periods=6
+        ).collect()
+    }
+    # warm-up rows (n < 6) and constant-history rows (s = 0) never alert
+    assert all(out[i].z is None for i in range(8))
+    # the spike's own value cannot inflate its baseline: trailing history
+    # is constant 10.0 -> s = 0 -> z is NULL, not a huge-but-wrong number
+    assert out[8].z is None
+    # with variance in history the spike alerts
+    rows = [(1, i, float(10 + (i % 3))) for i in range(8)] + [(1, 8, 100.0)]
+    df = spark.createDataFrame(rows, "k int, seq int, value double")
+    z = {
+        r.seq: r.z
+        for r in trailing_zscore(
+            df, "value", ["k"], ["seq"], lookback=12, min_periods=6
+        ).collect()
+    }
+    assert z[8] is not None and z[8] > 3
+
+
+def test_blocked_fuzzy_pairs_respects_blocks(spark):
+    from dataingestionframework_spark.operators.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "jon smith", "US"),
+            (2, "john smith", "US"),   # dist 1, same block
+            (3, "jon smith", "DE"),    # identical name, DIFFERENT block
+            (4, "mary jones", "US"),   # too far
+        ],
+        "id long, name string, country string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["country"], max_distance=1
+        ).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_semantic_dedup_drops_planted_near_identical(spark, emb):
+    from dataingestionframework_spark.operators.similarity import semantic_dedup
+
+    base = emb.select("vec_id", "embedding")
+    # plant an exact copy of vec 17 under a fresh id
+    clone = base.filter(F.col("vec_id") == 17).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding"
+    )
+    df = base.unionByName(clone)
+    cents = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    kept = {r.vec_id for r in semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert 17 in kept and 99999 not in kept  # lowest id survives
+
+
+def test_int8_quantize_error_exact_on_two_level_dims(spark):
+    from dataingestionframework_spark.operators.similarity import int8_quantize_error
+
+    # dim1 constant -> zero error; dim2 hits exactly representable codes
+    df = spark.createDataFrame(
+        [(1, [5.0, 0.0]), (2, [5.0, 255.0]), (3, [5.0, 128.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in int8_quantize_error(df).collect()}
+    for r in out.values():
+        assert r.rmse == 0.0 and r.max_abs_err == 0.0
+
+
+def test_int8_quantize_error_bounded_by_half_step(spark, emb):
+    from dataingestionframework_spark.operators.similarity import int8_quantize_error
+
+    ex = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    )
+    spread = ex.groupBy("pos").agg((F.max("col") - F.min("col")).alias("w"))
+    max_half_step = spread.agg(F.max(F.col("w") / 255.0 / 2.0)).first()[0]
+    worst = int8_quantize_error(emb).agg(F.max("max_abs_err")).first()[0]
+    assert worst <= max_half_step + 1e-9
+
+
+def test_ahash_blocking_finds_identical_payloads_only(spark):
+    from dataingestionframework_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        ahash_stub,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"image-bytes-AAAA")),
+            (2, bytearray(b"image-bytes-AAAA")),  # exact dup -> hamming 0
+            (3, bytearray(b"image-bytes-AAAB")),  # 1 byte off -> avalanche
+        ],
+        "doc_id long, payload binary",
+    )
+    pairs = {(r.id_a, r.id_b, r.hamming) for r in
+             ahash_near_dup_pairs(df, max_hamming=3).collect()}
+    assert pairs == {(1, 2, 0)}
+    # sketch is deterministic and 4x16-bit
+    sk = {r.doc_id: (r.ab0, r.ab1, r.ab2, r.ab3)
+          for r in ahash_stub(df).collect()}
+    assert sk[1] == sk[2] and sk[1] != sk[3]
+    assert all(0 <= v < (1 << 16) for v in sk[1] + sk[3])
+
+
+def test_triangle_counts_on_k4(spark):
+    from dataingestionframework_spark.operators.graph import triangle_counts
+
+    # K4: 4 triangles, every vertex in exactly 3; edges fed unordered +
+    # duplicated + self-loop to prove canonicalization
+    e = [(a, b) for a in range(4) for b in range(4) if a != b] + [(2, 2)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_fuzzy_decontaminate_flags_paraphrased_leak(spark, docs):
+    from dataingestionframework_spark.operators.corpus import fuzzy_decontaminate
+
+    bench = docs.filter(F.col("doc_id") < 5)
+    # corpus doc 9001 = bench doc 2 with a word appended: high Jaccard,
+    # not an exact copy; 9002 is unrelated
+    leak = bench.filter(F.col("doc_id") == 2).select(
+        F.lit(9001).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    clean = docs.filter(F.col("doc_id") == 100).select(
+        F.lit(9002).cast("long").alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    corpus = leak.unionByName(clean)
+    got = {r.doc_id: r for r in
+           fuzzy_decontaminate(corpus, bench, threshold=0.3).collect()}
+    assert 9001 in got and got[9001].bench_id == 2
+    assert got[9001].jaccard_sim >= 0.3
+    assert 9002 not in got
+
+
+def test_ewma_anomaly_query_plan_is_window_only(spark):
+    """The anomaly query must stay pure window algebra: no Python
+    evaluation, no Cartesian, a single Exchange on user_id."""
+    from dataingestionframework_spark.plans.queries import ewma_anomaly_events
+
+    plan = ewma_anomaly_events(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
