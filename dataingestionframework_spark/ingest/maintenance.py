@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 import time
 
+from pyspark.sql import DataFrame
+
 from ..catalog.table import ManagedTable
 from ..specs import IngestionSpec
 
@@ -85,6 +87,58 @@ def incremental_agg_refresh(
             "total": F.col("tgt.total") + F.col("src.total"),
         },
         when_not_matched_insert=True,  # brand-new keys start at their delta
+    )
+    return to_version
+
+
+def incremental_join_agg_refresh(
+    src: ManagedTable,
+    dim: DataFrame,
+    join_key: str,
+    agg: ManagedTable,
+    keys: list[str],
+    value_col: str,
+    since_version: int,
+) -> int:
+    """Incremental maintenance of a JOIN-then-aggregate materialized
+    view: ΔF ⋈ D, aggregated with ±signs, MERGEd into the stored view —
+    the fact table is never re-scanned and the join runs only over the
+    changed rows.
+
+    This is the standard delta rule for a view V = γ(F ⋈ D) when only
+    the fact side changes between refreshes: ΔV = γ(ΔF ⋈ D). The
+    dimension is broadcast (dims are small next to facts; for a big
+    dimension, swap in a bucketed equi-join — the delta is still
+    O(changes)). A changed DIMENSION row is out of scope for this rule
+    (it touches every joined fact row); handle dim changes by re-keying
+    the affected groups or rebuilding, as every incremental-view system
+    does for the n-side of a 1:n join.
+
+    Returns the fact-table version the view is now current to.
+    """
+    from pyspark.sql import functions as F
+
+    to_version = max(e["version"] for e in src._history_lines())
+    if to_version == since_version:
+        return to_version
+    ch = src.read_changes(since_version, to_version)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        ch.join(F.broadcast(dim), join_key)
+        .groupBy(*keys)
+        .agg(
+            F.sum(sign).alias("n"),
+            F.sum(sign * F.col(value_col)).alias("total"),
+        )
+    )
+    agg.merge(
+        delta,
+        on=keys,
+        when_matched_update={
+            "n": F.col("tgt.n") + F.col("src.n"),
+            "total": F.col("tgt.total") + F.col("src.total"),
+        },
+        when_not_matched_insert=True,
     )
     return to_version
 

@@ -949,3 +949,39 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Adjacent character-pair frequencies over the token stream — the
+    counting step of one BPE merge round (the pair a byte-pair-encoding
+    tokenizer trainer would fuse next).
+
+    Shape: tokens explode once, pairs are a scan-side array transform
+    (Column.substr with column offsets — no Python), one count groupBy
+    on the pair key, deterministic top-k via (count DESC, pair ASC) —
+    compiles to TakeOrderedAndProject, no global sort. A full BPE
+    trainer iterates this with the winning pair folded into the vocab;
+    each round is this same linear plan.
+    """
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — 1-char words
+    # must map to an empty pair list, not a bogus descending range
+    idx = F.when(
+        F.length(F.col("w")) >= 2,
+        F.sequence(F.lit(1), F.length(F.col("w")) - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        F.explode(
+            F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

@@ -2736,3 +2736,182 @@ ORACLES.update({
         SELECT doc_id, bench_id, jaccard_sim FROM flagged WHERE rn = 1
     """,
 })
+
+
+ORACLES.update({
+    # streaming session windows == the batch gaps-and-islands sessions
+    "stream_session_parity": ORACLES["session_window_batch"],
+    # first-order Markov transition matrix over per-user event sequences
+    "event_transition_matrix": """
+        WITH p AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        c AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM p WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        FROM c
+    """,
+    # Zipf fit: ln-rank / ln-freq least squares over the vocabulary
+    "zipf_fit_tokens": f"""
+        WITH toks AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+        f AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+               FROM f)
+        SELECT count(*) AS n_types,
+               sum(c) AS n_tokens,
+               round(regr_slope(ln(c), ln(r)), 6)     AS slope,
+               round(regr_intercept(ln(c), ln(r)), 6) AS icept,
+               round(regr_r2(ln(c), ln(r)), 6)        AS r2
+        FROM rk
+    """,
+    # 2-D skyline on the per-day aggregate: price max, date min
+    "pareto_frontier_orders": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   max(o_totalprice) AS best_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        x AS (
+            SELECT *, max(best_price) OVER (
+                       ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prior_best
+            FROM daily
+        )
+        SELECT d, best_price, n_orders FROM x
+        WHERE prior_best IS NULL OR best_price > prior_best
+    """,
+    # Benford leading-digit audit via integer-cents string arithmetic
+    "benford_orders": """
+        WITH b AS (
+            SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders
+        )
+        SELECT digit, count(*) AS n,
+               round(count(*) / (SELECT count(*) FROM orders), 4)
+                   AS observed,
+               round(log10(1.0 + 1.0 / digit), 4) AS expected
+        FROM b GROUP BY digit
+    """,
+    # final state of the incrementally maintained orders⋈customer view
+    "incremental_join_parity": """
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey < 3000 AND o_orderstatus <> 'F'
+        GROUP BY c_mktsegment
+    """,
+    # BPE merge-round statistic: top-20 adjacent char pairs
+    "bpe_pair_stats_docs": f"""
+        WITH toks AS (SELECT unnest({_TOKENS}) AS w FROM documents),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                                         i -> substring(w, i, 2))) AS pair
+            FROM toks WHERE len(w) >= 2
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 20
+    """,
+})
+
+
+ORACLES.update({
+    # grid-blocked radius join == all-pairs distance filter
+    "spatial_radius_join_customers": """
+        WITH p AS (
+            SELECT c_custkey AS id,
+                   ((('0x' || substring(md5('x|' || CAST(c_custkey AS VARCHAR)), 1, 15))::UBIGINT
+                     % 10000)::BIGINT)::DOUBLE / 10.0 AS x,
+                   ((('0x' || substring(md5('y|' || CAST(c_custkey AS VARCHAR)), 1, 15))::UBIGINT
+                     % 10000)::BIGINT)::DOUBLE / 10.0 AS y
+            FROM customer
+        )
+        SELECT id_a, id_b, dist FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+                   round(sqrt((a.x - b.x) * (a.x - b.x)
+                              + (a.y - b.y) * (a.y - b.y)), 4) AS dist
+            FROM p a JOIN p b ON a.id < b.id
+        ) WHERE d2 <= 225.0
+    """,
+    # ntile / percent_rank / cume_dist with a total sort order
+    "window_rank_extras": """
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    # hourly spine + linear interpolation between straddling means
+    "resample_interp_events": """
+        WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+                    FROM events WHERE user_id < 20),
+        hourly AS (SELECT user_id, h, round(avg(value), 4) AS v
+                   FROM ev GROUP BY user_id, h),
+        bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                   FROM ev GROUP BY user_id),
+        spine AS (SELECT user_id,
+                         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds),
+        j AS (SELECT s.user_id, s.h, hourly.v
+              FROM spine s LEFT JOIN hourly USING (user_id, h)),
+        x AS (
+            SELECT user_id, h, v,
+                   last_value(v IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER wb AS ph,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER wf AS nh
+            FROM j
+            WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, h,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) *
+                         ((epoch(h)::BIGINT - epoch(ph)::BIGINT)
+                          / (epoch(nh)::BIGINT - epoch(ph)::BIGINT))
+                    WHEN pv IS NOT NULL THEN pv
+                    ELSE nv END AS filled,
+               v IS NULL AS is_gap
+        FROM x
+    """,
+    # deterministic-Laplace noisy release (inverse CDF over hash uniform)
+    "dp_noisy_release_orders": """
+        WITH agg AS (
+            SELECT c_mktsegment, count(*) AS n_true
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        ),
+        x AS (
+            SELECT c_mktsegment, n_true,
+                   ((('0x' || substring(md5('dp|' || c_mktsegment), 1, 15))::UBIGINT
+                     % 1000000)::BIGINT::DOUBLE + 0.5) / 1000000.0 AS u
+            FROM agg
+        )
+        SELECT c_mktsegment,
+               round(n_true +
+                     (-20.0 * (CASE WHEN (u - 0.5) < 0 THEN -1.0 ELSE 1.0 END)
+                      * ln(1.0 - 2.0 * abs(u - 0.5))), 4) AS released
+        FROM x
+    """,
+})

@@ -3877,6 +3877,339 @@ def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (dynamic gap-closed, state-store
+    merged across micro-batches) in the correctness gate: the same
+    session_window_agg the batch query uses, run as a real stream
+    (complete mode — every closed-and-open session materialized at
+    drain). Oracle = the batch gaps-and-islands SQL."""
+    from ..streaming.windows import session_window_agg
+
+    tune(spark)
+    stream, cleanup = _events_stream(spark, sf_dir)
+    try:
+        agg = session_window_agg(stream, gap="30 minutes")
+        return _drain_stream(agg, "stream_session_parity", "complete")
+    finally:
+        cleanup()
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs each event with its successor, one count
+    groupBy, transition probability = n / Σn over the source state (a
+    25-row window — the matrix itself). Sequence modeling shape: one
+    shuffle on user_id for ordering, one on the (from, to) key."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t("events")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 4).alias("p"),
+    )
+
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: token frequencies
+    (one explode + count groupBy over the corpus — the only
+    data-volume pass), then rank on the AGGREGATED type table (vocab ≪
+    corpus; the rank window runs over thousands of rows, not the
+    corpus) and an ln-rank/ln-freq least-squares fit via the regr_*
+    aggregates. Output: vocabulary size, total tokens, slope (≈ -1 for
+    natural text), intercept, r²."""
+    from ..functions import tokens
+
+    t = _t(spark, sf_dir)
+    freqs = (
+        t("documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = freqs.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.round(F.expr("regr_slope(ln(c), ln(r))"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(ln(c), ln(r))"), 6).alias("icept"),
+        F.round(F.expr("regr_r2(ln(c), ln(r))"), 6).alias("r2"),
+    )
+
+
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): order dates whose daily max price
+    strictly beats every earlier day's max — maximize price, minimize
+    date. Scale shape: the dominance window runs on the PRE-AGGREGATED
+    per-day table (one shuffle on the date key reduces the fact table
+    to ~2.4k rows), never on raw orders — local-reduce-then-tiny-
+    global-pass, the distributed skyline recipe."""
+    t = _t(spark, sf_dir)
+    daily = (
+        t("orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.max("o_totalprice").alias("best_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    # one row per day after the agg, so a ROWS frame IS strict
+    # date-dominance; the window runs single-partition over ~2.4k rows
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        daily.withColumn("prior_best", F.max("best_price").over(w))
+        .filter(
+            F.col("prior_best").isNull()
+            | (F.col("best_price") > F.col("prior_best"))
+        )
+        .select("d", "best_price", "n_orders")
+    )
+
+
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: leading significant digit
+    via integer-cents string arithmetic (no log10 float edge cases —
+    portable across engines), observed share vs the Benford expectation
+    log10(1+1/d), absolute deviation. Scan + one 9-row groupBy."""
+    t = _t(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = t("orders").select(digit.alias("digit"))
+    n_tot = base.count()
+    return (
+        base.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.lit(float(n_tot)), 4).alias("observed"),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 4
+            ).alias("expected"),
+        )
+    )
+
+
+def incremental_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance in the gate: a fact table
+    built in three commits (append, append, delete) with the
+    orders⋈customer → per-segment aggregate refreshed after each via
+    the delta rule ΔV = γ(ΔF ⋈ D) — broadcast dim join over CHANGED
+    rows only, additive MERGE, never a fact rescan. Oracle recomputes
+    the final view from scratch; equality proves the three deltas
+    landed exactly. Money in decimal so staged addition is exact."""
+    from pyspark.sql import types as T
+
+    from ..catalog.table import ManagedTable
+    from ..ingest.maintenance import incremental_join_agg_refresh
+
+    t = _t(spark, sf_dir)
+    src = t("orders").filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    dim = t("customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="dif_incj_")
+    facts = ManagedTable(spark, os.path.join(root, "facts"))
+    mv = ManagedTable(spark, os.path.join(root, "mv"))
+    mv.create(
+        T.StructType(
+            [
+                T.StructField("c_mktsegment", T.StringType(), True),
+                T.StructField("n", T.LongType(), True),
+                T.StructField("total", T.DecimalType(28, 2), True),
+            ]
+        )
+    )
+    join_src = src.withColumnRenamed("o_custkey", "c_custkey")
+    facts.append(join_src.filter(F.col("o_orderkey") < 1500))
+    v = incremental_join_agg_refresh(
+        facts, dim, "c_custkey", mv, ["c_mktsegment"], "price", 0
+    )
+    facts.append(join_src.filter(F.col("o_orderkey") >= 1500))
+    v = incremental_join_agg_refresh(
+        facts, dim, "c_custkey", mv, ["c_mktsegment"], "price", v
+    )
+    facts.delete(F.col("o_orderstatus") == "F")
+    incremental_join_agg_refresh(
+        facts, dim, "c_custkey", mv, ["c_mktsegment"], "price", v
+    )
+    return mv.read().filter(F.col("n") > 0).select(
+        "c_mktsegment",
+        "n",
+        F.col("total").cast("decimal(18,2)").alias("total"),
+    )
+
+
+def bpe_pair_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: adjacent character-pair counts
+    over the token stream (the statistic one BPE merge round maximizes)
+    — explode + scan-side pair transform + count groupBy +
+    TakeOrderedAndProject top-20."""
+    from ..operators.text import bpe_pair_counts
+
+    t = _t(spark, sf_dir)
+    return bpe_pair_counts(t("documents"), top_k=20)
+
+
+def spatial_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial radius self-join: deterministic planar
+    coordinates from portable hashes of the customer key, cells of
+    side = radius, 3×3 neighborhood explode on ONE side, equi-join on
+    the cell key, exact distance verify on in-cell candidates only.
+    Oracle = all-pairs distance filter, so grid recall is hash-proven
+    total. Σ cell² cost, AQE splits hot cells."""
+    from ..operators.spatial import radius_self_join
+
+    t = _t(spark, sf_dir)
+
+    def coord(salt: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("c_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % 10000).cast("double") / F.lit(10.0)
+
+    pts = t("customer").select(
+        F.col("c_custkey").alias("id"),
+        coord("x|").alias("x"),
+        coord("y|").alias("y"),
+    )
+    return radius_self_join(pts, radius=15.0)
+
+
+def window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions: ntile (equi-count
+    tiling), percent_rank, cume_dist — per-priority price ordering with
+    a unique (price, key) sort so every rank is deterministic."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t("orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+    )
+
+
+def resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + LINEAR interpolation (the ffill query's smarter
+    sibling): per-user hourly spine; gaps take the time-weighted blend
+    of the straddling hourly means, edges fall back to the available
+    side. All window algebra — last/first ignore-nulls both directions
+    over the per-user spine, fixed-order double arithmetic."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    j = spine.join(hourly, ["user_id", "h"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vh = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv = F.last("v", ignorenulls=True).over(wb)
+    ph = F.last(vh, ignorenulls=True).over(wb)
+    nv = F.first("v", ignorenulls=True).over(wf)
+    nh = F.first(vh, ignorenulls=True).over(wf)
+    ratio = (F.col("h").cast("long") - ph.cast("long")) / (
+        nh.cast("long") - ph.cast("long")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * ratio)
+        .when(pv.isNotNull(), pv)
+        .otherwise(nv)
+    )
+    # filled stays UNROUNDED: the raw doubles are bit-identical across
+    # engines (fixed-order IEEE ops over identical inputs), while a 4-dp
+    # display round diverges 1 ulp on decimal-boundary values (Spark
+    # exact-decimal HALF_UP vs DuckDB multiply-round-divide)
+    return j.select(
+        "user_id",
+        "h",
+        interp.alias("filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+def dp_noisy_release_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-STYLE noisy aggregate release: per-segment
+    order counts + Laplace(b=20) noise via inverse-CDF over a
+    DETERMINISTIC portable-hash uniform (auditable release, exact
+    oracle twin — a production DP system swaps in a real RNG and this
+    query becomes its calibration harness). Governance surface for
+    sharing corpus statistics without row-level disclosure."""
+    t = _t(spark, sf_dir)
+    o, c = t("orders"), t("customer")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_true"))
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dp|"), F.col("c_mktsegment"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    centered = u - F.lit(0.5)
+    sign = F.when(centered < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    noise = (
+        F.lit(-20.0) * sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.round(F.col("n_true") + noise, 4).alias("released"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4024,6 +4357,17 @@ QUERIES = {
     "image_ahash_near_dup": image_ahash_near_dup,
     "triangle_count_doc_graph": triangle_count_doc_graph,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "stream_session_parity": stream_session_parity,
+    "event_transition_matrix": event_transition_matrix,
+    "zipf_fit_tokens": zipf_fit_tokens,
+    "pareto_frontier_orders": pareto_frontier_orders,
+    "benford_orders": benford_orders,
+    "incremental_join_parity": incremental_join_parity,
+    "bpe_pair_stats_docs": bpe_pair_stats_docs,
+    "spatial_radius_join_customers": spatial_radius_join_customers,
+    "window_rank_extras": window_rank_extras,
+    "resample_interp_events": resample_interp_events,
+    "dp_noisy_release_orders": dp_noisy_release_orders,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

@@ -201,3 +201,118 @@ def test_ewma_anomaly_query_plan_is_window_only(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bpe_pair_counts_handles_short_words(spark):
+    from dataingestionframework_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "ab a abc"), (2, "x")], "doc_id long, text string"
+    )
+    got = {(r.pair, r.n) for r in bpe_pair_counts(df, top_k=10).collect()}
+    # "ab" from both "ab" and "abc"; 1-char words contribute nothing
+    assert got == {("ab", 2), ("bc", 1)}
+
+
+def test_incremental_join_agg_refresh_matches_full_recompute(spark, tmp_root):
+    import os
+
+    from pyspark.sql import types as T
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+    from dataingestionframework_spark.ingest.maintenance import (
+        incremental_join_agg_refresh,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A")], "k long, seg string"
+    )
+    facts = ManagedTable(spark, os.path.join(tmp_root, "f"))
+    mv = ManagedTable(spark, os.path.join(tmp_root, "mv"))
+    mv.create(T.StructType([
+        T.StructField("seg", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("total", T.DecimalType(28, 2), True),
+    ]))
+    rows = spark.createDataFrame(
+        [(10, 1, "10.00"), (11, 2, "5.00"), (12, 3, "2.50"), (13, 1, "1.00")],
+        "id long, k long, price string",
+    ).select("id", "k", F.col("price").cast("decimal(18,2)").alias("price"))
+    facts.append(rows.filter(F.col("id") < 12))
+    v = incremental_join_agg_refresh(facts, dim, "k", mv, ["seg"], "price", 0)
+    facts.append(rows.filter(F.col("id") >= 12))
+    v = incremental_join_agg_refresh(facts, dim, "k", mv, ["seg"], "price", v)
+    facts.delete(F.col("id") == 11)
+    incremental_join_agg_refresh(facts, dim, "k", mv, ["seg"], "price", v)
+    got = {(r.seg, r.n, float(r.total)) for r in
+           mv.read().filter(F.col("n") > 0).collect()}
+    # full recompute: A -> ids 10,12,13 (13.50); B deleted entirely
+    assert got == {("A", 3, 13.50)}
+
+
+def test_pareto_frontier_is_undominated(spark):
+    from dataingestionframework_spark.plans.queries import pareto_frontier_orders
+
+    rows = pareto_frontier_orders(spark, SF_DIR).orderBy("d").collect()
+    assert rows, "frontier must be non-empty"
+    # strictly increasing best_price along increasing dates
+    prices = [r.best_price for r in rows]
+    assert prices == sorted(prices) and len(set(prices)) == len(prices)
+
+
+def test_radius_self_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from dataingestionframework_spark.operators.spatial import radius_self_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {(r.id_a, r.id_b) for r in radius_self_join(df, radius=9.0).collect()}
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 81.0
+    }
+    want = {(min(a, b), max(a, b)) for a, b in want}
+    assert got == want and len(want) > 0
+
+
+def test_radius_self_join_no_cartesian(spark):
+    from dataingestionframework_spark.operators.spatial import radius_self_join
+
+    df = spark.range(50).select(
+        F.col("id"),
+        (F.col("id") * 7 % 100).cast("double").alias("x"),
+        (F.col("id") * 13 % 100).cast("double").alias("y"),
+    )
+    plan = (
+        radius_self_join(df, radius=10.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_interp_blends_between_anchors(spark):
+    """3 hourly anchors with a 2-hour hole: interior gaps blend
+    time-weighted; head/tail are clamped to the nearest anchor."""
+    from dataingestionframework_spark.plans.queries import resample_interp_events
+
+    # use the real query at sf0.001 and spot-check the invariant: every
+    # gap row lies between the straddling non-gap values
+    rows = resample_interp_events(spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r.h)
+        anchors = [(i, r.filled) for i, r in enumerate(series) if not r.is_gap]
+        for (i0, v0), (i1, v1) in zip(anchors, anchors[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for j in range(i0 + 1, i1):
+                assert lo - 1e-9 <= series[j].filled <= hi + 1e-9
+                checked += 1
+    assert checked > 0
