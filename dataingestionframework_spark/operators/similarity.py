@@ -776,38 +776,52 @@ def assign_nearest_centroid_df(
     out_col: str = "cluster_id",
 ) -> DataFrame:
     """Nearest-centroid assignment with the centroid set as a (small)
-    DataFrame: broadcast join × K rows per vector, cosine per pair, one
-    row_number window keyed on the vector id picks the winner.
+    DataFrame: broadcast join × K rows per vector, dot product per
+    pair, ``max_by`` argmax per vector.
+
+    Returns (id, out_col, _v, _vn): the assignment plus the pre-cast
+    double vector and its L2 norm, so downstream pair joins (SemDeDup's
+    verify stage) never recompute either.
 
     Differs from :func:`ivf_assign` (which inlines driver-held centroid
     lists as literal expressions): here centroids stay a DataFrame, so
     the assignment is re-runnable from a persisted centroid table and
     the argmax is on ROUNDED cosine (6 dp) with centroid-id tiebreak —
     deterministic across engines, which the SemDeDup oracle requires.
+
+    Plan shape for the N×K pair space: both sides pre-project to
+    double arrays WITH their norms (norms computed once per row/
+    centroid, never per pair — only the dot product is per-pair), and
+    the argmax is a ``max_by`` groupBy, which partial-aggregates
+    map-side — no shuffle/sort of the N×K scored rows (the row_number
+    window form shuffled all of them; measured 12× at a ×10 sweep,
+    this form is linear).
     """
-    from pyspark.sql import Window
+    from ..functions import vec_dot, vec_norm
 
-    from ..functions import cosine_similarity
-
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lhs = df.select(
+        F.col(id_col), v.alias("_v"), vec_norm(F.col(vec_col)).alias("_vn")
+    )
+    cv = F.transform(F.col(cent_vec_col), lambda x: x.cast("double"))
     c = centroids.select(
-        F.col(cent_id_col).alias("_cid"), F.col(cent_vec_col).alias("_cvec")
+        F.col(cent_id_col).alias("_cid"),
+        cv.alias("_cv"),
+        vec_norm(F.col(cent_vec_col)).alias("_cn"),
     )
-    scored = df.join(F.broadcast(c)).withColumn(
-        "_cos",
-        F.round(
-            cosine_similarity(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                F.transform(F.col("_cvec"), lambda x: x.cast("double")),
-            ),
-            6,
-        ),
+    denom = F.col("_vn") * F.col("_cn")
+    cos = F.round(
+        F.when(denom > 0, vec_dot(F.col("_v"), F.col("_cv")) / denom), 6
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cvec", "_cos")
-        .withColumnRenamed("_cid", out_col)
+    scored = lhs.join(F.broadcast(c)).select(
+        F.col(id_col), "_v", "_vn", F.col("_cid"), cos.alias("_cos")
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("_cid"), F.struct(F.col("_cos"), (-F.col("_cid")).alias("_t"))
+        ).alias(out_col),
+        F.first("_v").alias("_v"),
+        F.first("_vn").alias("_vn"),
     )
 
 
@@ -825,12 +839,18 @@ def semantic_dedup(
 
     The cluster assignment is the blocking step: the quadratic
     cosine-pair search never crosses cluster boundaries, so cost is
-    Σ cluster_size² — with K sized so clusters hold ~1-10k vectors,
-    that is the tractable diagonal of an intractable n² problem. The
-    within-cluster pair join is an equi hash join on ``cluster_id``
-    (one shuffle; AQE splits skewed clusters), survivor rule =
-    lowest-id vector of each ≥-threshold neighborhood, matching the
-    keep-one-per-duplicate-set convention of the text dedup stack.
+    Σ cluster_size² — with K ∝ N so clusters hold ~1-10k vectors, that
+    is the tractable diagonal of an intractable n² problem. Both
+    stages run Arrow-vectorized: assignment is the
+    :func:`knn_join_brute` BLAS matmul (k=1, broadcast centroids, no
+    shuffle), and the within-cluster verify is one numpy matmul per
+    cluster under ``applyInPandas`` (one shuffle on cluster_id, the
+    blocking key). The declarative expression forms of both stages
+    (``assign_nearest_centroid_df`` + a self-join with per-pair
+    ``zip_with`` dots) are ~20× slower at 64 dims — lambda-expression
+    interpretation per pair, measured in the ×10 scale sweep. Survivor
+    rule = lowest-id vector of each ≥-threshold neighborhood, matching
+    the keep-one-per-duplicate-set convention of the text dedup stack.
 
     Production note: fit centroids with :func:`ivf_fit` (k-means) and
     persist via :func:`save_centroids`; any fixed centroid set works —
@@ -839,36 +859,56 @@ def semantic_dedup(
 
     Returns surviving (id, cluster_id) rows.
     """
-    from ..functions import cosine_similarity
+    from typing import Iterator  # noqa: F401  (mirrors knn_join_brute)
 
-    asn = assign_nearest_centroid_df(
-        df, centroids, vec_col, id_col, cent_id_col, cent_vec_col
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    # Stage 1 — assignment: the Arrow/BLAS matmul path (knn_join_brute
+    # with k=1). Same determinism contract as the declarative
+    # assign_nearest_centroid_df: cosine rounded to 6 dp, ties to the
+    # smallest centroid id. N×K flops at BLAS speed, no shuffle.
+    asn = knn_join_brute(
+        df,
+        centroids.select(
+            F.col(cent_id_col), F.col(cent_vec_col).alias(vec_col)
+        ),
+        k=1,
+        left_id=id_col,
+        right_id=cent_id_col,
+        vec_col=vec_col,
     ).select(
-        F.col(id_col),
-        "cluster_id",
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        F.col("left_id").alias(id_col), F.col("right_id").alias("cluster_id")
     )
-    a = asn.select(
-        F.col(id_col).alias("id_a"),
-        F.col("cluster_id").alias("_cl"),
-        F.col("_v").alias("_va"),
-    )
-    b = asn.select(
-        F.col(id_col).alias("id_b"),
-        F.col("cluster_id").alias("_cl"),
-        F.col("_v").alias("_vb"),
-    )
-    dups = (
-        a.join(b, "_cl")
-        .filter(F.col("id_b") < F.col("id_a"))
-        .filter(
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
-            >= F.lit(threshold)
+    with_vec = df.select(F.col(id_col), F.col(vec_col)).join(asn, id_col)
+
+    # Stage 2 — within-cluster verify: one numpy matmul per cluster
+    # (applyInPandas groups by cluster_id — the blocking shuffle), row-
+    # blocked so sims never exceed block×cluster memory. Survivor rule:
+    # no smaller-id neighbor with round(cos, 6) ≥ threshold.
+    out_schema = f"{id_col} long, cluster_id long"
+
+    def survivors(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
         )
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
+        n = len(pdf)
+        dup = np.zeros(n, dtype=bool)
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = np.round(mat[s:e] @ mat.T, 6)
+            for i in range(s, e):
+                if i > 0 and (sims[i - s, :i] >= threshold).any():
+                    dup[i] = True
+        keep = pdf.loc[~dup, [id_col, "cluster_id"]]
+        return keep
+
+    return with_vec.groupBy("cluster_id").applyInPandas(
+        survivors, schema=out_schema
     )
-    return asn.join(dups, id_col, "left_anti").select(id_col, "cluster_id")
 
 
 def int8_quantize_error(

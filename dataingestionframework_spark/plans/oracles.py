@@ -2915,3 +2915,52 @@ ORACLES.update({
         FROM x
     """,
 })
+
+
+ORACLES.update({
+    # sliding windows: every event belongs to exactly window/slide = 2
+    # overlapping windows; explode to both starts and count
+    "stream_sliding_parity": """
+        WITH half AS (
+            SELECT event_type,
+                   date_trunc('hour', ts)
+                   + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                          ELSE INTERVAL 0 MINUTE END AS b
+            FROM events
+        ),
+        w AS (
+            SELECT event_type,
+                   unnest([b, b - INTERVAL 30 MINUTE]) AS window_start
+            FROM half
+        )
+        SELECT window_start, event_type, count(*) AS n
+        FROM w GROUP BY window_start, event_type
+    """,
+})
+
+
+ORACLES.update({
+    # point-in-time join against a deterministic 2-version SCD2 dim
+    "temporal_join_scd2": """
+        WITH v1 AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   DATE '1992-01-01' AS valid_from,
+                   CASE WHEN c_custkey % 3 = 0 THEN DATE '1996-01-01'
+                        END AS valid_to
+            FROM customer
+        ),
+        v2 AS (
+            SELECT c_custkey, 'NEW_' || c_mktsegment AS segment,
+                   DATE '1996-01-01' AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to
+            FROM customer WHERE c_custkey % 3 = 0
+        ),
+        dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        SELECT segment, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN dim ON o_custkey = dim.c_custkey
+        WHERE CAST(o_orderdate AS DATE) >= valid_from
+          AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
+        GROUP BY segment
+    """,
+})

@@ -4210,6 +4210,68 @@ def dp_noisy_release_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING windows (1 h window, 30 min slide — each event
+    lands in 2 overlapping windows) in the gate, complete-mode drain.
+    Oracle: explode each event to its two window starts (floor-to-30min
+    and the preceding one) and GROUP BY — the overlap law itself."""
+    from ..streaming.windows import sliding_window_agg
+
+    tune(spark)
+    stream, cleanup = _events_stream(spark, sf_dir)
+    try:
+        agg = sliding_window_agg(stream, window="1 hour", slide="30 minutes")
+        return _drain_stream(agg, "stream_sliding_parity", "complete")
+    finally:
+        cleanup()
+
+
+def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS-OF against an SCD2 dimension) join: each order
+    picks the dimension version whose [valid_from, valid_to) window
+    covers the order date. Plan shape: equi hash join on the surrogate
+    key carries the weight; the validity-window predicate is a cheap
+    post-join filter (2 versions/key) — the standard warehouse PIT
+    join, no range-join machinery needed when versions-per-key is
+    bounded."""
+    t = _t(spark, sf_dir)
+    c = t("customer")
+    # deterministic 2-version SCD2 dim: every customer has a v1 row;
+    # every 3rd customer changed segment on 1996-01-01
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lit("1996-01-01").cast("date")
+        ).alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("NEW_"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("1996-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = t("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_totalprice",
+    )
+    j = (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .filter(
+            (F.col("od") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
+        )
+    )
+    return j.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4368,6 +4430,8 @@ QUERIES = {
     "window_rank_extras": window_rank_extras,
     "resample_interp_events": resample_interp_events,
     "dp_noisy_release_orders": dp_noisy_release_orders,
+    "stream_sliding_parity": stream_sliding_parity,
+    "temporal_join_scd2": temporal_join_scd2,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

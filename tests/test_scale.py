@@ -207,3 +207,81 @@ def test_substring_dedup_scales(spark, sf):
     big = _perturbed_docs(docs, REPL, 100_000_000)
     t10 = _wall(lambda: q(big))
     _assert_scales("substring_dedup", t1, t10)
+
+
+def test_semantic_dedup_scales_with_proportional_k(spark, sf):
+    """SemDeDup's scaling law: cost is Σ cluster², so K must grow with
+    N to hold cluster size constant (the published recipe — cluster
+    count ∝ corpus size). x10 perturbed replicas + x10 centroids →
+    same per-cluster quadratic, 10x the clusters → linear wall. A
+    fixed-K x10 run would be the quadratic counterexample, not a plan
+    regression."""
+    from dataingestionframework_spark.operators.similarity import semantic_dedup
+
+    emb = sf("embeddings").select("vec_id", "embedding")
+
+    def cents_of(df):
+        return df.filter(F.col("vec_id") % 1_000_000 < 8).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+
+    def q(df):
+        semantic_dedup(df, cents_of(df), threshold=0.4).count()
+
+    q(emb)  # warm codegen
+    t1 = _wall(lambda: q(emb))
+    # replicas get perturbed vectors (distinct points, same geometry) —
+    # identical copies would inflate every cluster x10 instead of
+    # adding new clusters
+    parts = []
+    for i in range(REPL):
+        p = emb.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") + F.lit(i * 0.01)
+            ).alias("embedding"),
+        )
+        parts.append(p)
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    t10 = _wall(lambda: q(big))
+    _assert_scales("semantic_dedup", t1, t10)
+
+
+def test_radius_join_scales_at_constant_density(spark, sf):
+    """Grid-blocked spatial join: x10 points spread over x10 area
+    (constant density — the physical reality of more geography, not
+    denser geography) must stay linear: cell occupancy is constant, so
+    candidate pairs grow with N, not N²."""
+    from dataingestionframework_spark.operators.spatial import radius_self_join
+
+    cust = sf("customer").select(F.col("c_custkey").alias("id"))
+
+    def pts_of(df, tiles: int):
+        h = lambda salt: F.conv(  # noqa: E731
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        tile = F.col("id") % F.lit(tiles)
+        return df.select(
+            "id",
+            ((h("x|") % 10000).cast("double") / 10.0
+             + (tile % 4).cast("double") * 1000.0).alias("x"),
+            ((h("y|") % 10000).cast("double") / 10.0
+             + F.floor(tile / 4).cast("double") * 1000.0).alias("y"),
+        )
+
+    def q(pts):
+        radius_self_join(pts, radius=15.0).count()
+
+    p1 = pts_of(cust, 1)
+    q(p1)  # warm
+    t1 = _wall(lambda: q(p1))
+    big_ids = _replicate(cust, ["id"], REPL, 10_000_000)
+    # 10 tiles: one per replica → area x10, density constant
+    t10 = _wall(lambda: q(pts_of(big_ids, 10)))
+    _assert_scales("radius_join", t1, t10)

@@ -61,14 +61,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "bigram_lm_persisted_docs": {
         "BroadcastNestedLoopJoin": "1-row vocabulary-size (V) scalar broadcast"
     },
-    "semantic_dedup_embeddings": {
-        "BroadcastNestedLoopJoin": (
-            "K-row centroid broadcast (K=8 here, bounded small by design):"
-            " every vector scores against every centroid — the assignment"
-            " step is inherently row×K; at large K swap in the"
-            " knn_join_brute Arrow-matmul form"
-        )
-    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
