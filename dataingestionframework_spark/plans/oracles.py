@@ -2964,3 +2964,23 @@ ORACLES.update({
         GROUP BY segment
     """,
 })
+
+
+ORACLES.update({
+    # curriculum phases (length quartiles) + portable shuffle key
+    "curriculum_order_docs": """
+        WITH cuts AS (
+            SELECT quantile_cont(n_chars, 0.25) AS c1,
+                   quantile_cont(n_chars, 0.5)  AS c2,
+                   quantile_cont(n_chars, 0.75) AS c3
+            FROM documents
+        )
+        SELECT doc_id,
+               1 + CAST(n_chars > c1 AS INTEGER)
+                 + CAST(n_chars > c2 AS INTEGER)
+                 + CAST(n_chars > c3 AS INTEGER) AS phase,
+               (('0x' || substring(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT
+                   AS order_key
+        FROM documents, cuts
+    """,
+})

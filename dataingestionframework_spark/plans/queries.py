@@ -4272,6 +4272,45 @@ def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: phase = difficulty quartile
+    (doc length via broadcast exact cut points — no global ntile), and
+    a deterministic within-phase shuffle key from a portable hash. The
+    training reader consumes phases in order, each phase sorted by its
+    key per shard — so the full curriculum needs zero global sorts at
+    prep time."""
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id", "n_chars")
+    cuts = d.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("c1"),
+        F.expr("percentile(n_chars, 0.5)").alias("c2"),
+        F.expr("percentile(n_chars, 0.75)").alias("c3"),
+    )
+    return (
+        d.join(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            (
+                F.lit(1)
+                + (F.col("n_chars") > F.col("c1")).cast("int")
+                + (F.col("n_chars") > F.col("c2")).cast("int")
+                + (F.col("n_chars") > F.col("c3")).cast("int")
+            ).alias("phase"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("order_key"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4432,6 +4471,7 @@ QUERIES = {
     "dp_noisy_release_orders": dp_noisy_release_orders,
     "stream_sliding_parity": stream_sliding_parity,
     "temporal_join_scd2": temporal_join_scd2,
+    "curriculum_order_docs": curriculum_order_docs,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

@@ -46,6 +46,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "equi_depth_buckets_docs": {
         "BroadcastNestedLoopJoin": "1-row quartile cut-point broadcast"
     },
+    "curriculum_order_docs": {
+        "BroadcastNestedLoopJoin": "1-row quartile cut-point broadcast"
+    },
     "hll_mergeable_rollup": {
         "BroadcastNestedLoopJoin": "1-row exact-total scalar broadcast"
     },
