@@ -421,3 +421,107 @@ class CorpusPrep:
             "stage string, rows_in long, rows_out long",
         )
         return CorpusPrepResult(clean=cur, chunks=chunks, report=report)
+
+
+def embedding_incremental_ann_intake(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    index_table: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    nprobe: int | None = None,
+):
+    """Incremental EMBEDDING corpus build with unbounded-horizon
+    semantic near-dup dedup — the vector twin of
+    :func:`corpus_incremental_near_dup_intake`.
+
+    Each micro-batch: (1) replay-guard anti-join against sink ids,
+    (2) the batch joins the PERSISTED bucketed IVF index on the
+    ivf_cell key — probe rows explode to their ``nprobe`` cells, the
+    index side never reshuffles — plus the batch's own assignment (so
+    within-batch dups resolve in the same pass), (3) a batch vector
+    with ANY smaller-id neighbor at round(cosine, 6) ≥ ``threshold``
+    is dropped, (4) ALL batch vectors append to the index (dropped
+    vectors still block future near-dups of their neighborhood — the
+    declarative survivor rule counts them), survivors append to the
+    sink.
+
+    ``nprobe=None`` probes every cell: the drop check is then EXACT
+    (each index vector lives in exactly one cell, so summing over all
+    probed cells enumerates each candidate pair once — batch×corpus
+    worst case, which the gate uses for provable parity). Production
+    sets nprobe ≪ n_cells for the standard IVF recall/cost trade.
+
+    Assumes monotone intake ids (append-log), like the text intake.
+    """
+    from ..operators.similarity import ivf_assign
+    from ..functions import vec_dot, vec_norm
+
+    k = len(centroids)
+    probe_cells = list(range(k)) if nprobe is None else None
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        b = batch.dropDuplicates([id_col])
+        try:
+            seen = spark.read.parquet(sink_path).select(id_col)
+        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist
+            seen = None
+        if seen is not None:
+            b = b.join(seen, id_col, "left_anti")
+        b = b.localCheckpoint()
+        assigned, _ = ivf_assign(b, vec_col=vec_col, centroids=centroids)
+        batch_index = assigned.select(
+            F.col(id_col).alias("right_id"),
+            F.col(vec_col).alias("rvec"),
+            "ivf_cell",
+        )
+        blockers = batch_index
+        if spark.catalog.tableExists(index_table):
+            blockers = spark.table(index_table).unionByName(batch_index)
+        if probe_cells is not None:
+            cells = F.array(*[F.lit(c) for c in probe_cells])
+        else:
+            from ..operators.similarity import _probe_cells_expr
+
+            cells = _probe_cells_expr(vec_col, centroids, nprobe)
+        probe = b.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_pv"),
+            vec_norm(F.col(vec_col)).alias("_pn"),
+            F.explode(cells).alias("ivf_cell"),
+        )
+        rv = F.transform(F.col("rvec"), lambda x: x.cast("double"))
+        denom = F.col("_pn") * vec_norm(F.col("rvec"))
+        cos = F.when(denom > 0, vec_dot(F.col("_pv"), rv) / denom)
+        drops = (
+            probe.join(blockers, "ivf_cell")
+            .filter(F.col("right_id") < F.col(id_col))
+            .filter(F.round(cos, 6) >= F.lit(threshold))
+            .select(id_col)
+            .distinct()
+        )
+        surv = b.join(drops, id_col, "left_anti")
+        # the WHOLE batch joins the index (dropped ids included); only
+        # survivors reach the sink
+        writer = (
+            batch_index.write.mode("append")
+            .bucketBy(8, "ivf_cell")
+            .sortBy("ivf_cell")
+        )
+        if not spark.catalog.tableExists(index_table):
+            writer = batch_index.write.mode("overwrite").bucketBy(
+                8, "ivf_cell"
+            ).sortBy("ivf_cell")
+        writer.saveAsTable(index_table)
+        surv.write.mode("append").parquet(sink_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

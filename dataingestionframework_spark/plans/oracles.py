@@ -2984,3 +2984,44 @@ ORACLES.update({
         FROM documents, cuts
     """,
 })
+
+
+ORACLES.update({
+    # streaming ANN intake == declarative survivor set: no smaller-id
+    # vector with round(cosine, 6) >= 0.4
+    "stream_ann_intake_parity": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id FROM e a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e b
+            WHERE b.vec_id < a.vec_id
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        )
+    """,
+})
+
+
+ORACLES.update({
+    # shared sampled-frame fingerprints (64-byte frames, stride 2):
+    # frames rebuilt from hex(payload) slices — 128 hex chars per frame
+    "video_frame_near_dup": """
+        WITH p AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx
+                   FROM documents),
+        fr AS (
+            SELECT DISTINCT doc_id,
+                   md5(substring(hx, i * 128 + 1, 128)) AS fh
+            FROM (
+                SELECT doc_id, hx,
+                       unnest(range(0,
+                           CAST(ceil(len(hx) / 128.0) AS INTEGER), 2)) AS i
+                FROM p
+            )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS shared_frames
+        FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+        HAVING count(*) >= 2
+    """,
+})

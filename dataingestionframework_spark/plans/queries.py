@@ -4311,6 +4311,85 @@ def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ann_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EMBEDDING intake with semantic near-dup dedup under
+    the hash gate: two micro-batches flow through
+    embedding_incremental_ann_intake — batch 2 sees batch 1 only via
+    the persisted bucketed IVF index, exhaustive probing makes the
+    drop check exact. Declarative oracle: a vector survives iff NO
+    smaller-id vector has round(cosine, 6) ≥ 0.4."""
+    from ..ingest.corpus import embedding_incremental_ann_intake
+    from ..operators.bucketing import drop_table_and_location
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="dif_ann_parity_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    idx = "dif_gate_ann_intake_idx"
+    drop_table_and_location(spark, idx)
+    t = _t(spark, sf_dir)
+    emb = t("embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 300
+    )
+    cents = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    import time as _time
+
+    now = _time.time()
+    for i, (lo, hi) in enumerate(((0, 150), (150, 300))):
+        p = os.path.join(src, f"batch{i}.parquet")
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 600 + i * 300,) * 2)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+    q = embedding_incremental_ann_intake(
+        stream, sink, ckpt, idx, cents, threshold=0.4
+    )
+    q.awaitTermination(300)
+    drop_table_and_location(spark, idx)
+    return spark.read.parquet(sink).select("vec_id")
+
+
+def video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via shared frame fingerprints — the composition
+    of the frame sampler (mapInPandas chunk decode, one row per
+    sampled frame, payload bytes never leave the task) and a
+    frame-hash inverted-index join: videos sharing ≥ 2 sampled frame
+    hashes pair up. This is how video dedup actually runs at scale —
+    frame-level hashes equi-joined, never payload×payload. Oracle
+    rebuilds the frames from hex(payload) slices in SQL."""
+    from ..operators.multimodal import sample_frames
+
+    t = _t(spark, sf_dir)
+    d = t("documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    fr = (
+        sample_frames(d, "payload", frame_bytes=64, stride=2)
+        .select("doc_id", "frame_md5")
+        .distinct()
+    )
+    a = fr.select(F.col("doc_id").alias("id_a"), "frame_md5")
+    b = fr.select(F.col("doc_id").alias("id_b"), "frame_md5")
+    return (
+        a.join(b, "frame_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= 2)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4472,6 +4551,8 @@ QUERIES = {
     "stream_sliding_parity": stream_sliding_parity,
     "temporal_join_scd2": temporal_join_scd2,
     "curriculum_order_docs": curriculum_order_docs,
+    "stream_ann_intake_parity": stream_ann_intake_parity,
+    "video_frame_near_dup": video_frame_near_dup,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

@@ -316,3 +316,85 @@ def test_resample_interp_blends_between_anchors(spark):
                 assert lo - 1e-9 <= series[j].filled <= hi + 1e-9
                 checked += 1
     assert checked > 0
+
+
+def test_embedding_ann_intake_incremental_equals_declarative(spark, emb, tmp_root):
+    """Two micro-batches through the streaming ANN intake == the
+    declarative survivor set (no smaller-id neighbor at cos >= tau),
+    with batch 2 seeing batch 1 ONLY via the persisted IVF index."""
+    import os
+
+    from dataingestionframework_spark.functions import cosine_similarity
+    from dataingestionframework_spark.ingest.corpus import (
+        embedding_incremental_ann_intake,
+    )
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+
+    e = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 120)
+    cents = [
+        list(r.embedding)
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    src = os.path.join(tmp_root, "src")
+    os.makedirs(src)
+    import time as _t
+
+    now = _t.time()
+    for i, (lo, hi) in enumerate(((0, 60), (60, 120))):
+        p = os.path.join(src, f"b{i}.parquet")
+        e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 600 + i * 300,) * 2)
+    idx = "dif_test_ann_intake_idx"
+    drop_table_and_location(spark, idx)
+    try:
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        q = embedding_incremental_ann_intake(
+            stream,
+            os.path.join(tmp_root, "sink"),
+            os.path.join(tmp_root, "ckpt"),
+            idx,
+            cents,
+            threshold=0.4,
+        )
+        q.awaitTermination(180)
+        got = {
+            r.vec_id
+            for r in spark.read.parquet(os.path.join(tmp_root, "sink")).collect()
+        }
+        # declarative twin
+        a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+        dup = (
+            a.join(b, F.col("ib") < F.col("ia"))
+            .filter(
+                F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.4
+            )
+            .select(F.col("ia").alias("vec_id"))
+            .distinct()
+        )
+        want = {
+            r.vec_id
+            for r in e.select("vec_id").join(dup, "vec_id", "left_anti").collect()
+        }
+        assert got == want and got
+        # the index holds EVERY intake vector (dropped ones still block)
+        assert spark.table(idx).count() == 120
+    finally:
+        drop_table_and_location(spark, idx)
+
+
+def test_video_frame_near_dup_detects_shared_prefix(spark):
+    from dataingestionframework_spark.plans.queries import video_frame_near_dup
+
+    rows = video_frame_near_dup(spark, SF_DIR).collect()
+    assert rows, "corpus has shared 192-byte prefixes; pairs expected"
+    assert all(r.shared_frames >= 2 for r in rows)
