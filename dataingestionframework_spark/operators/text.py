@@ -182,15 +182,20 @@ def chunk_documents(
     )
 
 
-def make_chunk_udtf(chunk_size: int = 50, stride: int = 40):
+def make_chunk_udtf(chunk_size: int = 50, stride: int = 40, use_arrow: bool = False):
     """The same chunking as a Python UDTF (lateral table function) —
-    the §2.10 UDTF surface. Row-at-a-time Python: use ONLY when the
-    chunking logic needs a real tokenizer; :func:`chunk_documents` is
-    the production (pure-expression) path and the equality of the two
-    is pytest-asserted."""
+    the §2.10 UDTF surface. Use ONLY when the chunking logic needs a
+    real tokenizer; :func:`chunk_documents` is the production
+    (pure-expression) path and the equality of the two is
+    pytest-asserted. ``use_arrow=True`` plans the Arrow-batched
+    evaluator (ArrowEvalPythonUDTF — the sanctioned Python lane; the
+    default pickle evaluator is row-at-a-time)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_id int, n_chunk_tokens int, chunk string")
+    @udtf(
+        returnType="chunk_id int, n_chunk_tokens int, chunk string",
+        useArrow=use_arrow,
+    )
     class ChunkUdtf:
         def eval(self, text: str):
             toks = [t for t in (text or "").split() if t]

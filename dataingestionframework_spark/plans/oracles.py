@@ -2796,11 +2796,10 @@ ORACLES.update({
                        AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
             FROM orders
         )
-        SELECT digit, count(*) AS n,
-               round(count(*) / (SELECT count(*) FROM orders), 4)
-                   AS observed,
+        SELECT digit, n,
+               round(n / sum(n) OVER (), 4) AS observed,
                round(log10(1.0 + 1.0 / digit), 4) AS expected
-        FROM b GROUP BY digit
+        FROM (SELECT digit, count(*) AS n FROM b GROUP BY digit)
     """,
     # final state of the incrementally maintained orders⋈customer view
     "incremental_join_parity": """
@@ -3023,5 +3022,27 @@ ORACLES.update({
         FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
         GROUP BY id_a, id_b
         HAVING count(*) >= 2
+    """,
+})
+
+
+ORACLES.update({
+    # LATERAL Python UDTF chunking == set-based SQL chunking
+    "udtf_chunk_docs": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS ts FROM documents
+            WHERE doc_id >= 100 AND doc_id < 200
+        ),
+        starts AS (
+            SELECT doc_id, ts,
+                   unnest(range(0, greatest(len(ts), 1), 24)) AS s
+            FROM toks WHERE len(ts) >= 1
+        )
+        SELECT doc_id,
+               CAST(s // 24 AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(ts, s + 1, s + 32)) AS INTEGER)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(ts, s + 1, s + 32), ' ') AS chunk
+        FROM starts
     """,
 })

@@ -3984,14 +3984,17 @@ def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     base = t("orders").select(digit.alias("digit"))
-    n_tot = base.count()
+    # share = n / Σn over the 9-row digit table (a trivial window) — no
+    # driver-side count job, no scalar broadcast
     return (
         base.groupBy("digit")
         .agg(F.count("*").alias("n"))
         .select(
             "digit",
             "n",
-            F.round(F.col("n") / F.lit(float(n_tot)), 4).alias("observed"),
+            F.round(
+                F.col("n") / F.sum("n").over(Window.partitionBy()), 4
+            ).alias("observed"),
             F.round(
                 F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 4
             ).alias("expected"),
@@ -4390,6 +4393,30 @@ def video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Python UDTF IN THE GATE (previously pytest-only): the
+    chunking table function applied via LATERAL, Arrow-batched
+    (ArrowEvalPythonUDTF — the pickle evaluator is the banned
+    row-at-a-time lane). Oracle = the same chunking in set-based SQL;
+    production uses the pure-expression chunk_documents — the UDTF
+    exists for logic that genuinely needs Python (a real tokenizer)."""
+    from ..operators.text import make_chunk_udtf
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ch = make_chunk_udtf(chunk_size=32, stride=24, use_arrow=True)
+    spark.udtf.register("dif_chunk_udtf", ch)
+    t("documents").filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    ).select("doc_id", "text").createOrReplaceTempView("dif_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk
+        FROM dif_udtf_docs d, LATERAL dif_chunk_udtf(d.text) c
+        """
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4553,6 +4580,7 @@ QUERIES = {
     "curriculum_order_docs": curriculum_order_docs,
     "stream_ann_intake_parity": stream_ann_intake_parity,
     "video_frame_near_dup": video_frame_near_dup,
+    "udtf_chunk_docs": udtf_chunk_docs,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,
