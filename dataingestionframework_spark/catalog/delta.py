@@ -314,6 +314,18 @@ class DeltaManagedTable:
         skipChangeCommits upstream DML tolerance)."""
         return self.spark.readStream.format("delta").load(self.root)
 
+    def restore(self, version: int | None = None, tag: str | None = None) -> None:
+        """Native ``RESTORE TABLE`` (same contract as the parquet
+        backend: a restore is a new commit, history preserved). Tags
+        are a parquet-backend feature; on Delta pass a version."""
+        if version is None:
+            raise ValueError("DeltaManagedTable.restore: version required")
+        if tag is not None:
+            raise ValueError("DeltaManagedTable.restore: tags unsupported")
+        self.spark.sql(
+            f"RESTORE TABLE delta.`{self.root}` TO VERSION AS OF {version}"
+        )
+
     # -- maintenance -----------------------------------------------------------
 
     def optimize(self, target_partitions: int | None = None, zorder_by: list[str] | None = None) -> None:

@@ -175,6 +175,17 @@ class ManagedTable:
         backend just records the union schema; Delta ALTERs the table."""
         self._write_meta(self._merged_schema(merged))
 
+    def restore(self, version: int | None = None, tag: str | None = None) -> None:
+        """Delta ``RESTORE TABLE`` analogue: roll the table forward to
+        a NEW version whose content equals the given historical
+        version (or tag). History is preserved — the restore is itself
+        a commit, exactly Delta's semantics — so a bad restore can be
+        restored away again. Optimistic-concurrency-guarded like every
+        other copy-on-write DML."""
+        df = self.read(version=version, tag=tag)
+        base = self._current_version()
+        self.overwrite(df, _op="restore", expect_version=base)
+
     def vacuum(self, keep_current: bool = True) -> int:
         """Drop non-current version directories (Delta VACUUM analogue).
         Version dirs referenced by a TAG are pinned and survive."""

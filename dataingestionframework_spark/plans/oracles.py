@@ -3046,3 +3046,14 @@ ORACLES.update({
         FROM starts
     """,
 })
+
+
+ORACLES.update({
+    # post-RESTORE content == the original slice, aggregated
+    "restore_parity": """
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderkey < 2000
+        GROUP BY o_orderstatus
+    """,
+})

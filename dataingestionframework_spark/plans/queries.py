@@ -4417,6 +4417,39 @@ def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def restore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE in the graded gate: build a versioned table, mutate it
+    (delete + update), RESTORE back to the pre-mutation version, and
+    aggregate the result. The oracle aggregates the original slice
+    directly — equality proves restore reproduced the exact historical
+    image as a NEW commit (history intact, asserted in-query)."""
+    from ..catalog.table import ManagedTable
+
+    t = _t(spark, sf_dir)
+    src = t("orders").filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="dif_restore_")
+    table = ManagedTable(spark, os.path.join(root, "orders_restore"))
+    table.append(src)
+    v_good = int(table.history()[-1]["version"])
+    table.delete(F.col("o_orderstatus") == "F")
+    table.update(
+        F.col("o_orderkey") < 100, {"o_totalprice": F.lit(0.0)}
+    )
+    table.restore(version=v_good)
+    hist = table.history()
+    assert hist[-1]["op"] == "restore" and len(hist) >= 4  # new commit
+    return (
+        table.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4581,6 +4614,7 @@ QUERIES = {
     "stream_ann_intake_parity": stream_ann_intake_parity,
     "video_frame_near_dup": video_frame_near_dup,
     "udtf_chunk_docs": udtf_chunk_docs,
+    "restore_parity": restore_parity,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

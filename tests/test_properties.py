@@ -411,3 +411,52 @@ def test_substring_dedup_matches_python_reference(spark, docs, k):
         kept = [t for j, t in enumerate(ts) if j not in cov]
         expected[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=0, max_size=25, unique=True,
+))
+def test_radius_join_matches_python_reference(spark, pts):
+    """Grid-blocked radius join == brute-force all-pairs on arbitrary
+    integer point sets (boundary-exact: dist² and r² are integral)."""
+    from dataingestionframework_spark.operators.spatial import radius_self_join
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows or [(0, 0.0, 0.0)],
+                               "id long, x double, y double")
+    got = {(r.id_a, r.id_b) for r in radius_self_join(df, radius=7.0).collect()}
+    want = set()
+    for i, (xa, ya) in enumerate(pts):
+        for j, (xb, yb) in enumerate(pts):
+            if i < j and (xa - xb) ** 2 + (ya - yb) ** 2 <= 49:
+                want.add((i, j))
+    if not pts:
+        want = set()
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(0, 1000), min_size=1, max_size=20))
+def test_ewma_is_convex_combination(spark, vals):
+    """Finite-window EWMA is a weighted mean of present values: always
+    within [min, max] of the last `window` values, and equal to the
+    value itself on the first row of a partition."""
+    from dataingestionframework_spark.operators.windows import ewma_finite
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)],
+        "k long, seq long, value double",
+    )
+    out = sorted(
+        ewma_finite(df, "value", ["k"], ["seq"], alpha=0.4, window=6).collect(),
+        key=lambda r: r.seq,
+    )
+    assert out[0].ewma == out[0].value
+    for i, r in enumerate(out):
+        lo = min(vals[max(0, i - 5): i + 1])
+        hi = max(vals[max(0, i - 5): i + 1])
+        assert lo - 1e-9 <= r.ewma <= hi + 1e-9

@@ -650,3 +650,30 @@ def test_merge_metrics_match_delta_semantics(spark, tmp_root):
     assert metrics == {"n_matched": 0, "n_inserted": 1, "n_not_matched_by_source": 1}
     got = {r.id: r.v for r in t.read().collect()}
     assert got == {1: "a", 2: "b", 3: "C"}  # matched row NOT updated
+
+
+def test_restore_rolls_forward_to_historical_content(spark, tmp_root):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataingestionframework_spark.catalog.table import ManagedTable
+
+    t = ManagedTable(spark, os.path.join(tmp_root, "restoreme"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t.overwrite(df1)
+    v1 = int(t.history()[-1]["version"])
+    t.tag("good", v1)
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.delete(F.col("id") == 1)
+    assert {r.id for r in t.read().collect()} == {2, 3}
+
+    t.restore(version=v1)
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+    # restore is a COMMIT: history grew, the pre-restore state is still
+    # readable, and a restore-of-the-restore round-trips
+    hist = t.history()
+    assert hist[-1]["op"] == "restore"
+    assert len(hist) >= 4
+    t.restore(tag="good")
+    assert {r.id for r in t.read().collect()} == {1, 2}
