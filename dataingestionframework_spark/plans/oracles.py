@@ -3057,3 +3057,34 @@ ORACLES.update({
         GROUP BY o_orderstatus
     """,
 })
+
+
+ORACLES.update({
+    # SQL:2023 listagg == DuckDB string_agg with the same total order
+    "listagg_orders": """
+        SELECT o_orderpriority,
+               string_agg(DISTINCT o_orderstatus, ','
+                          ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+})
+
+
+ORACLES.update({
+    # stateful-stream EWMA final state == rank-arithmetic batch EWMA
+    "stream_ewma_state_parity": """
+        WITH b AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_seen
+            FROM events
+        )
+        SELECT user_id, n_seen,
+               round(sum(CASE WHEN rn <= 8 THEN value * pow(0.5, rn - 1) END)
+                     / sum(CASE WHEN rn <= 8 THEN pow(0.5, rn - 1) END), 4)
+                   AS ewma
+        FROM b GROUP BY user_id, n_seen
+    """,
+})

@@ -4450,6 +4450,72 @@ def restore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def listagg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``listagg`` (SQL:2023 string aggregation) with WITHIN
+    GROUP ordering — deterministic by construction (DISTINCT + total
+    order), so it can live under the hash gate."""
+    t = _t(spark, sf_dir)
+    t("orders").createOrReplaceTempView("dif_listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n
+        FROM dif_listagg_orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def stream_ewma_state_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming TIME-SERIES state under the hash gate:
+    per-user finite-window EWMA via applyInPandasWithState — the state
+    is the last 8 values (bounded), carried across two time-split
+    micro-batches. The final update row per user must equal the batch
+    window-algebra EWMA at that user's last event (the oracle computes
+    it from rank arithmetic)."""
+    import shutil
+
+    from ..streaming.stateful import running_user_ewma
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events").select("event_id", "ts", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="dif_ewma_state_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    import time as _time
+
+    now = _time.time()
+    cut = F.lit("2024-01-16").cast("timestamp")
+    for i, part in enumerate((ev.filter(F.col("ts") < cut),
+                              ev.filter(F.col("ts") >= cut))):
+        p = os.path.join(src, f"batch{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 600 + i * 300,) * 2)
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        drained = _drain_stream(
+            running_user_ewma(stream), "stream_ewma_state", "update"
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+        return (
+            drained.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_seen", "ewma")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4615,6 +4681,8 @@ QUERIES = {
     "video_frame_near_dup": video_frame_near_dup,
     "udtf_chunk_docs": udtf_chunk_docs,
     "restore_parity": restore_parity,
+    "listagg_orders": listagg_orders,
+    "stream_ewma_state_parity": stream_ewma_state_parity,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

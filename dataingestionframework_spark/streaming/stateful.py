@@ -188,3 +188,76 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+EWMA_OUT_SCHEMA = "user_id long, n_seen long, ewma double"
+EWMA_STATE_SCHEMA = "vals array<double>, n long"
+EWMA_ALPHA = 0.5
+EWMA_WINDOW = 8
+
+
+def _update_ewma(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    vals, n = state.get if state.exists else ([], 0)
+    vals = list(vals)
+    rows = pd.concat(list(pdfs))
+    # event-time order WITHIN the batch; cross-batch order is the
+    # micro-batch arrival order (the parity query feeds time-split files)
+    rows = rows.sort_values(["ts", "event_id"])
+    for v in rows["value"]:
+        vals.append(float(v))
+        n += 1
+    vals = vals[-EWMA_WINDOW:]
+    state.update((vals, n))
+    num = 0.0
+    den = 0.0
+    for i in range(len(vals)):          # i=0 → OLDEST retained value
+        w = EWMA_ALPHA_POWERS[len(vals) - 1 - i]
+        num += vals[i] * w
+        den += w
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_seen": [n], "ewma": [round(num / den, 4)]}
+    )
+
+
+EWMA_ALPHA_POWERS = [(1.0 - EWMA_ALPHA) ** i for i in range(EWMA_WINDOW)]
+
+
+def running_user_ewma(events: DataFrame) -> DataFrame:
+    """Per-user finite-window EWMA as CUSTOM STATEFUL STREAMING state:
+    the state is the last ``EWMA_WINDOW`` values (bounded — the 100 TB
+    requirement for unbounded streams), updated per micro-batch with
+    Arrow-batched callbacks, emitted in update mode. The last emitted
+    row per user equals the batch ``operators.windows.ewma_finite`` at
+    that user's final event — the parity the gate checks.
+
+    Batch frames fall back to the window-algebra form restricted to
+    each user's last row.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..operators.windows import ewma_finite
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        e = ewma_finite(
+            events, "value", ["user_id"], ["ts", "event_id"],
+            alpha=EWMA_ALPHA, window=EWMA_WINDOW,
+        )
+        return (
+            e.withColumn("_rn", F.row_number().over(w))
+            .withColumn("n_seen", F.count("*").over(Window.partitionBy("user_id")))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_seen", F.round("ewma", 4).alias("ewma"))
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

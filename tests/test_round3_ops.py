@@ -398,3 +398,20 @@ def test_video_frame_near_dup_detects_shared_prefix(spark):
     rows = video_frame_near_dup(spark, SF_DIR).collect()
     assert rows, "corpus has shared 192-byte prefixes; pairs expected"
     assert all(r.shared_frames >= 2 for r in rows)
+
+
+def test_running_user_ewma_batch_fallback_matches_lag_algebra(spark):
+    """The batch fallback of the stateful EWMA equals ewma_finite at
+    each user's final event (same alpha/window constants)."""
+    from dataingestionframework_spark.streaming.stateful import running_user_ewma
+
+    df = spark.createDataFrame(
+        [(i, i, 1 + (i % 2), float(10 * (i + 1))) for i in range(10)],
+        "event_id long, ts long, user_id long, value double",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    got = {r.user_id: (r.n_seen, r.ewma) for r in running_user_ewma(df).collect()}
+    # user 1: values 10,30,50,70,90 ; user 2: 20,40,60,80,100
+    w = [0.5 ** i for i in range(5)]
+    for uid, vals in ((1, [90, 70, 50, 30, 10]), (2, [100, 80, 60, 40, 20])):
+        want = round(sum(v * wi for v, wi in zip(vals, w)) / sum(w), 4)
+        assert got[uid] == (5, want)
