@@ -3088,3 +3088,22 @@ ORACLES.update({
         FROM b GROUP BY user_id, n_seen
     """,
 })
+
+
+ORACLES.update({
+    # k-anonymity / l-diversity audit over quasi-identifier classes
+    "k_anonymity_customers": """
+        WITH b AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS bal_band
+            FROM customer
+        )
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS k_size,
+               count(DISTINCT bal_band) AS l_div,
+               (count(*) < 5 OR count(DISTINCT bal_band) < 2) AS flagged
+        FROM b GROUP BY c_nationkey, c_mktsegment
+    """,
+})

@@ -4516,6 +4516,37 @@ def stream_ewma_state_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before data release (pairs with the DP noisy
+    release): k-anonymity (equivalence-class size over the
+    quasi-identifiers nation × segment) and l-diversity (distinct
+    sensitive values — account-balance sign band — per class). Classes
+    with k < 5 or l < 2 are flagged for suppression/generalization.
+    One groupBy; linear."""
+    t = _t(spark, sf_dir)
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        t("customer")
+        .select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("k_size"),
+            F.count_distinct("bal_band").alias("l_div"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k_size",
+            "l_div",
+            ((F.col("k_size") < 5) | (F.col("l_div") < 2)).alias("flagged"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4683,6 +4714,7 @@ QUERIES = {
     "restore_parity": restore_parity,
     "listagg_orders": listagg_orders,
     "stream_ewma_state_parity": stream_ewma_state_parity,
+    "k_anonymity_customers": k_anonymity_customers,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,
