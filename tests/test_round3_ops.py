@@ -415,3 +415,21 @@ def test_running_user_ewma_batch_fallback_matches_lag_algebra(spark):
     for uid, vals in ((1, [90, 70, 50, 30, 10]), (2, [100, 80, 60, 40, 20])):
         want = round(sum(v * wi for v, wi in zip(vals, w)) / sum(w), 4)
         assert got[uid] == (5, want)
+
+
+def test_bpe_encode_applies_merges_greedily(spark):
+    from dataingestionframework_spark.operators.text import bpe_encode
+
+    # merges: (l,o)->lo rank0, (lo,w)->low rank1, (e,r)->er rank2
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, "xyz"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_chars) for r in
+           bpe_encode(df, merges).collect()}
+    # "low" -> [low] = 1; "lower" -> [low, er] = 2 (lowest-rank first)
+    assert got[1] == (3, 9)
+    # no applicable merges: one token per char
+    assert got[2] == (3, 3)
+    assert got[3] == (0, 0)
