@@ -3107,3 +3107,21 @@ ORACLES.update({
         FROM b GROUP BY c_nationkey, c_mktsegment
     """,
 })
+
+
+ORACLES.update({
+    # exact rolling 7-day distinct users on the per-day set pre-agg
+    "rolling_unique_users": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   list(DISTINCT user_id) AS users
+            FROM events GROUP BY 1
+        )
+        SELECT d,
+               len(users) AS dau,
+               len(list_distinct(flatten(list(users) OVER (
+                   ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               )))) AS wau7
+        FROM daily
+    """,
+})

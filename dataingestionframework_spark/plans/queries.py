@@ -4547,6 +4547,30 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users — EXACT, computed scale-correctly:
+    the corpus pass reduces to per-day user SETS (one groupBy; set
+    sizes bounded by the user population), then the rolling union runs
+    as a window over the ~30-row day table: flatten + distinct + size.
+    The sketch alternative for unbounded key spaces is the HLL rollup
+    (`hll_mergeable_rollup`); this is the exact-on-pre-agg form."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    daily = (
+        t("events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.collect_set("user_id").alias("users"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "d",
+        F.size("users").alias("dau"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+        ).alias("wau7"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4715,6 +4739,7 @@ QUERIES = {
     "listagg_orders": listagg_orders,
     "stream_ewma_state_parity": stream_ewma_state_parity,
     "k_anonymity_customers": k_anonymity_customers,
+    "rolling_unique_users": rolling_unique_users,
     "char_entropy_docs": char_entropy_docs,
     "percentile_family_orders": percentile_family_orders,
     "resample_ffill_events": resample_ffill_events,

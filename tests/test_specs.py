@@ -148,6 +148,6 @@ def test_driver_contract_registry_integrity():
     from dataingestionframework_spark.plans.queries import QUERIES
 
     assert set(QUERIES) == set(ORACLES)
-    assert len(QUERIES) >= 199
+    assert len(QUERIES) >= 200
     assert all(callable(v) for v in QUERIES.values())
     assert all(isinstance(v, str) and v.strip() for v in ORACLES.values())
