@@ -257,48 +257,82 @@ def corpus_incremental_near_dup_intake(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
 ):
     """Incremental corpus build with UNBOUNDED-horizon NEAR-dup dedup:
     the streaming composition of :func:`corpus_incremental_intake`
     (exact fingerprints) and the bucketed MinHash-LSH index.
 
-    Each micro-batch: (1) replay-guard anti-join against sink ids,
-    (2) :func:`~..operators.dedup.update_lsh_index_bucketed` joins the
-    batch's band rows against the PERSISTED bucketed index — cost is
-    new×bucket, the index side never reshuffles — and appends them,
-    (3) candidates exact-verify (n-gram Jaccard) against batch + sink
-    texts, (4) batch docs that verify against an earlier id are
-    dropped, survivors append to the sink.
+    Each micro-batch: (1) replay-guard anti-join against sink AND
+    dropped-store ids, (2) :func:`~..operators.dedup.
+    update_lsh_index_bucketed` joins the batch's band rows against the
+    PERSISTED bucketed index — cost is new×bucket, the index side never
+    reshuffles — and appends them, (3) candidates exact-verify (n-gram
+    Jaccard) against batch + sink + DROPPED texts, (4) batch docs that
+    verify against an earlier id are dropped (their (id, text) persists
+    to ``<sink_path>_dropped``), survivors append to the sink.
+
+    Dropped docs stay BLOCKERS: their band rows are already in the
+    index, and keeping their texts queryable in the companion dropped
+    store means a later near-dup of a dropped doc is itself dropped —
+    the same transitive-blocking contract within-batch verification
+    already has (and the declarative oracle states: a doc survives iff
+    NO smaller-id doc is ≥ threshold similar, dropped or not). Without
+    the dropped store, a chain 1→5→9 with sim(1,5) ≥ t ≥ sim(1,9) and
+    sim(5,9) ≥ t would keep 9 once 5's text is gone. The embedding
+    intake (:func:`embedding_incremental_ann_intake`) gets this for
+    free by indexing whole batches; this is the text-side mirror.
 
     Assumes intake ids are monotone over time (append-log ids), so the
     larger id of a verified pair is always the newer doc. Replay is
     idempotent: re-appended band rows only produce duplicate candidates
-    (distinct-ed), and the id anti-join stops double sink writes.
+    (distinct-ed), and the id anti-join — over sink ∪ dropped, so both
+    outcomes are remembered — stops double writes.
 
     Returns the started StreamingQuery (caller awaits termination).
     """
     from ..operators.dedup import update_lsh_index_bucketed, verify_pairs_jaccard
 
+    dropped_path = sink_path.rstrip("/") + "_dropped"
+
     def handle(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession
+
+        def _read_or_none(path: str) -> DataFrame | None:
+            try:
+                return spark.read.parquet(path).select(id_col, text_col)
+            except Exception:  # noqa: BLE001 — store doesn't exist yet
+                return None
+
         b = batch.dropDuplicates([id_col])
-        try:
-            seen = spark.read.parquet(sink_path).select(id_col, text_col)
-        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
-            seen = None
-        if seen is not None:
-            b = b.join(seen.select(id_col), id_col, "left_anti")
+        seen = _read_or_none(sink_path)
+        gone = _read_or_none(dropped_path)
+        blockers = None
+        for part in (seen, gone):
+            if part is not None:
+                blockers = part if blockers is None else blockers.unionByName(part)
+        if blockers is not None:
+            b = b.join(blockers.select(id_col), id_col, "left_anti")
         b = b.localCheckpoint()  # pin the batch image across the two passes
         pairs = update_lsh_index_bucketed(
-            b, spark, index_table, text_col=text_col, id_col=id_col
+            b, spark, index_table, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands,
         )
         texts = b.select(id_col, text_col)
-        if seen is not None:
-            texts = texts.unionByName(seen)
+        if blockers is not None:
+            texts = texts.unionByName(blockers)
         verified = verify_pairs_jaccard(
             pairs, texts, text_col, id_col, threshold=threshold
         )
         drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+        drop = drop.localCheckpoint()  # pin: feeds two writes below
+        (
+            b.join(drop, id_col, "left_semi")
+            .select(id_col, text_col)
+            .write.mode("append")
+            .parquet(dropped_path)
+        )
         b.join(drop, id_col, "left_anti").write.mode("append").parquet(sink_path)
 
     return (

@@ -63,9 +63,14 @@ def compact_bucketed_table(
     Rewrites the full table once through a staging table with the SAME
     bucket spec (one file per bucket afterwards), then swaps names via
     the catalog. Bucket layout — and therefore every downstream
-    shuffle-elision guarantee — is preserved; the swap is two metadata
-    operations, so readers never see a half-written table (they see
-    old-or-new, same contract as ManagedTable's pointer swap).
+    shuffle-elision guarantee — is preserved. The swap is DROP + RENAME,
+    two catalog operations that are not atomic together: this is a
+    single-writer maintenance op, and concurrent readers can observe a
+    brief window where the table name resolves to nothing (never to a
+    half-written table). If the process dies inside that window the
+    data survives under the ``<name>__compact`` staging table — recovery
+    is a manual ``ALTER TABLE ... RENAME``. For an old-or-new guarantee
+    use ManagedTable's pointer-swap commit protocol instead.
 
     Returns (files_before, files_after).
     """

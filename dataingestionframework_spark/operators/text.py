@@ -890,19 +890,14 @@ def bigram_lm_score_with(
     c1 = spark.table(f"{prefix}_c1")
     vocab = c1.agg(F.count("*").alias("v"))
     scored = (
-        grams.join(
-            c12.select("gram_key", F.col("w1").alias("_w1"), F.col("w2").alias("_w2"), "c12"),
-            "gram_key",
-            "left",
-        )
-        # guard the 2^-64 gram_key collision: count only true (w1,w2) hits
-        .withColumn(
-            "c12",
-            F.when(
-                (F.col("_w1") == F.col("w1")) & (F.col("_w2") == F.col("w2")),
-                F.col("c12"),
-            ).otherwise(F.lit(0)),
-        )
+        # join on [gram_key, w1, w2]: gram_key alone can (p ~ 2^-64)
+        # collide two distinct bigrams, and a key-only left join would
+        # then FAN OUT one gram row into several — inflating n_bigrams
+        # even with a post-hoc c12 guard. The composite key keeps
+        # exactly one output row per gram (c12 is unique on the
+        # triple), while gram_key staying in the key set preserves the
+        # bucket-aligned distribution of the model scan.
+        grams.join(c12, ["gram_key", "w1", "w2"], "left")
         .join(c1, "w1", "left")
         .join(F.broadcast(vocab))
         .withColumn(

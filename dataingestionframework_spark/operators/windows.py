@@ -101,7 +101,10 @@ def ewma_finite(
         wt = float((1.0 - alpha) ** i)
         num = num + F.coalesce(v, F.lit(0.0)) * F.lit(wt)
         den = den + F.when(v.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
-    return df.withColumn(out_col, num / den)
+    # all-NULL window (e.g. NULL value_col at a partition head) -> NULL,
+    # not 0.0/0.0 = NaN — matches trailing_zscore's NULL-on-degenerate
+    # convention so downstream filters/rounding never see NaN.
+    return df.withColumn(out_col, F.when(den > 0, num / den))
 
 
 def trailing_zscore(

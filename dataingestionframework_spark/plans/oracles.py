@@ -1932,6 +1932,43 @@ ORACLES: dict[str, str] = {
         WHERE d.doc_id < 300
           AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
+    # cross-batch transitive blocking: the derived corpus (base +
+    # suffix-75% + suffix-55% variants, monotone ids across the three
+    # micro-batches) has its survivor set defined declaratively — a doc
+    # survives iff NO smaller-id doc is >= 0.65 similar, counting docs
+    # that were themselves dropped. The constructed chains (base blocks
+    # variant-1, variant-1 blocks variant-2, base does NOT block
+    # variant-2) make the stream's dropped-doc store load-bearing.
+    "stream_near_dup_chain_parity": f"""
+        WITH base AS (SELECT doc_id, {_TOKENS} AS bts
+                      FROM documents WHERE doc_id < 60),
+        corpus AS (
+            SELECT doc_id, bts AS ts FROM base
+            UNION ALL
+            SELECT doc_id + 1000,
+                   list_slice(bts, CAST(floor(len(bts)*0.25) AS INT) + 1,
+                              len(bts))
+            FROM base
+            UNION ALL
+            SELECT doc_id + 2000,
+                   list_slice(bts, CAST(floor(len(bts)*0.45) AS INT) + 1,
+                              len(bts))
+            FROM base
+        ),
+        toks AS (SELECT doc_id, ts FROM corpus),
+        grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
+                  FROM ({_GRAMS3}) GROUP BY doc_id),
+        dropped AS (
+            SELECT DISTINCT greatest(a.doc_id, b.doc_id) AS doc_id
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                        / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
+                  >= 0.65
+        )
+        SELECT c.doc_id
+        FROM corpus c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
     "stream_corpus_prep_parity": f"""
         WITH keep AS (
             SELECT min(doc_id) AS doc_id

@@ -3061,6 +3061,63 @@ def stream_near_dup_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(sink).select("doc_id")
 
 
+def stream_near_dup_chain_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch TRANSITIVE blocking under the hash gate: three
+    micro-batches where batch 1's docs (suffix-75% of each base doc,
+    J≈0.74 vs base) are all DROPPED against batch 0, and batch 2's docs
+    (suffix-55%, J≈0.72 vs the dropped batch-1 doc but only ≈0.53 vs
+    the surviving base) are ≥-threshold-similar ONLY to already-dropped
+    docs. The declarative survivor set counts dropped docs as blockers,
+    so every batch-2 doc must be dropped — which the stream can only
+    reproduce by keeping dropped texts queryable (the companion
+    ``_dropped`` store beside the sink). bands=32 (r=2) makes banding
+    recall at J≈0.72 deterministic-safe (miss ≈ 0.47^32 per pair);
+    every candidate is still exact-verified."""
+    from ..functions import tokens
+    from ..ingest.corpus import corpus_incremental_near_dup_intake
+    from ..operators.bucketing import drop_table_and_location
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="dif_nd_chain_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    idx = "dif_gate_nd_chain_idx"
+    drop_table_and_location(spark, idx)
+    t = _t(spark, sf_dir)
+    base = t("documents").select("doc_id", "text").filter(F.col("doc_id") < 60)
+    ws = tokens(F.col("text"))
+
+    def suffix_variant(frac: float, offset: int) -> DataFrame:
+        start = (F.floor(F.size(ws) * F.lit(frac)) + F.lit(1)).cast("int")
+        return base.select(
+            (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
+            F.array_join(F.slice(ws, start, F.size(ws)), " ").alias("text"),
+        )
+
+    batches = [base, suffix_variant(0.25, 1000), suffix_variant(0.45, 2000)]
+    import time as _time
+
+    now = _time.time()
+    for i, bdf in enumerate(batches):
+        p = os.path.join(src, f"batch{i}.parquet")
+        bdf.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 900 + i * 300,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+    q = corpus_incremental_near_dup_intake(
+        stream, sink, ckpt, idx, threshold=0.65, bands=32
+    )
+    q.awaitTermination(300)
+    drop_table_and_location(spark, idx)
+    return spark.read.parquet(sink).select("doc_id")
+
+
 def stream_corpus_prep_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL streaming CorpusPrep in the correctness gate: language
     filter → quality gate → dedup-within-watermark → context-window
@@ -4749,6 +4806,7 @@ QUERIES = {
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
     "stream_corpus_prep_parity": stream_corpus_prep_parity,
     "stream_near_dup_intake_parity": stream_near_dup_intake_parity,
+    "stream_near_dup_chain_parity": stream_near_dup_chain_parity,
     "gopher_quality_docs": gopher_quality_docs,
     "c4_clean_docs": c4_clean_docs,
     "stream_join_parity": stream_join_parity,

@@ -653,3 +653,71 @@ def test_corpus_incremental_near_dup_intake(spark, tmp_root):
         assert spark.table(idx).count() == n_idx_1 + 2 * 16  # index grew
     finally:
         drop_table_and_location(spark, idx)
+
+
+def test_near_dup_intake_dropped_docs_block_across_batches(spark, tmp_root):
+    """Cross-batch transitive blocking: a doc dropped in batch 1 must
+    still block its own near-dups arriving in batch 2, exactly as a
+    dropped doc blocks within one batch (the declarative contract the
+    gate oracle states: survive iff NO smaller-id doc is >= t similar).
+
+    Chain by construction (60 distinct tokens, changes >= 3 apart so
+    each change kills exactly 3 trigrams): doc 5 = doc 1 with 2 tokens
+    swapped -> J(1,5) = 52/64 = 0.8125; doc 9 = doc 5 with 2 MORE
+    swapped -> J(5,9) = 0.8125 but J(1,9) = 46/70 ~ 0.657. At t = 0.75
+    batch 1 drops 5 (vs 1); batch 2 must drop 9 (vs the DROPPED 5 —
+    its only >= t blocker), even though 9 clears the surviving doc 1."""
+    from dataingestionframework_spark.ingest.corpus import (
+        corpus_incremental_near_dup_intake,
+    )
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+
+    src = os.path.join(tmp_root, "ndx_src")
+    sink = os.path.join(tmp_root, "ndx_sink")
+    ckpt = os.path.join(tmp_root, "ndx_ckpt")
+    idx = "dif_test_nd_chain_idx"
+    drop_table_and_location(spark, idx)
+    try:
+        schema = "doc_id long, text string"
+        words = [f"tok{i:02d}" for i in range(60)]
+        doc1 = " ".join(words)
+        w5 = list(words)
+        w5[10], w5[30] = "aaax", "bbbx"
+        doc5 = " ".join(w5)
+        w9 = list(w5)
+        w9[20], w9[40] = "cccx", "dddx"
+        doc9 = " ".join(w9)
+
+        def run_batch(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            st = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            corpus_incremental_near_dup_intake(
+                st, sink, ckpt, idx, threshold=0.75
+            ).awaitTermination(180)
+
+        run_batch([(1, doc1), (5, doc5)])
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == [1]
+        # the dropped doc's text is retained as a blocker
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink + "_dropped").collect()
+        ) == [5]
+
+        run_batch([(9, doc9)])
+        got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+        assert got == [1], (
+            f"doc 9 must be blocked by DROPPED doc 5, sink has {got}"
+        )
+        gone = sorted(
+            r.doc_id for r in spark.read.parquet(sink + "_dropped").collect()
+        )
+        assert gone == [5, 9]
+    finally:
+        drop_table_and_location(spark, idx)
