@@ -511,6 +511,79 @@ def near_duplicates_minhash(
         sigs.unpersist()
 
 
+def set_similarity_join_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT-recall set-similarity self-join via prefix filtering
+    (Chaudhuri/Bayardo-style "ppjoin-lite") — the deterministic
+    complement of MinHash-LSH: no banding-miss probability, every pair
+    with word-``n``-gram Jaccard ≥ ``threshold`` is guaranteed in the
+    output.
+
+    Prefix-filter theorem: order the gram universe canonically (here:
+    ascending document frequency, ties by gram — rarest first) and keep
+    from each doc's sorted gram set only the first
+    ``p = |g| - ceil(t·|g|) + 1`` grams. If J(A, B) ≥ t, the prefixes
+    of A and B must intersect, so an equi-join on PREFIX grams has
+    recall 1.0. Because prefixes are each doc's *rarest* grams, the
+    join buckets are small by construction — candidate generation is
+    near-linear on natural corpora even though worst-case (every doc
+    sharing one rare gram) is quadratic in that bucket. A size filter
+    (J ≥ t ⇒ t·|big| ≤ |small|) prunes further; both the ceil and the
+    size bound get a 1e-9 slack so FP rounding can only ADD candidates,
+    never drop a true pair. Exact verification runs on candidates only.
+
+    Plan: gram explode + distinct (shuffle on id), gram-frequency agg
+    (shuffle on gram), per-doc rank window (reuses the id partition),
+    prefix self-join (shuffle on gram), then
+    :func:`verify_pairs_jaccard`. All hash joins/aggs — no Cartesian,
+    no Python. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import exploded_word_ngrams
+
+    g = exploded_word_ngrams(df, text_col, id_col, n).distinct()
+    g = g.withColumnRenamed(id_col, "id")
+    sz = g.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy("id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
+    ranked = (
+        g.join(dfreq, "gram")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sz, "id")
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select("id", "sz", "gram")
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "gram"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "gram"
+    )
+    cand = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b").cast("double")
+                >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_pairs_jaccard(cand, df, text_col, id_col, n, threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (Hamming distance on 64-bit sketches)
 # ---------------------------------------------------------------------------

@@ -42,6 +42,97 @@ def salted_join(
     return l.join(r, [on, "_salt"], how).drop("_salt")
 
 
+def bloom_filter_words(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter over ``keys[key_col]`` as a 1-row DataFrame
+    holding a word-indexed bitmap map<long, long> (column ``_bloom``)
+    plus its parameters — small enough to broadcast (m_bits/64 entries;
+    the 2^20 default is 16 KiB of set words max).
+
+    Hash family: position_i = xxhash64(key, i) mod m_bits for
+    i < k — deterministic, engine-portable, no sampled seeds. Build is
+    one explode (k rows per key), one groupBy on the word index
+    (m_bits/64 distinct groups), one collect-to-map agg. Size m_bits
+    for the build side's distinct-key count: FP rate ≈
+    (1 - e^(-k·n/m))^k, so the default holds ~1e5 keys at < 1% FP;
+    grow m_bits linearly with n (the map stays tiny relative to any
+    table it prunes)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits)
+                    ).alias(f"p{i}")
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    )
+    words = pos.select(
+        (F.col("p") / 64).cast("long").alias("w"),
+        F.expr("shiftleft(1L, cast(p % 64 as int))").alias("bit"),
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.bit_or("bit").alias("mask"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias(
+                "_bloom"
+            )
+        )
+    )
+
+
+def bloom_anti_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """EXACT anti-join with a Bloom-filter pre-pass — the explicit,
+    user-controlled form of Spark's runtime bloom pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), for when the
+    optimizer can't inject it (non-join pipelines, foreachBatch, custom
+    sinks) or the filter should be BUILT ONCE and reused across many
+    probes.
+
+    Result is exactly ``probe LEFT ANTI JOIN build ON probe.on =
+    build.on``: rows the bloom proves absent (any of the k bits unset)
+    pass through with NO shuffle at all — the bitmap rides a 1-row
+    broadcast and the membership test is scan-side column arithmetic —
+    and only "maybe present" rows (true matches + the small FP tail)
+    reach the exact anti-join. At 100 TB this shrinks the anti-join
+    shuffle from |probe| to |matches|·(1+fp); the probe relation is
+    referenced by both branches (two scans of the same pruned columns —
+    cheap next to the shuffle it removes; persist upstream if the probe
+    is itself expensive to recompute).
+
+    NULL probe keys never equal anything, so both branches keep them —
+    anti-join (NOT EXISTS) semantics, not NOT IN."""
+    bloom = bloom_filter_words(build.select(on), on, m_bits, k)
+    probed = probe.crossJoin(F.broadcast(bloom))
+    maybe = None
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(m_bits))
+        word = F.coalesce(
+            F.element_at(F.col("_bloom"), (p / 64).cast("long")), F.lit(0)
+        )
+        hit = word.bitwiseAND(
+            F.expr(f"shiftleft(1L, cast(pmod(xxhash64({on}, {i}), {m_bits}) % 64 as int))")
+        ) != 0
+        maybe = hit if maybe is None else (maybe & hit)
+    definite_absent = probed.filter(~maybe).drop("_bloom")
+    maybe_present = (
+        probed.filter(maybe)
+        .drop("_bloom")
+        .join(build.select(on).distinct(), on, "left_anti")
+    )
+    return definite_absent.unionByName(maybe_present)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -73,3 +73,44 @@ def profile(
         "column string, n_rows long, n_nonnull long, n_distinct long, "
         "min_num double, max_num double, min_str string, max_str string",
     )
+
+
+_FP_MOD = 2305843009213693951  # 2^61 - 1: keeps the sum in BIGINT range
+
+
+def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order- and partitioning-insensitive table checksum for
+    cross-system reconciliation: per row, a 60-bit integer from the md5
+    of the ``|``-joined stringified columns (NULL → the ``\\N``
+    sentinel, so NULL and '' don't collide); the table fingerprint is
+    the SUM of row values mod 2^61-1 plus the row count.
+
+    The sum is commutative and mergeable — per-partition partials
+    combine map-side, two tables compare with ONE scan each and no
+    sort, and incremental maintenance is add/subtract of changed rows'
+    values (the CDC composition: fingerprint' = fingerprint + Σ inserts
+    − Σ deletes, all mod p). That is what makes this the 100 TB
+    migration-audit shape: "did the copy land bit-identical?" without
+    ordering either side. The row hash is engine-portable (md5 of a
+    canonical string), so any SQL engine can recompute it — the gate's
+    DuckDB twin does.
+
+    Canonicalization caveat: columns are compared via CAST(col AS
+    STRING), which is stable for ints/strings/dates but
+    engine-dependent for floats/timestamps — normalize those upstream
+    (round/format) before fingerprinting.
+
+    Output: 1 row (n_rows, fingerprint).
+    """
+    cols = cols or df.columns
+    key = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols],
+    )
+    rowv = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(rowv), F.lit(_FP_MOD).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("fingerprint"),
+    )

@@ -1053,3 +1053,44 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer-design statistic: the smallest vocabulary sizes (most
+    frequent types first, ties by token) covering 50% / 90% / 99% of
+    corpus token mass — the curve that decides vocab size vs OOV rate
+    before training a tokenizer.
+
+    Scale shape mirrors :func:`zipf law <..plans.queries.zipf_fit_tokens>`:
+    the only corpus-volume pass is the explode + count groupBy; the
+    rank/running-sum window runs on the AGGREGATED type table (vocab ≪
+    corpus). Coverage thresholds compare in INTEGER arithmetic
+    (run·100 ≥ total·99, not run ≥ 0.99·total) so boundary types are
+    classified identically by any engine. Output: 1 row — (n_types,
+    n_tokens, v50, v90, v99).
+    """
+    from pyspark.sql import Window
+
+    freqs = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = freqs.select(
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.max("total").alias("n_tokens"),
+        F.min(F.when(F.col("run") * 2 >= F.col("total"), F.col("r"))).alias("v50"),
+        F.min(
+            F.when(F.col("run") * 10 >= F.col("total") * 9, F.col("r"))
+        ).alias("v90"),
+        F.min(
+            F.when(F.col("run") * 100 >= F.col("total") * 99, F.col("r"))
+        ).alias("v99"),
+    )

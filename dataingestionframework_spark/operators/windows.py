@@ -107,6 +107,85 @@ def ewma_finite(
     return df.withColumn(out_col, F.when(den > 0, num / den))
 
 
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    order_by: list[str],
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-key autocorrelation function: Pearson corr(x_t, x_{t-k}) for
+    each requested lag — the standard seasonality/persistence probe
+    over a keyed series (hourly counts, daily volumes).
+
+    This is the pairwise-complete ACF variant (corr over the (x_t,
+    x_{t-k}) pairs that exist, each lag with its own pair mean), which
+    is exactly SQL's ``corr(x, lag(x, k))`` — the property the oracle
+    twin leans on; the classical biased estimator (global mean, /n)
+    differs at the series edges. One shuffle on the partition keys;
+    the lag columns ride a single window pass, the corr aggregates one
+    hash agg. Output: (keys..., n, acf_<k>...).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    lagged = df.select(
+        *partition_by,
+        value_col,
+        *[F.lag(value_col, k).over(w).alias(f"_lag{k}") for k in lags],
+    )
+    return lagged.groupBy(*partition_by).agg(
+        F.count(value_col).alias("n"),
+        *[
+            F.round(F.corr(value_col, f"_lag{k}"), 4).alias(f"acf_{k}")
+            for k in lags
+        ],
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """CUSUM change-point detection per key: the order position where
+    the cumulative deviation from the series mean peaks — the classic
+    level-shift locator for monitoring series.
+
+    Exactness across engines: the deviation is kept in INTEGERS by
+    scaling out the mean's division — S'_t = n·Σ_{i≤t} x_i − t·Σ x
+    (= n·S_t where S_t is the usual cumsum of x−mean). The argmax and
+    tie-break (earliest position) are then exact integer comparisons,
+    immune to float summation order — which is what lets a SQL twin
+    match bit-for-bit. ``value_col`` is cast to long (counts/amounts);
+    two window passes over one shuffle on the keys.
+
+    Output: one row per key — (keys..., order cols at the peak,
+    max_dev = max |S'_t|, n_points).
+    """
+    keyw = Window.partitionBy(*partition_by)
+    ordw = keyw.orderBy(*order_by)
+    runw = ordw.rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col(value_col).cast("long")
+    scored = df.select(
+        *partition_by,
+        *order_by,
+        F.abs(
+            F.count(F.lit(1)).over(keyw) * F.sum(v).over(runw)
+            - F.row_number().over(ordw) * F.sum(v).over(keyw)
+        ).alias("_dev"),
+        F.count(F.lit(1)).over(keyw).alias("n_points"),
+    )
+    pick = F.row_number().over(
+        keyw.orderBy(F.col("_dev").desc(), *order_by)
+    )
+    return (
+        scored.withColumn("_pick", pick)
+        .filter(F.col("_pick") == 1)
+        .drop("_pick")
+        .withColumnRenamed("_dev", "max_dev")
+    )
+
+
 def trailing_zscore(
     df: DataFrame,
     value_col: str,

@@ -1676,6 +1676,121 @@ ORACLES: dict[str, str] = {
         )
         WHERE jaccard_sim >= 0.3
     """,
+    # pairwise-complete ACF: corr(x, lag(x,k)) over the hourly series —
+    # identical estimator both engines, rounded to 4dp
+    "acf_hourly_events": """
+        WITH s AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                          count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        l AS (SELECT event_type, c,
+                     lag(c, 1) OVER w AS l1,
+                     lag(c, 2) OVER w AS l2,
+                     lag(c, 3) OVER w AS l3
+              FROM s WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        SELECT event_type, count(c) AS n,
+               round(corr(c, l1), 4) AS acf_1,
+               round(corr(c, l2), 4) AS acf_2,
+               round(corr(c, l3), 4) AS acf_3
+        FROM l GROUP BY event_type
+    """,
+    # CUSUM peak: |n*run - t*total| is integer-exact (mean's division
+    # scaled out), so argmax + earliest-tie-break match bit-for-bit
+    "cusum_changepoint_events": """
+        WITH s AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                          count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        e AS (SELECT event_type, h,
+                     count(*) OVER (PARTITION BY event_type) AS n_points,
+                     sum(c) OVER (PARTITION BY event_type) AS tot,
+                     sum(c) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS run,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS t
+              FROM s),
+        d AS (SELECT event_type, h,
+                     abs(n_points * run - t * tot) AS dev, n_points,
+                     row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY abs(n_points * run - t * tot) DESC, h
+                     ) AS pick
+              FROM e)
+        SELECT event_type, h AS cp_hour, CAST(dev AS BIGINT) AS max_dev,
+               n_points
+        FROM d WHERE pick = 1
+    """,
+    # vocab coverage: rank on the aggregated type table, integer
+    # threshold comparisons (run*k >= total*j) for engine-stable
+    # boundary classification
+    "vocab_coverage_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        freqs AS (SELECT tok, count(*) AS c
+                  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+        ranked AS (SELECT c, tok,
+                          row_number() OVER w AS r,
+                          sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run,
+                          sum(c) OVER () AS total
+                   FROM freqs
+                   WINDOW w AS (ORDER BY c DESC, tok ASC))
+        SELECT count(*) AS n_types,
+               CAST(max(total) AS BIGINT) AS n_tokens,
+               min(CASE WHEN run * 2 >= total THEN r END) AS v50,
+               min(CASE WHEN run * 10 >= total * 9 THEN r END) AS v90,
+               min(CASE WHEN run * 100 >= total * 99 THEN r END) AS v99
+        FROM ranked
+    """,
+    # independent recomputation of the portable table checksum: the
+    # same md5-prefix row values summed mod 2^61-1, emitted under both
+    # derivation labels (the checksum is order-insensitive, so one SQL
+    # aggregate covers both Spark plans)
+    "reconcile_fingerprint_orders": r"""
+        WITH fp AS (
+            SELECT count(*) AS n_rows,
+                   CAST(sum(('0x' || substring(md5(
+                       concat_ws('|',
+                           coalesce(CAST(o_orderkey AS VARCHAR), '\N'),
+                           coalesce(CAST(o_custkey AS VARCHAR), '\N'),
+                           coalesce(CAST(o_orderstatus AS VARCHAR), '\N')
+                       )), 1, 15))::UBIGINT::HUGEINT)
+                       % 2305843009213693951 AS BIGINT) AS fingerprint
+            FROM orders
+        )
+        SELECT 'direct' AS derivation, n_rows, fingerprint FROM fp
+        UNION ALL
+        SELECT 'split_union', n_rows, fingerprint FROM fp
+    """,
+    # bloom pre-pass is exact (every maybe verified), so the oracle is
+    # the plain NOT EXISTS anti-join aggregate
+    "bloom_anti_join_lineitem": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part p
+            WHERE p.p_partkey = l.l_partkey AND p.p_size > 40
+        )
+        GROUP BY l_returnflag
+    """,
+    # prefix-filter set-similarity join: exact recall by theorem, so
+    # the oracle is the same exact all-pairs trigram Jaccard ground
+    # truth minhash_near_dup is checked against (two candidate
+    # strategies, one verified set)
+    "set_similarity_join_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
+                  FROM ({_GRAMS3}) GROUP BY doc_id)
+        SELECT id_a, id_b, jaccard_sim
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
+                       AS jaccard_sim
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard_sim >= 0.3
+    """,
     # ivf_ann_topk probes enough cells on this dataset that its result
     # equals the exact brute-force top-k — the oracle IS the exact scan,
     # so a green row proves recall 1.0 at the declared (k, nprobe).

@@ -318,6 +318,129 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates_minhash(t("documents"), threshold=0.3)
 
 
+def _hourly_counts(t) -> DataFrame:
+    """Per-(event_type, hour) counts — the keyed series the time-series
+    operators (ACF, CUSUM) run on. One shuffle reduces the fact table
+    to ~|types|×|hours| rows before any window work."""
+    return (
+        t("events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per event type over its hourly-count
+    series (operators.windows.autocorrelation): corr(x_t, x_{t-k}) for
+    lags 1..3 — the seasonality/persistence probe. The window+corr
+    composition runs on the PRE-AGGREGATED series (~3.4k rows at
+    sf0.01), not the fact table."""
+    from ..operators.windows import autocorrelation
+
+    tune(spark)
+    return autocorrelation(
+        _hourly_counts(_t(spark, sf_dir)), "c", ["event_type"], ["h"]
+    )
+
+
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type (operators.windows.
+    cusum_changepoint): the hour where cumulative deviation from the
+    series mean peaks. The deviation statistic is integer-exact
+    (n·cumsum − t·total — the mean's division scaled out), so argmax
+    and tie-break hash-match any engine bit-for-bit."""
+    from ..operators.windows import cusum_changepoint
+
+    tune(spark)
+    out = cusum_changepoint(
+        _hourly_counts(_t(spark, sf_dir)), "c", ["event_type"], ["h"]
+    )
+    return out.select(
+        "event_type", F.col("h").alias("cp_hour"), "max_dev", "n_points"
+    )
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve (operators.text.vocab_coverage):
+    smallest frequency-ranked vocab covering 50/90/99% of corpus token
+    mass — the statistic that sizes a tokenizer vocabulary. Corpus pass
+    is one explode+groupBy; ranking runs on the type table; thresholds
+    compare in integer arithmetic so boundary types are engine-stable."""
+    from ..operators.text import vocab_coverage
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return vocab_coverage(t("documents"))
+
+
+def reconcile_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum (operators.profile.
+    table_fingerprint): sum of portable per-row md5-prefix values mod
+    2^61-1 — the one-scan, no-sort migration-audit primitive. Two
+    independent Spark plans (direct scan; split-by-parity union) must
+    produce the SAME fingerprint, and both must match DuckDB's
+    recomputation — proving the checksum is plan-, order-, and
+    engine-independent."""
+    from ..operators.profile import table_fingerprint
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    orders = t("orders").select(*cols)
+    direct = table_fingerprint(orders, cols).select(
+        F.lit("direct").alias("derivation"), "n_rows", "fingerprint"
+    )
+    split = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .unionByName(orders.filter(F.col("o_orderkey") % 2 == 1))
+    )
+    via_split = table_fingerprint(split, cols).select(
+        F.lit("split_union").alias("derivation"), "n_rows", "fingerprint"
+    )
+    return direct.unionByName(via_split)
+
+
+def bloom_anti_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned EXACT anti-join under the hash gate: lineitem rows
+    whose part is NOT an oversized part (p_size > 40). The bloom bitmap
+    rides a 1-row broadcast so bloom-definite-absent rows (the bulk)
+    never shuffle; only maybe-present rows reach the exact anti-join —
+    and the result still hash-matches the plain NOT EXISTS oracle, FP
+    tail and all, because every maybe is exactly verified. Compact
+    output: per-returnflag row count + quantity sum."""
+    from ..operators.joins import bloom_anti_join
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    build = t("part").filter(F.col("p_size") > 40).select("p_partkey")
+    kept = bloom_anti_join(
+        t("lineitem").withColumnRenamed("l_partkey", "p_partkey"),
+        build,
+        "p_partkey",
+        m_bits=1 << 16,
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filter set-similarity self-join — EXACT recall by the
+    prefix-filter theorem (rarest-gram prefixes of size
+    |g| - ceil(t·|g|) + 1 must intersect when J ≥ t), so unlike
+    MinHash-LSH there is no banding-miss probability to reason about.
+    Same ground truth as minhash_near_dup: the oracle is the exact
+    all-pairs word-3-gram Jaccard at the same threshold, hash-matched —
+    two independent candidate-generation strategies, one verified set.
+    Candidate buckets are each doc's rarest grams, so the self-join
+    stays near-linear on natural corpora."""
+    from ..operators.dedup import set_similarity_join_exact
+
+    t = _t(spark, sf_dir)
+    return set_similarity_join_exact(t("documents"), threshold=0.3)
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance near-dups, portable 60-bit md5 sketch.
 
@@ -4649,6 +4772,12 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "ngram_jaccard_bounded": ngram_jaccard_bounded,
     "minhash_near_dup": minhash_near_dup,
+    "set_similarity_join_docs": set_similarity_join_docs,
+    "bloom_anti_join_lineitem": bloom_anti_join_lineitem,
+    "reconcile_fingerprint_orders": reconcile_fingerprint_orders,
+    "acf_hourly_events": acf_hourly_events,
+    "cusum_changepoint_events": cusum_changepoint_events,
+    "vocab_coverage_docs": vocab_coverage_docs,
     "simhash_near_dup": simhash_near_dup,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "pq_ann_topk": pq_ann_topk,

@@ -799,3 +799,126 @@ def test_drop_duplicates_keep_best_prefers_longest(spark):
     )
     got = sorted(r.doc_id for r in out.collect())
     assert got == [3, 4]  # longest variant kept, unique doc kept
+
+
+def test_set_similarity_join_exact_recall(spark):
+    """Prefix filtering must have recall 1.0: every pair with trigram
+    Jaccard >= t appears, none below t does — checked against brute
+    force on a corpus with planted near-dups at several similarity
+    levels (including one pair whose only shared grams are its
+    COMMONEST ones, the case a rarest-first prefix must still catch
+    via the theorem, not luck)."""
+    from dataingestionframework_spark.functions import exploded_word_ngrams
+    from dataingestionframework_spark.operators.dedup import (
+        set_similarity_join_exact,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base.replace("theta", "lambda")),          # high sim to 1
+        (3, base.replace("beta", "mu").replace("iota", "nu")),
+        (4, "totally different words entirely here now"),
+        (5, base),                                      # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.3
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in set_similarity_join_exact(df, threshold=t).collect()
+    }
+    # brute force ground truth
+    g = (
+        exploded_word_ngrams(df, "text", "doc_id", 3)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("gram").alias("g"))
+        .collect()
+    )
+    sets = {r.doc_id: set(r.g) for r in g}
+    exp = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = round(
+                len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 4
+            )
+            if j >= t:
+                exp[(a, b)] = j
+    assert got == exp and (1, 5) in got and got[(1, 5)] == 1.0
+
+
+def test_bloom_anti_join_matches_plain_anti(spark):
+    from dataingestionframework_spark.operators.joins import bloom_anti_join
+
+    probe = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)] + [(None, "nullkey")],
+        "k int, v string",
+    )
+    build = spark.createDataFrame([(i,) for i in range(0, 500, 3)], "k int")
+    got = sorted(
+        (r.k if r.k is not None else -1, r.v)
+        for r in bloom_anti_join(probe, build, "k", m_bits=1 << 12).collect()
+    )
+    exp = sorted(
+        (r.k if r.k is not None else -1, r.v)
+        for r in probe.join(build, "k", "left_anti").collect()
+    )
+    assert got == exp
+    assert (-1, "nullkey") in got  # NOT EXISTS semantics keeps NULL keys
+
+
+def test_table_fingerprint_order_invariant_and_incremental(spark):
+    """Same rows in any order/partitioning -> same fingerprint; the CDC
+    maintenance identity holds: fp(T ∪ Δ) == (fp(T) + fp(Δ)) mod p."""
+    from dataingestionframework_spark.operators.profile import (
+        _FP_MOD,
+        table_fingerprint,
+    )
+
+    rows = [(i, f"name{i}", i % 7) for i in range(200)]
+    a = spark.createDataFrame(rows, ["id", "name", "grp"])
+    b = spark.createDataFrame(list(reversed(rows)), ["id", "name", "grp"]).repartition(13)
+    fa = table_fingerprint(a).first()
+    fb = table_fingerprint(b).first()
+    assert (fa.n_rows, fa.fingerprint) == (fb.n_rows, fb.fingerprint)
+
+    delta = spark.createDataFrame([(999, "new", 1)], ["id", "name", "grp"])
+    fd = table_fingerprint(delta).first()
+    fu = table_fingerprint(a.unionByName(delta)).first()
+    assert fu.fingerprint == (fa.fingerprint + fd.fingerprint) % _FP_MOD
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    from dataingestionframework_spark.operators.windows import (
+        cusum_changepoint,
+    )
+
+    rows = [("a", i, 10) for i in range(20)] + [("a", i, 50) for i in range(20, 40)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = cusum_changepoint(df, "v", ["k"], ["t"]).collect()
+    assert len(out) == 1
+    # |S'| peaks at the last pre-shift point (t = 19)
+    assert out[0].t == 19 and out[0].n_points == 40
+
+
+def test_vocab_coverage_exact_small_corpus(spark):
+    from dataingestionframework_spark.operators.text import vocab_coverage
+
+    # freqs: a=6, b=3, c=1 -> total 10; v50: a (6 >= 5); v90: a+b (9 >= 9)
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a a b")], ["doc_id", "text"]
+    )
+    r = vocab_coverage(df).first()
+    assert (r.n_types, r.n_tokens, r.v50, r.v90, r.v99) == (3, 10, 1, 2, 3)
+
+
+def test_autocorrelation_perfect_on_linear_series(spark):
+    from dataingestionframework_spark.operators.windows import autocorrelation
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(30)], ["g", "t", "v"]
+    )
+    r = autocorrelation(df, "v", ["g"], ["t"], lags=(1, 2)).first()
+    # a linear series is perfectly correlated with any lag of itself
+    assert r.n == 30 and r.acf_1 == 1.0 and r.acf_2 == 1.0

@@ -49,6 +49,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "curriculum_order_docs": {
         "BroadcastNestedLoopJoin": "1-row quartile cut-point broadcast"
     },
+    "bloom_anti_join_lineitem": {
+        "BroadcastNestedLoopJoin": "1-row bloom-bitmap broadcast"
+    },
     "hll_mergeable_rollup": {
         "BroadcastNestedLoopJoin": "1-row exact-total scalar broadcast"
     },
