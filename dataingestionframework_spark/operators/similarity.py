@@ -954,3 +954,100 @@ def int8_quantize_error(
             F.round(F.max(F.abs(F.col("_e"))), 6).alias("max_abs_err"),
         )
     )
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    query vector, the top-k most-cosine-similar corpus vectors with a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary, which is what makes a contrastive batch informative
+    (random negatives are trivially separable).
+
+    Same execution shape as :func:`knn_join_brute` — corpus (ids,
+    labels, L2-normalized matrix) broadcast once, each query partition
+    scores with one BLAS matmul per Arrow batch, zero shuffles — plus a
+    vectorized label mask: same-label columns (which include the query
+    itself) are dropped to −inf before the top-k lexsort, so positives
+    can never crowd negatives out of k and no over-fetch factor needs
+    guessing. Sims round to 6dp before ranking; ties break by id — the
+    deterministic order the SQL oracle reproduces. Queries with fewer
+    than k different-label candidates emit fewer rows (the −inf tail is
+    filtered, not emitted).
+
+    The corpus side must fit the driver (``max_broadcast_rows`` guard,
+    as in the brute join); at larger scale mine from an IVF over-fetch
+    (:func:`knn_join_indexed` with k·fetch, then filter labels) and
+    accept approximate negatives.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_corpus = df.count()
+    if n_corpus > max_broadcast_rows:
+        raise ValueError(
+            f"hard_negative_mining corpus has {n_corpus} rows "
+            f"(> max_broadcast_rows={max_broadcast_rows}); use an IVF "
+            "over-fetch + label filter for the distributed form"
+        )
+    rows = df.select(F.col(id_col), F.col(vec_col), F.col(label_col)).collect()
+    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    c_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    c_lab = np.array([r[2] for r in rows])
+    c_norm = c_mat / np.maximum(
+        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+    )
+    bc = df.sparkSession.sparkContext.broadcast((c_ids, c_norm, c_lab))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neg_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, labs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_mat = np.array(list(pdf["qvec"]), dtype=np.float64)
+            q_norm = q_mat / np.maximum(
+                np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(q_norm @ mat.T, 6)
+            same = labs[None, :] == pdf["qlab"].to_numpy()[:, None]
+            sims = np.where(same, -np.inf, sims)
+            order = np.lexsort(
+                (np.broadcast_to(ids, sims.shape), -sims), axis=1
+            )[:, :k]
+            picked = np.take_along_axis(sims, order, axis=1)
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), k),
+                    "neg_id": ids[order].ravel(),
+                    "cosine_sim": picked.ravel(),
+                    "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
+                }
+            )
+            yield out[np.isfinite(out["cosine_sim"])]
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlab"),
+    )
+    return q.mapInPandas(mine, schema=out_schema)

@@ -1094,3 +1094,100 @@ def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("run") * 100 >= F.col("total") * 99, F.col("r"))
         ).alias("v99"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table distributed — the iterative trainer that
+    completes the tokenizer story (:func:`bpe_pair_counts` = one
+    round's statistic, :func:`bpe_encode` = applying the result).
+
+    Scale shape: the corpus is reduced ONCE to the word-frequency table
+    (types weighted by counts — the classic BPE trainer state; types ≪
+    corpus), and every merge round then runs on that small table: one
+    weighted pair-count aggregate + deterministic argmax (count DESC,
+    pair ASC — a 1-row TakeOrdered collect, the per-round driver
+    traffic is a single pair), one Arrow ``mapInPandas`` pass folding
+    the winning pair into the symbol arrays (the fold is inherently
+    sequential per word — the sanctioned Python carve-out), and a
+    ``localCheckpoint`` so lineage stays flat across rounds. The corpus
+    itself is never rescanned after round 0.
+
+    Driver-side loop of ``n_merges`` tiny jobs — iterative by nature
+    (each round's statistic depends on the previous merge), hence
+    pytest-proven against a reference implementation rather than
+    SQL-oracled. Stops early when no pair reaches ``min_pair_count``.
+    Returns merges in rank order, ready for :func:`bpe_encode`.
+    """
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        s = F.col("syms")
+        idx = F.when(
+            F.size(s) >= 2, F.sequence(F.lit(0), F.size(s) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        best = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at(s, i + 1).alias("p1"),
+                            F.element_at(s, i + 2).alias("p2"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.p1", "p.p2")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p1").asc(), F.col("p2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].n < min_pair_count:
+            break
+        p1, p2 = best[0].p1, best[0].p2
+        merges.append((p1, p2))
+
+        def apply(batches: _It[_pd.DataFrame], _p1=p1, _p2=p2):
+            for pdf in batches:
+                folded = []
+                for syms in pdf["syms"]:
+                    out: list[str] = []
+                    for sym in syms:
+                        # top-of-stack fold == left-to-right
+                        # non-overlapping merge application
+                        if out and out[-1] == _p1 and sym == _p2:
+                            out[-1] = _p1 + _p2
+                        else:
+                            out.append(sym)
+                    folded.append(out)
+                yield _pd.DataFrame(
+                    {"syms": folded, "cnt": pdf["cnt"].astype("int64")}
+                )
+
+        vocab = vocab.mapInPandas(
+            apply, schema="syms array<string>, cnt long"
+        ).localCheckpoint()
+    return merges

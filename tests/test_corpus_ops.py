@@ -672,3 +672,64 @@ def test_bigram_lm_persisted_model_serves_and_generalizes(spark):
     finally:
         drop_table_and_location(spark, f"{prefix}_c12")
         drop_table_and_location(spark, f"{prefix}_c1")
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """Distributed BPE trainer vs a pure-Python reference (same
+    weighted pair counting on the word-frequency table, same
+    (count DESC, pair ASC) tie-break, same left-to-right
+    non-overlapping merge application): merge tables must be
+    identical, and encoding with the learned table compresses the
+    training corpus."""
+    from collections import Counter
+
+    from dataingestionframework_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new",
+        "wide wider widest low new",
+        "low new lower newer",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def reference(words: Counter, n: int):
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for _ in range(n):
+            pairs: Counter = Counter()
+            for w, cnt in words.items():
+                syms = vocab[w]
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += cnt
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            (p1, p2) = best[0]
+            merges.append((p1, p2))
+            for w, syms in vocab.items():
+                out = []
+                for sym in syms:
+                    if out and out[-1] == p1 and sym == p2:
+                        out[-1] = p1 + p2
+                    else:
+                        out.append(sym)
+                vocab[w] = out
+        return merges
+
+    words = Counter(w for t in texts for w in t.split())
+    exp = reference(words, 10)
+    got = bpe_train(df, n_merges=10)
+    assert got == exp and len(got) == 10
+
+    enc = {r.doc_id: r.n_tokens for r in bpe_encode(df, got).collect()}
+    # learned merges compress: fewer tokens than characters
+    chars = {i: sum(len(w) for w in t.split()) for i, t in enumerate(texts)}
+    assert all(enc[i] < chars[i] for i in enc)

@@ -922,3 +922,39 @@ def test_autocorrelation_perfect_on_linear_series(spark):
     r = autocorrelation(df, "v", ["g"], ["t"], lags=(1, 2)).first()
     # a linear series is perfectly correlated with any lag of itself
     assert r.n == 30 and r.acf_1 == 1.0 and r.acf_2 == 1.0
+
+
+def test_decode_pcm16_real_bytes_roundtrip(spark):
+    """decode_pcm16 must recover exact stats from genuine WAV bytes
+    built independently in Python (struct-packed), including negative
+    samples (two's complement) and the degenerate empty/None cases."""
+    import struct
+
+    from dataingestionframework_spark.operators.multimodal import (
+        decode_pcm16,
+        parse_media_headers,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    data = struct.pack("<" + "h" * len(samples), *samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    assert len(hdr) == 44
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + data)), (2, bytearray(b"")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in decode_pcm16(df).collect()}
+    r = out[1]
+    assert (r.n_samples, r.sum_val, r.min_val, r.max_val) == (
+        6, sum(samples), -32768, 32767,
+    )
+    assert r.sum_sq == sum(s * s for s in samples)
+    assert out[2].n_samples == 0 and out[2].min_val is None
+    assert out[3].n_samples == 0
+    # the same bytes satisfy the header prober (consistent WAV layout)
+    meta = parse_media_headers(df.filter("doc_id = 1"), "payload").first()
+    assert meta.media_kind == "wav" and meta.sample_rate == 16000

@@ -721,3 +721,73 @@ def test_near_dup_intake_dropped_docs_block_across_batches(spark, tmp_root):
         assert gone == [5, 9]
     finally:
         drop_table_and_location(spark, idx)
+
+
+def test_stream_interval_full_outer_join_both_null_extensions(spark, tmp_root):
+    """Full-outer stream-stream join: BOTH sides get null extension —
+    an unmatched left row emits with null right columns and an
+    unmatched right row emits with null left columns, each only after
+    the global (min-across-inputs) watermark proves its window closed."""
+    import os
+    from datetime import datetime, timedelta
+
+    from dataingestionframework_spark.streaming.joins import stream_interval_join
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    lsrc = os.path.join(tmp_root, "fo_left")
+    rsrc = os.path.join(tmp_root, "fo_right")
+    out = os.path.join(tmp_root, "fo_out")
+    ckpt = os.path.join(tmp_root, "fo_ckpt")
+    spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=30), 100),   # will match right 900
+         (2, t0 + timedelta(minutes=30), 200)],  # unmatched left
+        "user_id long, ts timestamp, left_id long",
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        [(1, t0, 900), (7, t0, 901)],            # 901 unmatched right
+        "user_id long, ts timestamp, right_id long",
+    ).write.parquet(rsrc)
+
+    def run_once():
+        lp = spark.readStream.schema(
+            "user_id long, ts timestamp, left_id long"
+        ).parquet(lsrc)
+        rp = spark.readStream.schema(
+            "user_id long, ts timestamp, right_id long"
+        ).parquet(rsrc)
+        q = (
+            stream_interval_join(
+                lp, rp, on="user_id", watermark="10 minutes",
+                within="1 hour", how="full_outer",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.user_id, r.left_id, r.r_right_id)
+            for r in spark.read.schema(
+                "user_id long, ts timestamp, left_id long, "
+                "r_ts timestamp, r_right_id long"
+            ).parquet(out).collect()
+        }
+
+    first = run_once()
+    assert first == {(1, 100, 900)}  # only the match emits immediately
+    # advance the min-watermark on BOTH inputs so both windows expire
+    spark.createDataFrame(
+        [(99, t0 + timedelta(days=2), 902)],
+        "user_id long, ts timestamp, right_id long",
+    ).write.mode("append").parquet(rsrc)
+    spark.createDataFrame(
+        [(98, t0 + timedelta(days=2), 102)],
+        "user_id long, ts timestamp, left_id long",
+    ).write.mode("append").parquet(lsrc)
+    run_once()
+    final = run_once()  # no-data batch flushes both expired sides
+    assert (2, 200, None) in final   # left null-extension
+    assert (7, None, 901) in final   # right null-extension
