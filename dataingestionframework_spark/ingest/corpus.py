@@ -559,3 +559,70 @@ def embedding_incremental_ann_intake(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def forget_documents(
+    spark,
+    forget_ids,
+    sink_path: str,
+    index_table: str | None = None,
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> dict[str, int]:
+    """Right-to-be-forgotten across every surface the intake pipeline
+    persists a document to: the corpus sink, the companion
+    ``<sink>_dropped`` blocker store, and the bucketed LSH band index.
+    After this call the documents are gone AND stop acting as near-dup
+    blockers — a re-submitted copy of a forgotten text is admitted,
+    which the pytest proves (deletion that leaves index residue behind
+    is a silent privacy leak).
+
+    ``forget_ids`` is a list of ids or a 1-column DataFrame. Parquet
+    surfaces rewrite via anti-join → ``localCheckpoint`` (materialize
+    BEFORE overwrite — Spark cannot lazily read a path it is
+    overwriting) → overwrite; the index table rewrites through the
+    same drop-and-recreate path as its builder, preserving the bucket
+    spec so post-forget intake batches still join shuffle-free. At
+    100 TB swap the sink rewrites for Delta DELETE (file-level rewrite
+    of only affected files); the index rewrite stays bucket-preserving
+    either way.
+
+    Returns per-surface removed-row counts.
+    """
+    from ..operators.bucketing import drop_table_and_location
+
+    if isinstance(forget_ids, (list, tuple)):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in forget_ids], f"{id_col} long"
+        )
+    else:
+        ids = forget_ids.select(id_col)
+    ids = ids.localCheckpoint()
+    removed: dict[str, int] = {}
+
+    for label, path in (("sink", sink_path), ("dropped", sink_path.rstrip("/") + "_dropped")):
+        try:
+            cur = spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — surface not created yet
+            removed[label] = 0
+            continue
+        before = cur.count()
+        kept = cur.join(ids, id_col, "left_anti").localCheckpoint()
+        kept.write.mode("overwrite").parquet(path)
+        removed[label] = before - kept.count()
+
+    if index_table and spark.catalog.tableExists(index_table):
+        cur = spark.table(index_table)
+        before = cur.count()
+        kept = cur.join(ids, id_col, "left_anti").localCheckpoint()
+        drop_table_and_location(spark, index_table)
+        (
+            kept.write.mode("overwrite")
+            .bucketBy(n_buckets, "bucket_key")
+            .sortBy("bucket_key")
+            .saveAsTable(index_table)
+        )
+        removed["index"] = before - spark.table(index_table).count()
+    else:
+        removed["index"] = 0
+    return removed

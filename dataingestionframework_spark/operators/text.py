@@ -1191,3 +1191,35 @@ def bpe_train(
             apply, schema="syms array<string>, cnt long"
         ).localCheckpoint()
     return merges
+
+
+def blocklist_filter(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Phrase-blocklist content filter — the word-boundary screening
+    pass (toxicity/NSFW/PII-term lists, licensing strings) every corpus
+    pipeline runs before expensive model-based filters. The phrase list
+    is domain policy and comes from the caller; this operator is the
+    mechanism.
+
+    One RE2-safe alternation ``\\b(?:p1|p2|…)\\b`` over lowercased
+    text, evaluated as a single scan-side ``regexp_count`` — JVM
+    codegen, zero shuffles, and the same pattern string runs unchanged
+    in DuckDB (the gate twin) or Go/RE2 tooling for audits. Phrases are
+    regex-escaped, so lists can contain metacharacters safely.
+
+    Adds ``n_blocked_hits`` and ``blocklist_pass`` (hits ≤ ``max_hits``
+    — a small tolerance absorbs quoted/incidental mentions).
+    """
+    import re as _re
+
+    if not phrases:
+        raise ValueError("blocklist_filter needs at least one phrase")
+    pat = r"\b(?:" + "|".join(_re.escape(p.lower()) for p in phrases) + r")\b"
+    hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+    return df.withColumn("n_blocked_hits", hits).withColumn(
+        "blocklist_pass", hits <= max_hits
+    )

@@ -1676,6 +1676,65 @@ ORACLES: dict[str, str] = {
         )
         WHERE jaccard_sim >= 0.3
     """,
+    # identical RE2 alternation evaluated by DuckDB's regex engine;
+    # hits counted via regexp_extract_all length
+    "blocklist_filter_docs": r"""
+        WITH h AS (
+            SELECT lang,
+                   len(regexp_extract_all(lower(text),
+                       '\b(?:merge|window sort)\b')) AS hits
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(CASE WHEN hits <= 2 THEN 1 ELSE 0 END) AS n_passing,
+               sum(hits) AS total_hits
+        FROM h GROUP BY lang
+    """,
+    # the identical 4x1024 count-min sketch rebuilt in SQL (same
+    # md5-prefix buckets), so estimates match INCLUDING collisions
+    "cms_frequency_orders": """
+        WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+        occ AS (SELECT o_custkey AS custkey FROM orders),
+        cms AS (
+            SELECT seed,
+                   ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':'
+                       || CAST(custkey AS VARCHAR)), 1, 15))::UBIGINT
+                       % 1024 AS bucket,
+                   count(*) AS cnt
+            FROM occ, seeds GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT c_custkey AS custkey, seed,
+                   ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':'
+                       || CAST(c_custkey AS VARCHAR)), 1, 15))::UBIGINT
+                       % 1024 AS bucket
+            FROM customer, seeds WHERE c_custkey < 20
+        ),
+        est AS (
+            SELECT p.custkey,
+                   CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+            FROM probes p LEFT JOIN cms c USING (seed, bucket)
+            GROUP BY p.custkey
+        ),
+        tru AS (SELECT custkey, count(*) AS true_cnt FROM occ GROUP BY 1)
+        SELECT e.custkey, e.est_cnt,
+               CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+               CAST(e.est_cnt - coalesce(t.true_cnt, 0) AS BIGINT)
+                   AS overestimate
+        FROM est e LEFT JOIN tru t USING (custkey)
+    """,
+    # WARC parse∘build = id: every parsed record field is a pure
+    # function of the source row (strlen = octet count, matching
+    # Content-Length framing)
+    "warc_roundtrip_docs": """
+        SELECT 'response' AS warc_type,
+               '<urn:corpus:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+               'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                   AS target_uri,
+               CAST(strlen(text) AS BIGINT) AS content_length,
+               text
+        FROM documents WHERE doc_id < 240
+    """,
     # exact ground truth for hard negatives: all-pairs cosine with a
     # label-mismatch filter, ranked (sim 6dp DESC, id ASC) per query
     "hard_negatives_embeddings": """

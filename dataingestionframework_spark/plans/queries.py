@@ -318,6 +318,101 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates_minhash(t("documents"), threshold=0.3)
 
 
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-blocklist screening (operators.text.blocklist_filter):
+    word-boundary hit counts for a stand-in policy list, one scan-side
+    RE2-safe regexp_count — the cheap first gate before model-based
+    content filters. Aggregated to (lang, n_docs, n_passing, total
+    hits) so the oracle is compact."""
+    from ..operators.text import blocklist_filter
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    out = blocklist_filter(
+        t("documents"), ["merge", "window sort"], max_hits=2
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("blocklist_pass").cast("long")).alias("n_passing"),
+        F.sum("n_blocked_hits").alias("total_hits"),
+    )
+
+
+def cms_frequency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators.sketches): order
+    counts per customer estimated from a 4×1024 sketch vs exact truth.
+    The sketch's portable md5 hashing lets the oracle REBUILD the
+    identical sketch in SQL — even collisions hash-match — and the
+    one-sided bound (est ≥ true) is visible in the overestimate
+    column. The sketch table is additively mergeable (pytest proves
+    shard-merge = one-shot), which is the 100 TB rollup story."""
+    from ..operators.sketches import cms_build, cms_estimate
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    occ = t("orders").select(F.col("o_custkey").alias("custkey"))
+    sketch = cms_build(occ, "custkey")
+    keys = t("customer").select(
+        F.col("c_custkey").alias("custkey")
+    ).filter(F.col("custkey") < 20)
+    est = cms_estimate(sketch, keys, "custkey")
+    true = occ.groupBy("custkey").agg(F.count("*").alias("true_cnt"))
+    return (
+        est.join(true, "custkey", "left")
+        .select(
+            "custkey",
+            "est_cnt",
+            F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+            (F.col("est_cnt") - F.coalesce("true_cnt", F.lit(0))).alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion under the hash gate: serialize documents into 8
+    genuine multi-record WARC/1.0 file images in-plan (version line,
+    headers, Content-Length, length-delimited payload), then parse them
+    back with sources.warc.warc_parse — a real length-driven parser,
+    not split-on-separator, so payloads containing the record separator
+    cannot break framing. The oracle recomputes every record field
+    directly from the documents table: equality proves parse∘build = id
+    on the container format web-crawl corpora actually arrive in."""
+    from ..sources.warc import warc_parse
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    docs = t("documents").select("doc_id", "text").filter(F.col("doc_id") < 240)
+    did = F.col("doc_id")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:corpus:"),
+        did.cast("string"),
+        F.lit(">\r\nWARC-Target-URI: http://corpus.local/doc/"),
+        did.cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    files = (
+        docs.select(F.pmod(did, 8).alias("f"), F.struct(did.alias("i"), rec.alias("r")).alias("s"))
+        .groupBy("f")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["r"]),
+                "",
+            )
+            .cast("binary")
+            .alias("content")
+        )
+    )
+    return warc_parse(files).select(
+        "warc_type", "record_id", "target_uri", "content_length", "text"
+    )
+
+
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators.similarity.hard_negative_mining)
     for the first 20 vectors: top-3 most-similar DIFFERENT-label
@@ -4856,6 +4951,9 @@ QUERIES = {
     "acf_hourly_events": acf_hourly_events,
     "pcm_decode_stats_docs": pcm_decode_stats_docs,
     "hard_negatives_embeddings": hard_negatives_embeddings,
+    "warc_roundtrip_docs": warc_roundtrip_docs,
+    "cms_frequency_orders": cms_frequency_orders,
+    "blocklist_filter_docs": blocklist_filter_docs,
     "cusum_changepoint_events": cusum_changepoint_events,
     "vocab_coverage_docs": vocab_coverage_docs,
     "simhash_near_dup": simhash_near_dup,

@@ -379,3 +379,39 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark, tmp_root):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_static_and_dynamic_partition_pruning(spark, tmp_root):
+    """Hive-style partition layout earns both pruning forms: a literal
+    predicate prunes at PLAN time (PartitionFilters on the scan, only
+    matching directories listed), and a join against a selectively
+    filtered dim prunes at RUNTIME (dynamic partition pruning: the
+    fact scan's partition filter is a subquery over the dim). At
+    100 TB these are the difference between scanning one day and
+    scanning the archive."""
+    import os
+
+    fact_p = os.path.join(tmp_root, "dpp_fact")
+    (
+        spark.range(20000)
+        .withColumn("day", (F.col("id") % 20).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+        .write.partitionBy("day")
+        .parquet(fact_p)
+    )
+    fact = spark.read.parquet(fact_p)
+
+    # static pruning: literal partition predicate reaches the scan
+    q1 = fact.filter(F.col("day") == 3).agg(F.sum("v").alias("s"))
+    plan1 = q1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan1, plan1
+    assert q1.first().s == sum(i * 2 for i in range(20000) if i % 20 == 3)
+
+    # dynamic pruning: partition keys only known after filtering dim
+    dim = spark.range(20).withColumn("day", F.col("id").cast("int")).filter(
+        F.col("id") < 2
+    )
+    q2 = fact.join(dim.select("day"), "day").agg(F.count("*").alias("n"))
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan2, plan2
+    assert q2.first().n == 2000  # 2 of 20 partitions survive

@@ -958,3 +958,64 @@ def test_decode_pcm16_real_bytes_roundtrip(spark):
     # the same bytes satisfy the header prober (consistent WAV layout)
     meta = parse_media_headers(df.filter("doc_id = 1"), "payload").first()
     assert meta.media_kind == "wav" and meta.sample_rate == 16000
+
+
+def test_warc_parse_length_driven_framing(spark):
+    """Length-driven WARC framing: payloads that CONTAIN the record
+    separator bytes and even a fake 'WARC/1.0' line must not break
+    record boundaries — only Content-Length advances the cursor."""
+    from dataingestionframework_spark.sources.warc import (
+        parse_warc_bytes,
+        warc_parse,
+    )
+
+    def rec(rid: str, payload: str) -> bytes:
+        body = payload.encode()
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Record-ID: <{rid}>\r\n".encode()
+            + f"WARC-Target-URI: http://x/{rid}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+
+    evil = "before\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\nafter"
+    blob = rec("a", "hello") + rec("b", evil) + rec("c", "world")
+    rows = parse_warc_bytes(blob)
+    assert [r[1] for r in rows] == ["<a>", "<b>", "<c>"]
+    assert rows[1][5] == evil and rows[1][4] == len(evil.encode())
+
+    df = spark.createDataFrame([(bytearray(blob),)], "content binary")
+    got = warc_parse(df).collect()
+    assert sorted(r.record_id for r in got) == ["<a>", "<b>", "<c>"]
+    assert all(r.warc_type == "response" for r in got)
+
+
+def test_cms_merge_equals_oneshot_and_one_sided_bound(spark):
+    """Count-min invariants: (1) merging per-shard sketches equals the
+    one-shot sketch of the union (additive mergeability — the 100 TB
+    rollup property); (2) estimates never undercount (one-sided
+    error); (3) a planted heavy hitter is estimated exactly (its
+    counters dominate any collision noise at this width)."""
+    from dataingestionframework_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(i % 50,) for i in range(2000)] + [(999,)] * 400
+    df = spark.createDataFrame(rows, ["k"])
+    a, b = df.filter("k % 2 = 0"), df.filter("k % 2 = 1")
+    merged = cms_merge(cms_build(a, "k"), cms_build(b, "k"))
+    oneshot = cms_build(df, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(50)] + [(999,)], ["k"])
+    est = {r.k: r.est_cnt for r in cms_estimate(oneshot, keys, "k").collect()}
+    true = {r.k: r.cnt for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert all(est[k] >= true[k] for k in true)
+    assert est[999] == 400  # heavy hitter exact at this width

@@ -791,3 +791,58 @@ def test_stream_interval_full_outer_join_both_null_extensions(spark, tmp_root):
     final = run_once()  # no-data batch flushes both expired sides
     assert (2, 200, None) in final   # left null-extension
     assert (7, None, 901) in final   # right null-extension
+
+
+def test_forget_documents_removes_every_surface(spark, tmp_root):
+    """Right-to-be-forgotten: after forget_documents the id is gone
+    from the sink, the dropped store, and the LSH band index — and a
+    re-submitted copy of the forgotten text is ADMITTED (index residue
+    that still blocks a forgotten doc would be a privacy leak)."""
+    from dataingestionframework_spark.ingest.corpus import (
+        corpus_incremental_near_dup_intake,
+        forget_documents,
+    )
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+
+    src = os.path.join(tmp_root, "fg_src")
+    sink = os.path.join(tmp_root, "fg_sink")
+    idx = "dif_test_forget_idx"
+    drop_table_and_location(spark, idx)
+    try:
+        schema = "doc_id long, text string"
+        t1 = ("data stream batch row column table scan filter join agg "
+              "sort window group limit union merge insert update delete")
+        t2 = ("the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the deep dark quiet forest tonight")
+        near1 = t1.replace("window", "zzz")  # near-dup of t1 -> dropped
+
+        def intake(rows):
+            # one checkpoint across intakes: already-processed source
+            # files are not replayed (matching production intake)
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            st = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            corpus_incremental_near_dup_intake(
+                st, sink, os.path.join(tmp_root, "fg_ck"), idx, threshold=0.5
+            ).awaitTermination(180)
+
+        intake([(1, t1), (2, t2), (3, near1)])
+        assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == [1, 2]
+        assert [r.doc_id for r in spark.read.parquet(sink + "_dropped").collect()] == [3]
+
+        removed = forget_documents(spark, [1, 3], sink, idx)
+        assert removed == {"sink": 1, "dropped": 1, "index": 2 * 16}
+        assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == [2]
+        assert spark.read.parquet(sink + "_dropped").count() == 0
+        assert spark.table(idx).filter(F.col("doc_id").isin(1, 3)).count() == 0
+
+        # a copy of the forgotten text must now be ADMITTED
+        intake([(10, t1)])
+        assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == [2, 10]
+    finally:
+        drop_table_and_location(spark, idx)
