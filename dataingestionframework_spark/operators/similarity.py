@@ -1051,3 +1051,228 @@ def hard_negative_mining(
         F.col(label_col).alias("qlab"),
     )
     return q.mapInPandas(mine, schema=out_schema)
+
+
+def margin_bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k_margin: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ratio margin — the
+    LASER/CCMatrix recipe for harvesting parallel sentence pairs from
+    two monolingual embedding pools): for source x and target y,
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where avgNN_k(x) is the mean cosine of x's k nearest targets (and
+    symmetrically for y over sources). Dividing by the local similarity
+    scale cancels hubness — a y that is "close to everything" gets its
+    margin deflated, which raw cosine thresholding cannot do.
+
+    Execution shape: two :func:`knn_join_brute` passes (src→tgt and
+    tgt→src; each is one broadcast + one BLAS matmul per Arrow batch,
+    zero shuffles), two k-row averages, then margins over the src→tgt
+    candidate pairs and one window per direction. Candidates are x's
+    top-k by cosine — the standard restriction; a pair outside both
+    top-k lists is never a credible translation. At larger-than-
+    broadcast pools swap each brute pass for :func:`knn_join_indexed`
+    over a persisted IVF index; margins and windows are unchanged.
+
+    Returns one row per source: (src_id, tgt_id, cosine_sim, margin,
+    mutual) — its best target by margin (6dp, ties by tgt id), with
+    ``mutual`` true iff the pair is also the target's best source
+    (the "intersection" mining strategy; filter on it for precision,
+    on margin alone for recall).
+    """
+    from pyspark.sql import Window
+
+    fwd = knn_join_brute(
+        src, tgt, k=k_margin, left_id=id_col, right_id=id_col,
+        vec_col=vec_col, max_broadcast_rows=max_broadcast_rows,
+    )
+    bwd = knn_join_brute(
+        tgt, src, k=k_margin, left_id=id_col, right_id=id_col,
+        vec_col=vec_col, max_broadcast_rows=max_broadcast_rows,
+    )
+    a_src = fwd.groupBy("left_id").agg(F.avg("cosine_sim").alias("a_src"))
+    a_tgt = bwd.groupBy("left_id").agg(F.avg("cosine_sim").alias("a_tgt"))
+    cand = (
+        fwd.select(
+            F.col("left_id").alias("src_id"),
+            F.col("right_id").alias("tgt_id"),
+            "cosine_sim",
+        )
+        .join(a_src.withColumnRenamed("left_id", "src_id"), "src_id")
+        .join(a_tgt.withColumnRenamed("left_id", "tgt_id"), "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine_sim")
+                / ((F.col("a_src") + F.col("a_tgt")) / F.lit(2.0)),
+                6,
+            ),
+        )
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id")
+    )
+    return (
+        cand.withColumn("_fr", F.row_number().over(w_fwd))
+        .withColumn("_br", F.row_number().over(w_bwd))
+        .filter(F.col("_fr") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine_sim",
+            "margin",
+            (F.col("_br") == 1).alias("mutual"),
+        )
+    )
+
+
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> DataFrame:
+    """Distributed Gram / scatter matrix of an embedding column: the
+    d×d matrix Σᵢ (xᵢ−μ)(xᵢ−μ)ᵀ as (i, j, val) rows — the input to
+    PCA/whitening (the preprocessing SemDeDup-style pipelines run
+    before clustering, so dominant directions don't drown the rest).
+
+    Scale shape: each Arrow batch contributes ONE d×d partial via a
+    BLAS ``XᵀX`` matmul (``mapInPandas``), and partials merge with a
+    tiny groupBy over d² keys — the map-side-combine pattern that makes
+    this a single linear pass at 100 TB with a shuffle of only
+    O(partitions·d²) matrix entries, never row data. Centering uses the
+    algebraic identity ``Σ(x−μ)(x−μ)ᵀ = ΣxxᵀN − (Σx)(Σx)ᵀ/N`` so one
+    pass suffices: each batch emits raw ``XᵀX``, column sums, and its
+    row count, and the driver-side identity is applied IN PLAN by
+    joining the three aggregates (all ≤ d² rows).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            g = x.T @ x
+            d = g.shape[0]
+            i = np.repeat(np.arange(d), d)
+            j = np.tile(np.arange(d), d)
+            yield pd.DataFrame(
+                {
+                    "i": i.astype(np.int32),
+                    "j": j.astype(np.int32),
+                    "xx": g.ravel(),
+                    # column sums ride along on the diagonal keys
+                    "sx": np.where(i == j, x.sum(axis=0)[i % d], 0.0),
+                    "n": np.int64(len(x)),
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        partial, schema="i int, j int, xx double, sx double, n long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("xx").alias("xx"),
+        F.sum("sx").alias("sx"),
+        F.sum("n").alias("n"),
+    )
+    if not center:
+        return agg.select("i", "j", F.col("xx").alias("val"))
+    # join the two diagonal-carried sum vectors back onto every (i, j)
+    si = agg.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_i"), F.col("sx").alias("sum_i")
+    )
+    sj = si.select(F.col("_i").alias("_j"), F.col("sum_i").alias("sum_j"))
+    n_total = agg.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("n").alias("n_total")
+    )
+    return (
+        agg.join(si, agg["i"] == si["_i"])
+        .join(sj, agg["j"] == sj["_j"])
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("xx") - F.col("sum_i") * F.col("sum_j") / F.col("n_total")
+            ).alias("val"),
+        )
+    )
+
+
+def embedding_pca_project(
+    df: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    whiten: bool = False,
+) -> DataFrame:
+    """PCA projection of an embedding column: eigendecompose the
+    centered Gram matrix (d×d — driver-side numpy on the
+    :func:`embedding_gram` output, the one part that is NOT data-sized)
+    and project every row onto the top components with one broadcast
+    BLAS matmul per Arrow batch. ``whiten=True`` scales each component
+    to unit variance — the whitening SemDeDup applies before cosine
+    clustering. Component signs are fixed deterministically (largest-
+    magnitude loading positive) so output is reproducible across runs.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    gram = embedding_gram(df, vec_col=vec_col, center=True)
+    rows = gram.collect()  # d² entries — model-sized, not data-sized
+    d = max(r.i for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r.i, r.j] = r.val
+    n = df.count()
+    cov /= max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    w, v = evals[order], evecs[:, order]
+    flip = np.sign(v[np.argmax(np.abs(v), axis=0), np.arange(v.shape[1])])
+    v = v * flip
+    if whiten:
+        v = v / np.sqrt(np.maximum(w, 1e-12))
+    # distributed mean: posexplode → d-key partial-agg groupBy (the
+    # map-side combine keeps the shuffle at O(partitions·d))
+    mu = np.zeros(d)
+    for r in (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    ):
+        mu[r.pos] = r.m
+    bc = df.sparkSession.sparkContext.broadcast((mu, v))
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, vv = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64) - m
+            p = x @ vv
+            yield pd.DataFrame(
+                {"out_id": pdf["_id"], "components": list(map(list, p))}
+            )
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col)
+    ).mapInPandas(project, schema="out_id long, components array<double>")
+    return out.select(F.col("out_id").alias(id_col), "components")

