@@ -627,3 +627,106 @@ def fuzzy_decontaminate(
             "jaccard_sim",
         )
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al.'s PSM
+    layout): deterministically cut each document into prefix / middle /
+    suffix and emit ``<PRE>prefix<SUF>suffix<MID>middle``, teaching an
+    autoregressive model to infill — the standard augmentation for code
+    corpora, applied at a document granularity here.
+
+    Cut points derive from the engine-portable md5 hash of
+    (seed, doc id), so the transform is reproducible across runs AND
+    rebuildable by a SQL twin: ``a ∈ [1, L−2]``, ``b ∈ [a+1, L−1]``,
+    all three pieces non-empty. Documents shorter than 3 characters
+    pass through unchanged (NULL cuts). Pure column expressions —
+    scan-side, zero shuffles, linear at any scale.
+    """
+    from .text import portable_gram_hash
+
+    txt = F.col(text_col)
+    ln = F.length(txt)
+    key = lambda tag: F.concat_ws(  # noqa: E731
+        ":", F.lit(tag), F.lit(str(seed)), F.col(id_col).cast("string")
+    )
+    a = (F.lit(1) + F.pmod(portable_gram_hash(key("fim1")), ln - 2)).cast("int")
+    b = (a + 1 + F.pmod(portable_gram_hash(key("fim2")), ln - a - 1)).cast("int")
+    fim = F.concat(
+        F.lit(pre_tok),
+        F.substr(txt, F.lit(1), a),
+        F.lit(suf_tok),
+        F.substr(txt, b + 1, ln - b),
+        F.lit(mid_tok),
+        F.substr(txt, a + 1, b - a),
+    )
+    ok = ln >= 3
+    return df.withColumn("cut_a", F.when(ok, a)).withColumn(
+        "cut_b", F.when(ok, b)
+    ).withColumn("fim_text", F.when(ok, fim).otherwise(txt))
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: exact word-n-gram Jaccard
+    between every pair of sub-corpora — the audit that catches one
+    source republishing another (mirrors, scrapes, benchmark leakage
+    between training subsets) before both are sampled as if
+    independent.
+
+    Shape: grams explode once per document (posexplode + lead window),
+    map to their source, distinct to per-source gram SETS, then a
+    self-equi-join on the gram — per-gram fan-out is bounded by the
+    number of sources sharing it (≤ |groups|), so with a bounded group
+    count this is linear in corpus size, never all-pairs over
+    documents. For thousands of groups swap the exact join for MinHash
+    sketches per group (operators.dedup.minhash_signatures) and
+    estimate the same matrix. Pairs with zero shared grams are omitted.
+    """
+    from ..functions import exploded_word_ngrams
+
+    src_map = df.select(F.col(id_col), F.col(group_col).alias("_grp"))
+    grams = exploded_word_ngrams(df, text_col, id_col, n=n)
+    sg = (
+        grams.join(src_map, id_col)
+        .select(F.col("_grp").alias("grp"), "gram")
+        .distinct()
+    )
+    sizes = sg.groupBy("grp").agg(F.count("*").alias("n_grams"))
+    a = sg.select(F.col("grp").alias("src_a"), "gram")
+    b = sg.select(F.col("grp").alias("src_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("grp").alias("src_a"), F.col("n_grams").alias("_na"))
+    zb = sizes.select(F.col("grp").alias("src_b"), F.col("n_grams").alias("_nb"))
+    return (
+        pairs.join(za, "src_a")
+        .join(zb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

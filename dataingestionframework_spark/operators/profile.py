@@ -114,3 +114,65 @@ def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame
         .cast("long")
         .alias("fingerprint"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of ``value_col`` — the distribution-drift monitor quality
+    pipelines run on every ingest window (rule of thumb: PSI < 0.1
+    stable, 0.1–0.25 investigate, > 0.25 the upstream changed).
+
+    Equi-width buckets over [lo, hi) with the edges clamped into the
+    first/last bucket; proportions are floored at ``eps`` so empty
+    buckets contribute a large-but-finite term instead of ±∞. Shape:
+    two linear bucket-count aggregates (map-side combine onto
+    ``n_buckets`` keys), a broadcast join against the static bucket
+    spine so EMPTY buckets still appear, and a 1-row totals broadcast —
+    no window-over-nothing, no global sort; at 100 TB each side is one
+    scan. Returns one row per bucket: proportions and the signed PSI
+    term ``(q−p)·ln(q/p)``; sum the column for the headline index.
+    """
+    width = (hi - lo) / n_buckets
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            ),
+        ).cast("int")
+        return (
+            df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    spark = ref.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        spine.join(counts(ref, "n_ref"), "bucket", "left")
+        .join(counts(cur, "n_cur"), "bucket", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(eps))
+    q = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(eps))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )

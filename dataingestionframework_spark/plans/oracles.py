@@ -1771,6 +1771,72 @@ ORACLES: dict[str, str] = {
                text
         FROM documents WHERE doc_id < 240
     """,
+    # identical md5 cut-point arithmetic rebuilds the exact PSM strings
+    "fim_transform_docs": """
+        WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents),
+        h AS (SELECT doc_id, text, l,
+                CAST(1 + ('0x' || substring(md5('fim1:0:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                    % (l - 2) AS INTEGER) AS a
+              FROM d WHERE l >= 3),
+        h2 AS (SELECT doc_id, text, l, a,
+                CAST(a + 1 + ('0x' || substring(md5('fim2:0:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                    % (l - a - 1) AS INTEGER) AS b
+               FROM h)
+        SELECT doc_id, a AS cut_a, b AS cut_b,
+               '<PRE>' || substring(text, 1, a)
+                   || '<SUF>' || substring(text, b + 1, l - b)
+                   || '<MID>' || substring(text, a + 1, b - a) AS fim_text
+        FROM h2
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), text
+        FROM d WHERE l < 3
+    """,
+    # same distinct per-source gram sets, pairwise via the gram join
+    "source_overlap_docs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+        g0 AS ({_GRAMS3}),
+        sg AS (SELECT DISTINCT d.source AS grp, g.gram
+               FROM g0 g JOIN documents d USING (doc_id)),
+        sz AS (SELECT grp, count(*) AS n FROM sg GROUP BY grp),
+        pairs AS (SELECT a.grp AS src_a, b.grp AS src_b,
+                         count(*) AS n_common
+                  FROM sg a JOIN sg b
+                    ON a.gram = b.gram AND a.grp < b.grp
+                  GROUP BY 1, 2)
+        SELECT p.src_a, p.src_b, p.n_common,
+               round(CAST(p.n_common AS DOUBLE)
+                     / (za.n + zb.n - p.n_common), 6) AS jaccard
+        FROM pairs p JOIN sz za ON za.grp = p.src_a
+        JOIN sz zb ON zb.grp = p.src_b
+    """,
+    # same equi-width buckets over a static spine; proportions floored
+    # at eps before the (q-p)*ln(q/p) term
+    "psi_drift_events": """
+        WITH b AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bucket),
+        r AS (SELECT least(9, greatest(0,
+                  CAST(floor(value / 50.0) AS INTEGER))) AS bucket
+              FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        c AS (SELECT least(9, greatest(0,
+                  CAST(floor(value / 50.0) AS INTEGER))) AS bucket
+              FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        rc AS (SELECT bucket, count(*) AS n_ref FROM r GROUP BY 1),
+        cc AS (SELECT bucket, count(*) AS n_cur FROM c GROUP BY 1),
+        j AS (SELECT b.bucket, coalesce(rc.n_ref, 0) AS n_ref,
+                     coalesce(cc.n_cur, 0) AS n_cur
+              FROM b LEFT JOIN rc USING (bucket)
+              LEFT JOIN cc USING (bucket)),
+        t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+        SELECT bucket, n_ref, n_cur,
+               round(greatest(n_ref / tr, 1e-6), 6) AS p_ref,
+               round(greatest(n_cur / tc, 1e-6), 6) AS p_cur,
+               round((greatest(n_cur / tc, 1e-6)
+                      - greatest(n_ref / tr, 1e-6))
+                     * ln(greatest(n_cur / tc, 1e-6)
+                          / greatest(n_ref / tr, 1e-6)), 6) AS psi_term
+        FROM j, t
+    """,
     # direct two-pass Σ(x−μ)(x−μ)ᵀ — equality proves the one-pass
     # Gram identity (raw XᵀX minus rank-1 mean correction)
     "embedding_gram_embeddings": """

@@ -450,6 +450,62 @@ def margin_bitext_mine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def fim_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (operators.corpus.
+    fim_transform): every document deterministically cut into
+    prefix/middle/suffix and re-emitted in PSM layout
+    (``<PRE>p<SUF>s<MID>m``) — the infilling augmentation code corpora
+    get before tokenization. Cut points are portable md5 arithmetic,
+    so the oracle rebuilds the exact strings; pure scan-side
+    expressions, zero shuffles."""
+    from ..operators.corpus import fim_transform
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return fim_transform(t("documents")).select(
+        "doc_id", "cut_a", "cut_b", "fim_text"
+    )
+
+
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators.corpus.
+    source_overlap): exact word-3-gram Jaccard between every pair of
+    the corpus's sources — the audit for one subset republishing
+    another before both are mixed as if independent. Grams explode
+    once, the pair join keys on the gram (fan-out bounded by sources
+    per gram), sizes broadcast back; the oracle recomputes the matrix
+    from the same distinct gram sets."""
+    from ..operators.corpus import source_overlap
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return source_overlap(t("documents"))
+
+
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (operators.profile.psi_drift):
+    Population Stability Index of the event value distribution,
+    first half of January as the reference window vs the rest as the
+    current window — per-bucket proportions and signed PSI terms over
+    a static 10-bucket spine (empty buckets included). Two linear
+    bucket-count aggregates + a 1-row totals broadcast; no global
+    sort."""
+    from ..operators.profile import psi_drift
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return psi_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_buckets=10,
+    )
+
+
 def embedding_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed centered scatter matrix (operators.similarity.
     embedding_gram) — the PCA/whitening input SemDeDup-style pipelines
@@ -5061,6 +5117,9 @@ QUERIES = {
     "hard_negatives_embeddings": hard_negatives_embeddings,
     "margin_bitext_mine_embeddings": margin_bitext_mine_embeddings,
     "embedding_gram_embeddings": embedding_gram_embeddings,
+    "fim_transform_docs": fim_transform_docs,
+    "source_overlap_docs": source_overlap_docs,
+    "psi_drift_events": psi_drift_events,
     "warc_roundtrip_docs": warc_roundtrip_docs,
     "cms_frequency_orders": cms_frequency_orders,
     "blocklist_filter_docs": blocklist_filter_docs,

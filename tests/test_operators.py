@@ -1128,3 +1128,63 @@ def test_embedding_pca_project_matches_numpy(spark):
         [r.components for r in sorted(white.collect(), key=lambda r: r.vec_id)]
     )
     assert np.allclose(pw.var(axis=0, ddof=1), 1.0, rtol=1e-9)
+
+
+def test_fim_transform_reassembles_and_is_deterministic(spark):
+    """FIM pieces must be a lossless re-layout: prefix+middle+suffix
+    re-concatenated equals the original text, every piece is non-empty
+    for len>=3, short docs pass through, and cuts are stable across
+    runs (hash-derived, not random)."""
+    from dataingestionframework_spark.operators.corpus import fim_transform
+
+    rows = [(1, "abcdefghij"), (2, "xy"), (3, "abc"), (4, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in fim_transform(df).collect()}
+
+    assert out[2].cut_a is None and out[2].fim_text == "xy"
+    for i in (1, 3, 4):
+        r = out[i]
+        text = dict(rows)[i]
+        assert 1 <= r.cut_a < r.cut_b <= len(text) - 1
+        body = r.fim_text
+        pre = body[len("<PRE>"):body.index("<SUF>")]
+        suf = body[body.index("<SUF>") + 5:body.index("<MID>")]
+        mid = body[body.index("<MID>") + 5:]
+        assert pre and mid and suf
+        assert pre + mid + suf == text
+
+    again = {r.doc_id: r for r in fim_transform(df).collect()}
+    assert {k: (v.cut_a, v.cut_b) for k, v in out.items()} == {
+        k: (v.cut_a, v.cut_b) for k, v in again.items()
+    }
+
+
+def test_source_overlap_identical_sources_jaccard_one(spark):
+    """A source that is an exact republication of another must show
+    jaccard 1.0; a disjoint-vocabulary source shares nothing (no row)."""
+    from dataingestionframework_spark.operators.corpus import source_overlap
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, t1, "a"), (2, t1, "b"), (3, t2, "c")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.src_a, r.src_b): r for r in source_overlap(df).collect()}
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")].jaccard == 1.0
+
+
+def test_psi_drift_zero_on_identical_and_flags_shift(spark):
+    """PSI is ~0 when current == reference and large under a mean
+    shift; empty buckets still appear (10-row spine)."""
+    from dataingestionframework_spark.operators.profile import psi_drift
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = psi_drift(base, base, "v", 0.0, 100.0).collect()
+    assert len(same) == 10
+    assert abs(sum(r.psi_term for r in same)) < 1e-9
+
+    shifted = base.select((F.col("v") + 50.0).alias("v"))
+    drift = psi_drift(base, shifted, "v", 0.0, 100.0).collect()
+    assert sum(r.psi_term for r in drift) > 0.25

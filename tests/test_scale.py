@@ -285,3 +285,25 @@ def test_radius_join_scales_at_constant_density(spark, sf):
     # 10 tiles: one per replica → area x10, density constant
     t10 = _wall(lambda: q(pts_of(big_ids, 10)))
     _assert_scales("radius_join", t1, t10)
+
+
+def test_embedding_gram_scales(spark, sf):
+    """One-pass Gram/scatter matrix: per-batch BLAS partials + a
+    d²-key merge. Wall must scale with ROWS only — the shuffle carries
+    O(partitions·d²) matrix entries regardless of data size, so ×10
+    rows costs ≲ ×10 (a plan that shuffles row data or collects
+    vectors blows the limit)."""
+    from dataingestionframework_spark.operators.similarity import (
+        embedding_gram,
+    )
+
+    emb = sf("embeddings").select("vec_id", "embedding")
+
+    def q(df):
+        return embedding_gram(df).collect()
+
+    q(emb)  # warm codegen once
+    t1 = _wall(lambda: q(emb))
+    big = _replicate(emb, ["vec_id"], REPL, 1_000_000)
+    t10 = _wall(lambda: q(big))
+    _assert_scales("embedding_gram", t1, t10)
