@@ -562,12 +562,34 @@ def set_similarity_join_exact(
         - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("pos") <= prefix_len).select("id", "sz", "gram")
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "id", "sz", "pos", "gram"
+    )
     a = prefix.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "gram"
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "gram",
     )
     b = prefix.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "gram"
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "gram",
+    )
+    # PPJoin positional filter: J ≥ t ⟺ overlap ≥ t/(1+t)·(|A|+|B|);
+    # at the FIRST shared gram (canonical order is global, so the first
+    # match minimizes both positions at once) the achievable overlap is
+    # at most 1 + min(|A|−posA, |B|−posB). A pair survives iff ANY
+    # matched occurrence passes — which is exactly the first-match
+    # bound — so recall stays 1.0 while deep-prefix-only matches are
+    # pruned before the expensive exact verify.
+    alpha = (
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
     )
     cand = (
         a.join(b, "gram")
@@ -577,6 +599,7 @@ def set_similarity_join_exact(
                 F.least("sz_a", "sz_b").cast("double")
                 >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
             )
+            & (ubound.cast("double") >= alpha)
         )
         .select("id_a", "id_b")
         .distinct()
