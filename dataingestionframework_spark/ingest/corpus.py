@@ -626,3 +626,64 @@ def forget_documents(
     else:
         removed["index"] = 0
     return removed
+
+
+def forget_vectors(
+    spark,
+    forget_ids,
+    sink_path: str,
+    index_table: str | None = None,
+    id_col: str = "vec_id",
+    n_buckets: int = 8,
+) -> dict[str, int]:
+    """Right-to-be-forgotten for the EMBEDDING intake — the vector twin
+    of :func:`forget_documents`: removes ids from the corpus sink and
+    from the persisted bucketed IVF index (where every intake vector,
+    dropped or not, lives as a blocker). After the call the vectors are
+    gone AND stop vetoing semantic near-dups, so a re-submitted copy of
+    a forgotten embedding is admitted — index residue that still blocks
+    would leak that the vector once existed.
+
+    The index rewrites through the same drop-and-recreate path as its
+    builder, preserving ``bucketBy(n_buckets, ivf_cell)`` so post-forget
+    intake batches keep their shuffle-free probe join. Returns
+    per-surface removed-row counts.
+    """
+    from ..operators.bucketing import drop_table_and_location
+
+    if isinstance(forget_ids, (list, tuple)):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in forget_ids], f"{id_col} long"
+        )
+    else:
+        ids = forget_ids.select(id_col)
+    ids = ids.localCheckpoint()
+    removed: dict[str, int] = {}
+
+    try:
+        cur = spark.read.parquet(sink_path)
+    except Exception:  # noqa: BLE001 — sink not created yet
+        removed["sink"] = 0
+    else:
+        before = cur.count()
+        kept = cur.join(ids, id_col, "left_anti").localCheckpoint()
+        kept.write.mode("overwrite").parquet(sink_path)
+        removed["sink"] = before - kept.count()
+
+    if index_table and spark.catalog.tableExists(index_table):
+        cur = spark.table(index_table)
+        before = cur.count()
+        kept = cur.join(
+            ids.select(F.col(id_col).alias("right_id")), "right_id", "left_anti"
+        ).localCheckpoint()
+        drop_table_and_location(spark, index_table)
+        (
+            kept.write.mode("overwrite")
+            .bucketBy(n_buckets, "ivf_cell")
+            .sortBy("ivf_cell")
+            .saveAsTable(index_table)
+        )
+        removed["index"] = before - spark.table(index_table).count()
+    else:
+        removed["index"] = 0
+    return removed

@@ -846,3 +846,63 @@ def test_forget_documents_removes_every_surface(spark, tmp_root):
         assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == [2, 10]
     finally:
         drop_table_and_location(spark, idx)
+
+
+def test_forget_vectors_removes_sink_and_ivf_blockers(spark, tmp_root):
+    """Vector right-to-be-forgotten: after forget_vectors the id is
+    gone from the embedding sink AND the bucketed IVF index, and a
+    re-submitted copy of the forgotten vector is ADMITTED (a blocker
+    left in the index would leak that the vector once existed)."""
+    from dataingestionframework_spark.ingest.corpus import (
+        embedding_incremental_ann_intake,
+        forget_vectors,
+    )
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+
+    def vec(seed, dim=8):
+        return [float((seed * 31 + i * 7) % 11 - 5) for i in range(dim)]
+
+    v1, v2 = vec(1), vec(2)
+    near1 = [x + 0.01 for x in v1]  # cos ~1 vs v1 -> dropped
+    rows0 = [(1, v1), (2, v2), (3, near1)]
+    src = os.path.join(tmp_root, "fv_src")
+    sink = os.path.join(tmp_root, "fv_sink")
+    idx = "dif_test_forget_vec_idx"
+    drop_table_and_location(spark, idx)
+    cents = [v1, v2]
+    try:
+
+        def intake(rows):
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ).coalesce(1).write.mode("append").parquet(src)
+            st = spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            ).parquet(src)
+            embedding_incremental_ann_intake(
+                st, sink, os.path.join(tmp_root, "fv_ck"), idx, cents,
+                threshold=0.99,
+            ).awaitTermination(180)
+
+        intake(rows0)
+        assert sorted(
+            r.vec_id for r in spark.read.parquet(sink).collect()
+        ) == [1, 2]
+        assert spark.table(idx).count() == 3  # dropped vec 3 still blocks
+
+        removed = forget_vectors(spark, [1, 3], sink, idx)
+        assert removed == {"sink": 1, "index": 2}
+        assert [r.vec_id for r in spark.read.parquet(sink).collect()] == [2]
+        assert (
+            spark.table(idx).filter(F.col("right_id").isin(1, 3)).count() == 0
+        )
+
+        # a copy of the forgotten vector must now be admitted
+        intake([(10, v1)])
+        assert sorted(
+            r.vec_id for r in spark.read.parquet(sink).collect()
+        ) == [2, 10]
+    finally:
+        drop_table_and_location(spark, idx)
