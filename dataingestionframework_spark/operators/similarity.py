@@ -1151,10 +1151,13 @@ def embedding_gram(
     tiny groupBy over d² keys — the map-side-combine pattern that makes
     this a single linear pass at 100 TB with a shuffle of only
     O(partitions·d²) matrix entries, never row data. Centering uses the
-    algebraic identity ``Σ(x−μ)(x−μ)ᵀ = ΣxxᵀN − (Σx)(Σx)ᵀ/N`` so one
-    pass suffices: each batch emits raw ``XᵀX``, column sums, and its
-    row count, and the driver-side identity is applied IN PLAN by
-    joining the three aggregates (all ≤ d² rows).
+    algebraic identity ``Σ(x−μ)(x−μ)ᵀ = ΣxxᵀN − (Σx)(Σx)ᵀ/N`` applied
+    per output row: every (i, j) key carries its batch's ``XᵀX`` entry
+    AND the batch column sums for dimensions i and j plus the batch row
+    count, so after ONE aggregation the correction is plain row
+    arithmetic — no rejoin, which matters because Spark does not share
+    common subplans and a join-back would recompute the whole scan per
+    branch.
     """
     from typing import Iterator
 
@@ -1167,6 +1170,7 @@ def embedding_gram(
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             g = x.T @ x
+            s = x.sum(axis=0)
             d = g.shape[0]
             i = np.repeat(np.arange(d), d)
             j = np.tile(np.arange(d), d)
@@ -1175,41 +1179,28 @@ def embedding_gram(
                     "i": i.astype(np.int32),
                     "j": j.astype(np.int32),
                     "xx": g.ravel(),
-                    # column sums ride along on the diagonal keys
-                    "sx": np.where(i == j, x.sum(axis=0)[i % d], 0.0),
+                    "si": s[i],
+                    "sj": s[j],
                     "n": np.int64(len(x)),
                 }
             )
 
     parts = df.select(vec_col).mapInPandas(
-        partial, schema="i int, j int, xx double, sx double, n long"
+        partial,
+        schema="i int, j int, xx double, si double, sj double, n long",
     )
     agg = parts.groupBy("i", "j").agg(
         F.sum("xx").alias("xx"),
-        F.sum("sx").alias("sx"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
         F.sum("n").alias("n"),
     )
     if not center:
         return agg.select("i", "j", F.col("xx").alias("val"))
-    # join the two diagonal-carried sum vectors back onto every (i, j)
-    si = agg.filter(F.col("i") == F.col("j")).select(
-        F.col("i").alias("_i"), F.col("sx").alias("sum_i")
-    )
-    sj = si.select(F.col("_i").alias("_j"), F.col("sum_i").alias("sum_j"))
-    n_total = agg.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
-        F.col("n").alias("n_total")
-    )
-    return (
-        agg.join(si, agg["i"] == si["_i"])
-        .join(sj, agg["j"] == sj["_j"])
-        .crossJoin(F.broadcast(n_total))
-        .select(
-            "i",
-            "j",
-            (
-                F.col("xx") - F.col("sum_i") * F.col("sum_j") / F.col("n_total")
-            ).alias("val"),
-        )
+    return agg.select(
+        "i",
+        "j",
+        (F.col("xx") - F.col("si") * F.col("sj") / F.col("n")).alias("val"),
     )
 
 

@@ -67,9 +67,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "bigram_lm_persisted_docs": {
         "BroadcastNestedLoopJoin": "1-row vocabulary-size (V) scalar broadcast"
     },
-    "embedding_gram_embeddings": {
-        "BroadcastNestedLoopJoin": "1-row total-row-count (N) scalar broadcast"
-    },
     "psi_drift_events": {
         "BroadcastNestedLoopJoin": "1-row bucket-totals scalar broadcast"
     },
