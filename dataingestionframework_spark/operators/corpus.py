@@ -700,10 +700,14 @@ def source_overlap(
 
     src_map = df.select(F.col(id_col), F.col(group_col).alias("_grp"))
     grams = exploded_word_ngrams(df, text_col, id_col, n=n)
+    # the distinct (source, gram) index feeds three branches (sizes +
+    # both join sides); materialize it once — Spark shares no common
+    # subplans, so the corpus-sized gram explode would otherwise run 3×
     sg = (
         grams.join(src_map, id_col)
         .select(F.col("_grp").alias("grp"), "gram")
         .distinct()
+        .localCheckpoint()
     )
     sizes = sg.groupBy("grp").agg(F.count("*").alias("n_grams"))
     a = sg.select(F.col("grp").alias("src_a"), "gram")

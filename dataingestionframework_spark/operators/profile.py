@@ -158,10 +158,14 @@ def psi_drift(
 
     spark = ref.sparkSession
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    # n_buckets rows; materialized so the totals aggregate below does
+    # not re-scan both inputs (Spark shares no common subplans — the
+    # alternative is two full passes per side)
     j = (
         spine.join(counts(ref, "n_ref"), "bucket", "left")
         .join(counts(cur, "n_cur"), "bucket", "left")
         .na.fill({"n_ref": 0, "n_cur": 0})
+        .localCheckpoint()
     )
     tot = j.agg(
         F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")

@@ -1089,10 +1089,13 @@ def margin_bitext_mine(
     """
     from pyspark.sql import Window
 
+    # candidate-sized (n·k rows); materialized because each feeds two
+    # plan branches and Spark would otherwise rerun the BLAS kNN pass
+    # per branch (no common-subplan sharing)
     fwd = knn_join_brute(
         src, tgt, k=k_margin, left_id=id_col, right_id=id_col,
         vec_col=vec_col, max_broadcast_rows=max_broadcast_rows,
-    )
+    ).localCheckpoint()
     bwd = knn_join_brute(
         tgt, src, k=k_margin, left_id=id_col, right_id=id_col,
         vec_col=vec_col, max_broadcast_rows=max_broadcast_rows,
