@@ -647,7 +647,10 @@ def simhash_pairs(
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
-    s = simhash64_df(df, text_col, id_col, n, portable=portable)
+    # one small row per doc (id + sketch); materialized because the
+    # block self-join would otherwise run the gram explode + sketch
+    # aggregation once per side
+    s = simhash64_df(df, text_col, id_col, n, portable=portable).localCheckpoint()
     blocks = F.array(
         *[
             F.struct(F.lit(k).alias("block_id"), _block_val(k).alias("block_val"))

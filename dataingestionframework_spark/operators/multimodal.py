@@ -410,7 +410,10 @@ def ahash_near_dup_pairs(
 
     Returns (id_a, id_b, hamming).
     """
-    sk = ahash_stub(df, col, id_col)
+    # id + 4 band ints per row; materialized because the unioned band
+    # self-join + verify sides would otherwise re-run the pixel decode
+    # and hash TEN times (4 band branches × 2 join sides + 2 verify)
+    sk = ahash_stub(df, col, id_col).localCheckpoint()
     bands = None
     for b in range(AHASH_BANDS):
         part = sk.select(

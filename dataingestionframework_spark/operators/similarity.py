@@ -144,7 +144,11 @@ def srp_near_dup_pairs(
     total (see :func:`srp_band_rows` for the miss-probability math).
     """
     dim = df.select(F.size(F.col(vec_col))).first()[0]
-    bands = srp_band_rows(df, vec_col, id_col, planes_per_band, n_bands, dim, seed)
+    # n·n_bands small rows; materialized because the self-join would
+    # otherwise evaluate the SRP plane dot products once PER SIDE
+    bands = srp_band_rows(
+        df, vec_col, id_col, planes_per_band, n_bands, dim, seed
+    ).localCheckpoint()
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
     cands = (
