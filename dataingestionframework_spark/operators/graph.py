@@ -188,6 +188,10 @@ def triangle_counts(
 
     Returns (node, n_triangles) for nodes in ≥ 1 triangle.
     """
+    # canonical edge set is materialized once: it feeds all three legs
+    # of the self-join, and Spark would otherwise redo the
+    # canonicalize+distinct shuffle per leg (the executed plan showed
+    # the source scanned 9x before this)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -195,6 +199,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     tri = (
         e.alias("e1")
@@ -209,9 +214,9 @@ def triangle_counts(
             F.col("e2.b").alias("z"),
         )
     )
-    verts = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+    # one row per (triangle, vertex) via explode — a single tri lineage,
+    # where a 3-way union would re-run the triangle enumeration per leg
+    verts = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
     )
     return verts.groupBy("node").agg(F.count("*").alias("n_triangles"))
