@@ -1274,3 +1274,73 @@ def embedding_pca_project(
         F.col(id_col).alias("_id"), F.col(vec_col)
     ).mapInPandas(project, schema="out_id long, components array<double>")
     return out.select(F.col("out_id").alias(id_col), "components")
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    rel_col: str = "relevance",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998,
+    public): diversified top-k over an ANN candidate set.
+
+    Greedy selection per query: first pick the most relevant candidate,
+    then repeatedly the one maximizing
+    ``lam·relevance − (1−lam)·max_cosine(candidate, already_selected)``
+    — the standard dedup-aware retrieval step between ANN recall and a
+    cross-encoder (retrieval-augmented corpus construction uses it to
+    avoid feeding near-identical passages).
+
+    Scale shape: the candidate set per query is ANN-bounded (tens to
+    hundreds), so the greedy loop is a per-group numpy kernel under
+    ``applyInPandas`` — queries are hash-partitioned and processed in
+    parallel; cost per group is O(k·n·d) BLAS, never corpus-sized.
+    Deterministic: ties broken by lowest candidate id; scores rounded
+    before comparison so float noise can't flip a pick.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = np.round(norm @ norm.T, 9)
+        n = len(ids)
+        kk = min(k, n)
+        selected: list[int] = []
+        picked_scores: list[float] = []
+        # -inf marks "nothing selected yet": the diversity term is 0
+        # for the first pick and the TRUE max (possibly negative)
+        # afterwards — clamping negatives to 0 would under-reward
+        # anti-correlated candidates
+        max_sim = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(kk):
+            diversity = np.where(np.isneginf(max_sim), 0.0, max_sim)
+            score = np.round(lam * rel - (1.0 - lam) * diversity, 9)
+            score_masked = np.where(remaining, score, -np.inf)
+            best = np.lexsort((ids, -score_masked))[0]
+            selected.append(best)
+            picked_scores.append(float(score[best]))
+            remaining[best] = False
+            max_sim = np.maximum(max_sim, sims[:, best])
+        sel = np.array(selected)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[0],
+                id_col: ids[sel],
+                "mmr_rank": np.arange(1, kk + 1),
+                "mmr_score": np.round(picked_scores, 6),
+            }
+        )
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, mmr_rank int, mmr_score double"
+    )
+    return candidates.groupBy(query_col).applyInPandas(rerank, schema=out_schema)

@@ -3525,3 +3525,146 @@ ORACLES.update({
         FROM daily
     """,
 })
+
+
+ORACLES.update({
+    # Watermark late-drop semantics, restated declaratively: with the
+    # echo batch arriving two batches after b0, the late-filter wm is
+    # M−1h (M = max ts of b0); an echo row contributes iff its hourly
+    # window end > M−1h (still-open state merges it), else it is
+    # dropped. On-time batches always contribute. The sentinel flush
+    # row never appears (its window is filtered on the Spark side and
+    # never constructed here).
+    "stream_late_drop_parity": """
+        WITH b0 AS (
+            SELECT ts, event_type, value FROM events
+            WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+        ),
+        mt AS (SELECT max(ts) AS m FROM b0),
+        b1 AS (
+            SELECT ts, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+        ),
+        b2 AS (
+            SELECT ts, event_type, value FROM events
+            WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+            UNION ALL
+            SELECT e.ts, e.event_type, e.value FROM events e, mt
+            WHERE e.ts >= date_trunc('hour', mt.m) - INTERVAL 1 HOUR
+              AND e.ts <  TIMESTAMP '2024-01-04 00:00:00'
+        ),
+        late_kept AS (
+            SELECT b.ts, b.event_type, b.value FROM b2 b, mt
+            WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR
+                  > mt.m - INTERVAL 1 HOUR
+        ),
+        contrib AS (
+            SELECT * FROM b0
+            UNION ALL SELECT * FROM b1
+            UNION ALL SELECT * FROM late_kept
+        )
+        SELECT date_trunc('hour', ts)                   AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM contrib
+        GROUP BY 1, 2, 3
+    """,
+    # the naive single-partition form the scalable plan must equal
+    "dense_ids_docs": """
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS dense_id
+        FROM documents
+    """,
+    "html_extract_docs": """
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || ' (' || lang || ')</title></head><body><p>' || text
+                   || '</p><a href="https://' || source
+                   || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+                   || '">more</a><a href="/local/' || lang
+                   || '">l</a></body></html>' AS html
+            FROM documents
+        ),
+        x AS (
+            SELECT doc_id, html,
+                   trim(regexp_replace(regexp_replace(
+                       html, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS body,
+                   regexp_extract_all(html, 'href="([^"]+)"', 1) AS links
+            FROM h
+        )
+        SELECT doc_id,
+               regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+               CAST(len(links) AS INTEGER) AS n_links,
+               links[1] AS first_link,
+               CAST(length(body) AS INTEGER) AS body_chars,
+               substring(body, 1, 80) AS body_prefix
+        FROM x
+    """,
+    # every normalization step of operators/web.py::canonicalize_url
+    # replayed in DuckDB string/list functions over the same fixture
+    "url_canonical_dedup_docs": """
+        WITH u AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || source || '.Example.com'
+                   || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+                   || (CASE WHEN doc_id % 2 = 0
+                       THEN '?b=2&a=1&utm_source=feed' ELSE '?a=1&b=2' END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+                   AS url
+            FROM documents
+        ),
+        nofrag AS (
+            SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM u
+        ),
+        split AS (
+            SELECT doc_id,
+                   regexp_extract(no_frag, '^([^?]*)', 1) AS base,
+                   regexp_extract(no_frag, '\\?(.*)$', 1) AS query
+            FROM nofrag
+        ),
+        comps AS (
+            SELECT doc_id,
+                   lower(regexp_extract(
+                       base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(
+                       base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+                   query
+            FROM split
+        ),
+        hostpath AS (
+            SELECT doc_id, scheme,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(rest, '^([^/]*)', 1)),
+                       '^www\\.', ''), ':443$', '') AS host,
+                   CASE WHEN regexp_replace(rest, '^[^/]*', '') = ''
+                        THEN '/' ELSE regexp_replace(rest, '^[^/]*', '')
+                   END AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+                       '&') AS params
+            FROM comps
+        ),
+        canon AS (
+            SELECT doc_id,
+                   scheme || '://' || host || path ||
+                   CASE WHEN params <> '' THEN '?' || params ELSE '' END
+                       AS canonical_url
+            FROM hostpath
+        )
+        SELECT canonical_url,
+               count(*) AS n_variants,
+               min(doc_id) AS keep_doc
+        FROM canon
+        GROUP BY 1
+    """,
+})

@@ -5088,6 +5088,188 @@ def rolling_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_late_drop_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics under the hash gate. Spark's
+    streaming aggregation uses TWO watermarks (SPARK-39781): state
+    eviction uses the wm from batches ≤ i−1, but the late-record
+    filter lags one more batch (wm from batches ≤ i−2) — so an echo
+    must arrive two batches after its original to be provably dropped.
+    Four mtime-ordered files = four deterministic micro-batches:
+
+    - b0: days 1-3 (sets M = max event time; wm becomes M−1h)
+    - b1: days 10-12, on time
+    - b2: echoes of (a) day-1 rows — window_end ≤ M−1h under b2's
+      late-filter wm (= M−1h, from b0) → DROPPED; (b) rows in the last
+      two in-state hours of b0 — window_end > M−1h → MERGED into
+      still-open state (append mode emits those windows once, with the
+      echo included)
+    - b3: far-future sentinel pushing the wm past everything so the
+      final no-data batch flushes all windows (its own window is
+      filtered out of the result)
+
+    The oracle restates the drop rule declaratively: an echo row
+    contributes iff floor_hour(ts)+1h > M−1h. Exact hash parity proves
+    drop/keep/merge all land on the documented boundaries."""
+    import datetime as _dt
+    import time as _time
+
+    from ..streaming.windows import tumbling_window_agg
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="dif_late_drop_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    t = _t(spark, sf_dir)
+    ev = t("events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    b0 = ev.filter(F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+    # fixture construction: one scalar (max event time) shapes the echo
+    # batch; not part of the measured plan
+    m0 = b0.agg(F.max("ts")).collect()[0][0]
+    floor_m0 = m0.replace(minute=0, second=0, microsecond=0)
+    b1 = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-13").cast("timestamp"))
+    )
+    b2 = ev.filter(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
+    ).unionByName(
+        ev.filter(
+            (F.col("ts") >= F.lit(floor_m0 - _dt.timedelta(hours=1)))
+            & (F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+        )
+    )
+    b3 = spark.range(1).select(
+        F.lit(999_999_999).cast("long").alias("event_id"),
+        F.lit("2024-02-15 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    now = _time.time()
+    for i, b in enumerate([b0, b1, b2, b3]):
+        p = os.path.join(src, f"b{i}.parquet")
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 1200 + i * 300,) * 2)
+    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = tumbling_window_agg(stream, window="1 hour", watermark="1 hour")
+    out = _drain_stream(agg, "stream_late_drop", "append")
+    return out.filter(
+        F.col("window_start") < F.lit("2024-02-01").cast("timestamp")
+    )
+
+
+def dense_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids WITHOUT the single-partition sort.
+    ``row_number() OVER (ORDER BY ...)`` funnels the whole table
+    through one task; ``dense_row_ids`` gets the identical numbering
+    from bucket counts + cumulative offsets + per-bucket windows — the
+    only global sort runs over the tiny bucket table and the data-side
+    window is hash-partitioned by bucket (operators/ids.py). The
+    oracle IS the naive global row_number, proving the two plans
+    compute the same function."""
+    from ..operators.ids import dense_row_ids
+
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id", "n_chars")
+    out = dense_row_ids(
+        d,
+        ["n_chars", "doc_id"],
+        F.floor(F.col("n_chars") / F.lit(64)),
+    )
+    return out.select("doc_id", "n_chars", "dense_id")
+
+
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side HTML field extraction (operators/web.py): title,
+    hrefs, and visible text pulled out of markup with scan-side regexp
+    and array expressions — zero UDFs, zero shuffles; at 100 TB this
+    runs at read speed inside whole-stage codegen. The fixture wraps
+    each doc in deterministic markup so the extraction is exercised
+    end-to-end and the oracle rebuilds the identical pipeline with
+    DuckDB's regexp family."""
+    from ..operators.web import html_links, html_title, html_visible_text
+
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" ("),
+        F.col("lang"),
+        F.lit(")</title></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://'),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">more</a><a href="/local/'),
+        F.col("lang"),
+        F.lit('">l</a></body></html>'),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    links = html_links(F.col("html"))
+    body = html_visible_text(F.col("html"))
+    return h.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        F.size(links).alias("n_links"),
+        links.getItem(0).alias("first_link"),
+        F.length(body).alias("body_chars"),
+        F.substring(body, 1, 80).alias("body_prefix"),
+    )
+
+
+def url_canonical_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL dedup after canonicalization (operators/web.py): the
+    fixture synthesizes the messy spellings crawls actually produce —
+    scheme/host case, ``www.``, explicit ``:443``, tracking params,
+    shuffled param order, fragments — and the canonical key collapses
+    them so one groupBy yields the variant count + survivor per true
+    URL. Canonicalization is scan-side column algebra; the shuffle
+    carries canonical keys only. The oracle replays every
+    normalization step in DuckDB string/list functions."""
+    from ..operators.web import canonicalize_url
+
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
+            F.lit("HTTPS")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1&utm_source=feed")
+        ).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    c = u.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count("*").alias("n_variants"), F.min("doc_id").alias("keep_doc")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5307,4 +5489,8 @@ QUERIES = {
     "try_functions_orders": try_functions_orders,
     "hashed_embedding_docs": hashed_embedding_docs,
     "inverted_index_docs": inverted_index_docs,
+    "stream_late_drop_parity": stream_late_drop_parity,
+    "dense_ids_docs": dense_ids_docs,
+    "html_extract_docs": html_extract_docs,
+    "url_canonical_dedup_docs": url_canonical_dedup_docs,
 }
