@@ -20,6 +20,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _staged_parquet_swap(spark, df: DataFrame, path: str) -> int:
+    """Rewrite ``path`` with ``df``'s rows without ever holding the only
+    copy in memory: write to a sibling ``.__staged__`` dir (durable on
+    disk), then swap via two FileSystem renames (old → ``.__bak__``,
+    staged → path) and drop the backup. A crash at any point leaves a
+    complete copy on disk — either the original (before the first
+    rename) or the staged output — unlike an in-place
+    ``mode('overwrite')`` on the path being read, which deletes the old
+    files before the (checkpoint-backed) rewrite lands. Renames are
+    atomic on HDFS/local; on object stores use the Delta path instead
+    (documented in DEPLOY.md). Returns the kept-row count (read back
+    from the durable staged files)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    tmp, bak = path.rstrip("/") + ".__staged__", path.rstrip("/") + ".__bak__"
+    fs.delete(jpath(tmp), True)
+    fs.delete(jpath(bak), True)
+    df.write.mode("overwrite").parquet(tmp)
+    kept = spark.read.parquet(tmp).count()
+    if not fs.rename(jpath(path), jpath(bak)):
+        raise IOError(f"staged swap: could not move {path} aside")
+    if not fs.rename(jpath(tmp), jpath(path)):
+        fs.rename(jpath(bak), jpath(path))  # roll back, original intact
+        raise IOError(f"staged swap: could not promote {tmp} to {path}")
+    fs.delete(jpath(bak), True)
+    return kept
+
+
 @dataclass
 class CorpusPrepSpec:
     """Declarative corpus-prep config (the LLM twin of IngestionSpec)."""
@@ -578,14 +607,14 @@ def forget_documents(
     is a silent privacy leak).
 
     ``forget_ids`` is a list of ids or a 1-column DataFrame. Parquet
-    surfaces rewrite via anti-join → ``localCheckpoint`` (materialize
-    BEFORE overwrite — Spark cannot lazily read a path it is
-    overwriting) → overwrite; the index table rewrites through the
-    same drop-and-recreate path as its builder, preserving the bucket
-    spec so post-forget intake batches still join shuffle-free. At
-    100 TB swap the sink rewrites for Delta DELETE (file-level rewrite
-    of only affected files); the index rewrite stays bucket-preserving
-    either way.
+    surfaces rewrite via anti-join → staged sibling write → atomic
+    rename swap (:func:`_staged_parquet_swap`) — a crash mid-forget
+    always leaves a complete on-disk copy, never an empty sink; the
+    index table rewrites through a staged ``saveAsTable`` + ``ALTER
+    TABLE RENAME``, preserving the bucket spec so post-forget intake
+    batches still join shuffle-free. At 100 TB swap the sink rewrites
+    for Delta DELETE (file-level rewrite of only affected files); the
+    index rewrite stays bucket-preserving either way.
 
     Returns per-surface removed-row counts.
     """
@@ -607,21 +636,26 @@ def forget_documents(
             removed[label] = 0
             continue
         before = cur.count()
-        kept = cur.join(ids, id_col, "left_anti").localCheckpoint()
-        kept.write.mode("overwrite").parquet(path)
-        removed[label] = before - kept.count()
+        kept = cur.join(ids, id_col, "left_anti")
+        removed[label] = before - _staged_parquet_swap(spark, kept, path)
 
     if index_table and spark.catalog.tableExists(index_table):
         cur = spark.table(index_table)
         before = cur.count()
-        kept = cur.join(ids, id_col, "left_anti").localCheckpoint()
-        drop_table_and_location(spark, index_table)
+        kept = cur.join(ids, id_col, "left_anti")
+        staged = f"{index_table}__staged"
+        drop_table_and_location(spark, staged)
         (
             kept.write.mode("overwrite")
             .bucketBy(n_buckets, "bucket_key")
             .sortBy("bucket_key")
-            .saveAsTable(index_table)
+            .saveAsTable(staged)
         )
+        # staged rows are durable before the old table goes away; a
+        # crash between drop and rename leaves them recoverable under
+        # the __staged name
+        drop_table_and_location(spark, index_table)
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {index_table}")
         removed["index"] = before - spark.table(index_table).count()
     else:
         removed["index"] = 0
@@ -644,10 +678,11 @@ def forget_vectors(
     a forgotten embedding is admitted — index residue that still blocks
     would leak that the vector once existed.
 
-    The index rewrites through the same drop-and-recreate path as its
-    builder, preserving ``bucketBy(n_buckets, ivf_cell)`` so post-forget
-    intake batches keep their shuffle-free probe join. Returns
-    per-surface removed-row counts.
+    The sink rewrites via staged write + atomic rename
+    (:func:`_staged_parquet_swap`); the index through a staged
+    ``saveAsTable`` + rename, preserving ``bucketBy(n_buckets,
+    ivf_cell)`` so post-forget intake batches keep their shuffle-free
+    probe join. Returns per-surface removed-row counts.
     """
     from ..operators.bucketing import drop_table_and_location
 
@@ -666,23 +701,25 @@ def forget_vectors(
         removed["sink"] = 0
     else:
         before = cur.count()
-        kept = cur.join(ids, id_col, "left_anti").localCheckpoint()
-        kept.write.mode("overwrite").parquet(sink_path)
-        removed["sink"] = before - kept.count()
+        kept = cur.join(ids, id_col, "left_anti")
+        removed["sink"] = before - _staged_parquet_swap(spark, kept, sink_path)
 
     if index_table and spark.catalog.tableExists(index_table):
         cur = spark.table(index_table)
         before = cur.count()
         kept = cur.join(
             ids.select(F.col(id_col).alias("right_id")), "right_id", "left_anti"
-        ).localCheckpoint()
-        drop_table_and_location(spark, index_table)
+        )
+        staged = f"{index_table}__staged"
+        drop_table_and_location(spark, staged)
         (
             kept.write.mode("overwrite")
             .bucketBy(n_buckets, "ivf_cell")
             .sortBy("ivf_cell")
-            .saveAsTable(index_table)
+            .saveAsTable(staged)
         )
+        drop_table_and_location(spark, index_table)
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {index_table}")
         removed["index"] = before - spark.table(index_table).count()
     else:
         removed["index"] = 0

@@ -484,11 +484,17 @@ def decode_pcm16(
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[col]):
-                if payload is None or len(payload) <= header_bytes:
+                # usable whole samples after the header — a truncated/
+                # odd-length payload must degrade like too-short, not
+                # fail the task (one malformed WAV in a 100 TB scan)
+                usable = (0 if payload is None
+                          else (len(payload) - header_bytes) // 2)
+                if usable <= 0:
                     rows.append((rid, 0, 0, 0, None, None))
                     continue
                 a = np.frombuffer(
-                    bytes(payload), dtype="<i2", offset=header_bytes
+                    bytes(payload), dtype="<i2", offset=header_bytes,
+                    count=usable,
                 ).astype(np.int64)
                 rows.append(
                     (

@@ -1087,9 +1087,11 @@ def margin_bitext_mine(
 
     Returns one row per source: (src_id, tgt_id, cosine_sim, margin,
     mutual) — its best target by margin (6dp, ties by tgt id), with
-    ``mutual`` true iff the pair is also the target's best source
-    (the "intersection" mining strategy; filter on it for precision,
-    on margin alone for recall).
+    ``mutual`` true iff the pair is also the target's best source AND
+    the pair appears in the target's own backward top-k candidate set
+    (the true "intersection" mining strategy — a source the target
+    never shortlisted cannot be mutual; filter on ``mutual`` for
+    precision, on margin alone for recall).
     """
     from pyspark.sql import Window
 
@@ -1100,10 +1102,12 @@ def margin_bitext_mine(
         src, tgt, k=k_margin, left_id=id_col, right_id=id_col,
         vec_col=vec_col, max_broadcast_rows=max_broadcast_rows,
     ).localCheckpoint()
+    # also feeds two branches (a_tgt averages + the backward candidate
+    # membership check), so materialize for the same reason as fwd
     bwd = knn_join_brute(
         tgt, src, k=k_margin, left_id=id_col, right_id=id_col,
         vec_col=vec_col, max_broadcast_rows=max_broadcast_rows,
-    )
+    ).localCheckpoint()
     a_src = fwd.groupBy("left_id").agg(F.avg("cosine_sim").alias("a_src"))
     a_tgt = bwd.groupBy("left_id").agg(F.avg("cosine_sim").alias("a_tgt"))
     cand = (
@@ -1129,16 +1133,27 @@ def margin_bitext_mine(
     w_bwd = Window.partitionBy("tgt_id").orderBy(
         F.col("margin").desc(), F.col("src_id")
     )
+    # the target's backward shortlist: (tgt_id, src_id) pairs tgt
+    # itself retrieved — candidate-sized, joins on the picked pairs only
+    bwd_pairs = bwd.select(
+        F.col("left_id").alias("tgt_id"),
+        F.col("right_id").alias("src_id"),
+        F.lit(True).alias("_in_bwd"),
+    )
     return (
         cand.withColumn("_fr", F.row_number().over(w_fwd))
         .withColumn("_br", F.row_number().over(w_bwd))
         .filter(F.col("_fr") == 1)
+        .join(bwd_pairs, ["tgt_id", "src_id"], "left")
         .select(
             "src_id",
             "tgt_id",
             "cosine_sim",
             "margin",
-            (F.col("_br") == 1).alias("mutual"),
+            (
+                (F.col("_br") == 1)
+                & F.coalesce(F.col("_in_bwd"), F.lit(False))
+            ).alias("mutual"),
         )
     )
 

@@ -1205,11 +1205,18 @@ def blocklist_filter(
     is domain policy and comes from the caller; this operator is the
     mechanism.
 
-    One RE2-safe alternation ``\\b(?:p1|p2|…)\\b`` over lowercased
-    text, evaluated as a single scan-side ``regexp_count`` — JVM
-    codegen, zero shuffles, and the same pattern string runs unchanged
-    in DuckDB (the gate twin) or Go/RE2 tooling for audits. Phrases are
-    regex-escaped, so lists can contain metacharacters safely.
+    Engine-proof mechanism (no ``\\b``): word-boundary regex semantics
+    differ across regex engines/builds, so the contract is pure string
+    algebra instead. Text is lowercased, every ``[^a-z0-9]+`` run is
+    collapsed to one space (the same delimiter class as ``tokens()``),
+    each inter-token boundary is then DOUBLED and the whole string is
+    padded with two spaces — so every token is flanked by a space it
+    shares with no neighbour. Each phrase, normalized the same way and
+    rendered with double inner spaces, is counted with the classic
+    ``(len(s) - len(replace(s, pat, ''))) / len(pat)`` trick. Leftmost
+    non-overlapping ``replace`` is identical in every SQL engine; the
+    only regex left is a character class, whose semantics do not vary.
+    All scan-side JVM codegen, zero shuffles.
 
     Adds ``n_blocked_hits`` and ``blocklist_pass`` (hits ≤ ``max_hits``
     — a small tolerance absorbs quoted/incidental mentions).
@@ -1218,8 +1225,31 @@ def blocklist_filter(
 
     if not phrases:
         raise ValueError("blocklist_filter needs at least one phrase")
-    pat = r"\b(?:" + "|".join(_re.escape(p.lower()) for p in phrases) + r")\b"
-    hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+    norm_phrases = []
+    for p in phrases:
+        np = _re.sub(r"[^a-z0-9]+", " ", p.lower()).strip()
+        if not np:
+            raise ValueError(f"blocklist phrase normalizes to empty: {p!r}")
+        norm_phrases.append(np)
+    padded = F.concat(
+        F.lit("  "),
+        F.replace(
+            F.trim(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+            ),
+            F.lit(" "),
+            F.lit("  "),
+        ),
+        F.lit("  "),
+    )
+    hits = None
+    for np in norm_phrases:
+        pat = " " + np.replace(" ", "  ") + " "
+        cnt = F.floor(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("long")
+        hits = cnt if hits is None else hits + cnt
     return df.withColumn("n_blocked_hits", hits).withColumn(
         "blocklist_pass", hits <= max_hits
     )

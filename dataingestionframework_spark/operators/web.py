@@ -49,8 +49,11 @@ def html_visible_text(html: Column) -> Column:
 def canonicalize_url(url: Column, drop_param_prefix: str = "utm_") -> Column:
     """RFC 3986 §6 normalization + the de-facto crawl rules:
 
-    - scheme and host lowercased; leading ``www.`` and default ``:443``
-      dropped
+    - scheme and host lowercased; leading ``www.`` dropped; the
+      scheme's OWN default port dropped (``:443`` only for https,
+      ``:80`` only for http — RFC 3986 §6.2.3), so ``http://h:443/x``
+      is NOT collapsed onto the https key and ``http://h:80/x`` joins
+      ``http://h/x``
     - fragment dropped
     - query params: tracking params (``utm_*`` by default) removed,
       the rest sorted so param order can't split a dedup group
@@ -67,7 +70,11 @@ def canonicalize_url(url: Column, drop_param_prefix: str = "utm_") -> Column:
     rest = F.regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(rest, "^([^/]*)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, ":443$", "")
+    host = F.when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).when(
+        scheme == "http", F.regexp_replace(host, ":80$", "")
+    ).otherwise(host)
     path = F.regexp_replace(rest, "^[^/]*", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     params = F.array_sort(

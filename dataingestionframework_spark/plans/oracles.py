@@ -1712,19 +1712,31 @@ ORACLES: dict[str, str] = {
                CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overestimate
         FROM est e JOIN tru t USING (user_id)
     """,
-    # identical RE2 alternation evaluated by DuckDB's regex engine;
-    # hits counted via regexp_extract_all length
+    # engine-proof twin: no \b — same normalize (lowercase, collapse
+    # [^a-z0-9]+ to one space, double boundaries, pad) and the same
+    # replace-count trick as operators.text.blocklist_filter
     "blocklist_filter_docs": r"""
         WITH h AS (
             SELECT lang,
-                   len(regexp_extract_all(lower(text),
-                       '\b(?:merge|window sort)\b')) AS hits
+                   '  ' || replace(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' ', '  ') || '  '
+                       AS padded
             FROM documents
+        ),
+        c AS (
+            SELECT lang,
+                   CAST((length(padded)
+                         - length(replace(padded, ' merge ', '')))
+                        // length(' merge ')
+                      + (length(padded)
+                         - length(replace(padded, ' window  sort ', '')))
+                        // length(' window  sort ') AS BIGINT) AS hits
+            FROM h
         )
         SELECT lang, count(*) AS n_docs,
                sum(CASE WHEN hits <= 2 THEN 1 ELSE 0 END) AS n_passing,
                sum(hits) AS total_hits
-        FROM h GROUP BY lang
+        FROM c GROUP BY lang
     """,
     # the identical 4x1024 count-min sketch rebuilt in SQL (same
     # md5-prefix buckets), so estimates match INCLUDING collisions
@@ -1854,7 +1866,8 @@ ORACLES: dict[str, str] = {
     """,
     # identical ratio margin recomputed from all-pairs cosine: top-k
     # averages per side, margin over the source's top-k candidates,
-    # forward-best per source with the mutual-best flag
+    # forward-best per source; mutual additionally requires the pair
+    # in the target's own backward top-k (true intersection strategy)
     "margin_bitext_mine_embeddings": """
         WITH x AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS xv
                    FROM embeddings WHERE vec_id % 2 = 0),
@@ -1884,8 +1897,12 @@ ORACLES: dict[str, str] = {
                         row_number() OVER (PARTITION BY tgt_id
                             ORDER BY margin DESC, src_id) AS br
                         FROM cand)
-        SELECT src_id, tgt_id, cosine_sim, margin, (br = 1) AS mutual
-        FROM ranked WHERE fr = 1
+        SELECT r.src_id, r.tgt_id, r.cosine_sim, r.margin,
+               (r.br = 1 AND bp.src_id IS NOT NULL) AS mutual
+        FROM ranked r
+        LEFT JOIN (SELECT tgt_id, src_id FROM bk WHERE r <= 4) bp
+            ON bp.tgt_id = r.tgt_id AND bp.src_id = r.src_id
+        WHERE r.fr = 1
     """,
     # exact ground truth for hard negatives: all-pairs cosine with a
     # label-mismatch filter, ranked (sim 6dp DESC, id ASC) per query
@@ -3640,11 +3657,20 @@ ORACLES.update({
                    query
             FROM split
         ),
+        rawhost AS (
+            SELECT doc_id, scheme, rest, query,
+                   regexp_replace(
+                       lower(regexp_extract(rest, '^([^/]*)', 1)),
+                       '^www\\.', '') AS host0
+            FROM comps
+        ),
         hostpath AS (
             SELECT doc_id, scheme,
-                   regexp_replace(regexp_replace(
-                       lower(regexp_extract(rest, '^([^/]*)', 1)),
-                       '^www\\.', ''), ':443$', '') AS host,
+                   CASE WHEN scheme = 'https'
+                        THEN regexp_replace(host0, ':443$', '')
+                        WHEN scheme = 'http'
+                        THEN regexp_replace(host0, ':80$', '')
+                        ELSE host0 END AS host,
                    CASE WHEN regexp_replace(rest, '^[^/]*', '') = ''
                         THEN '/' ELSE regexp_replace(rest, '^[^/]*', '')
                    END AS path,
@@ -3652,7 +3678,7 @@ ORACLES.update({
                        string_split(query, '&'),
                        p -> p <> '' AND NOT starts_with(p, 'utm_'))),
                        '&') AS params
-            FROM comps
+            FROM rawhost
         ),
         canon AS (
             SELECT doc_id,

@@ -22,6 +22,39 @@ def _t(spark, sf_dir):
     return lambda name: load(spark, sf_dir, name)
 
 
+# Per-process suffix for gate-persisted warehouse tables: two
+# concurrent sessions on one checkout (e.g. tools/check_oracle.py and
+# pytest's plan audit) must not race on drop/recreate of shared fixed
+# names. Tables this process created are best-effort dropped at exit
+# so warehouse dirs don't accumulate across runs.
+_SESSION_TOKEN = __import__("uuid").uuid4().hex[:8]
+_GATE_TABLES: set[str] = set()
+
+
+def _gate_name(base: str) -> str:
+    name = f"{base}_{_SESSION_TOKEN}"
+    _GATE_TABLES.add(name)
+    return name
+
+
+def _drop_gate_tables() -> None:  # pragma: no cover — exit-time path
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    from ..operators.bucketing import drop_table_and_location
+
+    for name in list(_GATE_TABLES):
+        try:
+            drop_table_and_location(spark, name)
+        except Exception:  # noqa: BLE001 — JVM may already be down
+            return
+
+
+__import__("atexit").register(_drop_gate_tables)
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.3-2.9)
 # ---------------------------------------------------------------------------
@@ -320,10 +353,11 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-blocklist screening (operators.text.blocklist_filter):
-    word-boundary hit counts for a stand-in policy list, one scan-side
-    RE2-safe regexp_count — the cheap first gate before model-based
-    content filters. Aggregated to (lang, n_docs, n_passing, total
-    hits) so the oracle is compact."""
+    word-boundary hit counts for a stand-in policy list, computed with
+    an engine-proof replace-count contract (tokenize on [^a-z0-9]+,
+    no \\b regex) — the cheap first gate before model-based content
+    filters. Aggregated to (lang, n_docs, n_passing, total hits) so
+    the oracle is compact."""
     from ..operators.text import blocklist_filter
 
     tune(spark)
@@ -1438,7 +1472,7 @@ def knn_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_centroids(cpath, centroids)
     from ..operators.bucketing import drop_table_and_location
 
-    name = "dif_gate_ivf_index"
+    name = _gate_name("dif_gate_ivf_index")
     drop_table_and_location(spark, name)  # also clears stale warehouse dirs
     save_ivf_index(right, spark, name, n_clusters=8, centroids=centroids)
     # index table must outlive the returned (lazy) DataFrame — it is
@@ -2318,7 +2352,7 @@ def lsh_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t("documents").filter(F.col("doc_id") < 300)
     from ..operators.bucketing import drop_table_and_location
 
-    name = "dif_gate_lsh_bucketed_bands"
+    name = _gate_name("dif_gate_lsh_bucketed_bands")
     drop_table_and_location(spark, name)  # also clears stale warehouse dirs
     try:
         p1 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") < 150), spark, name)
@@ -3493,7 +3527,7 @@ def stream_near_dup_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src)
-    idx = "dif_gate_nd_intake_idx"
+    idx = _gate_name("dif_gate_nd_intake_idx")
     drop_table_and_location(spark, idx)
     t = _t(spark, sf_dir)
     docs = t("documents").select("doc_id", "text").filter(F.col("doc_id") < 300)
@@ -3543,7 +3577,7 @@ def stream_near_dup_chain_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src)
-    idx = "dif_gate_nd_chain_idx"
+    idx = _gate_name("dif_gate_nd_chain_idx")
     drop_table_and_location(spark, idx)
     t = _t(spark, sf_dir)
     base = t("documents").select("doc_id", "text").filter(F.col("doc_id") < 60)
@@ -3866,7 +3900,8 @@ def bigram_lm_persisted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     t = _t(spark, sf_dir)
     docs = t("documents").filter(F.col("doc_id") < 300)
-    prefix = "dif_gate_bigram_lm"
+    prefix = _gate_name("dif_gate_bigram_lm")
+    _GATE_TABLES.update({f"{prefix}_c12", f"{prefix}_c1"})
     save_bigram_lm(docs, spark, prefix)
     return bigram_lm_score_with(docs, spark, prefix)
 
@@ -3887,23 +3922,23 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     t = _t(spark, sf_dir)
-    # clear any stale warehouse dirs a crashed prior session left behind
-    drop_table_and_location(spark, "gate_bkt_cust")
-    drop_table_and_location(spark, "gate_bkt_ord")
+    tc, to = _gate_name("gate_bkt_cust"), _gate_name("gate_bkt_ord")
+    drop_table_and_location(spark, tc)
+    drop_table_and_location(spark, to)
     write_bucketed(
-        t("customer").select("c_custkey", "c_mktsegment"), "gate_bkt_cust",
+        t("customer").select("c_custkey", "c_mktsegment"), tc,
         "c_custkey", n_buckets=16,
     )
     write_bucketed(
         t("orders").select(
             F.col("o_custkey").alias("c_custkey"), "o_totalprice"
         ),
-        "gate_bkt_ord", "c_custkey", n_buckets=16,
+        to, "c_custkey", n_buckets=16,
     )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = bucketed_join(spark, "gate_bkt_cust", "gate_bkt_ord", "c_custkey")
+        joined = bucketed_join(spark, tc, to, "c_custkey")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         if "Exchange hashpartitioning" in plan:
             raise AssertionError("bucketed join planned a shuffle Exchange")
@@ -3914,8 +3949,8 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
-        spark.sql("DROP TABLE IF EXISTS gate_bkt_ord")
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -4847,7 +4882,7 @@ def stream_ann_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src)
-    idx = "dif_gate_ann_intake_idx"
+    idx = _gate_name("dif_gate_ann_intake_idx")
     drop_table_and_location(spark, idx)
     t = _t(spark, sf_dir)
     emb = t("embeddings").select("vec_id", "embedding").filter(

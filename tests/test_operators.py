@@ -1067,6 +1067,12 @@ def test_margin_bitext_hub_deflation_matches_reference(spark):
     back = {
         ti: min(src, key=lambda si: (-margin[si, ti], si)) for ti in tgt
     }
+    # true-intersection mutual: also needs the pair inside the
+    # target's own backward top-k shortlist (by cosine)
+    bwd_cand = {
+        ti: set(sorted(src, key=lambda si: (-sims[si, ti], si))[:k])
+        for ti in tgt
+    }
     # the construction exercises the interesting case: raw cosine picks
     # the hub for source 0, margin picks the true counterpart
     assert max(tgt, key=lambda ti: sims[0, ti]) == 1 and best[0] == 3
@@ -1085,7 +1091,9 @@ def test_margin_bitext_hub_deflation_matches_reference(spark):
         assert r.tgt_id == best[si]
         assert r.cosine_sim == pytest.approx(sims[si, r.tgt_id], abs=2e-6)
         assert r.margin == pytest.approx(margin[si, r.tgt_id], abs=2e-6)
-        assert r.mutual == (back[r.tgt_id] == si)
+        assert r.mutual == (
+            back[r.tgt_id] == si and si in bwd_cand[r.tgt_id]
+        )
 
 
 def test_embedding_pca_project_matches_numpy(spark):

@@ -34,6 +34,13 @@ def test_canonicalize_url_normalization_rules(spark):
         ("https://example.com/p?utm_a=1&utm_b=2", "https://example.com/p"),
         # non-443 port preserved; non-utm params keep values
         ("http://example.com:8080/x?b=2&a=1", "http://example.com:8080/x?a=1&b=2"),
+        # RFC 3986 default-port rule is scheme-aware:
+        # http's default :80 dropped ...
+        ("http://example.com:80/x", "http://example.com/x"),
+        # ... but https keeps :80 (non-default) ...
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        # ... and http keeps :443 (non-default for http)
+        ("http://example.com:443/x", "http://example.com:443/x"),
     ]
     df = spark.createDataFrame(cases, "url string, expected string")
     got = df.select(

@@ -1,0 +1,170 @@
+"""Round-5 operator tests: engine-proof blocklist, ADVICE fixes, MMR gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestBlocklistFilter:
+    """blocklist_filter's replace-count contract (no \\b regex)."""
+
+    def _run(self, spark, texts, phrases, max_hits=0):
+        from dataingestionframework_spark.operators.text import blocklist_filter
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+        rows = blocklist_filter(df, phrases, max_hits=max_hits).orderBy("id").collect()
+        return [(r.n_blocked_hits, r.blocklist_pass) for r in rows]
+
+    def test_word_boundaries_and_counts(self, spark):
+        got = self._run(
+            spark,
+            [
+                "please merge this",         # 1 hit
+                "merged submerge merges",    # 0 — substrings don't match
+                "merge merge merge",         # 3 — adjacent tokens all count
+                "MERGE, (merge)!",           # 2 — case/punct insensitive
+                "nothing here",              # 0
+            ],
+            ["merge"],
+            max_hits=1,
+        )
+        assert got == [(1, True), (0, True), (3, False), (2, False), (0, True)]
+
+    def test_multiword_phrase_and_delimiters(self, spark):
+        got = self._run(
+            spark,
+            [
+                "use window sort here",       # 1
+                "window\tsort and window  sort",  # 2 — any delimiter run
+                "window sorting",             # 0
+                "windows sort",               # 0
+                "window sort window sort",    # 2
+            ],
+            ["window sort"],
+        )
+        assert got == [(1, False), (2, False), (0, True), (0, True), (2, False)]
+
+    def test_overlapping_multiword_counts_nonoverlapping(self, spark):
+        # "a a a" contains "a a" twice overlapping; leftmost
+        # non-overlapping semantics (same as regex engines) count 1
+        got = self._run(spark, ["a a a", "a a a a"], ["a a"])
+        assert got == [(1, False), (2, False)]
+
+    def test_multiple_phrases_sum(self, spark):
+        got = self._run(spark, ["merge the window sort merge"], ["merge", "window sort"])
+        assert got == [(3, False)]
+
+    def test_phrase_normalization(self, spark):
+        # phrases themselves get the same [^a-z0-9]+ normalize
+        got = self._run(spark, ["window sort now"], ["Window-Sort"])
+        assert got == [(1, False)]
+
+    def test_empty_phrase_raises(self, spark):
+        from dataingestionframework_spark.operators.text import blocklist_filter
+
+        df = spark.createDataFrame([(1, "x")], "id int, text string")
+        with pytest.raises(ValueError):
+            blocklist_filter(df, [])
+        with pytest.raises(ValueError):
+            blocklist_filter(df, ["!!!"])
+
+    def test_matches_duckdb_twin_on_tricky_text(self, spark):
+        """The exact oracle mechanism agrees with Spark on adversarial
+        text — including non-ASCII, leading/trailing delimiters, and
+        empty strings."""
+        import duckdb
+
+        texts = [
+            "merge", " merge ", "", "   ", "merge—merge", "naïve merge café",
+            "a a a merge a", "window  sort\nmerge", "9merge merge9 m3rge",
+        ]
+        got = self._run(spark, texts, ["merge"])
+        con = duckdb.connect()
+        exp = []
+        for t in texts:
+            (hits,) = con.execute(
+                """
+                SELECT CAST((length(p) - length(replace(p, ' merge ', '')))
+                            // length(' merge ') AS BIGINT)
+                FROM (SELECT '  ' || replace(trim(regexp_replace(lower(?),
+                         '[^a-z0-9]+', ' ', 'g')), ' ', '  ') || '  ' AS p)
+                """,
+                [t],
+            ).fetchone()
+            exp.append(hits)
+        assert [h for h, _ in got] == exp
+
+
+def test_decode_pcm16_odd_length_payload_degrades(spark):
+    """A truncated/odd-length data section must yield the usable whole
+    samples (or the too-short shape), never fail the task — one
+    malformed WAV in a 100 TB scan cannot kill the pass."""
+    import struct
+
+    from dataingestionframework_spark.operators.multimodal import decode_pcm16
+
+    samples = [7, -9, 1000]
+    data = struct.pack("<hhh", *samples)
+    hdr = b"\x00" * 44
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(hdr + data + b"\x01")),  # trailing odd byte
+            (2, bytearray(hdr + b"\x01")),          # 1 byte: no sample
+            (3, bytearray(hdr + data[:5])),         # truncated mid-sample
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in decode_pcm16(df).collect()}
+    assert (out[1].n_samples, out[1].sum_val) == (3, sum(samples))
+    assert out[2].n_samples == 0 and out[2].min_val is None
+    assert (out[3].n_samples, out[3].sum_val) == (2, 7 - 9)
+
+
+def test_margin_bitext_mutual_requires_backward_shortlist(spark):
+    """mutual=true needs the pair in the TARGET's own backward top-k —
+    a source the target never retrieved cannot be mutual even when it
+    wins the forward-candidate backward rank (ADVICE r4)."""
+    import math
+
+    from dataingestionframework_spark.operators.similarity import (
+        margin_bitext_mine,
+    )
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # k=1: tgt 1's backward shortlist is its single closest source.
+    # src 0 -> closest tgt is 1 (forward best), but tgt 1's closest
+    # source is 2 (2 deg away vs 10) -> pair (0,1) not in backward
+    # shortlist -> mutual False. Pair (2,1): forward best of 2 is 1
+    # and backward best of 1 is 2 -> mutual True.
+    src = {0: unit(0.0), 2: unit(12.0)}
+    tgt = {1: unit(10.0), 3: unit(85.0)}
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in src.items()], "vec_id long, embedding array<double>"
+    )
+    tdf = spark.createDataFrame(
+        [(i, v) for i, v in tgt.items()], "vec_id long, embedding array<double>"
+    )
+    got = {r.src_id: r for r in margin_bitext_mine(sdf, tdf, k_margin=1).collect()}
+    assert got[0].tgt_id == 1 and got[0].mutual is False
+    assert got[2].tgt_id == 1 and got[2].mutual is True
+
+
+def test_staged_parquet_swap_no_residue_and_correct(spark, tmp_path):
+    """The RTBF staged swap: rewrites the path with the kept rows, the
+    read side can stay lazy over the original files, and neither the
+    .__staged__ nor .__bak__ sibling survives."""
+    import os
+
+    from dataingestionframework_spark.ingest.corpus import _staged_parquet_swap
+
+    p = str(tmp_path / "sink")
+    spark.range(100).withColumnRenamed("id", "doc_id").write.parquet(p)
+    cur = spark.read.parquet(p)
+    kept = cur.filter("doc_id % 2 = 0")  # lazy over the path being swapped
+    n = _staged_parquet_swap(spark, kept, p)
+    assert n == 50
+    assert spark.read.parquet(p).count() == 50
+    assert not os.path.exists(p + ".__staged__")
+    assert not os.path.exists(p + ".__bak__")
