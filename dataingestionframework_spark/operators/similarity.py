@@ -1351,7 +1351,10 @@ def mmr_rerank(
                 query_col: pdf[query_col].iloc[0],
                 id_col: ids[sel],
                 "mmr_rank": np.arange(1, kk + 1),
-                "mmr_score": np.round(picked_scores, 6),
+                # already 9dp-rounded; a coarser re-round would sit a
+                # 9dp value on a half-way tie ~1/1000 of the time and
+                # diverge across engines' rounding modes
+                "mmr_score": np.round(picked_scores, 9),
             }
         )
 

@@ -1904,6 +1904,93 @@ ORACLES: dict[str, str] = {
             ON bp.tgt_id = r.tgt_id AND bp.src_id = r.src_id
         WHERE r.fr = 1
     """,
+    # MMR greedy selection unrolled as 4 list-state CTE steps: pick t
+    # maximizes round(0.7*rel - (1-0.7)*maxsim(selected), 9) with ties
+    # by lowest cand_id — the same deterministic contract as the
+    # applyInPandas kernel; (1.0-0.7) is written as the expression so
+    # both engines evaluate the identical IEEE double
+    "mmr_rerank_embeddings": """
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 100 AND vec_id < 130),
+        cand AS (SELECT query_id, cand_id,
+                        round(list_cosine_similarity(qv, cv), 6) AS rel
+                 FROM q CROSS JOIN c),
+        sims AS (SELECT a.cand_id AS i, b.cand_id AS j,
+                        round(list_cosine_similarity(a.cv, b.cv), 9) AS s
+                 FROM c a CROSS JOIN c b),
+        p1 AS (SELECT query_id, cand_id, [cand_id] AS sel, score
+               FROM (SELECT query_id, cand_id,
+                            round(0.7 * rel, 9) AS score,
+                            row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(0.7 * rel, 9) DESC,
+                                         cand_id) AS r
+                     FROM cand) WHERE r = 1),
+        m2 AS (SELECT p.query_id, s.i AS cand_id, max(s.s) AS m
+               FROM sims s JOIN p1 p ON list_contains(p.sel, s.j)
+               GROUP BY 1, 2),
+        p2 AS (SELECT t.query_id, t.cand_id,
+                      list_append(p.sel, t.cand_id) AS sel, t.score
+               FROM (SELECT cd.query_id, cd.cand_id,
+                            round(0.7 * cd.rel - (1.0 - 0.7) * m.m, 9)
+                                AS score,
+                            row_number() OVER (PARTITION BY cd.query_id
+                                ORDER BY round(0.7 * cd.rel
+                                    - (1.0 - 0.7) * m.m, 9) DESC,
+                                         cd.cand_id) AS r
+                     FROM cand cd
+                     JOIN m2 m ON m.query_id = cd.query_id
+                              AND m.cand_id = cd.cand_id
+                     JOIN p1 p0 ON p0.query_id = cd.query_id
+                     WHERE NOT list_contains(p0.sel, cd.cand_id)) t
+               JOIN p1 p ON p.query_id = t.query_id
+               WHERE t.r = 1),
+        m3 AS (SELECT p.query_id, s.i AS cand_id, max(s.s) AS m
+               FROM sims s JOIN p2 p ON list_contains(p.sel, s.j)
+               GROUP BY 1, 2),
+        p3 AS (SELECT t.query_id, t.cand_id,
+                      list_append(p.sel, t.cand_id) AS sel, t.score
+               FROM (SELECT cd.query_id, cd.cand_id,
+                            round(0.7 * cd.rel - (1.0 - 0.7) * m.m, 9)
+                                AS score,
+                            row_number() OVER (PARTITION BY cd.query_id
+                                ORDER BY round(0.7 * cd.rel
+                                    - (1.0 - 0.7) * m.m, 9) DESC,
+                                         cd.cand_id) AS r
+                     FROM cand cd
+                     JOIN m3 m ON m.query_id = cd.query_id
+                              AND m.cand_id = cd.cand_id
+                     JOIN p2 p0 ON p0.query_id = cd.query_id
+                     WHERE NOT list_contains(p0.sel, cd.cand_id)) t
+               JOIN p2 p ON p.query_id = t.query_id
+               WHERE t.r = 1),
+        m4 AS (SELECT p.query_id, s.i AS cand_id, max(s.s) AS m
+               FROM sims s JOIN p3 p ON list_contains(p.sel, s.j)
+               GROUP BY 1, 2),
+        p4 AS (SELECT t.query_id, t.cand_id,
+                      list_append(p.sel, t.cand_id) AS sel, t.score
+               FROM (SELECT cd.query_id, cd.cand_id,
+                            round(0.7 * cd.rel - (1.0 - 0.7) * m.m, 9)
+                                AS score,
+                            row_number() OVER (PARTITION BY cd.query_id
+                                ORDER BY round(0.7 * cd.rel
+                                    - (1.0 - 0.7) * m.m, 9) DESC,
+                                         cd.cand_id) AS r
+                     FROM cand cd
+                     JOIN m4 m ON m.query_id = cd.query_id
+                              AND m.cand_id = cd.cand_id
+                     JOIN p3 p0 ON p0.query_id = cd.query_id
+                     WHERE NOT list_contains(p0.sel, cd.cand_id)) t
+               JOIN p3 p ON p.query_id = t.query_id
+               WHERE t.r = 1)
+        SELECT query_id, cand_id, CAST(1 AS INTEGER) AS mmr_rank,
+               score AS mmr_score FROM p1
+        UNION ALL SELECT query_id, cand_id, CAST(2 AS INTEGER), score FROM p2
+        UNION ALL SELECT query_id, cand_id, CAST(3 AS INTEGER), score FROM p3
+        UNION ALL SELECT query_id, cand_id, CAST(4 AS INTEGER), score FROM p4
+    """,
     # exact ground truth for hard negatives: all-pairs cosine with a
     # label-mismatch filter, ranked (sim 6dp DESC, id ASC) per query
     "hard_negatives_embeddings": """

@@ -464,6 +464,33 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (operators.similarity.mmr_rerank —
+    Carbonell & Goldstein greedy maximal-marginal-relevance): 5 query
+    vectors, a 30-vector ANN-style candidate pool each (relevance =
+    6dp cosine from knn_join_brute, the pool broadcast once), k=4
+    diversified picks at lam=0.7. The greedy selection is
+    deterministic (9dp score rounding, ties by lowest cand_id), so the
+    DuckDB twin unrolls the 4 picks as list-state CTE steps — the same
+    proof pattern as pagerank's unrolled iterations."""
+    from ..operators.similarity import knn_join_brute, mmr_rerank
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    pool = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+    rel = knn_join_brute(q, pool, k=30).select(
+        F.col("left_id").alias("query_id"),
+        F.col("right_id").alias("cand_id"),
+        F.col("cosine_sim").alias("relevance"),
+    )
+    cand = rel.join(
+        pool.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id"
+    )
+    return mmr_rerank(cand, k=4, lam=0.7)
+
+
 def margin_bitext_mine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (operators.similarity.
     margin_bitext_mine — the LASER/CCMatrix ratio-margin recipe) with
@@ -5332,6 +5359,7 @@ QUERIES = {
     "acf_hourly_events": acf_hourly_events,
     "pcm_decode_stats_docs": pcm_decode_stats_docs,
     "hard_negatives_embeddings": hard_negatives_embeddings,
+    "mmr_rerank_embeddings": mmr_rerank_embeddings,
     "margin_bitext_mine_embeddings": margin_bitext_mine_embeddings,
     "embedding_gram_embeddings": embedding_gram_embeddings,
     "fim_transform_docs": fim_transform_docs,
