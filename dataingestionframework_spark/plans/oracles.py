@@ -3781,3 +3781,123 @@ ORACLES.update({
         GROUP BY 1
     """,
 })
+
+# crawl-to-corpus flagship: the full WARC -> web-normalize -> quality
+# -> dedup -> split funnel regenerated from the documents table
+# (parse.build = id is proven separately by warc_roundtrip_docs), with
+# the per-stage survivor-id fingerprint in the table_fingerprint
+# md5-sum contract
+_WTC_CK = (
+    "CAST(coalesce(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),"
+    " 1, 15))::UBIGINT::HUGEINT) % 2305843009213693951, 0) AS BIGINT)"
+    " AS id_checksum"
+)
+ORACLES.update({
+    "warc_to_corpus_docs": f"""
+        WITH d0 AS (SELECT doc_id, lang, source, text
+                    FROM documents WHERE doc_id < 400),
+        -- every 4th doc also arrives as a mirror record: identical
+        -- content, different record id (+100000) and URL path (/m/)
+        d AS (SELECT doc_id AS vdoc, doc_id, lang, source, text,
+                     '/p/' AS pfx FROM d0
+              UNION ALL
+              SELECT doc_id AS vdoc, doc_id + 100000, lang, source, text,
+                     '/m/' FROM d0 WHERE doc_id % 4 = 0),
+        h AS (
+            SELECT doc_id,
+                   '<html><head><title>Doc ' || CAST(vdoc AS VARCHAR)
+                   || ' (' || lang || ')</title></head><body><p>' || text
+                   || '</p><a href="https://' || source
+                   || '.example.com/d/' || CAST(vdoc AS VARCHAR)
+                   || '">more</a></body></html>' AS html,
+                   (CASE WHEN vdoc % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+                   || '://'
+                   || (CASE WHEN vdoc % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || 'Example.com'
+                   || (CASE WHEN vdoc % 5 = 0 THEN ':443' ELSE '' END)
+                   || pfx || CAST(vdoc % 120 AS VARCHAR)
+                   || (CASE WHEN vdoc % 2 = 0
+                       THEN '?b=2&a=1&utm_source=crawl'
+                       ELSE '?a=1&b=2' END)
+                   || (CASE WHEN vdoc % 7 = 0 THEN '#frag' ELSE '' END)
+                       AS url
+            FROM d
+        ),
+        nf AS (SELECT doc_id, html,
+                      regexp_replace(url, '#.*$', '') AS no_frag FROM h),
+        sp AS (SELECT doc_id, html,
+                      regexp_extract(no_frag, '^([^?]*)', 1) AS base,
+                      regexp_extract(no_frag, '\\?(.*)$', 1) AS query
+               FROM nf),
+        cp AS (SELECT doc_id, html, query,
+                      lower(regexp_extract(
+                          base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                      regexp_replace(
+                          base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+               FROM sp),
+        rh AS (SELECT doc_id, html, query, scheme, rest,
+                      regexp_replace(lower(regexp_extract(
+                          rest, '^([^/]*)', 1)), '^www\\.', '') AS host0
+               FROM cp),
+        hp AS (SELECT doc_id, html, scheme,
+                      CASE WHEN scheme = 'https'
+                           THEN regexp_replace(host0, ':443$', '')
+                           WHEN scheme = 'http'
+                           THEN regexp_replace(host0, ':80$', '')
+                           ELSE host0 END AS host,
+                      CASE WHEN regexp_replace(rest, '^[^/]*', '') = ''
+                           THEN '/' ELSE regexp_replace(rest, '^[^/]*', '')
+                      END AS path,
+                      array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+                          '&') AS params
+               FROM rh),
+        xt AS (SELECT doc_id,
+                      scheme || '://' || host || path ||
+                      CASE WHEN params <> '' THEN '?' || params
+                           ELSE '' END AS curl,
+                      trim(regexp_replace(regexp_replace(
+                          html, '<[^>]+>', ' ', 'g'),
+                          '\\s+', ' ', 'g')) AS text
+               FROM hp),
+        scored AS (
+            SELECT doc_id, curl, md5(text) AS fp,
+                   round(((CASE WHEN len(ts) BETWEEN 5 AND 100000
+                                THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN CAST(len(list_distinct(ts)) AS DOUBLE)
+                                       / greatest(CAST(len(ts) AS DOUBLE),
+                                                  1.0) >= 0.2
+                                  THEN 1.0
+                                  ELSE (CAST(len(list_distinct(ts)) AS DOUBLE)
+                                        / greatest(CAST(len(ts) AS DOUBLE),
+                                                   1.0)) / 0.2 END)
+                          + (CASE WHEN CAST(len(list_filter(ts,
+                                       x -> list_contains({STOPWORDS_SQL},
+                                                          x))) AS DOUBLE)
+                                       / greatest(CAST(len(ts) AS DOUBLE),
+                                                  1.0)
+                                       BETWEEN 0.01 AND 0.6
+                                  THEN 1.0 ELSE 0.5 END)) / 3.0, 4)
+                       AS quality
+            FROM (SELECT doc_id, curl, text, {_TOKENS} AS ts FROM xt)
+        ),
+        uk AS (SELECT * FROM (SELECT *, row_number() OVER (
+                   PARTITION BY curl ORDER BY doc_id) AS rn FROM scored)
+               WHERE rn = 1),
+        ql AS (SELECT * FROM uk WHERE quality >= 0.9),
+        dd AS (SELECT * FROM (SELECT *, row_number() OVER (
+                   PARTITION BY fp ORDER BY doc_id) AS rn2 FROM ql)
+               WHERE rn2 = 1),
+        sb AS (SELECT *, ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                   1, 15))::UBIGINT % 10 AS b FROM dd)
+        SELECT 'parsed' AS stage, count(*) AS n_rows, {_WTC_CK} FROM scored
+        UNION ALL SELECT 'url_dedup', count(*), {_WTC_CK} FROM uk
+        UNION ALL SELECT 'quality', count(*), {_WTC_CK} FROM ql
+        UNION ALL SELECT 'exact_dedup', count(*), {_WTC_CK} FROM dd
+        UNION ALL SELECT 'split_train', count(*), {_WTC_CK} FROM sb
+                  WHERE b < 8
+        UNION ALL SELECT 'split_val', count(*), {_WTC_CK} FROM sb
+                  WHERE b >= 8
+    """,
+})

@@ -5332,6 +5332,152 @@ def url_canonical_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_to_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-corpus FLAGSHIP integration: the whole web pipeline
+    composed in one plan — WARC build+parse (sources/warc.py) → HTML
+    visible-text extraction + URL canonicalization (operators/web.py)
+    → per-URL dedup (min doc per canonical key) → quality gate
+    (operators/text.py, round-4dp score ≥ 0.9) → exact content dedup
+    (md5 fingerprint — every 4th doc also arrives as a MIRROR record
+    with identical content under a different URL and record id, the
+    mirror-site case URL dedup cannot catch) → train/val split by
+    portable hash. One stage row per funnel step: (stage, n_rows,
+    id_checksum) where the checksum is the order-insensitive md5-sum
+    fingerprint of the SURVIVING doc ids
+    (operators/profile.py::table_fingerprint contract), so the oracle
+    proves not just the counts but exactly WHICH documents each stage
+    kept. The heavy parse+extract runs once (materialized compact:
+    id/url/quality/fingerprint — 4 columns, no text) and six 1-row
+    aggregates reuse it."""
+    from ..operators.text import quality_score
+    from ..operators.web import canonicalize_url, html_visible_text
+    from ..sources.warc import warc_parse
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    docs = t("documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "lang", "source", "text"
+    )
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit(" ("),
+        F.col("lang"),
+        F.lit(")</title></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://'),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        did.cast("string"),
+        F.lit('">more</a></body></html>'),
+    )
+    # messy crawl URI: case/www/:443/params/fragment variants that all
+    # collapse to one canonical key per (doc_id % 120) path
+    def uri(prefix: str):
+        return F.concat(
+            F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+            F.lit("://"),
+            F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("Example.com"),
+            F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit(prefix),
+            F.pmod(did, F.lit(120)).cast("string"),
+            F.when(did % 2 == 0, F.lit("?b=2&a=1&utm_source=crawl")).otherwise(
+                F.lit("?a=1&b=2")
+            ),
+            F.when(did % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+
+    def record(rid, uri_col):
+        return F.concat(
+            F.lit(
+                "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:corpus:"
+            ),
+            rid.cast("string"),
+            F.lit(">\r\nWARC-Target-URI: "),
+            uri_col,
+            F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+            F.octet_length(html).cast("string"),
+            F.lit("\r\n\r\n"),
+            html,
+            F.lit("\r\n\r\n"),
+        )
+
+    orig = F.struct(did.alias("i"), record(did, uri("/p/")).alias("r"))
+    # mirror-site record: identical content, different URL + record id
+    mirror = F.struct(
+        (did + 100000).alias("i"), record(did + 100000, uri("/m/")).alias("r")
+    )
+    recs = F.when(did % 4 == 0, F.array(orig, mirror)).otherwise(
+        F.array(orig)
+    )
+    files = (
+        docs.select(F.pmod(did, 8).alias("f"), F.explode(recs).alias("s"))
+        .groupBy("f")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["r"]),
+                "",
+            )
+            .cast("binary")
+            .alias("content")
+        )
+    )
+    body = html_visible_text(F.col("text"))
+    staged = (
+        warc_parse(files)
+        .select(
+            F.regexp_extract("record_id", "urn:corpus:(\\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            canonicalize_url(F.col("target_uri")).alias("curl"),
+            F.round(quality_score(body), 4).alias("quality"),
+            F.md5(body).alias("fp"),
+        )
+        # materialize the parse+extract once (compact: 4 cols, no
+        # text); the six stage aggregates below reuse it instead of
+        # re-running the WARC scan per branch
+        .localCheckpoint()
+    )
+    mod = F.lit(2305843009213693951).cast("decimal(38,0)")
+    rowv = F.conv(
+        F.substring(F.md5(did.cast("string")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.select(rowv.alias("rv")).agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.pmod(F.sum("rv"), mod).cast("long"), F.lit(0)).alias(
+                "id_checksum"
+            ),
+        )
+
+    w_url = Window.partitionBy("curl").orderBy("doc_id")
+    url_kept = (
+        staged.withColumn("rn", F.row_number().over(w_url))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    qual = url_kept.filter(F.col("quality") >= 0.9)
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    ded = (
+        qual.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = F.pmod(rowv, F.lit(10).cast("decimal(38,0)"))
+    return (
+        stage(staged, "parsed")
+        .unionAll(stage(url_kept, "url_dedup"))
+        .unionAll(stage(qual, "quality"))
+        .unionAll(stage(ded, "exact_dedup"))
+        .unionAll(stage(ded.filter(bucket < 8), "split_train"))
+        .unionAll(stage(ded.filter(bucket >= 8), "split_val"))
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5556,4 +5702,5 @@ QUERIES = {
     "dense_ids_docs": dense_ids_docs,
     "html_extract_docs": html_extract_docs,
     "url_canonical_dedup_docs": url_canonical_dedup_docs,
+    "warc_to_corpus_docs": warc_to_corpus_docs,
 }
