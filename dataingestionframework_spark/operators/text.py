@@ -1253,3 +1253,44 @@ def blocklist_filter(
     return df.withColumn("n_blocked_hits", hits).withColumn(
         "blocklist_pass", hits <= max_hits
     )
+
+
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    max_replacement_ratio: float = 0.01,
+    max_control_ratio: float = 0.01,
+) -> DataFrame:
+    """Charset/mojibake quality screen — the encoding-sanity gate
+    (CCNet/ROOTS-style) web pipelines run before any text model sees a
+    document: text that arrived through a wrong-charset decode is full
+    of U+FFFD replacement characters, and binary-contaminated text is
+    full of C0 control characters.
+
+    Engine-proof counting (same contract philosophy as
+    :func:`blocklist_filter`): U+FFFD is counted with plain
+    ``replace`` (no regex at all); control characters (C0 minus
+    tab/newline/CR, plus DEL) with a single explicit-hex character
+    class — the one regex feature whose semantics do not vary across
+    engines. All scan-side codegen, zero shuffles.
+
+    Adds ``n_chars``, ``n_replacement``, ``n_control``, and
+    ``encoding_pass`` (both ratios within tolerance; empty text
+    passes).
+    """
+    s = F.col(text_col)
+    n = F.length(s)
+    n_rep = n - F.length(F.replace(s, F.lit("�"), F.lit("")))
+    ctl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    n_ctl = n - F.length(F.regexp_replace(s, ctl, ""))
+    denom = F.greatest(n, F.lit(1)).cast("double")
+    ok = (
+        (n_rep.cast("double") / denom <= F.lit(max_replacement_ratio))
+        & (n_ctl.cast("double") / denom <= F.lit(max_control_ratio))
+    )
+    return (
+        df.withColumn("n_chars", n.cast("long"))
+        .withColumn("n_replacement", n_rep.cast("long"))
+        .withColumn("n_control", n_ctl.cast("long"))
+        .withColumn("encoding_pass", ok)
+    )

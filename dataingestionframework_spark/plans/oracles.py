@@ -3901,3 +3901,38 @@ ORACLES.update({
                   WHERE b >= 8
     """,
 })
+
+ORACLES.update({
+    # same replace-count + explicit-hex-class contract as the operator;
+    # chr(65533) is U+FFFD
+    "encoding_quality_docs": """
+        WITH d AS (
+            SELECT lang,
+                   text
+                   || (CASE WHEN doc_id % 3 = 0
+                       THEN chr(65533) || chr(65533) || chr(65533)
+                       ELSE '' END)
+                   || (CASE WHEN doc_id % 5 = 0
+                       THEN chr(1) || chr(2) || chr(7) ELSE '' END) AS t
+            FROM documents
+        ),
+        c AS (
+            SELECT lang,
+                   length(t) AS n,
+                   length(t) - length(replace(t, chr(65533), '')) AS n_rep,
+                   length(t) - length(regexp_replace(t,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
+                       AS n_ctl
+            FROM d
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(n_rep) AS total_replacement,
+               sum(n_ctl) AS total_control,
+               sum(CASE WHEN CAST(n_rep AS DOUBLE)
+                             / greatest(CAST(n AS DOUBLE), 1.0) <= 0.002
+                         AND CAST(n_ctl AS DOUBLE)
+                             / greatest(CAST(n AS DOUBLE), 1.0) <= 0.002
+                        THEN 1 ELSE 0 END) AS n_passing
+        FROM c GROUP BY lang
+    """,
+})

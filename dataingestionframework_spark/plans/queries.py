@@ -5332,32 +5332,14 @@ def url_canonical_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def warc_to_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-to-corpus FLAGSHIP integration: the whole web pipeline
-    composed in one plan — WARC build+parse (sources/warc.py) → HTML
-    visible-text extraction + URL canonicalization (operators/web.py)
-    → per-URL dedup (min doc per canonical key) → quality gate
-    (operators/text.py, round-4dp score ≥ 0.9) → exact content dedup
-    (md5 fingerprint — every 4th doc also arrives as a MIRROR record
-    with identical content under a different URL and record id, the
-    mirror-site case URL dedup cannot catch) → train/val split by
-    portable hash. One stage row per funnel step: (stage, n_rows,
-    id_checksum) where the checksum is the order-insensitive md5-sum
-    fingerprint of the SURVIVING doc ids
-    (operators/profile.py::table_fingerprint contract), so the oracle
-    proves not just the counts but exactly WHICH documents each stage
-    kept. The heavy parse+extract runs once (materialized compact:
-    id/url/quality/fingerprint — 4 columns, no text) and six 1-row
-    aggregates reuse it."""
+def _warc_corpus_funnel(docs: DataFrame) -> DataFrame:
+    """The crawl-to-corpus funnel body over a (doc_id, lang, source,
+    text) frame — shared by the gate query below and the x10 scale
+    sweep (tests/test_scale.py)."""
     from ..operators.text import quality_score
     from ..operators.web import canonicalize_url, html_visible_text
     from ..sources.warc import warc_parse
 
-    tune(spark)
-    t = _t(spark, sf_dir)
-    docs = t("documents").filter(F.col("doc_id") < 400).select(
-        "doc_id", "lang", "source", "text"
-    )
     did = F.col("doc_id")
     html = F.concat(
         F.lit("<html><head><title>Doc "),
@@ -5475,6 +5457,67 @@ def warc_to_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(ded, "exact_dedup"))
         .unionAll(stage(ded.filter(bucket < 8), "split_train"))
         .unionAll(stage(ded.filter(bucket >= 8), "split_val"))
+    )
+
+
+def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset/mojibake screen (operators.text.encoding_quality): the
+    fixture injects U+FFFD replacement runs (every 3rd doc — the
+    wrong-charset-decode signature) and C0 control bytes (every 5th —
+    binary contamination), then aggregates pass/char counts per lang.
+    Counting is replace-based + one explicit-hex character class, the
+    engine-proof contract; the tight 0.2% tolerances fail the injected
+    docs and pass the clean ones."""
+    from ..operators.text import encoding_quality
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("���")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\x01\x02\x07")).otherwise(
+            F.lit("")
+        ),
+    )
+    out = encoding_quality(
+        d.select("doc_id", "lang", dirty.alias("text")),
+        max_replacement_ratio=0.002,
+        max_control_ratio=0.002,
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_replacement").alias("total_replacement"),
+        F.sum("n_control").alias("total_control"),
+        F.sum(F.col("encoding_pass").cast("long")).alias("n_passing"),
+    )
+
+
+def warc_to_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-corpus FLAGSHIP integration: the whole web pipeline
+    composed in one plan — WARC build+parse (sources/warc.py) -> HTML
+    visible-text extraction + URL canonicalization (operators/web.py)
+    -> per-URL dedup (min doc per canonical key) -> quality gate
+    (operators/text.py, round-4dp score >= 0.9) -> exact content dedup
+    (md5 fingerprint — every 4th doc also arrives as a MIRROR record
+    with identical content under a different URL and record id, the
+    mirror-site case URL dedup cannot catch) -> train/val split by
+    portable hash. One stage row per funnel step: (stage, n_rows,
+    id_checksum) where the checksum is the order-insensitive md5-sum
+    fingerprint of the SURVIVING doc ids
+    (operators/profile.py::table_fingerprint contract), so the oracle
+    proves not just the counts but exactly WHICH documents each stage
+    kept. The heavy parse+extract runs once (materialized compact:
+    id/url/quality/fingerprint — 4 columns, no text) and six 1-row
+    aggregates reuse it."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return _warc_corpus_funnel(
+        t("documents").filter(F.col("doc_id") < 400).select(
+            "doc_id", "lang", "source", "text"
+        )
     )
 
 
@@ -5703,4 +5746,5 @@ QUERIES = {
     "html_extract_docs": html_extract_docs,
     "url_canonical_dedup_docs": url_canonical_dedup_docs,
     "warc_to_corpus_docs": warc_to_corpus_docs,
+    "encoding_quality_docs": encoding_quality_docs,
 }

@@ -168,3 +168,51 @@ def test_staged_parquet_swap_no_residue_and_correct(spark, tmp_path):
     assert spark.read.parquet(p).count() == 50
     assert not os.path.exists(p + ".__staged__")
     assert not os.path.exists(p + ".__bak__")
+
+
+def test_avro_format_roundtrip_leg(spark, tmp_path):
+    """Avro sink+source roundtrip — joins format_roundtrip_agg's
+    orc/csv/json/xml legs when the external spark-avro module is
+    present (tools/verify_env_extras.py runs this on a networked
+    host; skipped in the DNS-less container, see DEPLOY.md)."""
+    import os
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    if not any(f.startswith("spark-avro") for f in os.listdir(jars)):
+        pytest.skip("spark-avro module not installed in this container")
+    src = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    p = str(tmp_path / "avro")
+    src.write.format("avro").save(p)
+    back = spark.read.format("avro").load(p)
+    assert back.count() == 100
+    got = {r.grp: r.n for r in back.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got == {"0": 34, "1": 33, "2": 33}
+
+
+def test_encoding_quality_counts_and_gate(spark):
+    """Replacement-char and control-char counting, ratio gating, and
+    the empty/clean edge cases."""
+    from dataingestionframework_spark.operators.text import encoding_quality
+
+    rows = [
+        (1, "clean ascii text here"),
+        (2, "bad �� decode �"),          # 3 replacement
+        (3, "ctl\x01\x02\x07and\x1f\x7fmore"),          # 5 control
+        (4, "tabs\tand\nnewlines\rok"),                 # whitespace exempt
+        (5, ""),
+        (6, "x" * 1000 + "�"),                     # 0.001 ratio: passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in encoding_quality(
+        df, max_replacement_ratio=0.002, max_control_ratio=0.002
+    ).collect()}
+    assert (out[1].n_replacement, out[1].n_control, out[1].encoding_pass) == (0, 0, True)
+    assert (out[2].n_replacement, out[2].encoding_pass) == (3, False)
+    assert (out[3].n_control, out[3].encoding_pass) == (5, False)
+    assert (out[4].n_control, out[4].encoding_pass) == (0, True)
+    assert (out[5].n_chars, out[5].encoding_pass) == (0, True)
+    assert (out[6].n_replacement, out[6].encoding_pass) == (1, True)

@@ -307,3 +307,24 @@ def test_embedding_gram_scales(spark, sf):
     big = _replicate(emb, ["vec_id"], REPL, 1_000_000)
     t10 = _wall(lambda: q(big))
     _assert_scales("embedding_gram", t1, t10)
+
+
+def test_warc_corpus_funnel_scales(spark, sf):
+    """The crawl-to-corpus flagship funnel (WARC build+parse -> web
+    normalize -> URL/quality/content dedup -> split) at x1 vs x10
+    documents: every stage is a narrow map or a hash shuffle on
+    canonical keys, so wall must grow ~linearly."""
+    from dataingestionframework_spark.plans.queries import _warc_corpus_funnel
+
+    docs = sf("documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "lang", "source", "text"
+    )
+
+    def q(d):
+        return _warc_corpus_funnel(d).collect()
+
+    q(docs)  # warm codegen
+    t1 = _wall(lambda: q(docs))
+    big = _replicate(docs, ["doc_id"], REPL, 1_000_000)
+    t10 = _wall(lambda: q(big))
+    _assert_scales("warc_corpus_funnel", t1, t10)

@@ -65,6 +65,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # pinned header: lets an auditor (and tests/test_artifacts.py) see
+    # at a glance whether a committed artifact lags the registry
+    print(f"# registry={len(queries)} queries oracles={len(oracles)} sf_dir={sf_dir}")
+
     n_pass = n_fail = n_weak = 0
     for name, fn in queries.items():
         if only and name not in only:
