@@ -1278,7 +1278,7 @@ def encoding_quality(
     ``encoding_pass`` (both ratios within tolerance; empty text
     passes).
     """
-    s = F.col(text_col)
+    s = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty = pass
     n = F.length(s)
     n_rep = n - F.length(F.replace(s, F.lit("�"), F.lit("")))
     ctl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"

@@ -38,18 +38,18 @@ def _gate_name(base: str) -> str:
 
 
 def _drop_gate_tables() -> None:  # pragma: no cover — exit-time path
-    from pyspark.sql import SparkSession
+    try:
+        from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        return
-    from ..operators.bucketing import drop_table_and_location
-
-    for name in list(_GATE_TABLES):
-        try:
-            drop_table_and_location(spark, name)
-        except Exception:  # noqa: BLE001 — JVM may already be down
+        spark = SparkSession.getActiveSession()
+        if spark is None:
             return
+        from ..operators.bucketing import drop_table_and_location
+
+        for name in list(_GATE_TABLES):
+            drop_table_and_location(spark, name)
+    except Exception:  # noqa: BLE001 — interpreter/JVM may be mid-teardown
+        return
 
 
 __import__("atexit").register(_drop_gate_tables)
