@@ -515,3 +515,75 @@ def decode_pcm16(
             )
 
     return df.select(id_col, col).mapInPandas(decode, schema=out_schema)
+
+
+def pcm_energy_segments(
+    df: DataFrame,
+    col: str = "payload",
+    id_col: str = "doc_id",
+    header_bytes: int = 44,
+    frame_samples: int = 32,
+    energy_threshold: int = 44_000_000,
+) -> DataFrame:
+    """Energy-based audio segmentation (the VAD-shaped pass speech
+    pipelines run between decode and transcription): frame the PCM
+    stream, compute per-frame energy Σv² (integer-exact), flag frames
+    above the threshold, and run-length-encode the flags into
+    speech/silence segments. Real VAD swaps the energy rule for a
+    model; the framing/run-length mechanics — what actually needs to
+    scale — are identical.
+
+    Arrow-batched ``mapInPandas`` on top of the same frombuffer decode
+    as :func:`decode_pcm16`; per clip the kernel is vectorized numpy
+    (``add.reduceat`` over frame starts + one diff for run boundaries).
+    Integer energies mean the gate oracle can regenerate segments
+    arithmetically and hash-match. Map-side only — clips parallelize by
+    file split, segments never shuffle.
+
+    Output: (id, seg_id, is_speech, start_frame, n_frames,
+    energy_sum); the final partial frame counts as a frame. Clips with
+    no usable samples yield no rows.
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, seg_id int, is_speech boolean, "
+        "start_frame int, n_frames long, energy_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[col]):
+                usable = (
+                    0 if payload is None
+                    else (len(payload) - header_bytes) // 2
+                )
+                if usable <= 0:
+                    continue
+                v = np.frombuffer(
+                    bytes(payload), dtype="<i2", offset=header_bytes,
+                    count=usable,
+                ).astype(np.int64)
+                starts = np.arange(0, usable, frame_samples)
+                energy = np.add.reduceat(v * v, starts)
+                speech = energy > energy_threshold
+                brk = np.flatnonzero(np.diff(speech)) + 1
+                bounds = np.concatenate(([0], brk, [len(energy)]))
+                for sid in range(len(bounds) - 1):
+                    a, b = bounds[sid], bounds[sid + 1]
+                    rows.append(
+                        (
+                            rid, sid, bool(speech[a]), int(a),
+                            int(b - a), int(energy[a:b].sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "seg_id", "is_speech", "start_frame",
+                    "n_frames", "energy_sum",
+                ],
+            )
+
+    return df.select(id_col, col).mapInPandas(run, schema=out_schema)

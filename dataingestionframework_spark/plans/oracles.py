@@ -3936,3 +3936,52 @@ ORACLES.update({
         FROM c GROUP BY lang
     """,
 })
+
+ORACLES.update({
+    # every sample field recomputed straight from documents — equality
+    # proves tarfile-write -> our-parse -> sample-group is lossless
+    "tar_webdataset_roundtrip_docs": """
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_members,
+               'cls' AS ext1, 'txt' AS ext2,
+               lang AS cls_payload,
+               CAST(strlen(text) AS BIGINT) AS txt_bytes,
+               CAST(strlen(text) + strlen(lang) AS BIGINT) AS total_bytes
+        FROM documents WHERE doc_id < 240
+    """,
+})
+
+ORACLES.update({
+    # regenerate the LCG PCM series, frame at 32 samples, integer
+    # energies, threshold flags run-length-encoded via lag-change ->
+    # cumulative-sum segment ids — identical semantics to the numpy
+    # reduceat/diff kernel
+    "pcm_energy_segments_docs": """
+        WITH d AS (SELECT doc_id, 64 + (doc_id % 64) AS n
+                   FROM documents WHERE doc_id < 200),
+        s AS (SELECT doc_id,
+                     unnest(range(0, n)) AS i,
+                     ((doc_id * 31 + unnest(range(0, n)) * 17) % 4096)
+                         - 2048 AS v
+              FROM d),
+        f AS (SELECT doc_id, i // 32 AS frame,
+                     sum(v * v) AS energy
+              FROM s GROUP BY 1, 2),
+        g AS (SELECT doc_id, frame, energy,
+                     (energy > 44000000) AS sp
+              FROM f),
+        r AS (SELECT *, CASE WHEN lag(sp) OVER w IS NULL
+                              OR lag(sp) OVER w <> sp
+                        THEN 1 ELSE 0 END AS brk
+              FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+        seg AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id
+                    ORDER BY frame) AS sid
+                FROM r)
+        SELECT doc_id, CAST(sid - 1 AS INTEGER) AS seg_id,
+               sp AS is_speech,
+               CAST(min(frame) AS INTEGER) AS start_frame,
+               count(*) AS n_frames,
+               CAST(sum(energy) AS BIGINT) AS energy_sum
+        FROM seg GROUP BY doc_id, sid, sp
+    """,
+})

@@ -598,6 +598,14 @@ def pcm_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     t = _t(spark, sf_dir)
+    return decode_pcm16(_wav_fixture(t))
+
+
+def _wav_fixture(t) -> DataFrame:
+    """Per-doc genuine 44-byte-header WAV payloads whose 16-bit LE PCM
+    samples derive from doc_id (integer LCG) — shared by the PCM
+    decode and energy-segmentation gate queries; the matching oracles
+    regenerate the identical series arithmetically."""
     d = t("documents").select("doc_id").filter(F.col("doc_id") < 200)
     did = F.col("doc_id")
     n = (F.pmod(did, 64) + 64).cast("int")
@@ -641,10 +649,25 @@ def pcm_decode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
-    wav = d.select(
+    return d.select(
         "doc_id", F.unhex(F.concat(header_hex, samples_hex)).alias("payload")
     )
-    return decode_pcm16(wav)
+
+
+def pcm_energy_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio segmentation under the hash gate
+    (operators.multimodal.pcm_energy_segments): the same genuine WAV
+    fixture as pcm_decode_stats_docs, framed at 32 samples, per-frame
+    integer energy, threshold flags run-length-encoded into
+    speech/silence segments. Integer-exact end to end, so the oracle
+    regenerates the series, frames it with a window run-length
+    (lag-change -> cumulative-sum segment ids), and hash-matches — a
+    real VAD pipeline's framing/RLE mechanics proven against SQL."""
+    from ..operators.multimodal import pcm_energy_segments
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return pcm_energy_segments(_wav_fixture(t))
 
 
 def _hourly_counts(t) -> DataFrame:
@@ -5460,6 +5483,65 @@ def _warc_corpus_funnel(docs: DataFrame) -> DataFrame:
     )
 
 
+def tar_webdataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingestion under the hash gate
+    (sources/tar.py): 8 genuine POSIX ustar shard images are built
+    in-plan by CPython's ``tarfile`` — an INDEPENDENT canonical writer
+    — then parsed back by our length-driven, checksum-verifying parser
+    and grouped into {key}.txt/{key}.cls samples. Equality against the
+    oracle (which recomputes every field straight from the documents
+    table) proves parse∘build = id across two independent tar
+    implementations, on the container format multimodal training
+    corpora actually ship in."""
+    from ..sources.tar import tar_parse, webdataset_samples
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    docs = t("documents").select("doc_id", "lang", "text").filter(
+        F.col("doc_id") < 240
+    )
+
+    def build(pdf):
+        import io
+        import tarfile
+
+        import pandas as _pd
+
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for _, r in pdf.iterrows():
+                for ext, data in (
+                    ("txt", str(r["text"]).encode()),
+                    ("cls", str(r["lang"]).encode()),
+                ):
+                    ti = tarfile.TarInfo(f"{int(r['doc_id']):08d}.{ext}")
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(data))
+        return _pd.DataFrame({"content": [buf.getvalue()]})
+
+    shards = (
+        docs.withColumn("f", F.pmod(F.col("doc_id"), F.lit(8)))
+        .groupBy("f")
+        .applyInPandas(build, schema="content binary")
+    )
+    samples = webdataset_samples(tar_parse(shards))
+    return samples.select(
+        F.col("sample_key").cast("long").alias("doc_id"),
+        "n_members",
+        F.element_at("exts", 1).alias("ext1"),   # ext-sorted: cls < txt
+        F.element_at("exts", 2).alias("ext2"),
+        F.element_at("payloads", 1).cast("string").alias("cls_payload"),
+        F.octet_length(F.element_at("payloads", 2)).cast("long").alias(
+            "txt_bytes"
+        ),
+        "total_bytes",
+    )
+
+
 def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset/mojibake screen (operators.text.encoding_quality): the
     fixture injects U+FFFD replacement runs (every 3rd doc — the
@@ -5747,4 +5829,6 @@ QUERIES = {
     "url_canonical_dedup_docs": url_canonical_dedup_docs,
     "warc_to_corpus_docs": warc_to_corpus_docs,
     "encoding_quality_docs": encoding_quality_docs,
+    "tar_webdataset_roundtrip_docs": tar_webdataset_roundtrip_docs,
+    "pcm_energy_segments_docs": pcm_energy_segments_docs,
 }

@@ -216,3 +216,108 @@ def test_encoding_quality_counts_and_gate(spark):
     assert (out[4].n_control, out[4].encoding_pass) == (0, True)
     assert (out[5].n_chars, out[5].encoding_pass) == (0, True)
     assert (out[6].n_replacement, out[6].encoding_pass) == (1, True)
+
+
+class TestTarWebdataset:
+    """sources/tar.py: length-driven, checksum-verified ustar parsing."""
+
+    def _tar(self, members):
+        import io
+        import tarfile
+
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for name, data in members:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(data))
+        return buf.getvalue()
+
+    def test_roundtrip_against_cpython_tarfile(self):
+        from dataingestionframework_spark.sources.tar import parse_tar_bytes
+
+        blob = self._tar(
+            [("0001.txt", b"hello"), ("0001.cls", b"en"),
+             ("dir/0002.txt", b"x" * 513), ("0002.cls", b"")]
+        )
+        rows = parse_tar_bytes(blob)
+        assert [(n, s) for n, s, _ in rows] == [
+            ("0001.txt", 5), ("0001.cls", 2),
+            ("dir/0002.txt", 513), ("0002.cls", 0),
+        ]
+        assert rows[2][2] == b"x" * 513
+
+    def test_embedded_fake_header_cannot_break_framing(self):
+        from dataingestionframework_spark.sources.tar import parse_tar_bytes
+
+        evil = b"\x00" * 100 + b"ustar\x00fake" + b"\x00" * 400
+        blob = self._tar([("a.bin", evil), ("b.txt", b"after-evil")])
+        rows = parse_tar_bytes(blob)
+        assert [n for n, _, _ in rows] == ["a.bin", "b.txt"]
+        assert rows[0][2] == evil and rows[1][2] == b"after-evil"
+
+    def test_checksum_corruption_skips_member_not_shard(self):
+        from dataingestionframework_spark.sources.tar import parse_tar_bytes
+
+        blob = bytearray(
+            self._tar([("a.txt", b"aaaa"), ("b.txt", b"bbbb"),
+                       ("c.txt", b"cccc")])
+        )
+        blob[512 * 2 + 3] ^= 0xFF  # flip a byte in b.txt's header
+        rows = parse_tar_bytes(bytes(blob))
+        assert [n for n, _, _ in rows] == ["a.txt", "c.txt"]
+
+    def test_webdataset_grouping(self, spark):
+        from dataingestionframework_spark.sources.tar import (
+            tar_parse,
+            webdataset_samples,
+        )
+
+        blob = self._tar(
+            [("0001.txt", b"t1"), ("0001.seg.cls", b"c1"),
+             ("0002.txt", b"t2")]
+        )
+        df = spark.createDataFrame([(bytearray(blob),)], "content binary")
+        got = {
+            r.sample_key: r
+            for r in webdataset_samples(tar_parse(df)).collect()
+        }
+        assert got["0001"].n_members == 2
+        # key splits at the FIRST dot: compound ext survives
+        assert got["0001"].exts == ["seg.cls", "txt"]
+        assert bytes(got["0001"].payloads[1]) == b"t1"
+        assert got["0002"].exts == ["txt"] and got["0002"].total_bytes == 2
+
+
+def test_pcm_energy_segments_rle_and_edges(spark):
+    """Known byte-exact WAV: frame energies, thresholding, run-length
+    boundaries, the partial final frame, and degenerate payloads."""
+    import struct
+
+    from dataingestionframework_spark.operators.multimodal import (
+        pcm_energy_segments,
+    )
+
+    # frame=4: [loud x4][quiet x4][loud x4][quiet x2 partial]
+    samples = [1000] * 4 + [1] * 4 + [1000] * 4 + [1] * 2
+    data = struct.pack("<" + "h" * len(samples), *samples)
+    hdr = b"\x00" * 44
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + data)), (2, bytearray(b"")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = pcm_energy_segments(
+        df, frame_samples=4, energy_threshold=1_000_000
+    ).orderBy("doc_id", "seg_id").collect()
+    assert [r.doc_id for r in out] == [1, 1, 1, 1]
+    got = [(r.seg_id, r.is_speech, r.start_frame, r.n_frames, r.energy_sum)
+           for r in out]
+    assert got == [
+        (0, True, 0, 1, 4_000_000),
+        (1, False, 1, 1, 4),
+        (2, True, 2, 1, 4_000_000),
+        (3, False, 3, 1, 2),   # partial final frame
+    ]
