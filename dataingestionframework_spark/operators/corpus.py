@@ -257,6 +257,7 @@ def train_split_shard(
     n_shards: int = 1024,
     seed: int = 42,
     id_col: str = "doc_id",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test assignment + output sharding +
     within-shard shuffle key, all from engine-portable md5 hashes of
@@ -264,12 +265,20 @@ def train_split_shard(
     any row's assignment is reproducible in plain SQL, so a split can
     be audited without rerunning the pipeline.
 
+    ``group_col`` makes the SPLIT leak-free: the split hash keys on
+    the group (source/domain/canonical-url host) instead of the doc,
+    so near-duplicate documents sharing a group can never straddle
+    train and val — the split-contamination rule every serious eval
+    setup enforces. Sharding and shuffle order stay doc-keyed either
+    way (still zero shuffles — the group key is already on the row).
+
     Returns (doc_id, split, shard, order_key): write each (split,
     shard) partition sorted by order_key for a reproducible global
     shuffle without a global sort.
     """
     train_w, val_w, _ = weights
-    u = _unit_hash("split", seed, F.col(id_col))
+    split_key = F.col(group_col) if group_col else F.col(id_col)
+    u = _unit_hash("split", seed, split_key)
     split = (
         F.when(u < train_w, "train")
         .when(u < train_w + val_w, "val")

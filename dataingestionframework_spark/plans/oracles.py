@@ -3985,3 +3985,23 @@ ORACLES.update({
         FROM seg GROUP BY doc_id, sid, sp
     """,
 })
+
+ORACLES.update({
+    # the split hash keys on source (leak-free grouping); one row per
+    # (source, split) — and because the hash is group-keyed there is
+    # exactly one split per source
+    "grouped_split_docs": """
+        WITH h AS (
+            SELECT doc_id, source,
+                   ('0x' || substring(md5('split:42:' || source), 1, 15))
+                       ::UBIGINT / 1152921504606846976.0 AS u
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN u < 0.9 THEN 'train'
+                    WHEN u < 0.95 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM h GROUP BY 1, 2
+    """,
+})

@@ -2753,6 +2753,28 @@ def train_split_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_split_shard(t("documents"), n_shards=64, seed=42)
 
 
+def grouped_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free grouped split (operators.corpus.train_split_shard
+    with group_col='source'): the split hash keys on the document's
+    source, so every source lands WHOLLY in one split and
+    near-duplicates within a source can never straddle train/val —
+    the split-contamination rule serious eval setups enforce. Output
+    aggregates to (source, split, n_docs); n_splits_per_source == 1
+    for every source is visible in the row count (one row per
+    source)."""
+    from ..operators.corpus import train_split_shard
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    d = t("documents")
+    assigned = train_split_shard(
+        d, n_shards=64, seed=42, group_col="source"
+    ).join(d.select("doc_id", "source"), "doc_id")
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-spine generation + zero-fill (the reporting staple Spark
     expresses with sequence+explode): every day of 1996-01 with its
@@ -5742,6 +5764,7 @@ QUERIES = {
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "repeated_gram_ratio_docs": repeated_gram_ratio_docs,
     "train_split_shard_docs": train_split_shard_docs,
+    "grouped_split_docs": grouped_split_docs,
     "date_spine_zero_fill": date_spine_zero_fill,
     "null_semantics": null_semantics,
     "misc_functions": misc_functions,

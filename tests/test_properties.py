@@ -460,3 +460,81 @@ def test_ewma_is_convex_combination(spark, vals):
         lo = min(vals[max(0, i - 5): i + 1])
         hi = max(vals[max(0, i - 5): i + 1])
         assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c.!-\n\t0", min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    ),
+    phrases=st.lists(
+        st.text(alphabet="abc0", min_size=1, max_size=3).filter(str.strip),
+        min_size=1, max_size=3,
+    ),
+)
+def test_blocklist_filter_matches_python_reference(spark, texts, phrases):
+    """The replace-count contract == a token-scan reference: normalize
+    on [^a-z0-9]+, count leftmost non-overlapping phrase occurrences
+    over the token sequence."""
+    import re
+
+    from dataingestionframework_spark.operators.text import blocklist_filter
+
+    def ref_hits(text: str) -> int:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        total = 0
+        for p in phrases:
+            ptoks = [t for t in re.split(r"[^a-z0-9]+", p.lower()) if t]
+            i, n = 0, 0
+            while i + len(ptoks) <= len(toks):
+                if toks[i : i + len(ptoks)] == ptoks:
+                    n += 1
+                    i += len(ptoks)
+                else:
+                    i += 1
+            total += n
+        return total
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: r.n_blocked_hits
+        for r in blocklist_filter(df, phrases).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_hits(t), (t, phrases)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    members=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef01._-", min_size=1, max_size=20),
+            st.binary(min_size=0, max_size=1200),
+        ),
+        min_size=0, max_size=6,
+        unique_by=lambda m: m[0],
+    )
+)
+def test_tar_parse_roundtrips_tarfile(members):
+    """parse_tar_bytes recovers exactly what CPython's tarfile wrote,
+    for arbitrary names and binary payloads (incl. payloads spanning
+    multiple 512-byte blocks and zero-length members)."""
+    import io
+    import tarfile
+
+    from dataingestionframework_spark.sources.tar import parse_tar_bytes
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    got = parse_tar_bytes(buf.getvalue())
+    assert [(n, s, p) for n, s, p in got] == [
+        (n, len(d), d) for n, d in members
+    ]

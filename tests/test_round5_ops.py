@@ -321,3 +321,25 @@ def test_pcm_energy_segments_rle_and_edges(spark):
         (2, True, 2, 1, 4_000_000),
         (3, False, 3, 1, 2),   # partial final frame
     ]
+
+
+def test_grouped_split_is_leak_free(spark):
+    """group_col splits: every group wholly in one split; doc-keyed
+    sharding unchanged; doc-keyed split DOES straddle (the contrast
+    that makes the group key necessary)."""
+    from dataingestionframework_spark.operators.corpus import train_split_shard
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(300)], "doc_id long, source string"
+    )
+    grouped = train_split_shard(df, group_col="source").join(df, "doc_id")
+    per_group = grouped.groupBy("source").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert all(r.k == 1 for r in per_group.collect())
+    # same seed, doc-keyed: at 300 docs the split must straddle sources
+    plain = train_split_shard(df).join(df, "doc_id")
+    straddled = plain.groupBy("source").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert any(r.k > 1 for r in straddled.collect())
