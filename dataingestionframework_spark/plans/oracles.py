@@ -4005,3 +4005,17 @@ ORACLES.update({
         FROM h GROUP BY 1, 2
     """,
 })
+
+ORACLES.update({
+    # same field recomputation as warc_roundtrip_docs — the gz layer
+    # must be lossless
+    "warc_gz_roundtrip_docs": """
+        SELECT 'response' AS warc_type,
+               '<urn:corpus:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+               'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                   AS target_uri,
+               CAST(strlen(text) AS BIGINT) AS content_length,
+               text
+        FROM documents WHERE doc_id < 240
+    """,
+})

@@ -5505,6 +5505,55 @@ def _warc_corpus_funnel(docs: DataFrame) -> DataFrame:
     )
 
 
+def warc_gz_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.warc.gz ingestion under the hash gate (sources/warc.py
+    warc_gz_parse): 8 file images with ONE GZIP MEMBER PER RECORD —
+    the exact Common Crawl delivery layout — built in-plan with stdlib
+    gzip (an independent compressor), split at member boundaries via
+    zlib unused_data (never magic-byte search: compressed payloads
+    legally contain the gzip magic), decompressed, and run through the
+    same length-driven record parser as plain WARC. The oracle
+    recomputes every field straight from documents: equality proves
+    decompress∘split∘parse∘build = id on the compressed container."""
+    from ..sources.warc import warc_gz_parse
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    docs = t("documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 240
+    )
+
+    def build(pdf):
+        import gzip as _gzip
+
+        import pandas as _pd
+
+        pdf = pdf.sort_values("doc_id")
+        parts = []
+        for _, r in pdf.iterrows():
+            body = str(r["text"]).encode()
+            rec = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + f"WARC-Record-ID: <urn:corpus:{int(r['doc_id'])}>\r\n".encode()
+                + f"WARC-Target-URI: http://corpus.local/doc/{int(r['doc_id'])}\r\n".encode()
+                + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+                + b"\r\n\r\n"
+            )
+            parts.append(_gzip.compress(rec, mtime=0))
+        return _pd.DataFrame({"content": [b"".join(parts)]})
+
+    shards = (
+        docs.withColumn("f", F.pmod(F.col("doc_id"), F.lit(8)))
+        .groupBy("f")
+        .applyInPandas(build, schema="content binary")
+    )
+    return warc_gz_parse(shards).select(
+        "warc_type", "record_id", "target_uri", "content_length", "text"
+    )
+
+
 def tar_webdataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard ingestion under the hash gate
     (sources/tar.py): 8 genuine POSIX ustar shard images are built
@@ -5853,5 +5902,6 @@ QUERIES = {
     "warc_to_corpus_docs": warc_to_corpus_docs,
     "encoding_quality_docs": encoding_quality_docs,
     "tar_webdataset_roundtrip_docs": tar_webdataset_roundtrip_docs,
+    "warc_gz_roundtrip_docs": warc_gz_roundtrip_docs,
     "pcm_energy_segments_docs": pcm_energy_segments_docs,
 }

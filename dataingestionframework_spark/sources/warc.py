@@ -90,3 +90,56 @@ def warc_parse(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(content_col).mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def split_gzip_members(data: bytes) -> list[bytes]:
+    """Split a multi-member gzip stream into its decompressed members
+    (pure function). ``.warc.gz`` as Common Crawl ships it is one gzip
+    member PER RECORD concatenated into a file — exactly so consumers
+    can split work at member boundaries; zlib's ``unused_data`` after
+    each member's end is the next member, which is the only correct
+    cursor advance (searching for magic bytes would false-positive on
+    compressed payload bytes)."""
+    import zlib
+
+    members: list[bytes] = []
+    rest = data
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            break  # trailing garbage: stop rather than guess
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        try:
+            out = d.decompress(rest)
+        except zlib.error:
+            break  # corrupt member: keep what parsed so far
+        if not d.eof:
+            break  # truncated member (trailer/CRC unverified): drop it
+        members.append(out)
+        rest = d.unused_data
+    return members
+
+
+def warc_gz_parse(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Explode ``.warc.gz`` file images (one gzip member per record —
+    the Common Crawl layout) into the same record schema as
+    :func:`warc_parse`. Per file: split members at gzip boundaries,
+    decompress each with stdlib zlib, then run the identical
+    length-driven record parser. A corrupt/truncated member costs the
+    members after it within THAT file only — files parallelize, so at
+    100 TB the blast radius of one bad shard stays one shard."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "warc_type", "record_id", "target_uri", "warc_date",
+            "content_length", "text",
+        ]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for blob in pdf[content_col]:
+                if blob is None:
+                    continue
+                for member in split_gzip_members(bytes(blob)):
+                    rows.extend(parse_warc_bytes(member))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(content_col).mapInPandas(run, schema=WARC_SCHEMA)

@@ -343,3 +343,37 @@ def test_grouped_split_is_leak_free(spark):
         F.count_distinct("split").alias("k")
     )
     assert any(r.k > 1 for r in straddled.collect())
+
+
+def test_warc_gz_member_splitting_edges(spark):
+    """gzip-member framing: payloads containing the gzip magic can't
+    split members; a truncated trailing member (CRC unverifiable) is
+    dropped; a corrupt member costs only itself and what follows in
+    that file."""
+    import gzip
+
+    from dataingestionframework_spark.sources.warc import (
+        split_gzip_members,
+        warc_gz_parse,
+    )
+
+    def rec(rid, payload):
+        body = payload.encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Record-ID: <{rid}>\r\n".encode()
+            + f"WARC-Target-URI: http://x/{rid}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body + b"\r\n\r\n"
+        )
+
+    members = [rec("a", "hello"), rec("b", "wo\x1f\x8b\x08rld")]
+    blob = b"".join(gzip.compress(m, mtime=0) for m in members)
+    assert split_gzip_members(blob) == members
+    assert split_gzip_members(blob[:-5]) == [members[0]]
+    assert split_gzip_members(b"") == []
+    assert split_gzip_members(b"plain not gzip") == []
+
+    df = spark.createDataFrame([(bytearray(blob),)], "content binary")
+    got = {r.record_id: r.text for r in warc_gz_parse(df).collect()}
+    assert got == {"<a>": "hello", "<b>": "wo\x1f\x8b\x08rld"}

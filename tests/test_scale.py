@@ -328,3 +328,56 @@ def test_warc_corpus_funnel_scales(spark, sf):
     big = _replicate(docs, ["doc_id"], REPL, 1_000_000)
     t10 = _wall(lambda: q(big))
     _assert_scales("warc_corpus_funnel", t1, t10)
+
+
+def test_tar_parse_scales(spark, sf):
+    """WebDataset shard parsing at x1 vs x10 shards: per-shard work is
+    linear in member bytes and shards parallelize — wall must grow
+    ~linearly with shard count."""
+    import io
+    import tarfile
+
+    from dataingestionframework_spark.sources.tar import (
+        tar_parse,
+        webdataset_samples,
+    )
+
+    rows = sf("documents").select("doc_id", "text").limit(200).collect()
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for r in rows:
+            data = r.text.encode()
+            ti = tarfile.TarInfo(f"{r.doc_id:08d}.txt")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    blob = bytearray(buf.getvalue())
+
+    def shards_df(n):
+        return spark.createDataFrame([(blob,)] * n, "content binary")
+
+    def q(df):
+        return webdataset_samples(tar_parse(df)).groupBy().agg(
+            F.count("*"), F.sum("total_bytes")
+        ).collect()
+
+    q(shards_df(2))  # warm
+    t1 = _wall(lambda: q(shards_df(4)))
+    t10 = _wall(lambda: q(shards_df(40)))
+    _assert_scales("tar_parse", t1, t10)
+
+
+def test_bm25_scoring_scales(spark, sf):
+    """BM25 top-k at x1 vs x10 documents: stats are 1-row broadcasts,
+    scores are scan-side, top-k is TakeOrderedAndProject — linear."""
+    from dataingestionframework_spark.operators.retrieval import bm25_topk
+
+    docs = sf("documents").select("doc_id", "text")
+
+    def q(d):
+        return bm25_topk(d, ["data", "pipeline"], k=10).collect()
+
+    q(docs)  # warm
+    t1 = _wall(lambda: q(docs))
+    big = _replicate(docs, ["doc_id"], REPL, 1_000_000)
+    t10 = _wall(lambda: q(big))
+    _assert_scales("bm25_scoring", t1, t10)
