@@ -587,3 +587,77 @@ def pcm_energy_segments(
             )
 
     return df.select(id_col, col).mapInPandas(run, schema=out_schema)
+
+
+def parse_jpeg_bytes(data: bytes) -> tuple | None:
+    """Walk JPEG segment markers to the SOF frame header and return
+    (width, height, n_components, progressive) — pure function, no
+    codec. Segment lengths drive the cursor (payloads may contain
+    0xFF bytes; only marker arithmetic is correct). Returns None for
+    non-JPEG/truncated input."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return None  # desynced: not a marker where one must be
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            return None  # hit end-of-image / scan data before any SOF
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            return None
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                return None
+            height = int.from_bytes(data[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(data[pos + 7 : pos + 9], "big")
+            n_comp = data[pos + 9]
+            return (width, height, n_comp, marker == 0xC2)
+        pos += 2 + seg_len
+    return None
+
+
+def parse_jpeg_dims(
+    df: DataFrame,
+    col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """JPEG dimension/type sniffing for an image corpus — the
+    pre-decode resolution filter (drop thumbnails, cap megapixels)
+    that must run BEFORE any expensive codec work. PNG/WAV headers are
+    fixed-offset (scan-side exprs in :func:`parse_media_headers`);
+    JPEG needs a variable-length marker walk, so this is the
+    Arrow-batched ``mapInPandas`` sibling: per-payload byte arithmetic
+    over headers only (the walk stops at SOF — compressed scan data is
+    never touched). Map-side, no shuffle.
+
+    Output: (id, width, height, n_components, progressive), one row
+    per payload that IS a parseable JPEG; non-JPEGs are dropped (join
+    back for the keep/drop view).
+    """
+    out_schema = (
+        f"{id_col} long, width int, height int, n_components int, "
+        "progressive boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[col]):
+                got = None if payload is None else parse_jpeg_bytes(bytes(payload))
+                if got is not None:
+                    w, h, c, prog = got
+                    rows.append((rid, w, h, c, prog))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_components",
+                         "progressive"],
+            )
+
+    return df.select(id_col, col).mapInPandas(run, schema=out_schema)

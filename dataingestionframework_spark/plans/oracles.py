@@ -4019,3 +4019,16 @@ ORACLES.update({
         FROM documents WHERE doc_id < 240
     """,
 })
+
+ORACLES.update({
+    # dims recomputed arithmetically; the fake-SOF comment in the
+    # fixture means a magic-byte scan would get these WRONG
+    "jpeg_dims_docs": """
+        SELECT doc_id,
+               CAST((doc_id % 1280) + 320 AS INTEGER) AS width,
+               CAST((doc_id % 720) + 240 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS n_components,
+               (doc_id % 4 = 0) AS progressive
+        FROM documents WHERE doc_id < 200
+    """,
+})

@@ -5505,6 +5505,42 @@ def _warc_corpus_funnel(docs: DataFrame) -> DataFrame:
     )
 
 
+def jpeg_dims_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG marker-walk dimension sniffing under the hash gate
+    (operators.multimodal.parse_jpeg_dims): per doc, synthesize a
+    genuine JPEG segment layout in-plan (SOI, APP0/JFIF, a COMMENT
+    whose payload contains FAKE SOF bytes — the walk must not bite,
+    only segment lengths advance the cursor — then SOF0/SOF2 with
+    doc_id-derived dimensions, EOI). The oracle recomputes the
+    dimensions arithmetically: equality proves the marker walk reads
+    exactly the frame header on a real segment grammar."""
+    from ..operators.multimodal import parse_jpeg_dims
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    w = (F.pmod(did, 1280) + 320).cast("int")
+    h = (F.pmod(did, 720) + 240).cast("int")
+
+    def be16(col):
+        return F.lpad(F.hex(col), 4, "0")
+
+    sof_marker = F.when(did % 4 == 0, F.lit("FFC2")).otherwise(F.lit("FFC0"))
+    payload_hex = F.concat(
+        F.lit("FFD8"),                                   # SOI
+        F.lit("FFE000104A46494600"), F.lit("00" * 9),    # APP0/JFIF (16)
+        # comment segment whose payload is a fake SOF0 header
+        F.lit("FFFE000B"), F.lit("FFC000110812340ABC"),
+        sof_marker, F.lit("0011"),                       # SOF, len 17
+        F.lit("08"), be16(h), be16(w),                   # precision,h,w
+        F.lit("03"), F.lit("00" * 9),                    # 3 components
+        F.lit("FFD9"),                                   # EOI
+    )
+    jpegs = d.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return parse_jpeg_dims(jpegs)
+
+
 def warc_gz_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.warc.gz ingestion under the hash gate (sources/warc.py
     warc_gz_parse): 8 file images with ONE GZIP MEMBER PER RECORD —
@@ -5903,5 +5939,6 @@ QUERIES = {
     "encoding_quality_docs": encoding_quality_docs,
     "tar_webdataset_roundtrip_docs": tar_webdataset_roundtrip_docs,
     "warc_gz_roundtrip_docs": warc_gz_roundtrip_docs,
+    "jpeg_dims_docs": jpeg_dims_docs,
     "pcm_energy_segments_docs": pcm_energy_segments_docs,
 }

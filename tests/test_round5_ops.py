@@ -377,3 +377,33 @@ def test_warc_gz_member_splitting_edges(spark):
     df = spark.createDataFrame([(bytearray(blob),)], "content binary")
     got = {r.record_id: r.text for r in warc_gz_parse(df).collect()}
     assert got == {"<a>": "hello", "<b>": "wo\x1f\x8b\x08rld"}
+
+
+def test_parse_jpeg_bytes_marker_walk():
+    """Marker-length-driven walk: fake SOF bytes inside a comment
+    segment cannot be mistaken for the frame header; standalone
+    markers, progressive SOF2, and truncation are handled."""
+    from dataingestionframework_spark.operators.multimodal import (
+        parse_jpeg_bytes,
+    )
+
+    def jpeg(w, h, prog=False, evil=False):
+        out = b"\xff\xd8"
+        out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        if evil:
+            payload = b"\xff\xc0\x00\x11deadbeef"
+            out += b"\xff\xfe" + (2 + len(payload)).to_bytes(2, "big") + payload
+        out += b"\xff\x01"  # standalone TEM marker, no length
+        m = b"\xff\xc2" if prog else b"\xff\xc0"
+        out += (m + (17).to_bytes(2, "big") + b"\x08"
+                + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + b"\x03" + b"\x00" * 9)
+        return out + b"\xff\xd9"
+
+    assert parse_jpeg_bytes(jpeg(640, 480)) == (640, 480, 3, False)
+    assert parse_jpeg_bytes(jpeg(1920, 1080, prog=True, evil=True)) == (
+        1920, 1080, 3, True,
+    )
+    assert parse_jpeg_bytes(b"\x89PNG\r\n") is None
+    assert parse_jpeg_bytes(jpeg(10, 10)[:10]) is None  # truncated
+    assert parse_jpeg_bytes(None if False else b"") is None
