@@ -724,3 +724,38 @@ def forget_vectors(
     else:
         removed["index"] = 0
     return removed
+
+
+def corpus_stream_warc_intake(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    min_content_length: int = 100,
+):
+    """Continuous crawl ingestion: a ``binaryFile`` STREAM of
+    ``.warc.gz`` shards → per-batch gzip-member split + length-driven
+    record parse (sources/warc.py) → cheap content-length gate →
+    append to the corpus sink. The shard-arrival cadence IS the
+    micro-batch cadence; exactly-once comes from the file-source
+    checkpoint (a shard is parsed once, ever), and a corrupt shard
+    costs only its own records — the properties a 100 TB continuous
+    crawl feed needs.
+
+    Downstream composition point: swap the append for
+    :func:`corpus_incremental_near_dup_intake`'s foreachBatch body to
+    get streaming near-dup dedup on top of the parsed records.
+    """
+    from ..sources.warc import warc_gz_parse
+
+    def handle(batch_df: DataFrame, _epoch: int) -> None:
+        recs = warc_gz_parse(batch_df).filter(
+            F.col("content_length") >= min_content_length
+        )
+        recs.write.mode("append").parquet(sink_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -4032,3 +4032,17 @@ ORACLES.update({
         FROM documents WHERE doc_id < 200
     """,
 })
+
+ORACLES.update({
+    # declarative result of the streaming crawl intake: every record
+    # whose body is >= 100 octets, fields recomputed from documents
+    "stream_warc_intake_parity": """
+        SELECT '<urn:corpus:' || CAST(doc_id AS VARCHAR) || '>'
+                   AS record_id,
+               'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                   AS target_uri,
+               CAST(strlen(text) AS BIGINT) AS content_length
+        FROM documents
+        WHERE doc_id < 240 AND strlen(text) >= 100
+    """,
+})

@@ -5505,6 +5505,72 @@ def _warc_corpus_funnel(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_warc_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous crawl ingestion UNDER THE HASH GATE
+    (ingest.corpus.corpus_stream_warc_intake): two .warc.gz shards
+    (one gzip member per record, stdlib-gzip-built) arrive as two
+    binaryFile micro-batches; each batch is member-split, length-
+    parsed, content-length gated, and appended to the corpus sink.
+    The oracle states the result declaratively from documents — the
+    streaming machinery (file-source checkpoint, foreachBatch,
+    per-batch parse) must reproduce it exactly."""
+    import gzip as _gzip
+
+    from ..ingest.corpus import corpus_stream_warc_intake
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="dif_warc_stream_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    docs = (
+        t("documents").select("doc_id", "text")
+        .filter(F.col("doc_id") < 240).collect()
+    )  # fixture materialization: 240 small rows, driver-built shards
+
+    def rec(rid: int, body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:corpus:{rid}>\r\n".encode()
+            + f"WARC-Target-URI: http://corpus.local/doc/{rid}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body + b"\r\n\r\n"
+        )
+
+    import time as _time
+
+    now = _time.time()
+    halves = [[r for r in docs if r.doc_id < 120],
+              [r for r in docs if r.doc_id >= 120]]
+    for i, rows in enumerate(halves):
+        shard = b"".join(
+            _gzip.compress(rec(r.doc_id, r.text.encode()), mtime=0)
+            for r in sorted(rows, key=lambda r: r.doc_id)
+        )
+        path = os.path.join(src, f"shard{i}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(shard)
+        os.utime(path, (now - 600 + i * 300,) * 2)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = corpus_stream_warc_intake(stream, sink, ckpt, min_content_length=100)
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select(
+        "record_id", "target_uri", "content_length"
+    )
+
+
 def jpeg_dims_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG marker-walk dimension sniffing under the hash gate
     (operators.multimodal.parse_jpeg_dims): per doc, synthesize a
@@ -5940,5 +6006,6 @@ QUERIES = {
     "tar_webdataset_roundtrip_docs": tar_webdataset_roundtrip_docs,
     "warc_gz_roundtrip_docs": warc_gz_roundtrip_docs,
     "jpeg_dims_docs": jpeg_dims_docs,
+    "stream_warc_intake_parity": stream_warc_intake_parity,
     "pcm_energy_segments_docs": pcm_energy_segments_docs,
 }
