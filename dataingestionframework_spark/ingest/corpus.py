@@ -590,6 +590,23 @@ def embedding_incremental_ann_intake(
     )
 
 
+def _recover_or_probe_index(spark, index_table: str) -> bool:
+    """The staged index swap has a tiny window (live table renamed
+    aside, staged not yet promoted). If a crash left the name empty,
+    promote the best surviving copy — ``__staged`` (the completed
+    post-forget image) over ``__old`` (the pre-forget image) — so a
+    retry heals instead of silently reporting removed=0 with index
+    residue stranded under a sibling name. Returns tableExists after
+    recovery."""
+    if spark.catalog.tableExists(index_table):
+        return True
+    for cand in (f"{index_table}__staged", f"{index_table}__old"):
+        if spark.catalog.tableExists(cand):
+            spark.sql(f"ALTER TABLE {cand} RENAME TO {index_table}")
+            return True
+    return False
+
+
 def forget_documents(
     spark,
     forget_ids,
@@ -639,23 +656,25 @@ def forget_documents(
         kept = cur.join(ids, id_col, "left_anti")
         removed[label] = before - _staged_parquet_swap(spark, kept, path)
 
-    if index_table and spark.catalog.tableExists(index_table):
+    if index_table and _recover_or_probe_index(spark, index_table):
         cur = spark.table(index_table)
         before = cur.count()
         kept = cur.join(ids, id_col, "left_anti")
-        staged = f"{index_table}__staged"
+        staged, old = f"{index_table}__staged", f"{index_table}__old"
         drop_table_and_location(spark, staged)
+        drop_table_and_location(spark, old)
         (
             kept.write.mode("overwrite")
             .bucketBy(n_buckets, "bucket_key")
             .sortBy("bucket_key")
             .saveAsTable(staged)
         )
-        # staged rows are durable before the old table goes away; a
-        # crash between drop and rename leaves them recoverable under
-        # the __staged name
-        drop_table_and_location(spark, index_table)
+        # rename-aside swap: at every instant a complete copy exists
+        # under SOME name, and _recover_or_probe_index heals the
+        # rename1->rename2 window on the next call
+        spark.sql(f"ALTER TABLE {index_table} RENAME TO {old}")
         spark.sql(f"ALTER TABLE {staged} RENAME TO {index_table}")
+        drop_table_and_location(spark, old)
         removed["index"] = before - spark.table(index_table).count()
     else:
         removed["index"] = 0
@@ -704,22 +723,24 @@ def forget_vectors(
         kept = cur.join(ids, id_col, "left_anti")
         removed["sink"] = before - _staged_parquet_swap(spark, kept, sink_path)
 
-    if index_table and spark.catalog.tableExists(index_table):
+    if index_table and _recover_or_probe_index(spark, index_table):
         cur = spark.table(index_table)
         before = cur.count()
         kept = cur.join(
             ids.select(F.col(id_col).alias("right_id")), "right_id", "left_anti"
         )
-        staged = f"{index_table}__staged"
+        staged, old = f"{index_table}__staged", f"{index_table}__old"
         drop_table_and_location(spark, staged)
+        drop_table_and_location(spark, old)
         (
             kept.write.mode("overwrite")
             .bucketBy(n_buckets, "ivf_cell")
             .sortBy("ivf_cell")
             .saveAsTable(staged)
         )
-        drop_table_and_location(spark, index_table)
+        spark.sql(f"ALTER TABLE {index_table} RENAME TO {old}")
         spark.sql(f"ALTER TABLE {staged} RENAME TO {index_table}")
+        drop_table_and_location(spark, old)
         removed["index"] = before - spark.table(index_table).count()
     else:
         removed["index"] = 0
@@ -736,10 +757,16 @@ def corpus_stream_warc_intake(
     ``.warc.gz`` shards → per-batch gzip-member split + length-driven
     record parse (sources/warc.py) → cheap content-length gate →
     append to the corpus sink. The shard-arrival cadence IS the
-    micro-batch cadence; exactly-once comes from the file-source
-    checkpoint (a shard is parsed once, ever), and a corrupt shard
-    costs only its own records — the properties a 100 TB continuous
-    crawl feed needs.
+    micro-batch cadence, and a corrupt shard costs only its own
+    records — the properties a 100 TB continuous crawl feed needs.
+
+    Exactly-once: ``foreachBatch`` is at-least-once (a batch that
+    wrote but crashed before its epoch committed is REPLAYED), so the
+    append is guarded by a ``record_id`` anti-join against the sink —
+    the same replay-idempotence shape as
+    :func:`corpus_incremental_intake`'s fingerprint guard. The guard
+    reads one pruned column of the sink per batch; at 100 TB swap it
+    for a Delta MERGE whenNotMatchedInsert on record_id.
 
     Downstream composition point: swap the append for
     :func:`corpus_incremental_near_dup_intake`'s foreachBatch body to
@@ -748,9 +775,15 @@ def corpus_stream_warc_intake(
     from ..sources.warc import warc_gz_parse
 
     def handle(batch_df: DataFrame, _epoch: int) -> None:
+        spark = batch_df.sparkSession
         recs = warc_gz_parse(batch_df).filter(
             F.col("content_length") >= min_content_length
         )
+        try:
+            seen = spark.read.parquet(sink_path).select("record_id").distinct()
+            recs = recs.join(seen, "record_id", "left_anti")
+        except Exception:  # noqa: BLE001 — first batch: no sink yet
+            pass
         recs.write.mode("append").parquet(sink_path)
 
     return (

@@ -599,27 +599,35 @@ def parse_jpeg_bytes(data: bytes) -> tuple | None:
         return None
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             return None  # desynced: not a marker where one must be
-        marker = data[pos + 1]
+        # any number of 0xFF fill bytes may precede a marker code
+        # (ITU T.81 B.1.1.2) — skip to the first non-FF byte
+        while pos < n and data[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            return None
+        marker = data[pos]
+        pos += 1  # cursor now at the segment body (length, if any)
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
-            pos += 2  # standalone markers carry no length
-            continue
-        if marker == 0xD9 or marker == 0xDA:
-            return None  # hit end-of-image / scan data before any SOF
-        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
-        if seg_len < 2 or pos + 2 + seg_len > n:
+            continue  # standalone markers carry no length
+        if marker == 0xD9 or marker == 0xDA or marker == 0x00:
+            return None  # EOI / scan data / stuffed byte before any SOF
+        if pos + 2 > n:
+            return None
+        seg_len = int.from_bytes(data[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > n:
             return None
         # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             if seg_len < 8:
                 return None
-            height = int.from_bytes(data[pos + 5 : pos + 7], "big")
-            width = int.from_bytes(data[pos + 7 : pos + 9], "big")
-            n_comp = data[pos + 9]
+            height = int.from_bytes(data[pos + 3 : pos + 5], "big")
+            width = int.from_bytes(data[pos + 5 : pos + 7], "big")
+            n_comp = data[pos + 7]
             return (width, height, n_comp, marker == 0xC2)
-        pos += 2 + seg_len
+        pos += seg_len
     return None
 
 

@@ -1218,6 +1218,16 @@ def blocklist_filter(
     only regex left is a character class, whose semantics do not vary.
     All scan-side JVM codegen, zero shuffles.
 
+    Contract limits (both raise rather than silently degrade): phrases
+    must already live in the tokenized alphabet — a phrase whose
+    punctuation carries meaning (``C++``, ``A/B``) would be silently
+    rewritten to bare tokens (``c``, ``a b``) and produce spurious
+    hits, so anything beyond case/whitespace normalization is rejected.
+    And the replace-count mechanism scans the text once per phrase, so
+    lists are capped at 64 phrases (policy screens are dozens of terms;
+    for thousand-term lexicons tokenize + join against a phrase table
+    instead — a different shuffle shape, not a bigger loop here).
+
     Adds ``n_blocked_hits`` and ``blocklist_pass`` (hits ≤ ``max_hits``
     — a small tolerance absorbs quoted/incidental mentions).
     """
@@ -1225,11 +1235,26 @@ def blocklist_filter(
 
     if not phrases:
         raise ValueError("blocklist_filter needs at least one phrase")
+    if len(phrases) > 64:
+        raise ValueError(
+            f"blocklist_filter: {len(phrases)} phrases — the per-phrase "
+            "replace-count contract is for policy-sized lists (<= 64); "
+            "for large lexicons tokenize and join against a phrase table"
+        )
     norm_phrases = []
     for p in phrases:
         np = _re.sub(r"[^a-z0-9]+", " ", p.lower()).strip()
         if not np:
             raise ValueError(f"blocklist phrase normalizes to empty: {p!r}")
+        # separator punctuation (space/hyphen/slash/underscore/dot)
+        # tokenizes identically on the text side — benign; anything
+        # else (C++, .NET, 100%) would silently degrade to bare tokens
+        if np != _re.sub(r"[\s/_.,;:-]+", " ", p.lower()).strip():
+            raise ValueError(
+                f"blocklist phrase {p!r} carries punctuation the "
+                "[^a-z0-9] token alphabet cannot represent; matching "
+                f"would silently degrade to {np!r}"
+            )
         norm_phrases.append(np)
     padded = F.concat(
         F.lit("  "),

@@ -5694,14 +5694,19 @@ def tar_webdataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame
                     ti.size = len(data)
                     ti.mtime = 0
                     tf.addfile(ti, io.BytesIO(data))
-        return _pd.DataFrame({"content": [buf.getvalue()]})
+        return _pd.DataFrame(
+            {
+                "path": [f"shard{int(pdf['f'].iloc[0])}.tar"],
+                "content": [buf.getvalue()],
+            }
+        )
 
     shards = (
         docs.withColumn("f", F.pmod(F.col("doc_id"), F.lit(8)))
         .groupBy("f")
-        .applyInPandas(build, schema="content binary")
+        .applyInPandas(build, schema="path string, content binary")
     )
-    samples = webdataset_samples(tar_parse(shards))
+    samples = webdataset_samples(tar_parse(shards, path_col="path"))
     return samples.select(
         F.col("sample_key").cast("long").alias("doc_id"),
         "n_members",

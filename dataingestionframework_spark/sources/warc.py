@@ -92,31 +92,49 @@ def warc_parse(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.select(content_col).mapInPandas(run, schema=WARC_SCHEMA)
 
 
-def split_gzip_members(data: bytes) -> list[bytes]:
-    """Split a multi-member gzip stream into its decompressed members
-    (pure function). ``.warc.gz`` as Common Crawl ships it is one gzip
-    member PER RECORD concatenated into a file — exactly so consumers
-    can split work at member boundaries; zlib's ``unused_data`` after
-    each member's end is the next member, which is the only correct
+def iter_gzip_members(data: bytes, chunk_size: int = 1 << 18):
+    """Lazily split a multi-member gzip stream into its decompressed
+    members (pure generator). ``.warc.gz`` as Common Crawl ships it is
+    one gzip member PER RECORD concatenated into a file; the member
+    boundary zlib reports after each stream's end is the only correct
     cursor advance (searching for magic bytes would false-positive on
-    compressed payload bytes)."""
+    compressed payload bytes).
+
+    Scale shape: the compressed input is consumed through a zero-copy
+    ``memoryview`` in bounded chunks, so splitting a shard with tens of
+    thousands of members is O(total bytes) — never
+    O(members × file size), which a naive ``unused_data`` loop over the
+    whole remainder would cost (each iteration re-copying the tail) —
+    and only one decompressed member is held at a time."""
     import zlib
 
-    members: list[bytes] = []
-    rest = data
-    while rest:
-        if rest[:2] != b"\x1f\x8b":
+    mv = memoryview(data)
+    n = len(data)
+    offset = 0
+    while offset < n:
+        if bytes(mv[offset : offset + 2]) != b"\x1f\x8b":
             break  # trailing garbage: stop rather than guess
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        parts: list[bytes] = []
+        pos = offset
         try:
-            out = d.decompress(rest)
+            while pos < n and not d.eof:
+                chunk = mv[pos : pos + chunk_size]
+                parts.append(d.decompress(chunk))
+                pos += len(chunk)
         except zlib.error:
-            break  # corrupt member: keep what parsed so far
+            return  # corrupt member: keep what parsed so far
         if not d.eof:
-            break  # truncated member (trailer/CRC unverified): drop it
-        members.append(out)
-        rest = d.unused_data
-    return members
+            return  # truncated member (trailer/CRC unverified): drop it
+        yield b"".join(parts)
+        # unused_data is at most one chunk — the unconsumed tail of the
+        # last chunk fed — so the back-off is bounded, not file-sized
+        offset = pos - len(d.unused_data)
+
+
+def split_gzip_members(data: bytes) -> list[bytes]:
+    """Eager list form of :func:`iter_gzip_members` (tests/small files)."""
+    return list(iter_gzip_members(data))
 
 
 def warc_gz_parse(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -138,7 +156,7 @@ def warc_gz_parse(df: DataFrame, content_col: str = "content") -> DataFrame:
             for blob in pdf[content_col]:
                 if blob is None:
                     continue
-                for member in split_gzip_members(bytes(blob)):
+                for member in iter_gzip_members(bytes(blob)):
                     rows.extend(parse_warc_bytes(member))
             yield pd.DataFrame(rows, columns=cols)
 

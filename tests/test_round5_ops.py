@@ -387,13 +387,14 @@ def test_parse_jpeg_bytes_marker_walk():
         parse_jpeg_bytes,
     )
 
-    def jpeg(w, h, prog=False, evil=False):
+    def jpeg(w, h, prog=False, evil=False, fill=0):
         out = b"\xff\xd8"
         out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
         if evil:
             payload = b"\xff\xc0\x00\x11deadbeef"
             out += b"\xff\xfe" + (2 + len(payload)).to_bytes(2, "big") + payload
         out += b"\xff\x01"  # standalone TEM marker, no length
+        out += b"\xff" * fill  # legal fill bytes before the marker
         m = b"\xff\xc2" if prog else b"\xff\xc0"
         out += (m + (17).to_bytes(2, "big") + b"\x08"
                 + h.to_bytes(2, "big") + w.to_bytes(2, "big")
@@ -401,9 +402,98 @@ def test_parse_jpeg_bytes_marker_walk():
         return out + b"\xff\xd9"
 
     assert parse_jpeg_bytes(jpeg(640, 480)) == (640, 480, 3, False)
+    # ITU T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes
+    assert parse_jpeg_bytes(jpeg(640, 480, fill=3)) == (640, 480, 3, False)
     assert parse_jpeg_bytes(jpeg(1920, 1080, prog=True, evil=True)) == (
         1920, 1080, 3, True,
     )
     assert parse_jpeg_bytes(b"\x89PNG\r\n") is None
     assert parse_jpeg_bytes(jpeg(10, 10)[:10]) is None  # truncated
     assert parse_jpeg_bytes(None if False else b"") is None
+
+
+def test_webdataset_samples_scoped_per_shard(spark):
+    """Two shards with the SAME member keys must yield two samples per
+    key, never one merged corrupt one (WebDataset keys are unique per
+    shard, not globally)."""
+    import io
+    import tarfile
+
+    from dataingestionframework_spark.sources.tar import (
+        tar_parse,
+        webdataset_samples,
+    )
+
+    def tar_bytes(payload):
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            ti = tarfile.TarInfo("000000.txt")
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+        return bytearray(buf.getvalue())
+
+    df = spark.createDataFrame(
+        [("s1.tar", tar_bytes(b"one")), ("s2.tar", tar_bytes(b"two"))],
+        "path string, content binary",
+    )
+    got = webdataset_samples(tar_parse(df, path_col="path")).collect()
+    assert len(got) == 2
+    by_shard = {r.shard: bytes(r.payloads[0]) for r in got}
+    assert by_shard == {"s1.tar": b"one", "s2.tar": b"two"}
+    assert all(r.n_members == 1 for r in got)
+
+
+def test_blocklist_contract_guards(spark):
+    """Content-bearing punctuation and oversized lists raise instead
+    of silently degrading (review findings r5)."""
+    from dataingestionframework_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "c is a language")], "id int, text string")
+    with pytest.raises(ValueError, match="punctuation"):
+        blocklist_filter(df, ["C++"])
+    with pytest.raises(ValueError, match="64"):
+        blocklist_filter(df, [f"w{i}" for i in range(65)])
+    # separator punctuation stays fine
+    out = blocklist_filter(df, ["is-a"]).first()
+    assert out.n_blocked_hits == 1
+
+
+def test_forget_index_swap_window_recovers(spark, tmp_path):
+    """A crash between the two index renames (live table moved aside,
+    staged not yet promoted) must heal on the next forget call —
+    promoting the completed __staged image — instead of reporting
+    removed=0 with residue stranded (review finding r5)."""
+    from dataingestionframework_spark.ingest.corpus import forget_documents
+    from dataingestionframework_spark.operators.bucketing import (
+        drop_table_and_location,
+    )
+
+    sink = str(tmp_path / "sink")
+    idx = "r5_forget_recovery_idx"
+    for t in (idx, f"{idx}__staged", f"{idx}__old"):
+        drop_table_and_location(spark, t)
+    spark.range(20).selectExpr(
+        "id AS doc_id", "CAST(id % 4 AS STRING) AS bucket_key"
+    ).write.parquet(sink)
+    spark.range(20).selectExpr(
+        "id AS doc_id", "CAST(id % 4 AS STRING) AS bucket_key"
+    ).write.bucketBy(4, "bucket_key").sortBy("bucket_key").saveAsTable(idx)
+
+    # simulate the crash window: a completed post-forget image sits
+    # under __staged and the live name is gone
+    spark.table(idx).filter("doc_id >= 5").write.bucketBy(
+        4, "bucket_key"
+    ).sortBy("bucket_key").saveAsTable(f"{idx}__staged")
+    drop_table_and_location(spark, idx)
+    assert not spark.catalog.tableExists(idx)
+
+    removed = forget_documents(spark, [7], sink, index_table=idx, n_buckets=4)
+    # recovery promoted the 15-row staged image, then forgot id 7
+    assert spark.catalog.tableExists(idx)
+    assert removed["index"] == 1
+    assert spark.table(idx).count() == 14
+    assert not spark.catalog.tableExists(f"{idx}__staged")
+    for t in (idx, f"{idx}__staged", f"{idx}__old"):
+        drop_table_and_location(spark, t)
