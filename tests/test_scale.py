@@ -381,3 +381,38 @@ def test_bm25_scoring_scales(spark, sf):
     big = _replicate(docs, ["doc_id"], REPL, 1_000_000)
     t10 = _wall(lambda: q(big))
     _assert_scales("bm25_scoring", t1, t10)
+
+
+def test_warc_gz_parse_scales(spark, sf):
+    """.warc.gz shard parsing at x1 vs x10 shards: gzip-member split
+    is O(bytes) per shard (chunked memoryview cursor) and shards
+    parallelize — wall must grow ~linearly with shard count."""
+    import gzip
+
+    from dataingestionframework_spark.sources.warc import warc_gz_parse
+
+    rows = sf("documents").select("doc_id", "text").limit(200).collect()
+    shard = b"".join(
+        gzip.compress(
+            (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + f"WARC-Record-ID: <urn:x:{r.doc_id}>\r\n".encode()
+                + f"Content-Length: {len(r.text.encode())}\r\n\r\n".encode()
+                + r.text.encode() + b"\r\n\r\n"
+            ),
+            mtime=0,
+        )
+        for r in rows
+    )
+    blob = bytearray(shard)
+
+    def q(n):
+        df = spark.createDataFrame([(blob,)] * n, "content binary")
+        return warc_gz_parse(df).groupBy().agg(
+            F.count("*"), F.sum("content_length")
+        ).collect()
+
+    q(2)  # warm
+    t1 = _wall(lambda: q(4))
+    t10 = _wall(lambda: q(40))
+    _assert_scales("warc_gz_parse", t1, t10)
