@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import exploded_word_ngrams, token_count
+from ..functions import exploded_word_ngrams, token_count, tokens
 from .text import portable_gram_hash
 
 PORTABLE_HASH_SPACE = float(1 << 60)
@@ -742,4 +742,184 @@ def source_overlap(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Chosen/rejected pair construction for preference training
+    (RLHF/DPO data prep): per prompt group, pair the best-scored
+    response with the worst-scored one. ONE hash aggregation — the
+    argmax/argmin ride a lexicographic struct max/min (score, -id,
+    id), so there is no window sort and no self-join, and ties are
+    deterministic (best: lowest id wins; worst: highest id wins, so
+    a 2-response tie still yields distinct rows when scores differ).
+
+    Groups with a single response or zero score spread produce no
+    pair (margin must be > 0 — a pair that prefers nothing teaches
+    nothing). Scores should be pre-rounded by the caller (house
+    style) so cross-engine tie behavior is stable.
+
+    Output: (prompt, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin).
+    """
+    neg_id = (-F.col(id_col)).alias("_nid")
+    s = F.struct(F.col(score_col).alias("_s"), neg_id, F.col(id_col).alias("_id"))
+    agg = df.groupBy(prompt_col).agg(
+        F.max(s).alias("_best"), F.min(s).alias("_worst")
+    )
+    return (
+        agg.select(
+            prompt_col,
+            F.col("_best._id").alias("chosen_id"),
+            F.col("_worst._id").alias("rejected_id"),
+            F.col("_best._s").alias("chosen_score"),
+            F.col("_worst._s").alias("rejected_score"),
+            (F.col("_best._s") - F.col("_worst._s")).alias("margin"),
+        )
+        .filter(F.col("margin") > 0)
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR-style hashed-unigram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how target-like its token distribution
+    is — weight = mean over its tokens of ln(P_target(b) / P_raw(b)),
+    where b is the token's portable md5 hash bucket and both
+    distributions are add-``alpha`` smoothed bag-of-bucket estimates
+    (target estimated from ``target``, raw from ``df`` itself).
+    Resample the corpus by keeping the top-weight tail or sampling
+    proportional to exp(weight).
+
+    Plan shape: two linear count aggregations produce the B-row
+    distribution tables; their totals ride 1-row crossJoin broadcasts
+    (house pattern); scoring is one token explode + one broadcast join
+    against the B-row log-ratio table + one groupBy(id) mean. Nothing
+    quadratic, no global sort. At 100 TB fit the log-ratio table once
+    and persist it beside the corpus like the IVF centroids — scoring
+    new data then touches only the new partitions.
+
+    Output: (id_col, n_tokens, dsir_weight) for every raw doc with at
+    least one token, weight rounded to ``round_dp``; weight > 0 reads
+    "more target-like than the raw average". The md5 bucketing, exact
+    integer counts, and boundary rounding make the whole contract
+    reproducible in plain SQL.
+    """
+    from .text import portable_gram_hash as _pgh
+
+    def bucketed(frame: DataFrame, *keep: str) -> DataFrame:
+        tok = F.explode(tokens(F.col(text_col))).alias("_tok")
+        ex = frame.select(*keep, tok)
+        return ex.select(
+            *keep, F.pmod(_pgh(F.col("_tok")), F.lit(buckets)).alias("_b")
+        )
+
+    raw_b = bucketed(df, id_col)
+    rd = raw_b.groupBy("_b").agg(F.count("*").alias("_rn"))
+    td = bucketed(target).groupBy("_b").agg(F.count("*").alias("_tn"))
+    # one full-outer bucket join feeds BOTH the totals (target buckets
+    # absent from raw still count toward T) and the log-ratio table, so
+    # the plan carries a single 1-row scalar broadcast
+    dist = rd.join(td, "_b", "full")
+    tot = dist.agg(F.sum("_rn").alias("_R"), F.sum("_tn").alias("_T"))
+
+    a, ab = float(alpha), float(alpha) * buckets
+    ratio = (
+        dist.filter(F.col("_rn").isNotNull())  # score only raw-side buckets
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            (
+                F.log((F.coalesce(F.col("_tn"), F.lit(0)) + a) / (F.col("_T") + ab))
+                - F.log((F.col("_rn") + a) / (F.col("_R") + ab))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        raw_b.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("_lr"), round_dp).alias("dsir_weight"),
+        )
+    )
+
+
+def chat_transcripts(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT chat-transcript assembly: per conversation, order the turns,
+    render each as ``<|role|>text\\n``, concatenate, and emit the
+    assistant LOSS-MASK spans as 1-based [start, end) character
+    offsets over the rendered transcript — the exact artifact an
+    instruction-tuning pipeline feeds the trainer (loss on assistant
+    tokens only).
+
+    ONE shuffle: the running-offset window (partitionBy conv, orderBy
+    turn) and the final groupBy(conv) share the same hash partitioning,
+    so Catalyst reuses the exchange. Per-conversation state is bounded
+    by the longest conversation — the same bound any tokenizer pass
+    needs. No global sort; collect_list + array_sort orders turns
+    within each group only.
+
+    Output per conversation: n_turns, the transcript, transcript_chars,
+    mask_starts / mask_ends (turn-ordered int arrays, empty when the
+    conversation has no assistant turns — never NULL).
+    """
+    seg = F.concat(
+        F.lit("<|"), F.col(role_col), F.lit("|>"), F.col(text_col), F.lit("\n")
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(F.length(seg)).over(w), F.lit(0))
+    start = prior + F.length(F.col(role_col)) + F.lit(5)  # after "<|role|>"
+    end = start + F.length(F.col(text_col))
+    mask = F.when(
+        F.col(role_col) == "assistant",
+        F.struct(
+            F.col(turn_col).alias("_t"),
+            start.alias("_s"),
+            end.alias("_e"),
+        ),
+    )
+    staged = df.select(
+        conv_col,
+        F.struct(F.col(turn_col).alias("_t"), seg.alias("_seg")).alias("_turn"),
+        mask.alias("_mask"),
+    )
+    grouped = staged.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.array_sort(F.collect_list("_turn")).alias("_turns"),
+        F.array_sort(F.collect_list("_mask")).alias("_masks"),
+    )
+    transcript = F.array_join(
+        F.transform(F.col("_turns"), lambda x: x["_seg"]), ""
+    )
+    return grouped.select(
+        conv_col,
+        "n_turns",
+        transcript.alias("transcript"),
+        F.length(transcript).alias("transcript_chars"),
+        F.transform(F.col("_masks"), lambda m: m["_s"]).alias("mask_starts"),
+        F.transform(F.col("_masks"), lambda m: m["_e"]).alias("mask_ends"),
     )

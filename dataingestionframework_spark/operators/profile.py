@@ -180,3 +180,48 @@ def psi_drift(
         F.round(q, 6).alias("p_cur"),
         F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
     )
+
+
+def table_diff(
+    cur: DataFrame,
+    prev: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed snapshot diff — the regression audit between two versions
+    of a table (yesterday's corpus vs today's, pre- vs post-migration):
+    every key is classified ``added`` / ``removed`` / ``changed`` /
+    ``unchanged``.
+
+    ONE full-outer equi-join on the key. Each side is first collapsed
+    to (key, md5 row fingerprint) with :func:`table_fingerprint`'s
+    canonicalization (``|``-joined CAST-to-string, ``\\N`` NULL
+    sentinel — same float/timestamp caveat), so the exchange carries
+    keys + 32 hex chars per row no matter how wide the table is. At
+    100 TB both sides shuffle once; if both tables are already
+    bucketed by the key the exchange disappears entirely.
+
+    Output: key columns + ``diff_status``. Aggregate for dashboards,
+    filter ``!= 'unchanged'`` for audits.
+    """
+    keys = list(key_cols)
+
+    def fingerprinted(df: DataFrame, out: str) -> DataFrame:
+        cols = list(compare_cols) if compare_cols else [
+            c for c in df.columns if c not in keys
+        ]
+        canon = F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+        )
+        return df.select(*keys, F.md5(canon).alias(out))
+
+    j = fingerprinted(cur, "_cur_fp").join(
+        fingerprinted(prev, "_prev_fp"), keys, "full"
+    )
+    status = (
+        F.when(F.col("_prev_fp").isNull(), F.lit("added"))
+        .when(F.col("_cur_fp").isNull(), F.lit("removed"))
+        .when(F.col("_cur_fp") != F.col("_prev_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*keys, status.alias("diff_status"))

@@ -1362,3 +1362,103 @@ def mmr_rerank(
         f"{query_col} long, {id_col} long, mmr_rank int, mmr_score double"
     )
     return candidates.groupBy(query_col).applyInPandas(rerank, schema=out_schema)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+    round_dp: int = 6,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Deterministic distributed Lloyd k-means (spherical: assignment is
+    argmax COSINE to the centroids — the one vector primitive this repo
+    already proves cross-engine everywhere, unlike engine-specific
+    Euclidean builtins). Cluster-based curation is the modern pipeline
+    workhorse (SemDeDup-style pruning, cluster-balanced sampling,
+    topic-stratified eval splits); unlike :func:`ivf_fit`'s Spark-ML
+    KMeans (seeded, engine-opaque) this contract is reproducible in
+    plain SQL, so the gate can unroll it the way ``pagerank_doc_graph``
+    unrolls its 3 iterations.
+
+    Determinism contract (each piece mirrors the oracle exactly):
+    - init: the ``k`` rows with the smallest ``id_col`` (top-k, a
+      TakeOrderedAndProject — never a global sort);
+    - assignment: argmax over round(cos, ``round_dp``), ties to the
+      lower cluster id — a pure scan-side expression over the
+      broadcast centroid literals, zero shuffle;
+    - update: elementwise mean via ONE hash aggregation of
+      (cluster, pos) cells; coordinates re-rounded to ``round_dp`` at
+      every boundary so float accumulation order can't drift the
+      trajectory between engines;
+    - empty clusters are DROPPED (k shrinks), not re-seeded — the
+      SQL twin gets this for free from its GROUP BY.
+
+    Driver state is the k×d centroid matrix only (model-sized, the
+    same budget :func:`ivf_assign` spends). Each iteration costs one
+    scan + one k·d-cell agg; ``checkpoint`` truncates the base lineage
+    once so iteration plans stay O(1) like :func:`pagerank`. Returns
+    (assignments vs the FINAL centroids: id, cluster_id, cos_sim,
+    plus the input columns; centroid dict keyed by surviving cid).
+    """
+    base = df
+    if checkpoint:
+        base = base.localCheckpoint()
+
+    # rounding happens in-engine (F.round, HALF_UP) on BOTH init and
+    # update so the SQL twin's round() sees bit-identical inputs — a
+    # driver-side python round() would be banker's rounding
+    init = (
+        base.select(
+            id_col,
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x.cast("double"), round_dp)
+            ).alias("_v"),
+        )
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents: dict[int, list[float]] = {
+        i: [float(x) for x in r._v] for i, r in enumerate(init)
+    }
+
+    def assign(frame: DataFrame) -> DataFrame:
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        -F.round(
+                            cosine_similarity(
+                                F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                            ),
+                            round_dp,
+                        )
+                    ).alias("nsim"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in sorted(cents.items())
+            ]
+        )
+        best = F.element_at(F.array_sort(scored), 1)
+        return frame.withColumn("cluster_id", best["cid"]).withColumn(
+            "cos_sim", -best["nsim"]
+        )
+
+    for _ in range(iters):
+        cells = (
+            assign(base)
+            .select("cluster_id", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("col"), round_dp).alias("mx"))
+            .collect()  # k×d cells — model-sized, the only driver data
+        )
+        nxt: dict[int, dict[int, float]] = {}
+        for r in cells:
+            nxt.setdefault(r.cluster_id, {})[r.pos] = float(r.mx)
+        cents = {
+            cid: [by_pos[p] for p in sorted(by_pos)] for cid, by_pos in nxt.items()
+        }
+    return assign(base), cents

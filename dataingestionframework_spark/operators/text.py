@@ -1319,3 +1319,122 @@ def encoding_quality(
         .withColumn("n_control", n_ctl.cast("long"))
         .withColumn("encoding_pass", ok)
     )
+
+
+def blocklist_lexicon_filter(
+    df: DataFrame,
+    lexicon: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Large-lexicon blocklist — the scale path :func:`blocklist_filter`
+    documents for thousand-term lexicons: instead of scanning the text
+    once per phrase, tokenize each document once ([^a-z0-9]+ alphabet,
+    same contract), explode positional token n-grams up to the
+    lexicon's widest phrase, and hash-join them against the phrase
+    TABLE. Cost is one explode + one equi-join keyed on the gram
+    string — independent of lexicon size on the scan side, and the
+    lexicon side is a table like any other (broadcast when small,
+    shuffle when not).
+
+    Semantics note: hits count every matching n-gram POSITION
+    (overlapping matches included) — e.g. text ``a a a`` with phrase
+    ``a a`` counts 2 here but 1 under :func:`blocklist_filter`'s
+    leftmost-non-overlapping replace-count. For a pass/fail screen at
+    small ``max_hits`` the distinction rarely matters; pick the
+    variant whose counting contract you need.
+
+    Output: input columns + ``n_blocked_hits`` + ``blocklist_pass``.
+    Docs with no tokens pass.
+    """
+    from pyspark.sql import functions as _F
+
+    norm_phrase = _F.trim(
+        _F.regexp_replace(_F.lower(_F.col(phrase_col)), "[^a-z0-9]+", " ")
+    )
+    lex = (
+        lexicon.select(norm_phrase.alias("_phrase"))
+        .filter(_F.col("_phrase") != "")
+        .distinct()
+        .withColumn("_w", _F.size(_F.split(_F.col("_phrase"), " ")))
+    )
+    widths = [r._w for r in lex.select("_w").distinct().collect()]  # config-cardinality
+    toks = _F.filter(
+        _F.split(_F.regexp_replace(_F.lower(_F.col(text_col)), "[^a-z0-9]+", " "), " "),
+        lambda t: t != "",
+    )
+    base = df.withColumn("_toks", toks)
+    grams = None
+    for w in sorted(widths):
+        n_starts = _F.size("_toks") - (w - 1)
+        # sequence(1, 0) counts DOWN to [1, 0] — short docs need an
+        # explicit empty start list, not a descending one
+        starts = _F.when(
+            n_starts >= 1, _F.sequence(_F.lit(1), n_starts)
+        ).otherwise(_F.array().cast("array<int>"))
+        g = base.select(
+            _F.col(id_col),
+            _F.explode(
+                _F.transform(
+                    starts,
+                    lambda p: _F.concat_ws(
+                        " ", _F.slice(_F.col("_toks"), p, _F.lit(w))
+                    ),
+                )
+            ).alias("_gram"),
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    hits = (
+        grams.join(lex.select(_F.col("_phrase").alias("_gram")), "_gram")
+        .groupBy(id_col)
+        .agg(_F.count("*").alias("n_blocked_hits"))
+    )
+    out = base.drop("_toks").join(hits, id_col, "left")
+    n = _F.coalesce(_F.col("n_blocked_hits"), _F.lit(0))
+    return out.withColumn("n_blocked_hits", n).withColumn(
+        "blocklist_pass", n <= max_hits
+    )
+
+
+def unicode_nfc(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode canonical normalization (NFC by default; NFD/NFKC/NFKD
+    accepted) — the first text-pipeline step that makes every later
+    exact/fuzzy dedup contract honest: ``é`` (U+00E9) and ``e`` +
+    combining acute (U+0065 U+0301) are byte-different but canonically
+    equal, so un-normalized corpora split dedup groups and double-count
+    n-grams.
+
+    Spark has no built-in normalizer expression, so this is the
+    slow-path-done-right: ONE Arrow-batched ``pandas_udf`` (vectorized
+    transfer, ``unicodedata.normalize`` per value — a C call in
+    CPython), not a row-at-a-time ``F.udf``. It stays a scan-side
+    projection: no shuffle, composes under whole-stage codegen
+    boundaries like any other projected column. ASCII-only batches
+    round-trip unchanged.
+
+    The contract is engine-portable: DuckDB's ``nfc_normalize`` (and
+    the gate query) agree with CPython's unicodedata on canonical
+    composition, which is version-stable for assigned codepoints.
+    """
+    import pandas as pd  # noqa: F401 — signature typing only
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -4046,3 +4046,258 @@ ORACLES.update({
         WHERE doc_id < 240 AND strlen(text) >= 100
     """,
 })
+
+ORACLES.update({
+    # positional n-grams (widths 1 and 2) joined against the same
+    # VALUES lexicon; overlap-counting semantics match the operator
+    "blocklist_lexicon_docs": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS ts
+            FROM documents
+        ),
+        pos AS (SELECT doc_id, ts,
+                       unnest(range(1, len(ts) + 1)) AS p
+                FROM toks),
+        g1 AS (SELECT doc_id, ts[p] AS gram FROM pos),
+        g2 AS (SELECT doc_id, ts[p] || ' ' || ts[p + 1] AS gram
+               FROM pos WHERE p + 1 <= len(ts)),
+        lex(gram) AS (VALUES ('merge'), ('window sort'),
+                             ('hash value'), ('big query')),
+        hits AS (SELECT doc_id, count(*) AS h
+                 FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) g
+                 JOIN lex USING (gram) GROUP BY doc_id)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(coalesce(h, 0)) AS BIGINT) AS total_hits,
+               sum(CASE WHEN coalesce(h, 0) <= 2 THEN 1 ELSE 0 END)
+                   AS n_passing
+        FROM toks LEFT JOIN hits USING (doc_id)
+        GROUP BY lang
+    """,
+})
+
+ORACLES.update({
+    # chosen = max(score, ties lowest id); rejected = min(score, ties
+    # highest id); singleton / zero-margin prompts yield no row
+    "preference_pairs_docs": f"""
+        WITH s AS (
+            SELECT doc_id, doc_id % 50 AS prompt,
+                   round(((CASE WHEN len(ts) BETWEEN 5 AND 100000
+                                THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN CAST(len(list_distinct(ts)) AS DOUBLE)
+                                       / greatest(CAST(len(ts) AS DOUBLE),
+                                                  1.0) >= 0.2
+                                  THEN 1.0
+                                  ELSE (CAST(len(list_distinct(ts)) AS DOUBLE)
+                                        / greatest(CAST(len(ts) AS DOUBLE),
+                                                   1.0)) / 0.2 END)
+                          + (CASE WHEN CAST(len(list_filter(ts,
+                                       x -> list_contains({STOPWORDS_SQL},
+                                                          x))) AS DOUBLE)
+                                       / greatest(CAST(len(ts) AS DOUBLE),
+                                                  1.0)
+                                       BETWEEN 0.01 AND 0.6
+                                  THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS q
+            FROM (SELECT doc_id, {_TOKENS} AS ts FROM documents)
+        ),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY prompt
+                         ORDER BY q DESC, doc_id) AS rb,
+                     row_number() OVER (PARTITION BY prompt
+                         ORDER BY q ASC, doc_id DESC) AS rw
+              FROM s)
+        SELECT b.prompt,
+               b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+               b.q AS chosen_score, w.q AS rejected_score,
+               b.q - w.q AS margin
+        FROM (SELECT * FROM r WHERE rb = 1) b
+        JOIN (SELECT * FROM r WHERE rw = 1) w USING (prompt)
+        WHERE b.q > w.q
+    """,
+})
+
+ORACLES.update({
+    # unrolled spherical Lloyd: init = 4 lowest-id rows, two
+    # assign→mean updates, final assignment — every boundary rounded
+    # to 6dp exactly as the operator does (the pagerank unroll pattern)
+    "kmeans_cluster_embeddings": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                   FROM embeddings),
+        init AS (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 4),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                      list_transform(ve, x -> round(x, 6)) AS cv
+               FROM init),
+        a1 AS (SELECT vec_id, ve, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(ve, cv),
+                                         6) DESC, cid) AS rn
+               FROM v CROSS JOIN c0),
+        m1 AS (SELECT cid, pos, round(avg(x), 6) AS mx
+               FROM (SELECT cid, unnest(ve) AS x,
+                            generate_subscripts(ve, 1) AS pos
+                     FROM a1 WHERE rn = 1)
+               GROUP BY cid, pos),
+        c1 AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m1
+               GROUP BY cid),
+        a2 AS (SELECT vec_id, ve, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(ve, cv),
+                                         6) DESC, cid) AS rn
+               FROM v CROSS JOIN c1),
+        m2 AS (SELECT cid, pos, round(avg(x), 6) AS mx
+               FROM (SELECT cid, unnest(ve) AS x,
+                            generate_subscripts(ve, 1) AS pos
+                     FROM a2 WHERE rn = 1)
+               GROUP BY cid, pos),
+        c2 AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m2
+               GROUP BY cid),
+        af AS (SELECT vec_id, cid,
+                      round(list_cosine_similarity(ve, cv), 6) AS sim,
+                      row_number() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(ve, cv),
+                                         6) DESC, cid) AS rn
+               FROM v CROSS JOIN c2)
+        SELECT cid AS cluster_id, count(*) AS n_points,
+               round(avg(sim), 6) AS avg_sim, min(vec_id) AS min_vec_id
+        FROM af WHERE rn = 1
+        GROUP BY cid
+    """,
+})
+
+ORACLES.update({
+    # identical decorated fixture rebuilt with chr() concatenation;
+    # utf8proc's nfc_normalize vs CPython's unicodedata must agree
+    "unicode_nfc_docs": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   substr(text, 1, 40) ||
+                   substr('e' || chr(769) || 'a' || chr(768), 1,
+                          (doc_id % 3) * 2) AS raw
+            FROM documents
+        ),
+        n AS (SELECT lang, raw, nfc_normalize(raw) AS nfc FROM d)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(length(raw)) AS BIGINT) AS raw_chars,
+               CAST(sum(length(nfc)) AS BIGINT) AS nfc_chars,
+               sum(CASE WHEN raw <> nfc THEN 1 ELSE 0 END) AS n_changed
+        FROM n GROUP BY lang
+    """,
+})
+
+ORACLES.update({
+    # same portable md5 buckets, exact integer counts, add-0.5
+    # smoothed log-ratio; only the final per-doc mean is rounded
+    "dsir_importance_docs": """
+        WITH tb AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substring(md5(tok), 1, 15))::UBIGINT
+                        % 1024 AS BIGINT) AS b
+            FROM (SELECT doc_id, lang, unnest({TOKENS}) AS tok
+                  FROM documents)
+        ),
+        rd AS (SELECT b, count(*) AS rn FROM tb GROUP BY b),
+        td AS (SELECT b, count(*) AS tn FROM tb WHERE lang = 'en'
+               GROUP BY b),
+        tot AS (SELECT (SELECT sum(rn) FROM rd) AS R,
+                       (SELECT sum(tn) FROM td) AS T),
+        ratio AS (
+            SELECT rd.b,
+                   ln((coalesce(tn, 0) + 0.5) / (T + 0.5 * 1024))
+                 - ln((rn + 0.5) / (R + 0.5 * 1024)) AS lr
+            FROM rd LEFT JOIN td USING (b), tot
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(lr), 6) AS dsir_weight
+        FROM tb JOIN ratio USING (b)
+        GROUP BY doc_id
+    """.replace("{TOKENS}", _TOKENS),
+})
+
+ORACLES.update({
+    # ordered string_agg rebuild + the same cumulative-length window;
+    # md5 equality pins the transcript byte-for-byte
+    "chat_transcripts_docs": """
+        WITH turns AS (
+            SELECT doc_id % 25 AS conv_id, doc_id AS turn,
+                   CASE WHEN (doc_id // 25) % 2 = 0
+                        THEN 'user' ELSE 'assistant' END AS role,
+                   substr(text, 1, 60) AS txt
+            FROM documents
+        ),
+        seg AS (SELECT *, '<|' || role || '|>' || txt || chr(10) AS s
+                FROM turns),
+        off AS (
+            SELECT *,
+                   coalesce(sum(length(s)) OVER (
+                       PARTITION BY conv_id ORDER BY turn
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS prior
+            FROM seg
+        )
+        SELECT conv_id, count(*) AS n_turns,
+               md5(string_agg(s, '' ORDER BY turn)) AS transcript_md5,
+               CAST(sum(length(s)) AS BIGINT) AS transcript_chars,
+               coalesce(list(prior + length(role) + 5 ORDER BY turn)
+                            FILTER (WHERE role = 'assistant'),
+                        []) AS mask_starts,
+               coalesce(list(prior + length(role) + 5 + length(txt)
+                             ORDER BY turn)
+                            FILTER (WHERE role = 'assistant'),
+                        []) AS mask_ends
+        FROM off
+        GROUP BY conv_id
+    """,
+})
+
+ORACLES.update({
+    # same cur-table construction; statuses classified by DIRECT column
+    # comparison — must match the operator's md5-fingerprint mechanism
+    "table_diff_docs": """
+        WITH prev AS (SELECT * FROM documents),
+        base AS (SELECT * FROM prev WHERE doc_id % 17 <> 3),
+        edited AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 5 THEN text || ' [edited]'
+                        ELSE text END AS text,
+                   lang, source, n_chars
+            FROM base
+        ),
+        added AS (SELECT doc_id + 1000000 AS doc_id, text, lang,
+                         source, n_chars
+                  FROM prev WHERE doc_id % 29 = 11),
+        cur AS (SELECT * FROM edited UNION ALL SELECT * FROM added),
+        j AS (
+            SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+                   CASE WHEN p.doc_id IS NULL THEN 'added'
+                        WHEN c.doc_id IS NULL THEN 'removed'
+                        WHEN (c.text IS DISTINCT FROM p.text)
+                          OR (c.lang IS DISTINCT FROM p.lang)
+                          OR (c.source IS DISTINCT FROM p.source)
+                          OR (c.n_chars IS DISTINCT FROM p.n_chars)
+                        THEN 'changed'
+                        ELSE 'unchanged' END AS diff_status
+            FROM cur c FULL OUTER JOIN prev p USING (doc_id)
+        )
+        SELECT diff_status, count(*) AS n,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM j GROUP BY diff_status
+    """,
+})
+
+ORACLES.update({
+    # footer stats recomputed FROM THE DATA: the footer must agree
+    # with a full scan for data skipping to be sound
+    "parquet_footer_stats_lineitem": """
+        SELECT 'l_orderkey' AS column_name, count(*) AS n_values,
+               count(*) - count(l_orderkey) AS n_nulls,
+               min(l_orderkey) AS min_value, max(l_orderkey) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+               min(l_partkey), max(l_partkey) FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+               min(l_suppkey), max(l_suppkey) FROM lineitem
+    """,
+})

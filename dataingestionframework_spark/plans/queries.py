@@ -5720,6 +5720,216 @@ def tar_webdataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def preference_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (operators.corpus.preference_pairs
+    — RLHF/DPO data prep): documents grouped into 50 synthetic prompts
+    (doc_id % 50), responses scored by the 4dp quality heuristic, each
+    prompt pairing its best response against its worst (deterministic
+    struct-max/min tiebreaks, zero-margin groups dropped). One hash
+    aggregation — no window sort, no self-join. The oracle restates
+    the argmax/argmin as SQL windows with the matching tie order."""
+    from ..operators.corpus import preference_pairs
+    from ..operators.text import quality_score
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    scored = t("documents").select(
+        F.pmod(F.col("doc_id"), F.lit(50)).alias("prompt"),
+        "doc_id",
+        F.round(quality_score(F.col("text")), 4).alias("score"),
+    )
+    return preference_pairs(scored)
+
+
+def blocklist_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-lexicon blocklist (operators.text.blocklist_lexicon_filter
+    — the documented scale path beyond the 64-phrase replace-count
+    contract): phrases live in a TABLE joined against exploded
+    positional token n-grams, so scan cost is independent of lexicon
+    size. Mixed 1- and 2-word phrases exercise both gram widths; the
+    oracle regenerates the n-grams with list slicing and joins the
+    same VALUES lexicon. Aggregated per lang."""
+    from ..operators.text import blocklist_lexicon_filter
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    lex = spark.createDataFrame(
+        [("merge",), ("window sort",), ("hash value",), ("big query",)],
+        "phrase string",
+    )
+    out = blocklist_lexicon_filter(t("documents"), lex, max_hits=2)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_blocked_hits").alias("total_hits"),
+        F.sum(F.col("blocklist_pass").cast("long")).alias("n_passing"),
+    )
+
+
+
+def kmeans_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical Lloyd k-means (operators.similarity.
+    kmeans_lloyd — cluster-based curation: SemDeDup-style pruning,
+    cluster-balanced sampling, topic-stratified splits): init = the 4
+    lowest-vec_id rows, 2 update iterations, argmax-rounded-cosine
+    assignment (ties to the lower cid), 6dp rounding at every
+    boundary. The oracle replays the identical trajectory as unrolled
+    CTEs, the pagerank_doc_graph pattern. Per cluster: size, mean
+    cosine to the final centroid, lowest member id."""
+    from ..operators.similarity import kmeans_lloyd
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    assigned, _ = kmeans_lloyd(t("embeddings"), k=4, iters=2)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.avg("cos_sim"), 6).alias("avg_sim"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+
+def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators.text.unicode_nfc — the
+    Arrow-batched pandas_udf over CPython unicodedata): the fixture
+    appends 0/1/2 decomposed combining pairs (e+U+0301, a+U+0300) per
+    doc by doc_id%3, so NFC must compose exactly that many codepoints
+    away. The oracle builds the identical decorated text with chr()
+    concatenation and runs DuckDB's nfc_normalize — two independent
+    normalizer implementations (unicodedata vs utf8proc) must agree
+    on canonical composition. Per-lang char counts before/after +
+    changed-doc count."""
+    from ..operators.text import unicode_nfc
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    decorated = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.substr(
+            F.lit("e\u0301a\u0300"),
+            F.lit(1),
+            F.pmod(F.col("doc_id"), F.lit(3)) * 2,
+        ),
+    )
+    docs = t("documents").select("doc_id", "lang", decorated.alias("raw"))
+    out = unicode_nfc(docs, text_col="raw", out_col="nfc")
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("raw")).alias("raw_chars"),
+        F.sum(F.length("nfc")).alias("nfc_chars"),
+        F.sum((F.col("raw") != F.col("nfc")).cast("long")).alias("n_changed"),
+    )
+
+
+
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators.corpus.dsir_importance —
+    Xie et al. 2023): every document scored by the mean hashed-unigram
+    log-ratio ln(P_en(b)/P_raw(b)), target = the lang='en' slice, 1024
+    portable-md5 buckets, add-0.5 smoothing. Two B-row distribution
+    aggs + one broadcast-join scoring pass. The oracle rebuilds both
+    smoothed distributions from the same md5 buckets — counts are
+    exact integers, so only the final mean needs the 6dp round."""
+    from ..operators.corpus import dsir_importance
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    docs = t("documents")
+    return dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
+
+def chat_transcripts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT transcript assembly (operators.corpus.chat_transcripts):
+    documents become 25 synthetic conversations (conv = doc_id%25,
+    turn = doc_id, role alternating user/assistant per 25-block),
+    rendered <|role|>text\n, concatenated turn-ordered, with 1-based
+    [start,end) assistant loss-mask char spans from the running-offset
+    window. The oracle rebuilds the transcript with ordered string_agg
+    and the spans with the same cumulative-length window; md5 of the
+    transcript proves exact equality, the span arrays hash directly."""
+    from ..operators.corpus import chat_transcripts
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    turns = t("documents").select(
+        F.pmod(F.col("doc_id"), F.lit(25)).alias("conv_id"),
+        F.col("doc_id").alias("turn"),
+        F.when(
+            F.pmod(F.floor(F.col("doc_id") / 25), 2) == 0, F.lit("user")
+        ).otherwise(F.lit("assistant")).alias("role"),
+        F.substring(F.col("text"), 1, 60).alias("text"),
+    )
+    out = chat_transcripts(turns)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        F.md5("transcript").alias("transcript_md5"),
+        "transcript_chars",
+        "mask_starts",
+        "mask_ends",
+    )
+
+
+
+def table_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators.profile.table_diff): prev =
+    documents; cur drops doc_id%17==3, edits text where doc_id%13==5,
+    and re-adds doc_id%29==11 rows under key+1000000. The operator
+    classifies via md5 row fingerprints on each side of ONE full-outer
+    key join; the oracle rebuilds cur and classifies by direct column
+    comparison (IS DISTINCT FROM) — the two mechanisms must yield the
+    identical status partition. Aggregated per status."""
+    from ..operators.profile import table_diff
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    prev = t("documents")
+    base = prev.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
+    edited = base.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(13)) == 5,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        ).otherwise(F.col("text")),
+    )
+    added = prev.filter(F.pmod(F.col("doc_id"), F.lit(29)) == 11).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    cur = edited.unionByName(added)
+    d = table_diff(cur, prev, ["doc_id"])
+    return d.groupBy("diff_status").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def parquet_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer audit (ingest.maintenance.parquet_layout_report):
+    distributed footer-only reads (pyarrow per task, data pages never
+    touched) rolled up per column; the oracle recomputes the same
+    counts and min/max FROM THE DATA — footer statistics must agree
+    with a full scan, which is exactly the invariant data skipping
+    relies on at 100 TB."""
+    import os as _os
+
+    from ..ingest.maintenance import parquet_layout_report
+
+    tune(spark)
+    rep = parquet_layout_report(
+        spark,
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    )
+    return rep.groupBy("column_name").agg(
+        F.sum("num_values").alias("n_values"),
+        F.sum("null_count").alias("n_nulls"),
+        F.min(F.col("min_value").cast("long")).alias("min_value"),
+        F.max(F.col("max_value").cast("long")).alias("max_value"),
+    )
+
+
+
 def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset/mojibake screen (operators.text.encoding_quality): the
     fixture injects U+FFFD replacement runs (every 3rd doc — the
@@ -6008,6 +6218,14 @@ QUERIES = {
     "url_canonical_dedup_docs": url_canonical_dedup_docs,
     "warc_to_corpus_docs": warc_to_corpus_docs,
     "encoding_quality_docs": encoding_quality_docs,
+    "blocklist_lexicon_docs": blocklist_lexicon_docs,
+    "preference_pairs_docs": preference_pairs_docs,
+    "kmeans_cluster_embeddings": kmeans_cluster_embeddings,
+    "unicode_nfc_docs": unicode_nfc_docs,
+    "dsir_importance_docs": dsir_importance_docs,
+    "chat_transcripts_docs": chat_transcripts_docs,
+    "table_diff_docs": table_diff_docs,
+    "parquet_footer_stats_lineitem": parquet_footer_stats_lineitem,
     "tar_webdataset_roundtrip_docs": tar_webdataset_roundtrip_docs,
     "warc_gz_roundtrip_docs": warc_gz_roundtrip_docs,
     "jpeg_dims_docs": jpeg_dims_docs,

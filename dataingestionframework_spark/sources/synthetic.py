@@ -104,14 +104,22 @@ class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):  # noqa: N802 (Spark API names)
         return {"next": 0}
 
+    # Spark 4.1's data_source_read_func requires a true ITERATOR from
+    # both paths — a bare list raises DATA_SOURCE_INVALID_RETURN_TYPE.
+    # read() gets away with a list on the happy path (it is re-wrapped
+    # driver-side), but the restart replay calls readBetweenOffsets on
+    # an executor and fails the stream; return iterators from both so
+    # neither path depends on where Spark evaluates it.
     def read(self, start):
         lo = start["next"]
         hi = min(lo + self.per_batch, self.max_docs)
-        rows = [make_document(i, self.seed) for i in range(lo, hi)]
+        rows = iter([make_document(i, self.seed) for i in range(lo, hi)])
         return rows, {"next": hi}
 
     def readBetweenOffsets(self, start, end):  # noqa: N802 — replay path
-        return [make_document(i, self.seed) for i in range(start["next"], end["next"])]
+        return iter(
+            [make_document(i, self.seed) for i in range(start["next"], end["next"])]
+        )
 
 
 class SyntheticCorpusDataSource(DataSource):

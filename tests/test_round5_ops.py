@@ -497,3 +497,217 @@ def test_forget_index_swap_window_recovers(spark, tmp_path):
     assert not spark.catalog.tableExists(f"{idx}__staged")
     for t in (idx, f"{idx}__staged", f"{idx}__old"):
         drop_table_and_location(spark, t)
+
+
+def test_blocklist_lexicon_filter_semantics(spark):
+    """Table-joined lexicon variant: n-gram widths, overlap counting
+    (documented difference vs the replace-count variant), phrase
+    normalization, and zero-hit passthrough."""
+    from dataingestionframework_spark.operators.text import (
+        blocklist_filter,
+        blocklist_lexicon_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "visit united states now"), (2, "nothing here"),
+         (3, "a a a"), (4, "")],
+        "doc_id long, text string",
+    )
+    lex = spark.createDataFrame(
+        [("United-States",), ("a a",)], "phrase string"
+    )
+    got = {r.doc_id: (r.n_blocked_hits, r.blocklist_pass)
+           for r in blocklist_lexicon_filter(docs, lex).collect()}
+    assert got[1] == (1, False)
+    assert got[2] == (0, True)
+    assert got[3] == (2, False)   # overlap-counted: positions 1 and 2
+    assert got[4] == (0, True)
+    # replace-count variant counts the same text leftmost-non-overlap
+    rc = blocklist_filter(
+        spark.createDataFrame([(3, "a a a")], "doc_id long, text string"),
+        ["a a"],
+    ).first()
+    assert rc.n_blocked_hits == 1
+
+
+def test_preference_pairs_tiebreaks_and_filters(spark):
+    """Deterministic ties (best: lowest id; worst: highest id),
+    singleton and zero-margin prompts dropped."""
+    from dataingestionframework_spark.operators.corpus import preference_pairs
+
+    df = spark.createDataFrame(
+        [("p1", 1, 0.9), ("p1", 3, 0.9), ("p1", 2, 0.3),
+         ("p2", 4, 0.5),
+         ("p3", 5, 0.7), ("p3", 6, 0.7),
+         ("p4", 7, 0.2), ("p4", 8, 0.8)],
+        "prompt string, doc_id long, score double",
+    )
+    got = {r.prompt: r for r in preference_pairs(df).collect()}
+    assert set(got) == {"p1", "p4"}
+    assert (got["p1"].chosen_id, got["p1"].rejected_id) == (1, 2)
+    assert (got["p4"].chosen_id, got["p4"].rejected_id) == (8, 7)
+    assert got["p4"].margin == pytest.approx(0.6)
+
+
+def test_kmeans_lloyd_contract(spark):
+    """Deterministic trajectory: init = k lowest ids, argmax-cosine
+    assignment with lower-cid ties, mean update, empty-cluster drop.
+    Hand-checkable 2-D fixture: two tight groups on the axes."""
+    from dataingestionframework_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = kmeans_lloyd(df, k=2, iters=2)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    # init c0=(1,0) c1=(0.9,0.1): ids 1,2 -> axis-x cluster 0; 3,4 -> 1
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+    assert set(cents) == {0, 1}
+    assert cents[0][0] > 0.9 and cents[1][1] > 0.9
+    # every sim is rounded to 6dp and positive for members
+    assert all(r.cos_sim > 0.7 for r in assigned.collect())
+
+
+def test_kmeans_lloyd_drops_empty_clusters(spark):
+    """A duplicated init point leaves its twin cluster empty after the
+    first update (lower-cid tie takes all members) — k shrinks, the
+    survivor keeps its original cid, and no NaN centroid appears."""
+    from dataingestionframework_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.95, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = kmeans_lloyd(df, k=2, iters=1)
+    assert set(cents) == {0}
+    assert {r.cluster_id for r in assigned.collect()} == {0}
+
+
+def test_unicode_nfc_composes_and_passes_ascii(spark):
+    from dataingestionframework_spark.operators.text import unicode_nfc
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "plain ascii"), (3, None), (4, "é")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in unicode_nfc(df).collect()}
+    assert got[1] == "café"          # decomposed -> composed
+    assert got[2] == "plain ascii"        # ascii round-trips
+    assert got[3] is None                 # null-safe
+    assert got[4] == "é"             # already-NFC fixed point
+    with pytest.raises(ValueError):
+        unicode_nfc(df, form="NFX")
+
+
+def test_dsir_importance_directionality(spark):
+    """Docs made of target-only vocabulary must outweigh docs made of
+    raw-only vocabulary; weights are finite under smoothing even for
+    tokens absent from the target."""
+    from dataingestionframework_spark.operators.corpus import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "bb bb bb"), (3, "aa bb")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(10, "aa aa")], "doc_id long, text string")
+    # low smoothing mass (64 buckets x 0.01) so the 8-token fixture's
+    # signal isn't drowned; 'aa'/'bb' land in distinct buckets (39/16)
+    got = {
+        r.doc_id: r
+        for r in dsir_importance(raw, target, buckets=64, alpha=0.01).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1].dsir_weight > 0 > got[2].dsir_weight
+    assert got[2].dsir_weight < got[3].dsir_weight < got[1].dsir_weight
+    assert got[3].n_tokens == 2
+
+
+def test_chat_transcripts_mask_offsets(spark):
+    """Hand-checked rendering and 1-based [start,end) assistant spans;
+    a conversation with no assistant turns gets empty arrays."""
+    from dataingestionframework_spark.operators.corpus import chat_transcripts
+
+    df = spark.createDataFrame(
+        [("c1", 1, "user", "hi"), ("c1", 2, "assistant", "hello"),
+         ("c1", 3, "user", "bye"),
+         ("c2", 1, "user", "lone")],
+        "conv_id string, turn long, role string, text string",
+    )
+    got = {r.conv_id: r for r in chat_transcripts(df).collect()}
+    c1 = got["c1"]
+    # "<|user|>hi\n<|assistant|>hello\n<|user|>bye\n"
+    assert c1.transcript == "<|user|>hi\n<|assistant|>hello\n<|user|>bye\n"
+    assert c1.n_turns == 3
+    assert c1.transcript_chars == len(c1.transcript)
+    # assistant text "hello" occupies 1-based chars 25..29 -> [25, 30)
+    assert list(c1.mask_starts) == [25] and list(c1.mask_ends) == [30]
+    assert c1.transcript[24:29] == "hello"  # 0-based slice of the span
+    c2 = got["c2"]
+    assert list(c2.mask_starts) == [] and list(c2.mask_ends) == []
+
+
+def test_table_diff_statuses(spark):
+    """added / removed / changed / unchanged classification, including
+    NULL-vs-value changes the \\N sentinel must catch."""
+    from dataingestionframework_spark.operators.profile import table_diff
+
+    prev = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id long, s string, v int",
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged
+         (2, "B", 20),        # changed value
+         (3, "c", 30),        # NULL -> value is a change
+         (5, "e", 50)],       # added (4 removed)
+        "id long, s string, v int",
+    )
+    got = {r.id: r.diff_status for r in table_diff(cur, prev, ["id"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
+    # compare_cols restricts the fingerprint: only v -> 2 is unchanged
+    got_v = {
+        r.id: r.diff_status
+        for r in table_diff(cur, prev, ["id"], compare_cols=["v"]).collect()
+    }
+    assert got_v[2] == "unchanged" and got_v[3] == "changed"
+
+
+def test_parquet_layout_report_matches_duckdb_metadata(spark, tmp_path):
+    """Footer fields (row groups, rows, value counts, compressed bytes)
+    agree with DuckDB's parquet_metadata over a Spark-written file —
+    two independent footer readers on one artifact."""
+    import glob
+
+    import duckdb
+
+    from dataingestionframework_spark.ingest.maintenance import (
+        parquet_layout_report,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS grp",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('v', id) END AS s",
+    ).coalesce(2).write.parquet(p)
+    rep = parquet_layout_report(spark, p).collect()
+    files = sorted(glob.glob(p + "/*.parquet"))
+    assert {r.file_name for r in rep} == {f.rsplit("/", 1)[1] for f in files}
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT regexp_extract(file_name, '[^/]+$') AS fn, row_group_id,
+                   path_in_schema, num_values, stats_null_count,
+                   total_compressed_size
+            FROM parquet_metadata('{p}/*.parquet')"""
+    ).fetchall()
+    exp_set = {t for t in exp}
+    got_set = {
+        (r.file_name, r.row_group_id, r.column_name, r.num_values,
+         r.null_count, r.compressed_bytes)
+        for r in rep
+    }
+    assert got_set == exp_set
+    # stats agree with the data itself for the null-bearing column
+    s_nulls = sum(r.null_count for r in rep if r.column_name == "s")
+    assert s_nulls == 200

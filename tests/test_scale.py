@@ -416,3 +416,34 @@ def test_warc_gz_parse_scales(spark, sf):
     t1 = _wall(lambda: q(4))
     t10 = _wall(lambda: q(40))
     _assert_scales("warc_gz_parse", t1, t10)
+
+
+def test_kmeans_lloyd_scales(spark, sf):
+    """Spherical Lloyd: every iteration is one scan-side assignment +
+    one k·d-cell agg — wall must track data volume, never k·n²."""
+    from dataingestionframework_spark.operators.similarity import kmeans_lloyd
+
+    emb = sf("embeddings").select("vec_id", "embedding")
+
+    def q(df):
+        assigned, _ = kmeans_lloyd(df, k=4, iters=2)
+        assigned.groupBy("cluster_id").count().collect()
+
+    t1 = _wall(lambda: q(emb))
+    t10 = _wall(lambda: q(_replicate(emb, ["vec_id"], REPL, 10_000_000)))
+    _assert_scales("kmeans_lloyd", t1, t10)
+
+
+def test_dsir_importance_scales(spark, sf):
+    """DSIR scoring: two B-row distribution aggs + broadcast-join mean
+    — linear in tokens; the log-ratio table never grows with data."""
+    from dataingestionframework_spark.operators.corpus import dsir_importance
+
+    docs = sf("documents").select("doc_id", "lang", "text")
+
+    def q(df):
+        dsir_importance(df, df.filter(F.col("lang") == "en")).count()
+
+    t1 = _wall(lambda: q(docs))
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    _assert_scales("dsir_importance", t1, t10)

@@ -70,6 +70,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "psi_drift_events": {
         "BroadcastNestedLoopJoin": "1-row bucket-totals scalar broadcast"
     },
+    "dsir_importance_docs": {
+        "BroadcastNestedLoopJoin": "1-row (R, T) distribution-totals broadcast"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
