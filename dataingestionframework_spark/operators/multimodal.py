@@ -669,3 +669,146 @@ def parse_jpeg_dims(
             )
 
     return df.select(id_col, col).mapInPandas(run, schema=out_schema)
+
+
+def build_mp4_bytes(
+    timescale: int,
+    duration: int,
+    n_tracks: int,
+    version: int = 0,
+    largesize_mdat: bool = False,
+) -> bytes:
+    """Deterministic minimal ISO BMFF (MP4) file image for the parse
+    gate — the inverse direction of :func:`parse_mp4_boxes`, byte
+    construction vs length-driven walk (the tar/WARC fixture pattern):
+    ftyp(isom) + a 'free' box whose PAYLOAD is a fake moov header (the
+    walk must not bite) + moov(mvhd v0/v1 + empty trak × n) + mdat
+    (64-bit largesize when asked) whose payload embeds a fake ftyp.
+    """
+    def box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+        if largesize:
+            return (1).to_bytes(4, "big") + btype + (
+                len(payload) + 16
+            ).to_bytes(8, "big") + payload
+        return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    evil = box(b"free", (28).to_bytes(4, "big") + b"moov" + b"\x07" * 16)
+    if version == 0:
+        body = bytes([0, 0, 0, 0]) + b"\x00" * 8 + timescale.to_bytes(
+            4, "big"
+        ) + duration.to_bytes(4, "big")
+    else:
+        body = bytes([1, 0, 0, 0]) + b"\x00" * 16 + timescale.to_bytes(
+            4, "big"
+        ) + duration.to_bytes(8, "big")
+    mvhd = box(b"mvhd", body + b"\x00" * (100 - len(body)))
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    moov = box(b"moov", mvhd + traks)
+    mdat = box(b"mdat", box(b"ftyp", b"fake") + b"\x99" * 11, largesize_mdat)
+    return ftyp + evil + moov + mdat
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int) -> list | None:
+    """Length-driven sibling-box walk over [start, end): returns
+    [(type, body_start, box_end)] or None when the arithmetic doesn't
+    tile the range exactly (truncated / desynced / not BMFF)."""
+    boxes = []
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return None
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return None
+        boxes.append((btype, pos + hdr, pos + size))
+        pos += size
+    return boxes if pos == end else None
+
+
+def parse_mp4_boxes(data: bytes) -> dict | None:
+    """ISO BMFF (MP4/MOV family) structural sniff without a codec:
+    walk the top-level boxes (size arithmetic only — payload bytes
+    that LOOK like box headers, e.g. inside mdat or free, can never
+    desync the cursor), descend into moov for mvhd (version 0 and 1
+    layouts: timescale, duration) and the trak count. The pre-decode
+    triage for a video corpus: duration/track filters before any
+    demux. Returns dict(n_top_boxes, major_brand, timescale,
+    duration, n_tracks) or None for non-BMFF/truncated input.
+    """
+    if data is None or len(data) < 16:
+        return None
+    top = _walk_mp4_boxes(bytes(data), 0, len(data))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    _, fs, fe = top[0]
+    if fe - fs < 4:
+        return None
+    major = data[fs : fs + 4].decode("latin-1")
+    timescale = duration = None
+    n_tracks = 0
+    for btype, s, e in top:
+        if btype != b"moov":
+            continue
+        kids = _walk_mp4_boxes(bytes(data), s, e)
+        if kids is None:
+            return None
+        for ktype, ks, ke in kids:
+            if ktype == b"trak":
+                n_tracks += 1
+            elif ktype == b"mvhd" and ke - ks >= 4:
+                ver = data[ks]
+                if ver == 0 and ke - ks >= 20:
+                    timescale = int.from_bytes(data[ks + 12 : ks + 16], "big")
+                    duration = int.from_bytes(data[ks + 16 : ks + 20], "big")
+                elif ver == 1 and ke - ks >= 32:
+                    timescale = int.from_bytes(data[ks + 20 : ks + 24], "big")
+                    duration = int.from_bytes(data[ks + 24 : ks + 32], "big")
+    return {
+        "n_top_boxes": len(top),
+        "major_brand": major,
+        "timescale": timescale,
+        "duration": duration,
+        "n_tracks": n_tracks,
+    }
+
+
+def mp4_probe(
+    df: DataFrame,
+    col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MP4/BMFF structural probe over a binary column — Arrow-batched
+    ``mapInPandas`` like :func:`parse_jpeg_dims` (variable-length box
+    walk; headers only, media payloads never touched). Map-side, no
+    shuffle. Non-BMFF payloads are dropped; join back for keep/drop.
+    """
+    out_schema = (
+        f"{id_col} long, n_top_boxes int, major_brand string, "
+        "timescale long, duration long, n_tracks int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[col]):
+                got = None if payload is None else parse_mp4_boxes(bytes(payload))
+                if got is not None:
+                    rows.append(
+                        (rid, got["n_top_boxes"], got["major_brand"],
+                         got["timescale"], got["duration"], got["n_tracks"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_top_boxes", "major_brand", "timescale",
+                         "duration", "n_tracks"],
+            )
+
+    return df.select(id_col, col).mapInPandas(run, schema=out_schema)

@@ -1372,7 +1372,7 @@ def kmeans_lloyd(
     iters: int = 2,
     round_dp: int = 6,
     checkpoint: bool = True,
-) -> tuple[DataFrame, dict[int, list[float]]]:
+) -> tuple[DataFrame, dict[int, list[float]], dict[int, int]]:
     """Deterministic distributed Lloyd k-means (spherical: assignment is
     argmax COSINE to the centroids — the one vector primitive this repo
     already proves cross-engine everywhere, unlike engine-specific
@@ -1401,8 +1401,14 @@ def kmeans_lloyd(
     scan + one k·d-cell agg; ``checkpoint`` truncates the base lineage
     once so iteration plans stay O(1) like :func:`pagerank`. Returns
     (assignments vs the FINAL centroids: id, cluster_id, cos_sim,
-    plus the input columns; centroid dict keyed by surviving cid).
+    plus the input columns; centroid dict keyed by surviving cid;
+    member counts of the assignment that PRODUCED those centroids —
+    the state :func:`kmeans_update` needs for an exact weighted-mean
+    merge, which the final re-assignment's counts would not give).
+    Requires ``iters >= 1``.
     """
+    if iters < 1:
+        raise ValueError("iters must be >= 1 (the counts describe an update)")
     base = df
     if checkpoint:
         base = base.localCheckpoint()
@@ -1452,13 +1458,105 @@ def kmeans_lloyd(
             assign(base)
             .select("cluster_id", F.posexplode(F.col(vec_col).cast("array<double>")))
             .groupBy("cluster_id", "pos")
-            .agg(F.round(F.avg("col"), round_dp).alias("mx"))
+            .agg(
+                F.round(F.avg("col"), round_dp).alias("mx"),
+                F.count("*").alias("m"),
+            )
             .collect()  # k×d cells — model-sized, the only driver data
         )
         nxt: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
         for r in cells:
             nxt.setdefault(r.cluster_id, {})[r.pos] = float(r.mx)
+            counts[r.cluster_id] = int(r.m)
         cents = {
             cid: [by_pos[p] for p in sorted(by_pos)] for cid, by_pos in nxt.items()
         }
-    return assign(base), cents
+    return assign(base), cents, counts
+
+
+def kmeans_update(
+    df_new: DataFrame,
+    centroids: dict[int, list[float]],
+    counts: dict[int, int],
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> tuple[DataFrame, dict[int, list[float]], dict[int, int]]:
+    """Mini-batch k-means update — the SERVING-PATH companion to
+    :func:`kmeans_lloyd`, the same shape as the incremental LSH /
+    IVF indexes this repo persists: the fitted model (centroids +
+    member counts) is the state; a new batch is assigned scan-side
+    (identical argmax-rounded-cosine expression, ties to the lower
+    cid) and folded in with the exact weighted-mean merge
+    c' = (c·n + Σ_new) / (n + m). Recurring work is new-batch-sized,
+    never corpus-sized; the only aggregation is k·d cells.
+
+    Same determinism contract as the fitter: rounded-cosine
+    assignment, centroid coordinates re-rounded to ``round_dp`` after
+    the merge (in-engine F.round), so the trajectory replays in plain
+    SQL. Clusters the batch never touches keep their centroid and
+    count unchanged. Returns (assigned batch, centroids', counts').
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        cosine_similarity(
+                            F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                        ),
+                        round_dp,
+                    )
+                ).alias("nsim"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in sorted(centroids.items())
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    assigned = df_new.withColumn("cluster_id", best["cid"]).withColumn(
+        "cos_sim", -best["nsim"]
+    )
+    cells = (
+        assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("col").alias("_s"), F.count("*").alias("_m"))
+        .collect()  # k×d cells — model-sized
+    )
+    sums: dict[int, dict[int, float]] = {}
+    batch_n: dict[int, int] = {}
+    for r in cells:
+        sums.setdefault(r.cluster_id, {})[r.pos] = float(r._s)
+        batch_n[r.cluster_id] = int(r._m)
+
+    # merge rounding happens through Spark's F.round (HALF_UP) on a
+    # 1-row plan so the SQL twin sees the identical rounding mode
+    merged: dict[int, list[float]] = dict(centroids)
+    new_counts: dict[int, int] = dict(counts)
+    if batch_n:
+        spark = df_new.sparkSession
+        exprs, keys = [], []
+        for cid, by_pos in sorted(sums.items()):
+            n, m = counts.get(cid, 0), batch_n[cid]
+            for p in sorted(by_pos):
+                keys.append((cid, p))
+                exprs.append(
+                    F.round(
+                        (
+                            F.lit(centroids[cid][p]) * F.lit(float(n))
+                            + F.lit(by_pos[p])
+                        )
+                        / F.lit(float(n + m)),
+                        round_dp,
+                    ).alias(f"_c{len(keys) - 1}")
+                )
+        row = spark.range(1).select(*exprs).first()
+        out: dict[int, dict[int, float]] = {}
+        for i, (cid, p) in enumerate(keys):
+            out.setdefault(cid, {})[p] = float(row[i])
+        for cid, by_pos in out.items():
+            merged[cid] = [by_pos[p] for p in sorted(by_pos)]
+            new_counts[cid] = counts.get(cid, 0) + batch_n[cid]
+    return assigned, merged, new_counts

@@ -5779,7 +5779,7 @@ def kmeans_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     t = _t(spark, sf_dir)
-    assigned, _ = kmeans_lloyd(t("embeddings"), k=4, iters=2)
+    assigned, _, _ = kmeans_lloyd(t("embeddings"), k=4, iters=2)
     return assigned.groupBy("cluster_id").agg(
         F.count("*").alias("n_points"),
         F.round(F.avg("cos_sim"), 6).alias("avg_sim"),
@@ -5928,6 +5928,88 @@ def parquet_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max(F.col("max_value").cast("long")).alias("max_value"),
     )
 
+
+
+
+def kmeans_incremental_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch k-means serving path (operators.similarity.
+    kmeans_update): fit on the vec_id%5!=0 slice (1 Lloyd iteration),
+    then fold the %5==0 batch into the frozen model with the exact
+    weighted-mean merge c' = (c*n + sum_new)/(n+m) — recurring work is
+    batch-sized, the state is k*d + k counts. The oracle unrolls fit,
+    batch assignment, and the merge formula; untouched clusters fall
+    out of the same expression with coalesce(0). Per cluster: batch
+    rows, total rows, 6dp centroid-coordinate checksum."""
+    from ..operators.similarity import kmeans_lloyd, kmeans_update
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    assigned, cents, counts = kmeans_lloyd(base, k=4, iters=1)
+    new_assigned, cents2, counts2 = kmeans_update(batch, cents, counts)
+    n_new = {
+        r.cluster_id: r.n
+        for r in new_assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out = spark.createDataFrame(
+        [
+            (cid, n_new.get(cid, 0), counts2[cid], cents2[cid])
+            for cid in sorted(cents2)
+        ],
+        "cluster_id int, n_new long, n_total long, c array<double>",
+    )
+    return out.select(
+        "cluster_id",
+        "n_new",
+        "n_total",
+        F.round(
+            F.aggregate("c", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("c_sum"),
+    )
+
+
+
+def mp4_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO BMFF (MP4) structural probe under the hash gate
+    (operators.multimodal.parse_mp4_boxes / mp4_probe): per doc a
+    minimal MP4 is built byte-level (ftyp + a free box whose payload
+    is a FAKE moov header + moov[mvhd v0/v1 + n empty traks] + mdat
+    with 64-bit largesize every 7th doc and a fake ftyp inside its
+    payload), then parsed back by the length-driven box walk. The
+    oracle recomputes timescale/duration/track-count arithmetically
+    from doc_id: equality proves parse∘build = id and that embedded
+    fake headers never desync the cursor."""
+    import pandas as _pd  # noqa: F401 — used in the Arrow builder
+
+    from ..operators.multimodal import build_mp4_bytes, mp4_probe
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    d = t("documents").select("doc_id").filter(F.col("doc_id") < 150)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = [
+                build_mp4_bytes(
+                    timescale=600 + (i % 4) * 300,
+                    duration=i * 100 + 90,
+                    n_tracks=1 + i % 3,
+                    version=1 if i % 5 == 0 else 0,
+                    largesize_mdat=(i % 7 == 0),
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    movies = d.mapInPandas(build, schema="doc_id long, payload binary")
+    return mp4_probe(movies)
 
 
 def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6221,6 +6303,7 @@ QUERIES = {
     "blocklist_lexicon_docs": blocklist_lexicon_docs,
     "preference_pairs_docs": preference_pairs_docs,
     "kmeans_cluster_embeddings": kmeans_cluster_embeddings,
+    "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
     "unicode_nfc_docs": unicode_nfc_docs,
     "dsir_importance_docs": dsir_importance_docs,
     "chat_transcripts_docs": chat_transcripts_docs,
@@ -6229,6 +6312,7 @@ QUERIES = {
     "tar_webdataset_roundtrip_docs": tar_webdataset_roundtrip_docs,
     "warc_gz_roundtrip_docs": warc_gz_roundtrip_docs,
     "jpeg_dims_docs": jpeg_dims_docs,
+    "mp4_probe_docs": mp4_probe_docs,
     "stream_warc_intake_parity": stream_warc_intake_parity,
     "pcm_energy_segments_docs": pcm_energy_segments_docs,
 }

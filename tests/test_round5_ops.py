@@ -559,7 +559,7 @@ def test_kmeans_lloyd_contract(spark):
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9])],
         "vec_id long, embedding array<float>",
     )
-    assigned, cents = kmeans_lloyd(df, k=2, iters=2)
+    assigned, cents, counts = kmeans_lloyd(df, k=2, iters=2)
     got = {r.vec_id: r.cluster_id for r in assigned.collect()}
     # init c0=(1,0) c1=(0.9,0.1): ids 1,2 -> axis-x cluster 0; 3,4 -> 1
     assert got == {1: 0, 2: 0, 3: 1, 4: 1}
@@ -579,7 +579,7 @@ def test_kmeans_lloyd_drops_empty_clusters(spark):
         [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.95, 0.05])],
         "vec_id long, embedding array<float>",
     )
-    assigned, cents = kmeans_lloyd(df, k=2, iters=1)
+    assigned, cents, counts = kmeans_lloyd(df, k=2, iters=1)
     assert set(cents) == {0}
     assert {r.cluster_id for r in assigned.collect()} == {0}
 
@@ -711,3 +711,112 @@ def test_parquet_layout_report_matches_duckdb_metadata(spark, tmp_path):
     # stats agree with the data itself for the null-bearing column
     s_nulls = sum(r.null_count for r in rep if r.column_name == "s")
     assert s_nulls == 200
+
+
+def test_kmeans_update_weighted_merge(spark):
+    """Exact weighted-mean merge: folding a batch into (centroids,
+    counts) equals refitting the mean over the union; untouched
+    clusters keep state; counts accumulate."""
+    from dataingestionframework_spark.operators.similarity import (
+        kmeans_lloyd,
+        kmeans_update,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.2]), (3, [0.0, 1.0]), (4, [0.2, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents, counts = kmeans_lloyd(base, k=2, iters=1)
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    new_assigned, cents2, counts2 = kmeans_update(batch, cents, counts)
+    got = {r.vec_id: r.cluster_id for r in new_assigned.collect()}
+    assert got == {10: 0, 11: 0}              # both join the x-axis cluster
+    assert counts2[0] == counts[0] + 2 and counts2[1] == counts[1]
+    assert cents2[1] == cents[1]              # untouched cluster unchanged
+    # counts describe the update that PRODUCED the centroids (cluster 0
+    # was {id1} at that stage), so the merge is an exact refit over
+    # centroid members + batch: mean of (1,0), (1,0), (0.9,0.1)
+    assert counts[0] == 1
+    assert cents2[0] == [round(2.9 / 3, 6), round(0.1 / 3, 6)]
+
+
+def test_mp4_box_walk_resilience():
+    """Pure-function checks: evil payloads (fake moov/ftyp inside
+    free/mdat), 64-bit largesize, v0/v1 mvhd, truncation, zero-size
+    box to EOF, and non-BMFF rejection."""
+    from dataingestionframework_spark.operators.multimodal import (
+        build_mp4_bytes,
+        parse_mp4_boxes,
+    )
+
+    b = build_mp4_bytes(1000, 777, 2, version=1, largesize_mdat=True)
+    got = parse_mp4_boxes(b)
+    assert got == {"n_top_boxes": 4, "major_brand": "isom",
+                   "timescale": 1000, "duration": 777, "n_tracks": 2}
+    # size==0 (to-EOF) on the last box parses
+    tail = (0).to_bytes(4, "big") + b"skip" + b"\x00" * 12
+    assert parse_mp4_boxes(b + tail)["n_top_boxes"] == 5
+    # truncated mid-box and desynced input reject, never raise
+    assert parse_mp4_boxes(b[: len(b) - 3]) is None
+    assert parse_mp4_boxes(b"\x00\x00\x00\x08ftyp"[:7]) is None
+    assert parse_mp4_boxes(b"RIFF" + b"\x00" * 40) is None
+    # a file whose FIRST box is not ftyp is not claimed as mp4
+    free = (16).to_bytes(4, "big") + b"free" + b"\x00" * 8
+    assert parse_mp4_boxes(free + free) is None
+
+
+def test_mp4_probe_drops_non_bmff(spark):
+    from dataingestionframework_spark.operators.multimodal import (
+        build_mp4_bytes,
+        mp4_probe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build_mp4_bytes(600, 10, 1))),
+         (2, bytearray(b"not a movie")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    got = mp4_probe(df).collect()
+    assert [r.doc_id for r in got] == [1]
+    assert got[0].duration == 10 and got[0].n_tracks == 1
+
+
+def test_layout_report_proves_zorder_tightens_rowgroups(spark, tmp_path):
+    """The composition the 100 TB story rests on: OPTIMIZE-style range
+    clustering must SHOW UP in the parquet footers as tighter (in fact
+    disjoint) per-file min/max ranges on the cluster key — measured by
+    parquet_layout_report, not asserted by faith."""
+    from dataingestionframework_spark.ingest.maintenance import (
+        parquet_layout_report,
+    )
+
+    def spans(path):
+        rep = parquet_layout_report(spark, path, columns=["k"]).collect()
+        per_file = [(int(r.min_value), int(r.max_value)) for r in rep]
+        return sorted(per_file)
+
+    n, files = 40_000, 8
+    base = spark.range(n).selectExpr("CAST(id * 2654435761 % 1000000 AS LONG) AS k", "id AS v")
+    messy = str(tmp_path / "messy")
+    base.repartition(files).write.parquet(messy)           # hash-scattered
+    tidy = str(tmp_path / "tidy")
+    base.repartitionByRange(files, "k").sortWithinPartitions("k").write.parquet(tidy)
+
+    def overlap_pairs(sp):
+        return sum(
+            1
+            for i, (lo1, hi1) in enumerate(sp)
+            for lo2, hi2 in sp[i + 1 :]
+            if not (hi1 < lo2 or hi2 < lo1)
+        )
+
+    messy_spans, tidy_spans = spans(messy), spans(tidy)
+    assert len(messy_spans) >= 2 and len(tidy_spans) >= 2
+    # scattered layout: every file spans ~the whole key range
+    assert overlap_pairs(messy_spans) > 0
+    # clustered layout: file ranges are pairwise DISJOINT -> a k-filter
+    # scan can skip every non-matching file from the footer alone
+    assert overlap_pairs(tidy_spans) == 0

@@ -426,7 +426,7 @@ def test_kmeans_lloyd_scales(spark, sf):
     emb = sf("embeddings").select("vec_id", "embedding")
 
     def q(df):
-        assigned, _ = kmeans_lloyd(df, k=4, iters=2)
+        assigned, _, _ = kmeans_lloyd(df, k=4, iters=2)
         assigned.groupBy("cluster_id").count().collect()
 
     t1 = _wall(lambda: q(emb))
