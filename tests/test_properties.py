@@ -538,3 +538,128 @@ def test_tar_parse_roundtrips_tarfile(members):
     assert [(n, s, p) for n, s, p in got] == [
         (n, len(d), d) for n, d in members
     ]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20)),  # (prompt, score*0.05)
+        min_size=0, max_size=24,
+    )
+)
+def test_preference_pairs_matches_python_reference(spark, scores):
+    """chosen = argmax (score, ties lowest id), rejected = argmin
+    (score, ties highest id), pair emitted iff margin > 0 — against a
+    brute-force dict reference."""
+    from dataingestionframework_spark.operators.corpus import preference_pairs
+
+    rows = [(f"p{p}", i, s * 0.05) for i, (p, s) in enumerate(scores)]
+    df = spark.createDataFrame(
+        rows or [("px", 0, 0.0)], "prompt string, doc_id long, score double"
+    )
+    got = {r.prompt: (r.chosen_id, r.rejected_id, r.margin)
+           for r in preference_pairs(df).collect()}
+
+    byp = {}
+    for prompt, i, s in rows:
+        byp.setdefault(prompt, []).append((s, i))
+    for prompt, members in byp.items():
+        best = max(members, key=lambda t: (t[0], -t[1]))
+        worst = min(members, key=lambda t: (t[0], -t[1]))
+        if best[0] - worst[0] > 0:
+            assert got[prompt][:2] == (best[1], worst[1])
+            assert abs(got[prompt][2] - (best[0] - worst[0])) < 1e-9
+        else:
+            assert prompt not in got
+    assert set(got) <= set(byp)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    prev=st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=10),
+    cur=st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=10),
+)
+def test_table_diff_matches_dict_diff(spark, prev, cur):
+    """Status partition == dict comparison; diff(x, x) is all
+    unchanged; added+changed+unchanged keys == cur keys."""
+    from dataingestionframework_spark.operators.profile import table_diff
+
+    pdf = spark.createDataFrame(
+        [(k, v) for k, v in prev.items()] or [(-1, 0)], "k long, v int"
+    )
+    cdf = spark.createDataFrame(
+        [(k, v) for k, v in cur.items()] or [(-1, 0)], "k long, v int"
+    )
+    pd_, cd_ = (prev or {-1: 0}), (cur or {-1: 0})
+    got = {r.k: r.diff_status for r in table_diff(cdf, pdf, ["k"]).collect()}
+    exp = {}
+    for k in set(pd_) | set(cd_):
+        if k not in pd_:
+            exp[k] = "added"
+        elif k not in cd_:
+            exp[k] = "removed"
+        elif pd_[k] != cd_[k]:
+            exp[k] = "changed"
+        else:
+            exp[k] = "unchanged"
+    assert got == exp
+    self_diff = {r.diff_status for r in table_diff(cdf, cdf, ["k"]).collect()}
+    assert self_diff == {"unchanged"}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.tuples(st.floats(-1, 1, allow_nan=False, width=32),
+                  st.floats(-1, 1, allow_nan=False, width=32)),
+        min_size=2, max_size=16,
+    ).filter(lambda vs: all(abs(a) + abs(b) > 0.05 for a, b in vs))
+)
+def test_kmeans_lloyd_matches_python_reference(spark, vecs):
+    """The full deterministic trajectory (init, rounded-cosine argmax
+    with lower-cid ties, rounded mean update, empty-cluster drop)
+    replayed in pure python must give identical assignments."""
+    import math
+
+    from dataingestionframework_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents, counts = kmeans_lloyd(df, k=2, iters=2)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+
+    import struct
+    def f32(x):  # python float -> float32 value as double (Spark reads float32)
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    pts = {i: [f32(a), f32(b)] for i, (a, b) in enumerate(vecs)}
+    cs = {j: [round(x, 6) for x in pts[j]] for j in (0, 1)}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        return None if nu == 0 else d / nu
+
+    def assign(c):
+        out = {}
+        for i, v in pts.items():
+            scored = sorted(
+                ((-(round(s, 6) if (s := cos(v, cv)) is not None else float("-inf")), cid)
+                 for cid, cv in c.items())
+            )
+            out[i] = scored[0][1]
+        return out
+
+    for _ in range(2):
+        a = assign(cs)
+        nxt = {}
+        for cid in set(a.values()):
+            members = [pts[i] for i, c in a.items() if c == cid]
+            nxt[cid] = [round(sum(m[d] for m in members) / len(members), 6)
+                        for d in (0, 1)]
+        cs = nxt
+    exp = assign(cs)
+    assert got == exp
