@@ -765,7 +765,10 @@ def preference_pairs(
     style) so cross-engine tie behavior is stable.
 
     Output: (prompt, chosen_id, rejected_id, chosen_score,
-    rejected_score, margin).
+    rejected_score, margin). ``id_col`` must be numeric (the
+    deterministic tiebreak rides its negation inside the struct
+    ordering); map string ids to a dense numeric id first
+    (operators/ids.py) if needed.
     """
     neg_id = (-F.col(id_col)).alias("_nid")
     s = F.struct(F.col(score_col).alias("_s"), neg_id, F.col(id_col).alias("_id"))

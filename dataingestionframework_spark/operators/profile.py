@@ -203,6 +203,12 @@ def table_diff(
 
     Output: key columns + ``diff_status``. Aggregate for dashboards,
     filter ``!= 'unchanged'`` for audits.
+
+    Keys must be UNIQUE on each side (the dbt snapshot contract) — a
+    duplicated key turns the full-outer join into a small cross
+    product and the statuses become ill-defined. Run the ``unique``
+    expectation (ingest/expectations.py) on the key first when in
+    doubt.
     """
     keys = list(key_cols)
 

@@ -1432,26 +1432,7 @@ def kmeans_lloyd(
     }
 
     def assign(frame: DataFrame) -> DataFrame:
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        -F.round(
-                            cosine_similarity(
-                                F.col(vec_col), F.array(*[F.lit(x) for x in c])
-                            ),
-                            round_dp,
-                        )
-                    ).alias("nsim"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in sorted(cents.items())
-            ]
-        )
-        best = F.element_at(F.array_sort(scored), 1)
-        return frame.withColumn("cluster_id", best["cid"]).withColumn(
-            "cos_sim", -best["nsim"]
-        )
+        return assign_to_centroids(frame, cents, vec_col, round_dp)
 
     for _ in range(iters):
         cells = (
@@ -1497,6 +1478,40 @@ def kmeans_update(
     SQL. Clusters the batch never touches keep their centroid and
     count unchanged. Returns (assigned batch, centroids', counts').
     """
+    assigned = assign_to_centroids(df_new, centroids, vec_col, round_dp)
+    cells = (
+        assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("col").alias("_s"), F.count("*").alias("_m"))
+        .collect()  # k×d cells — model-sized
+    )
+    sums: dict[int, dict[int, float]] = {}
+    batch_n: dict[int, int] = {}
+    for r in cells:
+        sums.setdefault(r.cluster_id, {})[r.pos] = float(r._s)
+        batch_n[r.cluster_id] = int(r._m)
+
+    merged, new_counts = _merge_stats(
+        df_new.sparkSession, sums, batch_n, centroids, counts, round_dp
+    )
+    return assigned, merged, new_counts
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Scan-side assignment against frozen centroids: argmax over
+    round(cosine, ``round_dp``), ties to the lower cluster id — the
+    shared expression under :func:`kmeans_lloyd`, :func:`kmeans_update`
+    and the streaming intake. Pure projection over broadcast centroid
+    literals: zero shuffle, composes into any plan. Adds
+    ``cluster_id`` and ``cos_sim``.
+    """
     scored = F.array(
         *[
             F.struct(
@@ -1514,29 +1529,90 @@ def kmeans_update(
         ]
     )
     best = F.element_at(F.array_sort(scored), 1)
-    assigned = df_new.withColumn("cluster_id", best["cid"]).withColumn(
+    return df.withColumn("cluster_id", best["cid"]).withColumn(
         "cos_sim", -best["nsim"]
     )
-    cells = (
-        assigned.select(
-            "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
-        )
+
+
+def kmeans_stats_merge_into_store(
+    batch_df: DataFrame,
+    centroids: dict[int, list[float]],
+    store_path: str,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> None:
+    """foreachBatch sink body for a streaming cluster-assignment
+    intake: assign the micro-batch to the FROZEN centroids scan-side,
+    reduce it to per-(cluster, pos) SUFFICIENT STATISTICS (coordinate
+    sum, member count), and additively merge them into a persisted
+    parquet store — the :func:`~dataingestionframework_spark.operators.
+    sketches.cms_merge_into_store` shape. Each batch costs O(batch) +
+    a ≤ k·d-row merge; the raw stream is never re-read.
+
+    Sums and counts COMMUTE, so AvailableNow drains, live triggers,
+    and any shard order produce the identical store, and the drained
+    store equals the one-shot statistics of all rows — which is what
+    lets the stream parity gate hash-check the final model. Unlike
+    per-batch centroid re-rounding (which would drift with batch
+    boundaries), statistics stay full-precision in the store; rounding
+    happens once, in :func:`kmeans_from_stats`.
+    """
+    spark = batch_df.sparkSession
+    stats = (
+        assign_to_centroids(batch_df, centroids, vec_col, round_dp)
+        .select("cluster_id", F.posexplode(F.col(vec_col).cast("array<double>")))
         .groupBy("cluster_id", "pos")
-        .agg(F.sum("col").alias("_s"), F.count("*").alias("_m"))
-        .collect()  # k×d cells — model-sized
+        .agg(F.sum("col").alias("s"), F.count("*").alias("m"))
     )
+    try:
+        prev = spark.read.parquet(store_path)
+        stats = (
+            prev.unionByName(stats)
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("m").alias("m"))
+        )
+    except Exception:  # noqa: BLE001 — first batch: no store yet
+        pass
+    # materialize BEFORE overwrite: the merged plan reads store_path
+    stats.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+
+def kmeans_from_stats(
+    spark,
+    store_path: str,
+    centroids: dict[int, list[float]],
+    counts: dict[int, int],
+    round_dp: int = 6,
+) -> tuple[dict[int, list[float]], dict[int, int]]:
+    """Fold a drained sufficient-statistics store into the model —
+    identical weighted-mean merge (and F.round rounding mode) as
+    :func:`kmeans_update`, so streaming intake and batch update yield
+    the same model for the same rows. Returns (centroids', counts').
+    """
+    rows = spark.read.parquet(store_path).collect()  # ≤ k·d cells
     sums: dict[int, dict[int, float]] = {}
     batch_n: dict[int, int] = {}
-    for r in cells:
-        sums.setdefault(r.cluster_id, {})[r.pos] = float(r._s)
-        batch_n[r.cluster_id] = int(r._m)
+    for r in rows:
+        sums.setdefault(r.cluster_id, {})[r.pos] = float(r.s)
+        batch_n[r.cluster_id] = int(r.m)
+    return _merge_stats(spark, sums, batch_n, centroids, counts, round_dp)
 
-    # merge rounding happens through Spark's F.round (HALF_UP) on a
-    # 1-row plan so the SQL twin sees the identical rounding mode
+
+def _merge_stats(
+    spark,
+    sums: dict[int, dict[int, float]],
+    batch_n: dict[int, int],
+    centroids: dict[int, list[float]],
+    counts: dict[int, int],
+    round_dp: int,
+) -> tuple[dict[int, list[float]], dict[int, int]]:
+    """Shared weighted-mean merge c' = (c·n + Σ)/(n + m). The rounding
+    happens through Spark's F.round (HALF_UP) on a 1-row plan so the
+    SQL oracle sees the identical rounding mode — a driver-side python
+    round() would be banker's rounding."""
     merged: dict[int, list[float]] = dict(centroids)
     new_counts: dict[int, int] = dict(counts)
     if batch_n:
-        spark = df_new.sparkSession
         exprs, keys = [], []
         for cid, by_pos in sorted(sums.items()):
             n, m = counts.get(cid, 0), batch_n[cid]
@@ -1559,4 +1635,4 @@ def kmeans_update(
         for cid, by_pos in out.items():
             merged[cid] = [by_pos[p] for p in sorted(by_pos)]
             new_counts[cid] = counts.get(cid, 0) + batch_n[cid]
-    return assigned, merged, new_counts
+    return merged, new_counts

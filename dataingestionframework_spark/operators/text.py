@@ -1361,6 +1361,11 @@ def blocklist_lexicon_filter(
         .withColumn("_w", _F.size(_F.split(_F.col("_phrase"), " ")))
     )
     widths = [r._w for r in lex.select("_w").distinct().collect()]  # config-cardinality
+    if not widths:
+        # mirror blocklist_filter's contract: an empty (or punctuation-
+        # only, which normalizes to empty) lexicon is a caller bug, not
+        # a pass-everything filter
+        raise ValueError("lexicon contains no usable phrases after normalization")
     toks = _F.filter(
         _F.split(_F.regexp_replace(_F.lower(_F.col(text_col)), "[^a-z0-9]+", " "), " "),
         lambda t: t != "",

@@ -4377,3 +4377,65 @@ ORACLES.update({
         FROM documents WHERE doc_id < 150
     """,
 })
+
+
+ORACLES.update({
+    # identical to kmeans_incremental_embeddings: the streamed store's
+    # sufficient statistics commute, so drained == one-shot update
+    "stream_kmeans_intake_parity": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                   FROM embeddings),
+        base AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+        newb AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+        init AS (SELECT vec_id, ve FROM base ORDER BY vec_id LIMIT 4),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                      list_transform(ve, x -> round(x, 6)) AS cv
+               FROM init),
+        a1 AS (SELECT vec_id, ve, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(ve, cv),
+                                         6) DESC, cid) AS rn
+               FROM base CROSS JOIN c0),
+        s1 AS (SELECT vec_id, ve, cid FROM a1 WHERE rn = 1),
+        m1 AS (SELECT cid, pos, round(avg(x), 6) AS mx
+               FROM (SELECT cid, unnest(ve) AS x,
+                            generate_subscripts(ve, 1) AS pos
+                     FROM s1)
+               GROUP BY cid, pos),
+        c1 AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m1
+               GROUP BY cid),
+        -- the model's member counts are the s1 assignment that
+        -- PRODUCED c1 (what kmeans_lloyd returns as its state), so the
+        -- weighted merge is an exact refit over members + batch
+        nb AS (SELECT cid, count(*) AS n FROM s1 GROUP BY cid),
+        a2 AS (SELECT vec_id, ve, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(ve, cv),
+                                         6) DESC, cid) AS rn
+               FROM newb CROSS JOIN c1),
+        s2 AS (SELECT vec_id, ve, cid FROM a2 WHERE rn = 1),
+        mc AS (SELECT cid, count(*) AS m FROM s2 GROUP BY cid),
+        bs AS (SELECT cid, pos, sum(x) AS s
+               FROM (SELECT cid, unnest(ve) AS x,
+                            generate_subscripts(ve, 1) AS pos
+                     FROM s2)
+               GROUP BY cid, pos),
+        merged AS (
+            SELECT m1.cid, m1.pos,
+                   round((m1.mx * nb.n + coalesce(bs.s, 0))
+                         / (nb.n + coalesce(mc.m, 0)), 6) AS cm,
+                   coalesce(mc.m, 0) AS n_new,
+                   nb.n + coalesce(mc.m, 0) AS n_total
+            FROM m1
+            JOIN nb USING (cid)
+            LEFT JOIN mc USING (cid)
+            LEFT JOIN bs ON bs.cid = m1.cid AND bs.pos = m1.pos
+        )
+        SELECT cid AS cluster_id,
+               CAST(any_value(n_new) AS BIGINT) AS n_new,
+               CAST(any_value(n_total) AS BIGINT) AS n_total,
+               round(sum(cm), 6) AS c_sum
+        FROM merged
+        GROUP BY cid
+    """,
+})

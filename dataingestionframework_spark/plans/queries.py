@@ -6012,6 +6012,87 @@ def mp4_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_probe(movies)
 
 
+
+def stream_kmeans_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cluster-assignment intake under the hash gate (the
+    18th stream parity; operators.similarity.kmeans_stats_merge_into_
+    store): the vec_id%5==0 slice arrives in three micro-batches
+    (maxFilesPerTrigger=1); foreachBatch assigns each batch to the
+    FROZEN base model scan-side and additively merges per-(cluster,
+    pos) sufficient statistics (coordinate sum, count) into a parquet
+    store — sums commute, so the drained store equals the one-shot
+    statistics regardless of shard order, and the derived model equals
+    the batch kmeans_update exactly. The oracle is therefore the SAME
+    SQL as kmeans_incremental_embeddings."""
+    import shutil
+    import time as _time
+
+    from ..operators.similarity import (
+        kmeans_from_stats,
+        kmeans_lloyd,
+        kmeans_stats_merge_into_store,
+    )
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    emb = t("embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    _, cents, counts = kmeans_lloyd(base, k=4, iters=1)
+
+    root = tempfile.mkdtemp(prefix="dif_kmeans_stream_")
+    src_dir = os.path.join(root, "src")
+    store = os.path.join(root, "stats")
+    os.makedirs(src_dir)
+    now = _time.time()
+    for i in range(3):
+        p = os.path.join(src_dir, f"shard{i}.parquet")
+        batch.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 600 + i * 100,) * 2)
+    try:
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>, label int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src_dir, "*.parquet"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: kmeans_stats_merge_into_store(b, cents, store)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        st = spark.read.parquet(store)
+        n_new = {
+            r.cluster_id: int(r.m)
+            for r in st.filter(F.col("pos") == 0).collect()
+        }
+        cents2, counts2 = kmeans_from_stats(spark, store, cents, counts)
+        out = spark.createDataFrame(
+            [
+                (cid, n_new.get(cid, 0), counts2[cid], cents2[cid])
+                for cid in sorted(cents2)
+            ],
+            "cluster_id int, n_new long, n_total long, c array<double>",
+        )
+        return out.select(
+            "cluster_id",
+            "n_new",
+            "n_total",
+            F.round(
+                F.aggregate("c", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("c_sum"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset/mojibake screen (operators.text.encoding_quality): the
     fixture injects U+FFFD replacement runs (every 3rd doc — the
@@ -6304,6 +6385,7 @@ QUERIES = {
     "preference_pairs_docs": preference_pairs_docs,
     "kmeans_cluster_embeddings": kmeans_cluster_embeddings,
     "kmeans_incremental_embeddings": kmeans_incremental_embeddings,
+    "stream_kmeans_intake_parity": stream_kmeans_intake_parity,
     "unicode_nfc_docs": unicode_nfc_docs,
     "dsir_importance_docs": dsir_importance_docs,
     "chat_transcripts_docs": chat_transcripts_docs,

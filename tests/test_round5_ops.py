@@ -820,3 +820,49 @@ def test_layout_report_proves_zorder_tightens_rowgroups(spark, tmp_path):
     # clustered layout: file ranges are pairwise DISJOINT -> a k-filter
     # scan can skip every non-matching file from the footer alone
     assert overlap_pairs(tidy_spans) == 0
+
+
+def test_blocklist_lexicon_empty_raises(spark):
+    """Empty or punctuation-only lexicons are a caller bug, not a
+    pass-everything filter — same contract as blocklist_filter."""
+    from dataingestionframework_spark.operators.text import (
+        blocklist_lexicon_filter,
+    )
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        blocklist_lexicon_filter(docs, spark.createDataFrame([], "phrase string"))
+    with pytest.raises(ValueError):
+        blocklist_lexicon_filter(
+            docs, spark.createDataFrame([("!!!",)], "phrase string")
+        )
+
+
+def test_kmeans_stats_store_order_invariant(spark, tmp_path):
+    """Sufficient statistics commute: folding shards in opposite orders
+    yields the identical derived model, and it equals the one-shot
+    kmeans_update on the concatenated rows."""
+    from dataingestionframework_spark.operators.similarity import (
+        kmeans_from_stats,
+        kmeans_stats_merge_into_store,
+        kmeans_update,
+    )
+
+    cents = {0: [1.0, 0.0], 1: [0.0, 1.0]}
+    counts = {0: 3, 1: 2}
+    s1 = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9])], "vec_id long, embedding array<float>"
+    )
+    s2 = spark.createDataFrame(
+        [(3, [1.0, 0.05]), (4, [0.05, 1.0]), (5, [0.8, 0.3])],
+        "vec_id long, embedding array<float>",
+    )
+    models = []
+    for order in ((s1, s2), (s2, s1)):
+        store = str(tmp_path / f"st{len(models)}")
+        for shard in order:
+            kmeans_stats_merge_into_store(shard, cents, store)
+        models.append(kmeans_from_stats(spark, store, cents, counts))
+    assert models[0] == models[1]
+    _, c_once, n_once = kmeans_update(s1.unionByName(s2), cents, counts)
+    assert models[0] == (c_once, n_once)
