@@ -926,3 +926,34 @@ def chat_transcripts(
         F.transform(F.col("_masks"), lambda m: m["_s"]).alias("mask_starts"),
         F.transform(F.col("_masks"), lambda m: m["_e"]).alias("mask_ends"),
     )
+
+
+def distinct_ngram_ratio(
+    df: DataFrame,
+    n: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level distinct-n diversity (the distinct-1/distinct-2
+    metric of Li et al. 2016, applied as corpus QA): per group, the
+    fraction of word n-gram OCCURRENCES that are distinct. Low values
+    flag template farms and self-repetitive sources before they skew
+    training; complements the per-document repetition screens
+    (repeated_gram_ratio is cross-doc boilerplate, this is in-group
+    vocabulary collapse).
+
+    One gram explode + one aggregation with a distinct count (Spark's
+    two-phase Expand rewrite — still a single shuffle keyed on the
+    group). Output: (group, n_grams, n_distinct, distinct_ratio 6dp).
+    """
+    grams = exploded_word_ngrams(
+        df.select(id_col, group_col, text_col), text_col, id_col, n
+    ).join(df.select(id_col, group_col), id_col)
+    return grams.groupBy(group_col).agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(F.countDistinct("gram") / F.count("*"), 6).alias(
+            "distinct_ratio"
+        ),
+    )

@@ -1443,3 +1443,33 @@ def unicode_nfc(
         )
 
     return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
+
+
+def adaptive_length_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group adaptive length gate: instead of one global min/max
+    token count (wrong for every language at once — Chinese packs more
+    content per token than Finnish), each group's thresholds are its
+    own exact interpolated percentiles [lo, hi] of token count.
+
+    Plan: one grouped percentile aggregation (group-cardinality rows)
+    broadcast back onto the scan — the corpus side never shuffles.
+    Exact `percentile` matches DuckDB's quantile_cont interpolation
+    (the cross-engine contract percentiles_orders already proves).
+
+    Output: input + n_tok, len_lo, len_hi, length_pass.
+    """
+    toks = df.withColumn("n_tok", token_count(F.col(text_col)))
+    cuts = toks.groupBy(group_col).agg(
+        F.expr(f"percentile(n_tok, {lo})").alias("len_lo"),
+        F.expr(f"percentile(n_tok, {hi})").alias("len_hi"),
+    )
+    return toks.join(F.broadcast(cuts), group_col).withColumn(
+        "length_pass",
+        (F.col("n_tok") >= F.col("len_lo")) & (F.col("n_tok") <= F.col("len_hi")),
+    )

@@ -4439,3 +4439,42 @@ ORACLES.update({
         GROUP BY cid
     """,
 })
+
+ORACLES.update({
+    # bigram multiset rebuilt by positional slicing, distinct vs total
+    "distinct_ngram_docs": """
+        WITH toks AS (
+            SELECT doc_id, source, {TOKENS} AS ts FROM documents
+        ),
+        g AS (SELECT source, ts[p] || ' ' || ts[p + 1] AS gram
+              FROM (SELECT source, ts,
+                           unnest(range(1, len(ts))) AS p
+                    FROM toks WHERE len(ts) >= 2))
+        SELECT source, count(*) AS n_grams,
+               count(DISTINCT gram) AS n_distinct,
+               round(count(DISTINCT gram) * 1.0 / count(*), 6)
+                   AS distinct_ratio
+        FROM g GROUP BY source
+    """.replace("{TOKENS}", _TOKENS),
+})
+
+ORACLES.update({
+    # per-lang p05/p95 via quantile_cont (same interpolation as
+    # Spark's exact percentile — proven by percentiles_orders)
+    "adaptive_length_docs": """
+        WITH toks AS (
+            SELECT lang, len({TOKENS}) AS n_tok FROM documents
+        ),
+        cuts AS (SELECT lang,
+                        quantile_cont(n_tok, 0.05) AS len_lo,
+                        quantile_cont(n_tok, 0.95) AS len_hi
+                 FROM toks GROUP BY lang)
+        SELECT lang, count(*) AS n_docs,
+               sum(CASE WHEN n_tok BETWEEN len_lo AND len_hi
+                        THEN 1 ELSE 0 END) AS n_pass,
+               round(any_value(len_lo), 6) AS len_lo,
+               round(any_value(len_hi), 6) AS len_hi
+        FROM toks JOIN cuts USING (lang)
+        GROUP BY lang
+    """.replace("{TOKENS}", _TOKENS),
+})

@@ -6093,6 +6093,40 @@ def stream_kmeans_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+def distinct_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity distinct-2 metric per source
+    (operators.corpus.distinct_ngram_ratio — Li et al. 2016 applied as
+    corpus QA): bigram occurrences vs distinct bigrams per source, one
+    explode + one distinct-count aggregation. Oracle restates it with
+    positional list slicing."""
+    from ..operators.corpus import distinct_ngram_ratio
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return distinct_ngram_ratio(t("documents"), n=2, group_col="source")
+
+
+def adaptive_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang adaptive length gate (operators.text.
+    adaptive_length_filter): thresholds = each lang's own exact p05/p95
+    token-count percentiles (grouped percentile agg broadcast back —
+    the corpus side never shuffles). Oracle: quantile_cont, the same
+    interpolation contract percentiles_orders proves. Aggregated pass/
+    drop counts + rounded thresholds per lang."""
+    from ..operators.text import adaptive_length_filter
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    out = adaptive_length_filter(t("documents"))
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("length_pass").cast("long")).alias("n_pass"),
+        F.round(F.min("len_lo"), 6).alias("len_lo"),
+        F.round(F.min("len_hi"), 6).alias("len_hi"),
+    )
+
+
 def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset/mojibake screen (operators.text.encoding_quality): the
     fixture injects U+FFFD replacement runs (every 3rd doc — the
@@ -6388,6 +6422,8 @@ QUERIES = {
     "stream_kmeans_intake_parity": stream_kmeans_intake_parity,
     "unicode_nfc_docs": unicode_nfc_docs,
     "dsir_importance_docs": dsir_importance_docs,
+    "distinct_ngram_docs": distinct_ngram_docs,
+    "adaptive_length_docs": adaptive_length_docs,
     "chat_transcripts_docs": chat_transcripts_docs,
     "table_diff_docs": table_diff_docs,
     "parquet_footer_stats_lineitem": parquet_footer_stats_lineitem,

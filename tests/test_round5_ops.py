@@ -866,3 +866,40 @@ def test_kmeans_stats_store_order_invariant(spark, tmp_path):
     assert models[0] == models[1]
     _, c_once, n_once = kmeans_update(s1.unionByName(s2), cents, counts)
     assert models[0] == (c_once, n_once)
+
+
+def test_distinct_ngram_ratio_flags_repetition(spark):
+    from dataingestionframework_spark.operators.corpus import (
+        distinct_ngram_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y x y x y"),      # bigrams: xy yx xy yx xy -> 2/5
+         (2, "b", "p q r s t")],       # 4 distinct bigrams / 4
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in distinct_ngram_ratio(df).collect()}
+    assert (got["a"].n_grams, got["a"].n_distinct) == (5, 2)
+    assert got["a"].distinct_ratio == 0.4
+    assert got["b"].distinct_ratio == 1.0
+
+
+def test_adaptive_length_filter_per_group_thresholds(spark):
+    """Each group gets its OWN percentile cut — a doc length that
+    passes in a long-form group fails in a short-form one."""
+    from dataingestionframework_spark.operators.text import (
+        adaptive_length_filter,
+    )
+
+    rows = [(i, "short", "w " * (i + 1)) for i in range(10)] + [
+        (100 + i, "long", "w " * (50 + 10 * i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = adaptive_length_filter(df, lo=0.2, hi=0.8).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[0].length_pass is False       # 1 token: below short's p20
+    assert by[5].length_pass is True
+    assert by[100].length_pass is False     # 50 tokens: below long's p20
+    assert by[105].length_pass is True
+    # thresholds differ per group
+    assert by[0].len_hi < by[100].len_lo
