@@ -663,3 +663,65 @@ def test_kmeans_lloyd_matches_python_reference(spark, vecs):
         cs = nxt
     exp = assign(cs)
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    turns=st.lists(
+        st.tuples(st.integers(0, 1),            # conv
+                  st.booleans(),                 # assistant?
+                  st.text(alphabet="ab c", max_size=6)),
+        min_size=1, max_size=10,
+    )
+)
+def test_chat_transcript_spans_slice_back_to_turn_text(spark, turns):
+    """The 1-based [start,end) mask spans, applied to the transcript,
+    must recover exactly the assistant turns' texts in turn order —
+    for arbitrary (including empty and spacey) turn texts."""
+    from dataingestionframework_spark.operators.corpus import chat_transcripts
+
+    rows = [
+        (f"c{c}", i, "assistant" if a else "user", txt)
+        for i, (c, a, txt) in enumerate(turns)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn long, role string, text string"
+    )
+    out = {r.conv_id: r for r in chat_transcripts(df).collect()}
+    by_conv = {}
+    for conv, i, role, txt in rows:
+        by_conv.setdefault(conv, []).append((i, role, txt))
+    for conv, members in by_conv.items():
+        r = out[conv]
+        expected = "".join(f"<|{role}|>{txt}\n" for _, role, txt in sorted(members))
+        assert r.transcript == expected
+        got_slices = [r.transcript[s - 1 : e - 1]
+                      for s, e in zip(r.mask_starts, r.mask_ends)]
+        assert got_slices == [txt for _, role, txt in sorted(members)
+                              if role == "assistant"]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(perm_seed=st.integers(0, 5))
+def test_dsir_importance_invariant_to_row_order(spark, perm_seed):
+    """Weights depend on the token distributions only — shuffling the
+    input rows (and repartitioning) must not change any weight."""
+    import random
+
+    from dataingestionframework_spark.operators.corpus import dsir_importance
+
+    rows = [(i, ["aa", "bb", "cc", "dd"][i % 4] * (1 + i % 3) + " aa")
+            for i in range(12)]
+    rows = [(i, t) for i, t in rows]
+    shuffled = rows[:]
+    random.Random(perm_seed).shuffle(shuffled)
+
+    def run(data, parts):
+        df = spark.createDataFrame(data, "doc_id long, text string").repartition(parts)
+        tgt = df.filter(F.col("doc_id") % 2 == 0)
+        return {r.doc_id: (r.n_tokens, r.dsir_weight)
+                for r in dsir_importance(df, tgt, buckets=32, alpha=0.1).collect()}
+
+    assert run(rows, 2) == run(shuffled, 5)
