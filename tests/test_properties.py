@@ -725,3 +725,37 @@ def test_dsir_importance_invariant_to_row_order(spark, perm_seed):
                 for r in dsir_importance(df, tgt, buckets=32, alpha=0.1).collect()}
 
     assert run(rows, 2) == run(shuffled, 5)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    timescale=st.integers(1, 2**32 - 1),
+    duration=st.integers(0, 2**32 - 1),
+    n_tracks=st.integers(0, 6),
+    version=st.integers(0, 1),
+    largesize=st.booleans(),
+    mutate_at=st.one_of(st.none(), st.integers(0, 200)),
+    mutate_to=st.integers(0, 255),
+)
+def test_mp4_walk_roundtrip_and_never_raises(
+    timescale, duration, n_tracks, version, largesize, mutate_at, mutate_to
+):
+    """parse(build(params)) == params over the whole parameter space
+    (v1 additionally covers 64-bit durations); and a single-byte
+    mutation anywhere may flip the result to None or other values but
+    must never raise — one corrupt file cannot kill a 100 TB scan."""
+    from dataingestionframework_spark.operators.multimodal import (
+        build_mp4_bytes,
+        parse_mp4_boxes,
+    )
+
+    if version == 1:
+        duration = duration * 2  # exercise > 32-bit range sometimes
+    b = build_mp4_bytes(timescale, duration, n_tracks, version, largesize)
+    got = parse_mp4_boxes(b)
+    assert got["timescale"] == timescale and got["duration"] == duration
+    assert got["n_tracks"] == n_tracks and got["major_brand"] == "isom"
+    if mutate_at is not None and mutate_at < len(b):
+        mutated = bytearray(b)
+        mutated[mutate_at] = mutate_to
+        parse_mp4_boxes(bytes(mutated))  # any outcome, no exception
