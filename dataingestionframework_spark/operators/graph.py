@@ -220,3 +220,56 @@ def triangle_counts(
         F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
     )
     return verts.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS) by iterative
+    frontier expansion — the remaining classic next to :func:`pagerank`
+    (fixpoint), :func:`connected_components` (pointer jumping) and
+    :func:`triangle_counts`: hop distances power link-distance
+    features, crawl-depth limits, and citation-radius queries over
+    dedup/link graphs.
+
+    Each round is ONE equi-join (frontier ⋈ edges on the source key) +
+    an anti-join against the settled set — cost proportional to the
+    frontier's out-edges, never the whole graph; rounds = graph
+    diameter (bounded by ``max_iters``). ``localCheckpoint`` truncates
+    lineage per round like :func:`pagerank`. The per-round emptiness
+    probe is one driver boolean — O(diameter) round trips, the same
+    budget any BFS pays. Edges are treated as DIRECTED; symmetrize
+    first for undirected semantics.
+
+    Output: (node, dist) for every node reachable from ``source``
+    (including the source at dist 0). Deterministic: distances are
+    exact ints; ties need no breaking because level k is the set of
+    nodes first reached at round k.
+    """
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist int")
+    if checkpoint:
+        dist = dist.localCheckpoint()
+    frontier = dist.select("node")
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).cast("long").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(i))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        if checkpoint:
+            dist = dist.localCheckpoint()
+        frontier = nxt.select("node")
+    return dist

@@ -4478,3 +4478,23 @@ ORACLES.update({
         GROUP BY lang
     """.replace("{TOKENS}", _TOKENS),
 })
+
+ORACLES.update({
+    # BFS levels == min recursion depth per node over the same
+    # functional graph; UNION (distinct) guarantees termination
+    "bfs_distances_docs": """
+        WITH RECURSIVE e AS (
+            SELECT doc_id AS src, (doc_id * 31 + 7) % 400 AS dst
+            FROM documents
+        ),
+        walk(node, d) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION
+            SELECT e.dst, walk.d + 1
+            FROM walk JOIN e ON e.src = walk.node
+            WHERE walk.d < 30
+        )
+        SELECT node, CAST(min(d) AS INT) AS dist
+        FROM walk GROUP BY node
+    """,
+})

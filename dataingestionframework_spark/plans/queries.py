@@ -6127,6 +6127,25 @@ def adaptive_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def bfs_distances_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (operators.graph.bfs_distances)
+    over the same deterministic functional graph pagerank_doc_graph
+    uses (doc_id → (31·doc_id+7) mod 400), source node 0: per round one
+    frontier⋈edges equi-join + settled anti-join, O(diameter) rounds.
+    Oracle: DuckDB recursive CTE taking min(depth) per node — BFS
+    levels are exactly the recursion depths."""
+    from ..operators.graph import bfs_distances
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    edges = t("documents").select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 31 + 7, F.lit(400)).alias("dst"),
+    )
+    return bfs_distances(edges, source=0, max_iters=30)
+
+
 def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset/mojibake screen (operators.text.encoding_quality): the
     fixture injects U+FFFD replacement runs (every 3rd doc — the
@@ -6424,6 +6443,7 @@ QUERIES = {
     "dsir_importance_docs": dsir_importance_docs,
     "distinct_ngram_docs": distinct_ngram_docs,
     "adaptive_length_docs": adaptive_length_docs,
+    "bfs_distances_docs": bfs_distances_docs,
     "chat_transcripts_docs": chat_transcripts_docs,
     "table_diff_docs": table_diff_docs,
     "parquet_footer_stats_lineitem": parquet_footer_stats_lineitem,

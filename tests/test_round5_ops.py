@@ -903,3 +903,23 @@ def test_adaptive_length_filter_per_group_thresholds(spark):
     assert by[105].length_pass is True
     # thresholds differ per group
     assert by[0].len_hi < by[100].len_lo
+
+
+def test_bfs_distances_levels_cycles_unreachable(spark):
+    """Hand-checked: shortest hop counts, cycle termination, and
+    unreachable nodes absent; source at dist 0."""
+    from dataingestionframework_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0),      # cycle back to source
+         (1, 3), (3, 4),
+         (9, 0),                       # in-edge only: 9 unreachable
+         (5, 6)],                      # disconnected component
+        "src long, dst long",
+    )
+    got = {r.node: r.dist for r in bfs_distances(edges, source=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 3}
+    # max_iters truncates the frontier expansion
+    short = {r.node: r.dist
+             for r in bfs_distances(edges, source=0, max_iters=1).collect()}
+    assert short == {0: 0, 1: 1}
