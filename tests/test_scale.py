@@ -447,3 +447,40 @@ def test_dsir_importance_scales(spark, sf):
     t1 = _wall(lambda: q(docs))
     t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
     _assert_scales("dsir_importance", t1, t10)
+
+
+def test_table_diff_scales(spark, sf):
+    """Keyed snapshot diff: two fingerprint projections + one
+    full-outer equi-join — linear in rows, 32 bytes/row on the wire."""
+    from dataingestionframework_spark.operators.profile import table_diff
+
+    docs = sf("documents").select("doc_id", "text", "lang")
+
+    def q(df):
+        cur = df.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text")),
+        )
+        table_diff(cur, df, ["doc_id"]).groupBy("diff_status").count().collect()
+
+    t1 = _wall(lambda: q(docs))
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    _assert_scales("table_diff", t1, t10)
+
+
+def test_distinct_ngram_scales(spark, sf):
+    """Distinct-n diversity: gram explode + one distinct-count agg —
+    linear in tokens."""
+    from dataingestionframework_spark.operators.corpus import (
+        distinct_ngram_ratio,
+    )
+
+    docs = sf("documents").select("doc_id", "source", "text")
+
+    def q(df):
+        distinct_ngram_ratio(df, n=2, group_col="source").collect()
+
+    t1 = _wall(lambda: q(docs))
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    _assert_scales("distinct_ngram_ratio", t1, t10)
