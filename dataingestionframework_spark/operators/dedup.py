@@ -511,37 +511,85 @@ def near_duplicates_minhash(
         sigs.unpersist()
 
 
-def set_similarity_join_exact(
+def _prefix_pair_join(a_prefix: DataFrame, b_prefix: DataFrame, threshold: float) -> DataFrame:
+    """Equi-join two prefix tables (id, sz, pos, gram) on gram with the
+    PPJoin size + positional filters; returns (id_a, id_b), id_a < id_b.
+
+    Positional filter: J ≥ t ⟺ overlap ≥ t/(1+t)·(|A|+|B|); at the
+    FIRST shared gram (canonical order is global, so the first match
+    minimizes both positions at once) the achievable overlap is at most
+    1 + min(|A|−posA, |B|−posB). A pair survives iff ANY matched
+    occurrence passes — which is exactly the first-match bound — so
+    recall stays 1.0 while deep-prefix-only matches are pruned before
+    the expensive exact verify. The 1e-9 slacks mean FP rounding can
+    only ADD candidates, never drop a true pair.
+    """
+    a = a_prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "gram",
+    )
+    b = b_prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "gram",
+    )
+    alpha = (
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    )
+    return (
+        a.join(b, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b").cast("double")
+                >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+            )
+            & (ubound.cast("double") >= alpha)
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def _prefix_join_candidates(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    max_prefix_df: int | None,
 ) -> DataFrame:
-    """EXACT-recall set-similarity self-join via prefix filtering
-    (Chaudhuri/Bayardo-style "ppjoin-lite") — the deterministic
-    complement of MinHash-LSH: no banding-miss probability, every pair
-    with word-``n``-gram Jaccard ≥ ``threshold`` is guaranteed in the
-    output.
+    """Candidate (id_a, id_b) pairs for the exact prefix-filter join,
+    optionally with hot prefix-gram capping (``max_prefix_df``).
 
-    Prefix-filter theorem: order the gram universe canonically (here:
-    ascending document frequency, ties by gram — rarest first) and keep
-    from each doc's sorted gram set only the first
-    ``p = |g| - ceil(t·|g|) + 1`` grams. If J(A, B) ≥ t, the prefixes
-    of A and B must intersect, so an equi-join on PREFIX grams has
-    recall 1.0. Because prefixes are each doc's *rarest* grams, the
-    join buckets are small by construction — candidate generation is
-    near-linear on natural corpora even though worst-case (every doc
-    sharing one rare gram) is quadratic in that bucket. A size filter
-    (J ≥ t ⇒ t·|big| ≤ |small|) prunes further; both the ceil and the
-    size bound get a 1e-9 slack so FP rounding can only ADD candidates,
-    never drop a true pair. Exact verification runs on candidates only.
+    Uncapped: classic prefix filter — each doc joins on its
+    ``p = |g| - ceil(t·|g|) + 1`` rarest grams (ascending df, ties by
+    gram). Capped: grams occupying more than ``max_prefix_df`` docs'
+    prefixes are BANNED from normal docs' prefixes, each doc falling
+    back to its next-rarest unbanned grams (same prefix length).
 
-    Plan: gram explode + distinct (shuffle on id), gram-frequency agg
-    (shuffle on gram), per-doc rank window (reuses the id partition),
-    prefix self-join (shuffle on gram), then
-    :func:`verify_pairs_jaccard`. All hash joins/aggs — no Cartesian,
-    no Python. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+    Recall stays 1.0 — banned-universe prefix-filter argument: let H be
+    the banned set, A a doc with h_A = |A ∩ H| ≤ α_A − 1
+    (α_A = ceil(t·|A|); such docs are "normal"). For a qualifying pair
+    of normal docs with disjoint unbanned prefixes, shared unbanned
+    grams all rank after the earlier prefix end (≤ α_A − 1 − h_A of
+    them) and shared banned grams number ≤ min(h_A, h_B) ≤ h_A, so
+    overlap ≤ α_A − 1 < required α_A — contradiction. Docs with
+    h_A ≥ α_A ("saturated" — templated docs made almost entirely of
+    banned grams, where a banned gram alone can carry the overlap)
+    keep their ORIGINAL full-universe prefix and join against every
+    doc's original prefix, covered by the classic theorem. One banning
+    round: occupancy is measured on the pre-ban prefixes, so a
+    uniformly-templated corpus whose fallback grams are just as hot
+    degrades gracefully to the uncapped plan for those docs — which is
+    the regime where the OUTPUT itself is quadratic (the docs really
+    are near-duplicates) and no candidate scheme can be smaller.
     """
     from pyspark.sql import Window
 
@@ -557,52 +605,92 @@ def set_similarity_join_exact(
         .withColumn("pos", F.row_number().over(w))
         .join(sz, "id")
     )
-    prefix_len = (
-        F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
-        + F.lit(1)
-    )
-    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+    alpha_doc = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    prefix_len = F.col("sz") - alpha_doc + F.lit(1)
+    prefix0 = ranked.filter(F.col("pos") <= prefix_len).select(
         "id", "sz", "pos", "gram"
     )
-    a = prefix.select(
-        F.col("id").alias("id_a"),
-        F.col("sz").alias("sz_a"),
-        F.col("pos").alias("pos_a"),
-        "gram",
+    if max_prefix_df is None:
+        return _prefix_pair_join(prefix0, prefix0, threshold).distinct()
+
+    # hot grams by PREFIX occupancy (not raw df): a gram is pathological
+    # only when many docs carry it in their rarest-first prefix
+    hot = (
+        prefix0.groupBy("gram")
+        .agg(F.count("*").alias("_occ"))
+        .filter(F.col("_occ") > max_prefix_df)
+        .select("gram", F.lit(True).alias("_hot"))
     )
-    b = prefix.select(
-        F.col("id").alias("id_b"),
-        F.col("sz").alias("sz_b"),
-        F.col("pos").alias("pos_b"),
-        "gram",
+    marked = ranked.join(F.broadcast(hot), "gram", "left")
+    h_per_doc = marked.groupBy("id").agg(
+        F.sum(F.when(F.col("_hot"), 1).otherwise(0)).alias("_h")
     )
-    # PPJoin positional filter: J ≥ t ⟺ overlap ≥ t/(1+t)·(|A|+|B|);
-    # at the FIRST shared gram (canonical order is global, so the first
-    # match minimizes both positions at once) the achievable overlap is
-    # at most 1 + min(|A|−posA, |B|−posB). A pair survives iff ANY
-    # matched occurrence passes — which is exactly the first-match
-    # bound — so recall stays 1.0 while deep-prefix-only matches are
-    # pruned before the expensive exact verify.
-    alpha = (
-        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
-        - F.lit(1e-9)
+    marked = marked.join(h_per_doc, "id")
+    saturated = F.col("_h") >= alpha_doc
+    # normal docs: re-rank over unbanned grams, same prefix length
+    # (guaranteed to fill: #unbanned = sz - h ≥ sz - α + 1 = prefix_len)
+    w2 = Window.partitionBy("id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
+    norm_prefix = (
+        marked.filter(~saturated & F.col("_hot").isNull())
+        .withColumn("pos", F.row_number().over(w2))
+        .filter(F.col("pos") <= prefix_len)
+        .select("id", "sz", "pos", "gram")
     )
-    ubound = F.lit(1) + F.least(
-        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    sat_prefix = marked.filter(saturated & (F.col("pos") <= prefix_len)).select(
+        "id", "sz", "pos", "gram"
     )
-    cand = (
-        a.join(b, "gram")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                F.least("sz_a", "sz_b").cast("double")
-                >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
-            )
-            & (ubound.cast("double") >= alpha)
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    nn = _prefix_pair_join(norm_prefix, norm_prefix, threshold)
+    # pairs touching a saturated doc: classic full-universe prefixes on
+    # BOTH sides (sat_prefix ⊆ prefix0, so id_a<id_b needs both orders)
+    sa = _prefix_pair_join(sat_prefix, prefix0, threshold)
+    as_ = _prefix_pair_join(prefix0, sat_prefix, threshold)
+    return nn.union(sa).union(as_).distinct()
+
+
+def set_similarity_join_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_prefix_df: int | None = None,
+) -> DataFrame:
+    """EXACT-recall set-similarity self-join via prefix filtering
+    (Chaudhuri/Bayardo-style "ppjoin-lite") — the deterministic
+    complement of MinHash-LSH: no banding-miss probability, every pair
+    with word-``n``-gram Jaccard ≥ ``threshold`` is guaranteed in the
+    output.
+
+    Prefix-filter theorem: order the gram universe canonically (here:
+    ascending document frequency, ties by gram — rarest first) and keep
+    from each doc's sorted gram set only the first
+    ``p = |g| - ceil(t·|g|) + 1`` grams. If J(A, B) ≥ t, the prefixes
+    of A and B must intersect, so an equi-join on PREFIX grams has
+    recall 1.0. Because prefixes are each doc's *rarest* grams, the
+    join buckets are small by construction — candidate generation is
+    near-linear on natural corpora. A size filter (J ≥ t ⇒
+    t·|big| ≤ |small|) and the PPJoin positional filter prune further;
+    every bound gets a 1e-9 slack so FP rounding can only ADD
+    candidates, never drop a true pair. Exact verification runs on
+    candidates only.
+
+    ``max_prefix_df`` caps hot prefix grams (the worst case where many
+    templated docs share one rare gram and its bucket alone emits
+    C(m, 2) candidates): docs fall back to their next-rarest unbanned
+    grams — recall provably stays 1.0 (see
+    :func:`_prefix_join_candidates`), so output is IDENTICAL with or
+    without the cap; only candidate-generation cost changes. The
+    MinHash twin is ``minhash_lsh_candidates(max_bucket_size=)``, which
+    trades pairwise completeness for star pairs — this path never does.
+
+    Plan: gram explode + distinct (shuffle on id), gram-frequency agg
+    (shuffle on gram), per-doc rank window (reuses the id partition),
+    prefix self-join (shuffle on gram), then
+    :func:`verify_pairs_jaccard`. All hash joins/aggs — no Cartesian,
+    no Python. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+    """
+    cand = _prefix_join_candidates(
+        df, text_col, id_col, n, threshold, max_prefix_df
     )
     return verify_pairs_jaccard(cand, df, text_col, id_col, n, threshold)
 

@@ -1230,6 +1230,16 @@ def blocklist_filter(
 
     Adds ``n_blocked_hits`` and ``blocklist_pass`` (hits ≤ ``max_hits``
     — a small tolerance absorbs quoted/incidental mentions).
+
+    Counting contract: each phrase is counted INDEPENDENTLY with
+    leftmost non-overlapping replace, so overlapping phrases both
+    count — ``['cat', 'mad cat']`` on ``'the mad cat cat'`` yields 3
+    hits (2×cat + 1×mad cat), not the 2 a single leftmost-alternation
+    would give. Callers tuning ``max_hits`` against overlapping lists
+    should count accordingly. NULL text counts as 0 hits and passes —
+    the same NULL contract as ``encoding_quality`` and
+    ``blocklist_lexicon_filter`` (absence of text is a length/schema
+    problem for other gates, not a policy hit).
     """
     import re as _re
 
@@ -1275,6 +1285,7 @@ def blocklist_filter(
             / F.lit(len(pat))
         ).cast("long")
         hits = cnt if hits is None else hits + cnt
+    hits = F.coalesce(hits, F.lit(0).cast("long"))
     return df.withColumn("n_blocked_hits", hits).withColumn(
         "blocklist_pass", hits <= max_hits
     )
@@ -1462,6 +1473,12 @@ def adaptive_length_filter(
     Exact `percentile` matches DuckDB's quantile_cont interpolation
     (the cross-engine contract percentiles_orders already proves).
 
+    NULL groups are preserved, not dropped: the join back onto the
+    percentile cuts is null-safe (<=>), so NULL-``group_col`` docs form
+    their own cohort, get thresholds, and receive a ``length_pass``
+    verdict — a filter operator must gate rows, never silently lose
+    them.
+
     Output: input + n_tok, len_lo, len_hi, length_pass.
     """
     toks = df.withColumn("n_tok", token_count(F.col(text_col)))
@@ -1469,7 +1486,11 @@ def adaptive_length_filter(
         F.expr(f"percentile(n_tok, {lo})").alias("len_lo"),
         F.expr(f"percentile(n_tok, {hi})").alias("len_hi"),
     )
-    return toks.join(F.broadcast(cuts), group_col).withColumn(
+    joined = toks.alias("t").join(
+        F.broadcast(cuts).alias("c"),
+        F.col(f"t.{group_col}").eqNullSafe(F.col(f"c.{group_col}")),
+    )
+    return joined.select("t.*", "c.len_lo", "c.len_hi").withColumn(
         "length_pass",
         (F.col("n_tok") >= F.col("len_lo")) & (F.col("n_tok") <= F.col("len_hi")),
     )

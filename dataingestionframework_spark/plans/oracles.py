@@ -1712,31 +1712,33 @@ ORACLES: dict[str, str] = {
                CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overestimate
         FROM est e JOIN tru t USING (user_id)
     """,
-    # engine-proof twin: no \b — same normalize (lowercase, collapse
-    # [^a-z0-9]+ to one space, double boundaries, pad) and the same
-    # replace-count trick as operators.text.blocklist_filter
-    "blocklist_filter_docs": r"""
-        WITH h AS (
-            SELECT lang,
-                   '  ' || replace(trim(regexp_replace(lower(text),
-                       '[^a-z0-9]+', ' ', 'g')), ' ', '  ') || '  '
-                       AS padded
+    # plain join+GROUP-BY twin of the exploded positional-token
+    # equi-join (same mechanism as blocklist_lexicon_docs, which the
+    # driver hash-matches): tokenize on [^a-z0-9]+, regenerate 1- and
+    # 2-grams by list slicing, join the 2-phrase VALUES list, count
+    "blocklist_filter_docs": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS ts
             FROM documents
         ),
-        c AS (
-            SELECT lang,
-                   CAST((length(padded)
-                         - length(replace(padded, ' merge ', '')))
-                        // length(' merge ')
-                      + (length(padded)
-                         - length(replace(padded, ' window  sort ', '')))
-                        // length(' window  sort ') AS BIGINT) AS hits
-            FROM h
-        )
+        pos AS (SELECT doc_id, ts,
+                       unnest(range(1, len(ts) + 1)) AS p
+                FROM toks),
+        g1 AS (SELECT doc_id, ts[p] AS gram FROM pos),
+        g2 AS (SELECT doc_id, ts[p] || ' ' || ts[p + 1] AS gram
+               FROM pos WHERE p + 1 <= len(ts)),
+        lex(gram) AS (VALUES ('merge'), ('window sort')),
+        hits AS (SELECT doc_id, count(*) AS h
+                 FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) g
+                 JOIN lex USING (gram) GROUP BY doc_id)
         SELECT lang, count(*) AS n_docs,
-               sum(CASE WHEN hits <= 2 THEN 1 ELSE 0 END) AS n_passing,
-               sum(hits) AS total_hits
-        FROM c GROUP BY lang
+               sum(CASE WHEN coalesce(h, 0) <= 2 THEN 1 ELSE 0 END)
+                   AS n_passing,
+               CAST(sum(coalesce(h, 0)) AS BIGINT) AS total_hits
+        FROM toks LEFT JOIN hits USING (doc_id)
+        GROUP BY lang
     """,
     # the identical 4x1024 count-min sketch rebuilt in SQL (same
     # md5-prefix buckets), so estimates match INCLUDING collisions

@@ -352,19 +352,24 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase-blocklist screening (operators.text.blocklist_filter):
-    word-boundary hit counts for a stand-in policy list, computed with
-    an engine-proof replace-count contract (tokenize on [^a-z0-9]+,
-    no \\b regex) — the cheap first gate before model-based content
-    filters. Aggregated to (lang, n_docs, n_passing, total hits) so
-    the oracle is compact."""
-    from ..operators.text import blocklist_filter
+    """Phrase-blocklist screening — the cheap first gate before
+    model-based content filters. Gate mechanism: the exploded
+    positional-token equi-join (operators.text.blocklist_lexicon_filter)
+    with the 2-phrase policy list as a table, so both sides of the
+    cross-engine contract are a plain tokenize → n-gram → join →
+    GROUP BY — a shape the driver has hash-matched across dozens of
+    queries. (The replace-count fast path, blocklist_filter, stays
+    library code; test_blocklist_replace_count_equals_lexicon_join
+    pins the two mechanisms equal on this very corpus+list.)
+    Aggregated to (lang, n_docs, n_passing, total_hits)."""
+    from ..operators.text import blocklist_lexicon_filter
 
     tune(spark)
     t = _t(spark, sf_dir)
-    out = blocklist_filter(
-        t("documents"), ["merge", "window sort"], max_hits=2
+    lex = spark.createDataFrame(
+        [("merge",), ("window sort",)], "phrase string"
     )
+    out = blocklist_lexicon_filter(t("documents"), lex, max_hits=2)
     return out.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("blocklist_pass").cast("long")).alias("n_passing"),
@@ -786,11 +791,16 @@ def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs word-3-gram Jaccard at the same threshold, hash-matched —
     two independent candidate-generation strategies, one verified set.
     Candidate buckets are each doc's rarest grams, so the self-join
-    stays near-linear on natural corpora."""
+    stays near-linear on natural corpora; max_prefix_df caps the
+    adversarial case (one rare gram in many templated prefixes) with a
+    recall-1.0 fallback to each doc's next-rarest gram — output is
+    provably identical, which this oracle hash-checks."""
     from ..operators.dedup import set_similarity_join_exact
 
     t = _t(spark, sf_dir)
-    return set_similarity_join_exact(t("documents"), threshold=0.3)
+    return set_similarity_join_exact(
+        t("documents"), threshold=0.3, max_prefix_df=64
+    )
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

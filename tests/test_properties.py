@@ -612,11 +612,15 @@ def test_table_diff_matches_dict_diff(spark, prev, cur):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
+    # per-element filter (not a whole-list filter): rejecting an entire
+    # 16-tuple list on one bad element trips FailedHealthCheck
+    # (filter_too_much) on unlucky seeds — seen with seed 2836786…138
     vecs=st.lists(
         st.tuples(st.floats(-1, 1, allow_nan=False, width=32),
-                  st.floats(-1, 1, allow_nan=False, width=32)),
+                  st.floats(-1, 1, allow_nan=False, width=32))
+        .filter(lambda t: abs(t[0]) + abs(t[1]) > 0.05),
         min_size=2, max_size=16,
-    ).filter(lambda vs: all(abs(a) + abs(b) > 0.05 for a, b in vs))
+    )
 )
 def test_kmeans_lloyd_matches_python_reference(spark, vecs):
     """The full deterministic trajectory (init, rounded-cosine argmax

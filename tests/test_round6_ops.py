@@ -1,0 +1,155 @@
+"""Round-6 operator tests: blocklist mechanism parity + NULL contract,
+hot prefix-gram capping, null-group adaptive length, store-recovery
+hardening, language identification."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_blocklist_replace_count_equals_lexicon_join(spark):
+    """The two blocklist mechanisms — per-phrase replace-count
+    (blocklist_filter, policy-sized lists) and exploded positional
+    token equi-join (blocklist_lexicon_filter, the gate + scale path)
+    — must agree doc-by-doc on the real fixture corpus with the gate's
+    own phrase list. This pins the library fast path to the
+    oracle-gated mechanism."""
+    from dataingestionframework_spark.operators.text import (
+        blocklist_filter,
+        blocklist_lexicon_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    phrases = ["merge", "window sort"]
+    lex = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    rc = {
+        r.doc_id: (r.n_blocked_hits, r.blocklist_pass)
+        for r in blocklist_filter(docs, phrases, max_hits=2).collect()
+    }
+    lj = {
+        r.doc_id: (r.n_blocked_hits, r.blocklist_pass)
+        for r in blocklist_lexicon_filter(docs, lex, max_hits=2).collect()
+    }
+    assert rc == lj and len(rc) > 0
+
+
+def test_blocklist_null_text_passes_with_zero_hits(spark):
+    """NULL text → 0 hits, pass — the encoding_quality NULL contract,
+    now shared by both blocklist mechanisms."""
+    from dataingestionframework_spark.operators.text import (
+        blocklist_filter,
+        blocklist_lexicon_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "merge it")], "doc_id int, text string"
+    )
+    lex = spark.createDataFrame([("merge",)], "phrase string")
+    for out in (
+        blocklist_filter(df, ["merge"], max_hits=0),
+        blocklist_lexicon_filter(df, lex, max_hits=0),
+    ):
+        got = {r.doc_id: (r.n_blocked_hits, r.blocklist_pass) for r in out.collect()}
+        assert got == {0: (0, True), 1: (1, False)}
+
+
+class TestPrefixJoinHotGramCap:
+    """set_similarity_join_exact(max_prefix_df=...): grams hot by
+    PREFIX occupancy are banned from normal docs' prefixes (each doc
+    falls back to its next-rarest unbanned gram — recall-preserving by
+    the banned-universe prefix-filter argument), so one rare gram
+    shared by a templated subset no longer emits C(m,2) candidates."""
+
+    def _corpus(self, spark, n_hot=30, n_fill=370, groups=10):
+        # hot docs: 1 unique token + the shared 'hot' token + a pool
+        # token p{k}; fillers carry p{k} too (raising its raw df above
+        # hot's, so 'hot' ranks rarest-first into every hot doc's
+        # prefix) but bury it behind 3 unique tokens of their own.
+        rows = [
+            (i, f"u{i} hot p{i % groups}") for i in range(n_hot)
+        ] + [
+            (n_hot + j, f"w{j}a w{j}b w{j}c p{j % groups}")
+            for j in range(n_fill)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_capped_output_equals_uncapped(self, spark):
+        from dataingestionframework_spark.operators.dedup import (
+            set_similarity_join_exact,
+        )
+
+        df = self._corpus(spark)
+        base = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in set_similarity_join_exact(df, n=1, threshold=0.5).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b, r.jaccard_sim)
+            for r in set_similarity_join_exact(
+                df, n=1, threshold=0.5, max_prefix_df=10
+            ).collect()
+        }
+        # 30 planted true pairs: same-pool hot docs at J = 2/4 = 0.5
+        assert capped == base and len(base) == 30
+
+    def test_candidates_bounded_on_hot_gram(self, spark):
+        """One gram in 30 docs' prefixes: uncapped emits C(30,2)=435
+        candidates; capped falls back to pool grams (3 docs each)."""
+        from dataingestionframework_spark.operators.dedup import (
+            _prefix_join_candidates,
+        )
+
+        df = self._corpus(spark)
+        uncapped = _prefix_join_candidates(df, "text", "doc_id", 1, 0.5, None).count()
+        capped = _prefix_join_candidates(df, "text", "doc_id", 1, 0.5, 10).count()
+        assert uncapped >= 435
+        assert capped == 30  # 10 pools × C(3,2) — near-linear
+
+    def test_saturated_docs_still_exact(self, spark):
+        """Docs made almost entirely of banned grams (the
+        banned-universe proof's edge case, h ≥ α) keep full prefixes
+        and still pair up — recall 1.0 even there."""
+        from dataingestionframework_spark.operators.dedup import (
+            set_similarity_join_exact,
+        )
+
+        rows = [(i, "hota hotb hotc") for i in range(10)]  # identical
+        rows += [(100 + j, f"x{j} y{j} z{j} hota") for j in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in set_similarity_join_exact(
+                df, n=1, threshold=0.5, max_prefix_df=5
+            ).collect()
+        }
+        expect = {(i, j) for i in range(10) for j in range(i + 1, 10)}
+        assert got == expect
+
+
+def test_adaptive_length_filter_keeps_null_group_rows(spark):
+    """NULL group_col rows must not vanish: they form their own group
+    (null-safe join), get thresholds from their peers, and receive a
+    length_pass verdict like everyone else."""
+    from dataingestionframework_spark.operators.text import adaptive_length_filter
+
+    df = spark.createDataFrame(
+        [
+            (0, "en", "one two three"),
+            (1, "en", "one two three four five"),
+            (2, None, "a b"),
+            (3, None, "a b c d e f"),
+            (4, None, "a b c d"),
+        ],
+        "doc_id int, lang string, text string",
+    )
+    out = adaptive_length_filter(df, group_col="lang").collect()
+    assert len(out) == 5  # no silent drop
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].length_pass is not None
+    # NULL group computed against its own 3-row percentile band, not en's
+    assert by_id[2].len_lo != by_id[0].len_lo
+    # verdicts are real: middle-length null doc passes its own band
+    assert by_id[4].length_pass

@@ -484,3 +484,28 @@ def test_distinct_ngram_scales(spark, sf):
     t1 = _wall(lambda: q(docs))
     t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
     _assert_scales("distinct_ngram_ratio", t1, t10)
+
+
+def test_prefix_join_hot_gram_cap_candidates_scale(spark):
+    """Hot prefix-gram cap (set_similarity_join_exact max_prefix_df):
+    on a corpus where one rare gram sits in every templated doc's
+    prefix, capped CANDIDATE COUNT must grow linearly with the
+    templated-subset size (uncapped grows as C(m,2) — quadratic)."""
+    from dataingestionframework_spark.operators.dedup import (
+        _prefix_join_candidates,
+    )
+
+    def corpus(n_hot):
+        groups = n_hot // 3  # pool size stays 3 at every scale
+        rows = [(i, f"u{i} hot p{i % groups}") for i in range(n_hot)]
+        rows += [
+            (n_hot + j, f"w{j}a w{j}b w{j}c p{j % groups}")
+            for j in range(10 * n_hot)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    c1 = _prefix_join_candidates(corpus(30), "text", "doc_id", 1, 0.5, 10).count()
+    c10 = _prefix_join_candidates(corpus(300), "text", "doc_id", 1, 0.5, 10).count()
+    assert c1 == 30
+    # linear: x10 docs -> x10 candidates (quadratic would be ~x100)
+    assert c10 <= 12 * c1, f"capped candidates not linear: {c1} -> {c10}"
