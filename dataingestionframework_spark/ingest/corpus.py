@@ -20,6 +20,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _recover_or_probe_parquet(spark, path: str) -> bool:
+    """Parquet-sink analog of :func:`_recover_or_probe_index`: the
+    staged swap has a crash window between rename(path → ``.__bak__``)
+    and rename(``.__staged__`` → path) where the sink name is empty
+    while a complete copy survives under a sibling name. Promote the
+    best surviving copy — ``.__staged__`` (the completed post-forget
+    image) over ``.__bak__`` (the pre-forget image) — so the next
+    forget/read heals instead of failing on a missing path with the
+    data stranded. Returns whether the path exists after recovery."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(jpath(path)):
+        return True
+    for cand in (path.rstrip("/") + ".__staged__", path.rstrip("/") + ".__bak__"):
+        if fs.exists(jpath(cand)):
+            if not fs.rename(jpath(cand), jpath(path)):
+                raise IOError(f"staged-swap recovery: could not promote {cand} to {path}")
+            return True
+    return False
+
+
 def _staged_parquet_swap(spark, df: DataFrame, path: str) -> int:
     """Rewrite ``path`` with ``df``'s rows without ever holding the only
     copy in memory: write to a sibling ``.__staged__`` dir (durable on
@@ -647,11 +669,12 @@ def forget_documents(
     removed: dict[str, int] = {}
 
     for label, path in (("sink", sink_path), ("dropped", sink_path.rstrip("/") + "_dropped")):
-        try:
-            cur = spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — surface not created yet
+        # recovery probe first (heals a crashed prior swap), then a
+        # bare read so real errors propagate instead of reporting 0
+        if not _recover_or_probe_parquet(spark, path):
             removed[label] = 0
             continue
+        cur = spark.read.parquet(path)
         before = cur.count()
         kept = cur.join(ids, id_col, "left_anti")
         removed[label] = before - _staged_parquet_swap(spark, kept, path)
@@ -714,11 +737,10 @@ def forget_vectors(
     ids = ids.localCheckpoint()
     removed: dict[str, int] = {}
 
-    try:
-        cur = spark.read.parquet(sink_path)
-    except Exception:  # noqa: BLE001 — sink not created yet
+    if not _recover_or_probe_parquet(spark, sink_path):
         removed["sink"] = 0
     else:
+        cur = spark.read.parquet(sink_path)
         before = cur.count()
         kept = cur.join(ids, id_col, "left_anti")
         removed["sink"] = before - _staged_parquet_swap(spark, kept, sink_path)
@@ -779,11 +801,15 @@ def corpus_stream_warc_intake(
         recs = warc_gz_parse(batch_df).filter(
             F.col("content_length") >= min_content_length
         )
-        try:
+        # existence probe, not a bare except: a transient sink-read
+        # failure must fail the batch (foreachBatch retries it), not
+        # silently skip the anti-join and degrade the replay-idempotence
+        # guarantee from exactly-once to at-least-once
+        from ..session import path_exists
+
+        if path_exists(spark, sink_path):
             seen = spark.read.parquet(sink_path).select("record_id").distinct()
             recs = recs.join(seen, "record_id", "left_anti")
-        except Exception:  # noqa: BLE001 — first batch: no sink yet
-            pass
         recs.write.mode("append").parquet(sink_path)
 
     return (

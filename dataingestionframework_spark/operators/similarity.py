@@ -1564,15 +1564,20 @@ def kmeans_stats_merge_into_store(
         .groupBy("cluster_id", "pos")
         .agg(F.sum("col").alias("s"), F.count("*").alias("m"))
     )
-    try:
+    # explicit existence probe, NOT try/except around the read: a bare
+    # except would also swallow a transient read failure while the
+    # store EXISTS and overwrite it with only this micro-batch —
+    # permanent loss of all accumulated sufficient statistics. With the
+    # probe, any real read error propagates and the batch retries.
+    from ..session import path_exists
+
+    if path_exists(spark, store_path):
         prev = spark.read.parquet(store_path)
         stats = (
             prev.unionByName(stats)
             .groupBy("cluster_id", "pos")
             .agg(F.sum("s").alias("s"), F.sum("m").alias("m"))
         )
-    except Exception:  # noqa: BLE001 — first batch: no store yet
-        pass
     # materialize BEFORE overwrite: the merged plan reads store_path
     stats.localCheckpoint().write.mode("overwrite").parquet(store_path)
 

@@ -99,3 +99,21 @@ def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> SparkSessi
         "true" if changelog else "false",
     )
     return spark
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit Hadoop FileSystem existence probe.
+
+    The honest alternative to ``try: spark.read...  except Exception``
+    around "surface may not exist yet" reads: a bare except also
+    swallows transient failures (permission blip, eventual-consistency
+    listing, corrupt footer) while the surface EXISTS, silently turning
+    a should-retry error into first-run initialization — which for an
+    accumulating store means discarding all prior state. Probing
+    existence first lets every real read error propagate so the caller
+    (a foreachBatch body, a maintenance job) fails and retries.
+    """
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))

@@ -129,6 +129,62 @@ class TestPrefixJoinHotGramCap:
         assert got == expect
 
 
+def test_staged_swap_crash_window_recovers(spark, tmp_root):
+    """Crash between rename(path→bak) and rename(staged→path) leaves
+    the sink name empty with the data under a sibling. The recovery
+    probe must promote the surviving copy (staged over bak) so the
+    next forget heals instead of failing or treating the sink as
+    absent."""
+    from dataingestionframework_spark.ingest.corpus import (
+        _recover_or_probe_parquet,
+        forget_documents,
+    )
+
+    sink = f"{tmp_root}/sink"
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    ).write.parquet(sink)
+    # simulate the crash window: post-forget image staged, sink renamed
+    # aside, promotion never happened
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(sink).getFileSystem(sc._jsc.hadoopConfiguration())
+    spark.read.parquet(sink).filter("doc_id <> 3").write.parquet(sink + ".__staged__")
+    assert fs.rename(jpath(sink), jpath(sink + ".__bak__"))
+    assert not fs.exists(jpath(sink))
+
+    assert _recover_or_probe_parquet(spark, sink)  # heals: staged wins
+    assert {r.doc_id for r in spark.read.parquet(sink).collect()} == {0, 1, 2, 4, 5}
+    # and a real forget run right after the heal works end-to-end
+    removed = forget_documents(spark, [0], sink)
+    assert removed["sink"] == 1
+    assert not fs.exists(jpath(sink + ".__bak__"))
+
+
+def test_kmeans_stats_store_survives_transient_probe(spark, tmp_root):
+    """The stats store merge must use an existence probe, not a bare
+    except: merging twice accumulates; the second merge must READ the
+    first batch's statistics rather than silently resetting."""
+    from dataingestionframework_spark.operators.similarity import (
+        kmeans_stats_merge_into_store,
+    )
+
+    store = f"{tmp_root}/kstats"
+    cents = {0: [1.0, 0.0], 1: [0.0, 1.0]}  # cosine-assigns by axis
+    b1 = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    b2 = spark.createDataFrame(
+        [(3, [4.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    kmeans_stats_merge_into_store(b1, cents, store)
+    kmeans_stats_merge_into_store(b2, cents, store)
+    rows = {(r.cluster_id, r.pos): (r.s, r.m) for r in spark.read.parquet(store).collect()}
+    # cluster 0 accumulated BOTH batches' vectors (2,0) and (4,1)
+    assert rows[(0, 0)] == (6.0, 2) and rows[(0, 1)] == (1.0, 2)
+    assert rows[(1, 1)] == (3.0, 1)
+
+
 def test_adaptive_length_filter_keeps_null_group_rows(spark):
     """NULL group_col rows must not vanish: they form their own group
     (null-safe join), get thresholds from their peers, and receive a
