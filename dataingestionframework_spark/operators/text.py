@@ -1414,6 +1414,101 @@ def blocklist_lexicon_filter(
     )
 
 
+def lang_id_ngram(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Language identification via a hashed char-n-gram
+    nearest-centroid classifier — the public fastText langid shape
+    (char-n-gram features, hashing trick, linear scoring) trained on
+    the corpus's own labels instead of shipped weights (no ML runtime
+    in scope; swap the centroid table for published weights and
+    nothing else changes).
+
+    Train: labeled rows' char-``n``-grams (lowercased, ``[^a-z0-9]+``
+    collapsed — the shared token alphabet) hash into ``dim`` buckets
+    (:func:`portable_gram_hash`, engine-portable); each language's
+    centroid is its summed bucket-count vector. Predict: every doc's
+    bucket-count vector is cosine-scored against every centroid;
+    ``lang_pred`` = argmax (6dp-rounded cosine, ties to the
+    lexicographically smaller language), ``lang_confidence`` = the
+    winning cosine (4dp). Docs with no grams (NULL/empty text) get
+    ``('und', 0.0)``.
+
+    Scale shape: centroids are an L×dim table (broadcast); the corpus
+    side is one gram explode + one (id, bucket) count + one broadcast
+    join + one per-id argmax window — shuffles on id only, so cost is
+    linear in corpus tokens at any L. Feeds the per-lang gates
+    (:func:`adaptive_length_filter` with ``group_col='lang_pred'``)
+    when no trusted label exists.
+    """
+    train = train if train is not None else df
+
+    def grams_col(text):
+        s = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+        n_starts = F.length(s) - F.lit(n - 1)
+        starts = F.when(
+            n_starts >= 1, F.sequence(F.lit(1), n_starts)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda p: F.substring(s, p, n))
+
+    def bucket_counts(src, key_cols):
+        exploded = src.select(
+            *key_cols, F.explode(grams_col(F.col(text_col))).alias("_g")
+        ).withColumn(
+            "_b", F.pmod(portable_gram_hash(F.col("_g")), F.lit(dim))
+        )
+        return exploded.groupBy(*key_cols, "_b").agg(
+            F.count("*").alias("_cnt")
+        )
+
+    cent = bucket_counts(
+        train.filter(F.col(label_col).isNotNull()), [label_col]
+    ).withColumnsRenamed({label_col: "_lang", "_cnt": "_ccnt"})
+    cnorm = cent.groupBy("_lang").agg(
+        F.sqrt(F.sum(F.col("_ccnt") * F.col("_ccnt"))).alias("_cn")
+    )
+    dv = bucket_counts(df, [id_col])
+    dnorm = dv.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt"))).alias("_dn")
+    )
+    scored = (
+        dv.join(F.broadcast(cent), "_b")
+        .groupBy(id_col, "_lang")
+        .agg(F.sum(F.col("_cnt") * F.col("_ccnt")).alias("_dot"))
+        .join(F.broadcast(cnorm), "_lang")
+        .join(dnorm, id_col)
+        .withColumn(
+            "_cos", F.round(F.col("_dot") / (F.col("_cn") * F.col("_dn")), 6)
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("_lang").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("_lang").alias("lang_pred"),
+            F.round("_cos", 4).alias("lang_confidence"),
+        )
+    )
+    out = df.join(best, id_col, "left")
+    return out.withColumn(
+        "lang_pred", F.coalesce("lang_pred", F.lit("und"))
+    ).withColumn(
+        "lang_confidence", F.coalesce("lang_confidence", F.lit(0.0))
+    )
+
+
 def unicode_nfc(
     df: DataFrame,
     text_col: str = "text",

@@ -4080,6 +4080,59 @@ ORACLES.update({
 })
 
 ORACLES.update({
+    # the identical hashed char-3-gram nearest-centroid classifier in
+    # SQL: same md5-bucket hash, exact-integer dot products, 6dp cosine
+    # argmax with lang-asc ties, confidence summed in basis points
+    "lang_id_ngram_docs": """
+        WITH normed AS (
+            SELECT doc_id, lang,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, lang, s,
+                   unnest(range(1, greatest(len(s) - 1, 1))) AS p
+            FROM normed
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   ('0x' || substring(md5(substring(s, p, 3)), 1, 15))::UBIGINT
+                       % 64 AS b
+            FROM pos
+        ),
+        dv AS (SELECT doc_id, b, count(*) AS c FROM grams GROUP BY 1, 2),
+        cent AS (SELECT lang AS clang, b, count(*) AS cc
+                 FROM grams WHERE lang IS NOT NULL GROUP BY 1, 2),
+        dn AS (SELECT doc_id, sqrt(sum(CAST(c * c AS DOUBLE))) AS dnorm
+               FROM dv GROUP BY 1),
+        cn AS (SELECT clang, sqrt(sum(CAST(cc * cc AS DOUBLE))) AS cnorm
+               FROM cent GROUP BY 1),
+        scored AS (
+            SELECT dv.doc_id, cent.clang,
+                   round(sum(CAST(dv.c * cent.cc AS DOUBLE))
+                         / (any_value(cn.cnorm) * any_value(dn.dnorm)), 6)
+                       AS cos
+            FROM dv JOIN cent USING (b)
+                 JOIN cn USING (clang) JOIN dn USING (doc_id)
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, clang, cos,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cos DESC, clang ASC) AS rn
+            FROM scored
+        ),
+        pred AS (
+            SELECT d.lang,
+                   coalesce(b.clang, 'und') AS lang_pred,
+                   coalesce(round(b.cos, 4), 0.0) AS conf
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        )
+        SELECT lang, lang_pred, count(*) AS n_docs,
+               CAST(sum(round(conf * 10000)) AS BIGINT) AS sum_conf_bp
+        FROM pred GROUP BY 1, 2
+    """,
     # chosen = max(score, ties lowest id); rejected = min(score, ties
     # highest id); singleton / zero-margin prompts yield no row
     "preference_pairs_docs": f"""

@@ -5776,6 +5776,26 @@ def blocklist_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def lang_id_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (operators.text.lang_id_ngram): hashed char-3-gram
+    nearest-centroid classifier — the fastText-langid shape — trained
+    on the corpus's own lang labels, cosine argmax with deterministic
+    6dp/tie-break contract. Gate output is the (lang, lang_pred)
+    confusion matrix; confidence is summed in integer basis points so
+    the oracle hash has no float-summation order to disagree on."""
+    from ..operators.text import lang_id_ngram
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    out = lang_id_ngram(t("documents"), n=3, dim=64)
+    return out.groupBy("lang", "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.round(F.col("lang_confidence") * 10000).cast("long")
+        ).alias("sum_conf_bp"),
+    )
+
+
 def kmeans_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical Lloyd k-means (operators.similarity.
     kmeans_lloyd — cluster-based curation: SemDeDup-style pruning,
@@ -6445,6 +6465,7 @@ QUERIES = {
     "warc_to_corpus_docs": warc_to_corpus_docs,
     "encoding_quality_docs": encoding_quality_docs,
     "blocklist_lexicon_docs": blocklist_lexicon_docs,
+    "lang_id_ngram_docs": lang_id_ngram_docs,
     "preference_pairs_docs": preference_pairs_docs,
     "kmeans_cluster_embeddings": kmeans_cluster_embeddings,
     "kmeans_incremental_embeddings": kmeans_incremental_embeddings,

@@ -129,6 +129,62 @@ class TestPrefixJoinHotGramCap:
         assert got == expect
 
 
+class TestLangIdNgram:
+    """Hashed char-n-gram nearest-centroid language ID."""
+
+    def test_separable_langs_classified(self, spark):
+        # two synthetic 'languages' with disjoint character stock:
+        # training labels on most rows, predictions checked on ALL rows
+        # (including two unlabeled ones the centroids never saw)
+        rows = [
+            (i, "alpha beta gamma delta words here", "aa") for i in range(5)
+        ] + [
+            (10 + i, "zzz qqq xxx vvv kkk jjj", "zz") for i in range(5)
+        ] + [
+            (100, "alpha beta gamma extra", None),   # unlabeled aa-ish
+            (101, "zzz qqq vvv unseen", None),       # unlabeled zz-ish
+        ]
+        from dataingestionframework_spark.operators.text import lang_id_ngram
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r.doc_id: (r.lang_pred, r.lang_confidence)
+               for r in lang_id_ngram(df).collect()}
+        assert all(got[i][0] == "aa" for i in range(5))
+        assert all(got[10 + i][0] == "zz" for i in range(5))
+        assert got[100][0] == "aa" and got[101][0] == "zz"
+        assert got[0][1] > 0.9  # member of its own centroid
+
+    def test_empty_text_is_und(self, spark):
+        from dataingestionframework_spark.operators.text import lang_id_ngram
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma", "aa"), (1, "", None), (2, None, None)],
+            "doc_id long, text string, lang string",
+        )
+        got = {r.doc_id: (r.lang_pred, r.lang_confidence)
+               for r in lang_id_ngram(df).collect()}
+        assert got[1] == ("und", 0.0) and got[2] == ("und", 0.0)
+
+    def test_routing_into_adaptive_length_gate(self, spark):
+        """The advertised composition: predict language, then gate
+        length per PREDICTED language — every row keeps a verdict."""
+        from dataingestionframework_spark.operators.text import (
+            adaptive_length_filter,
+            lang_id_ngram,
+        )
+
+        rows = [(i, "alpha beta gamma delta " * (1 + i % 3), "aa") for i in range(6)]
+        rows += [(10 + i, "zzz qqq xxx " * (1 + i % 4), "zz") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        routed = adaptive_length_filter(
+            lang_id_ngram(df), group_col="lang_pred"
+        )
+        out = routed.collect()
+        assert len(out) == 14
+        assert {r.lang_pred for r in out} == {"aa", "zz"}
+        assert all(r.length_pass is not None for r in out)
+
+
 def test_staged_swap_crash_window_recovers(spark, tmp_root):
     """Crash between rename(path→bak) and rename(staged→path) leaves
     the sink name empty with the data under a sibling. The recovery
