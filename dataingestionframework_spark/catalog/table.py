@@ -182,9 +182,15 @@ class ManagedTable:
         a commit, exactly Delta's semantics — so a bad restore can be
         restored away again. Optimistic-concurrency-guarded like every
         other copy-on-write DML."""
-        df = self.read(version=version, tag=tag)
+        # capture the base BEFORE resolving the historical image so a
+        # commit landing during the read conflicts (Delta: RESTORE is a
+        # transaction like any other)
         base = self._current_version()
-        self.overwrite(df, _op="restore", expect_version=base)
+        base_commits = len(self._history_lines())
+        df = self.read(version=version, tag=tag)
+        self.overwrite(
+            df, _op="restore", expect_version=base, expect_commits=base_commits
+        )
 
     def vacuum(self, keep_current: bool = True) -> int:
         """Drop non-current version directories (Delta VACUUM analogue).
@@ -545,22 +551,35 @@ class ManagedTable:
         return self._dir_rows(self.data_dir(), self.data_files() - before)
 
     def overwrite(
-        self, df: DataFrame, _op: str = "overwrite", expect_version: str | None = None
+        self,
+        df: DataFrame,
+        _op: str = "overwrite",
+        expect_version: str | None = None,
+        expect_commits: int | None = None,
     ) -> None:
         # UPDATE/MERGE expressions can break constraints just as inserts
         # can; every Spark-path write funnels through here or append()
         self._validate_constraints(df)
         if expect_version is None and self.exists():
             expect_version = self._current_version()
+        if expect_commits is None and self.exists():
+            expect_commits = len(self._history_lines())
         v, path = self._new_version_dir()
         self._writer(df, "overwrite").parquet(path)
         # optimistic concurrency (Delta commit-conflict analogue): the
         # new image was computed FROM expect_version — if another writer
         # swapped the pointer meanwhile, committing would silently drop
-        # their write, so fail instead. The loser recomputes and retries.
+        # their write, so fail instead. The pointer alone is blind to
+        # APPENDS (they add files without moving the version — Delta's
+        # ConcurrentAppendException case), so the commit COUNT is
+        # checked too: any commit of any kind landing after the base
+        # was captured conflicts. The loser recomputes and retries.
         if expect_version is not None and self.exists():
             now = self._current_version()
-            if now != expect_version:
+            now_commits = len(self._history_lines())
+            if now != expect_version or (
+                expect_commits is not None and now_commits != expect_commits
+            ):
                 from ..errors import ConcurrentWriteError
 
                 shutil.rmtree(path, ignore_errors=True)
@@ -595,26 +614,42 @@ class ManagedTable:
                 "replacement condition"
             )
         base = self._current_version()
+        base_commits = len(self._history_lines())
         merged = self.read().filter(~cond_true).unionByName(df)
-        self.overwrite(merged, _op="replace_where", expect_version=base)
+        self.overwrite(
+            merged,
+            _op="replace_where",
+            expect_version=base,
+            expect_commits=base_commits,
+        )
 
     # -- DML (copy-on-write; Delta swaps in transparently on a cluster) -----
 
     def delete(self, condition: Column | str) -> None:
         base = self._current_version()
+        base_commits = len(self._history_lines())
         self.overwrite(
-            self.read().filter(~_col(condition)), _op="delete", expect_version=base
+            self.read().filter(~_col(condition)),
+            _op="delete",
+            expect_version=base,
+            expect_commits=base_commits,
         )
 
     def update(self, condition: Column | str, set: Mapping[str, Column | str]) -> None:
         cond = _col(condition)
         base = self._current_version()
+        base_commits = len(self._history_lines())
         df = self.read()
         cols = [
             F.when(cond, _col(set[c])).otherwise(F.col(c)).alias(c) if c in set else F.col(c)
             for c in df.columns
         ]
-        self.overwrite(df.select(*cols), _op="update", expect_version=base)
+        self.overwrite(
+            df.select(*cols),
+            _op="update",
+            expect_version=base,
+            expect_commits=base_commits,
+        )
 
     def merge(
         self,
@@ -657,6 +692,7 @@ class ManagedTable:
         # the optimistic-concurrency check covers a base that moves between
         # read and commit (same protection as delete/update/replace_where).
         base_version = self._current_version()
+        base_commits = len(self._history_lines())
         target = self.read()
         tcols = target.columns
         # Presence sentinels survive the full-outer join where key columns
@@ -704,7 +740,12 @@ class ManagedTable:
             ).first()
             metrics = {k: (m[k] or 0) for k in m.asDict()}
         base = joined if when_not_matched_insert else joined.filter(tgt_present)
-        self.overwrite(base.select(*out_cols), _op="merge", expect_version=base_version)
+        self.overwrite(
+            base.select(*out_cols),
+            _op="merge",
+            expect_version=base_version,
+            expect_commits=base_commits,
+        )
         return metrics
 
     # -- Arrow fast path for tiny control-plane tables ----------------------

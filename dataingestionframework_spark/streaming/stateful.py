@@ -128,27 +128,14 @@ TWS_OUT_SCHEMA = (
 )
 
 
-def running_user_profile_tws(events: DataFrame) -> DataFrame:
-    """Per-user running profile on the Spark 4 ``transformWithState``
-    API: event count + value sum in a ``ValueState``, the set of seen
-    event types in a ``MapState`` (the state store holds one entry per
-    (user, type) — no unbounded Python-side set). Emits the updated
-    profile for every user seen in the micro-batch (update mode).
-
-    The older ``applyInPandasWithState`` twin is
-    :func:`running_user_counters`; this is the forward-looking surface
-    (typed state handles, timers, TTL) introduced in Spark 4.0. Batch
-    frames fall back to the equivalent one-pass aggregation.
-    """
-    if not events.isStreaming:
-        from pyspark.sql import functions as F
-
-        return events.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.count_distinct("event_type").alias("n_types"),
-        )
-
+def _make_profile_processor():
+    """Build the TWS profile processor CLASS at module level so its
+    state algebra is testable WITHOUT the TWS transport: the container
+    lacks protobuf (the TWS state-server protocol needs it — waiver in
+    DEPLOY.md), so the stream path can't run here; instead the pytest
+    drives ``handleInputRows`` directly against stub state handles over
+    randomized micro-batch splits and asserts convergence to the batch
+    aggregation. Only the wire protocol is left unexercised."""
     from pyspark.sql.streaming import StatefulProcessor
 
     class _Profile(StatefulProcessor):
@@ -182,8 +169,32 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
         def close(self):
             pass
 
+    return _Profile
+
+
+def running_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user running profile on the Spark 4 ``transformWithState``
+    API: event count + value sum in a ``ValueState``, the set of seen
+    event types in a ``MapState`` (the state store holds one entry per
+    (user, type) — no unbounded Python-side set). Emits the updated
+    profile for every user seen in the micro-batch (update mode).
+
+    The older ``applyInPandasWithState`` twin is
+    :func:`running_user_counters`; this is the forward-looking surface
+    (typed state handles, timers, TTL) introduced in Spark 4.0. Batch
+    frames fall back to the equivalent one-pass aggregation.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+
     return events.groupBy("user_id").transformWithStateInPandas(
-        _Profile(),
+        _make_profile_processor()(),
         outputStructType=TWS_OUT_SCHEMA,
         outputMode="update",
         timeMode="none",

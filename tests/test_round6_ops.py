@@ -129,6 +129,199 @@ class TestPrefixJoinHotGramCap:
         assert got == expect
 
 
+class TestOptimisticCommitConflictMatrix:
+    """Pin the parquet emulation's ACID claims as a conflict MATRIX:
+    every copy-on-write DML whose base moved — by a pointer-moving
+    racer OR a blind append (Delta's ConcurrentAppendException case,
+    which the pointer alone cannot see) — must raise
+    ConcurrentWriteError and preserve the racer's commit; blind
+    appends commute with each other; non-data ops (tag) conflict with
+    nothing."""
+
+    def _table(self, spark, tmp_root, name):
+        import os
+
+        from dataingestionframework_spark.catalog.table import ManagedTable
+
+        t = ManagedTable(spark, os.path.join(tmp_root, name))
+        t.append(
+            spark.createDataFrame([(i, f"v{i}") for i in range(8)], "id long, v string")
+        )
+        return t
+
+    def _race(self, spark, t, racer):
+        """Patch t.read so the racer commits inside the cow window."""
+        from unittest import mock
+
+        from dataingestionframework_spark.catalog.table import ManagedTable
+
+        real_read = t.read
+
+        def read_then_racer(*a, **kw):
+            df = real_read(*a, **kw)
+            racer(ManagedTable(t.spark, t.root))
+            return df
+
+        return mock.patch.object(t, "read", side_effect=read_then_racer)
+
+    def test_matrix_cow_vs_racer_conflicts(self, spark, tmp_root):
+        from dataingestionframework_spark.errors import ConcurrentWriteError
+
+        cow_ops = {
+            "delete": lambda t: t.delete(F.col("id") == 1),
+            "update": lambda t: t.update(F.col("id") == 2, {"v": F.lit("X")}),
+            "replace_where": lambda t: t.replace_where(
+                spark.createDataFrame([(3, "R")], "id long, v string"),
+                F.col("id") == 3,
+            ),
+            "merge": lambda t: t.merge(
+                spark.createDataFrame([(4, "M")], "id long, v string"),
+                on=["id"],
+                when_matched_update="all",
+            ),
+            "restore": lambda t: t.restore(version=0),
+        }
+        racers = {
+            "append": lambda r: r.append(
+                spark.createDataFrame([(100, "A")], "id long, v string")
+            ),
+            "delete": lambda r: r.delete(F.col("id") == 7),
+            "truncate": lambda r: r.truncate(),
+        }
+        for ci, (cname, cop) in enumerate(cow_ops.items()):
+            for ri, (rname, rop) in enumerate(racers.items()):
+                t = self._table(spark, tmp_root, f"m_{cname}_{rname}")
+                before_racer = t.count()
+                with self._race(spark, t, rop):
+                    with pytest.raises(ConcurrentWriteError):
+                        cop(t)
+                # the racer's commit survived un-clobbered
+                got = t.count()
+                expect = {"append": before_racer + 1, "delete": before_racer - 1,
+                          "truncate": 0}[rname]
+                assert got == expect, f"{cname} vs {rname}: racer lost"
+                # and the loser's retry then lands cleanly
+                cop(t)
+
+    def test_appends_commute(self, spark, tmp_root):
+        t = self._table(spark, tmp_root, "aa")
+        with self._race(spark, t, lambda r: r.append(
+            spark.createDataFrame([(200, "B")], "id long, v string")
+        )):
+            pass  # appends never call read(); race manually instead
+        from dataingestionframework_spark.catalog.table import ManagedTable
+
+        t2 = ManagedTable(spark, t.root)
+        t.append(spark.createDataFrame([(201, "C")], "id long, v string"))
+        t2.append(spark.createDataFrame([(202, "D")], "id long, v string"))
+        ids = {r.id for r in t.read().collect()}
+        assert {201, 202} <= ids  # both blind appends landed
+
+    def test_tag_conflicts_with_nothing(self, spark, tmp_root):
+        t = self._table(spark, tmp_root, "tg")
+        with self._race(spark, t, lambda r: r.tag("snap")):
+            t.delete(F.col("id") == 0)  # no raise: tag is not a commit
+        assert t.count() == 7 and "snap" in t.tags()
+
+
+class _StubValueState:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _StubMapState:
+    def __init__(self):
+        self._m = {}
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def keys(self):
+        return iter(self._m)
+
+
+class _StubHandle:
+    def getValueState(self, name, schema):
+        return _StubValueState()
+
+    def getMapState(self, name, kschema, vschema):
+        return _StubMapState()
+
+
+def _drive_tws_profile(splits):
+    """Run the real TWS processor's handleInputRows over a sequence of
+    micro-batch pandas frames for one key, returning its final emit."""
+    import pandas as pd
+
+    from dataingestionframework_spark.streaming.stateful import (
+        _make_profile_processor,
+    )
+
+    proc = _make_profile_processor()()
+    proc.init(_StubHandle())
+    last = None
+    for pdf in splits:
+        for out in proc.handleInputRows((7,), iter([pdf]), None):
+            last = out
+    return last
+
+
+class TestTWSProfileStateAlgebra:
+    """DEPLOY.md waiver backing: the TWS transport (protobuf) can't run
+    in this container, so the processor's STATE ALGEBRA is proven
+    batch-equivalent directly — any micro-batch split of the input
+    must converge to the one-pass batch aggregation."""
+
+    def _events(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        types = ["click", "view", "buy", "scroll"]
+        # multiples of 1/64 are exactly representable: float summation
+        # is exact in any grouping, so split/one-shot equality is EXACT
+        # (with arbitrary reals a 2dp half-point could legitimately
+        # round either way depending on accumulation order)
+        return [
+            (rng.choice(types), rng.randrange(-320, 320) / 64.0)
+            for _ in range(rng.randrange(1, 40))
+        ]
+
+    def test_any_split_matches_one_shot(self):
+        import pandas as pd
+
+        for seed in range(12):
+            ev = self._events(seed)
+            frame = pd.DataFrame(ev, columns=["event_type", "value"])
+
+            import random
+
+            rng = random.Random(1000 + seed)
+            cuts = sorted(
+                rng.sample(range(1, len(ev)), min(3, len(ev) - 1))
+            ) if len(ev) > 1 else []
+            parts = []
+            prev = 0
+            for c in cuts + [len(ev)]:
+                parts.append(frame.iloc[prev:c])
+                prev = c
+            split_out = _drive_tws_profile(parts)
+            one_out = _drive_tws_profile([frame])
+            for col in ("n_events", "total_value", "n_types"):
+                assert split_out[col][0] == pytest.approx(one_out[col][0])
+            # and both equal the batch-fallback aggregation contract
+            assert one_out["n_events"][0] == len(ev)
+            assert one_out["total_value"][0] == pytest.approx(
+                round(sum(v for _, v in ev), 2)
+            )
+            assert one_out["n_types"][0] == len({t for t, _ in ev})
+
+
 class TestLangIdNgram:
     """Hashed char-n-gram nearest-centroid language ID."""
 
