@@ -957,3 +957,97 @@ def distinct_ngram_ratio(
             "distinct_ratio"
         ),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_r: int = 100,
+) -> DataFrame:
+    """Zipf rank-frequency slope per group — the corpus-health metric
+    (natural language sits near slope −1 on the log-log rank/frequency
+    line; template farms and synthetic spam flatten it, boilerplate
+    floods steepen it). Computed as the OLS slope of ln(freq) on
+    ln(rank) over each group's ``top_r`` most frequent tokens.
+
+    Plan: one token explode + (group, token) count, one per-group rank
+    window over the group-cardinality count table, one covariance
+    aggregate — the corpus scan is linear, the regression runs on
+    ``groups × top_r`` rows. Ties rank deterministically (count desc,
+    token asc) so the top-R cut is engine-stable.
+
+    Output: (group, n_terms, zipf_slope 4dp).
+    """
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    counts = toks.groupBy(group_col, "_t").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_c").desc(), F.col("_t").asc()
+    )
+    ranked = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_r)
+        .select(
+            group_col,
+            F.log(F.col("_r").cast("double")).alias("_x"),
+            F.log(F.col("_c").cast("double")).alias("_y"),
+        )
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_terms"),
+        F.round(
+            F.covar_pop("_x", "_y") / F.var_pop("_x"), 4
+        ).alias("zipf_slope"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_k`` token vocabulary — the cheap tokenizer-fit screen:
+    docs whose tokens mostly fall outside the working vocabulary are
+    encoding noise, wrong-language strays, or code in a prose corpus,
+    and they inflate token budgets downstream.
+
+    Plan: one global token count → top-K cut as orderBy().limit()
+    (Spark's TakeOrderedAndProject — per-partition heaps merged on the
+    driver, NOT a single-partition sort window, which matters when the
+    distinct-token table itself is huge) with deterministic ties
+    (count desc, token asc) → the K-row vocab broadcast back onto the
+    exploded scan, one per-doc aggregate. Counts OCCURRENCES (not
+    types): a doc repeating one alien token 500 times is 100% OOV.
+
+    Output: input ids + (n_tok, n_oov, oov_rate 4dp); empty/NULL text
+    yields (0, 0, 0.0).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t")
+    )
+    counts = toks.filter(F.col("_t").isNotNull()).groupBy("_t").agg(
+        F.count("*").alias("_c")
+    )
+    vocab = (
+        counts.orderBy(F.col("_c").desc(), F.col("_t").asc())
+        .limit(vocab_k)
+        .select("_t", F.lit(True).alias("_in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "_t", "left")
+    per_doc = tagged.groupBy(id_col).agg(
+        F.sum(F.col("_t").isNotNull().cast("long")).alias("n_tok"),
+        F.sum(
+            (F.col("_t").isNotNull() & F.col("_in_vocab").isNull()).cast("long")
+        ).alias("n_oov"),
+    )
+    return per_doc.withColumn(
+        "oov_rate",
+        F.when(
+            F.col("n_tok") > 0,
+            F.round(F.col("n_oov") / F.col("n_tok"), 4),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -695,6 +695,101 @@ def set_similarity_join_exact(
     return verify_pairs_jaccard(cand, df, text_col, id_col, n, threshold)
 
 
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_id: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set-containment self-join: emit ordered pairs (a, b),
+    a ≠ b, where containment(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|
+    ≥ ``threshold`` — the quote/subset detector Jaccard dedup misses: a
+    paragraph fully embedded in a 100× longer doc has tiny Jaccard but
+    containment 1.0. Standard uses: doc-in-doc (licensing boilerplate,
+    quotation mining), train/eval leakage where the eval item is a
+    snippet of a training doc.
+
+    Candidate generation is the asymmetric prefix filter: if
+    |A∩B| ≥ ceil(t·|A|), then A's rarest-first prefix of
+    ``|A| - ceil(t·|A|) + 1`` grams must intersect B's FULL gram set
+    (remove A's prefix and at most |A| - p < ceil(t·|A|) shared grams
+    remain) — recall 1.0. So the join is prefix(A) ⋈ all-grams(B): the
+    contained side prunes to its prefix, the containing side cannot
+    (any of B's grams may carry the match). A size filter
+    (|B| ≥ ceil(t·|A|) since the intersection fits inside B) prunes
+    before verification; exact intersection counts run on candidates
+    only, set-algebra joins — no arrays, no Python.
+
+    Returns (id_a, id_b, containment), containment rounded to 4dp.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "containment_join requires threshold > 0: the join-based set "
+            "algebra never materializes zero-intersection pairs"
+        )
+    from pyspark.sql import Window
+
+    from ..functions import exploded_word_ngrams
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    g = exploded_word_ngrams(base, text_col, id_col, n).distinct()
+    g = g.withColumnRenamed(id_col, "id").persist()
+    try:
+        sz = g.groupBy("id").agg(F.count("*").alias("sz"))
+        dfreq = g.groupBy("gram").agg(F.count("*").alias("gdf"))
+        w = Window.partitionBy("id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
+        alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        prefix = (
+            g.join(dfreq, "gram")
+            .withColumn("pos", F.row_number().over(w))
+            .join(sz, "id")
+            .filter(F.col("pos") <= F.col("sz") - alpha + F.lit(1))
+            .select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "gram")
+        )
+        b_all = g.join(sz, "id").select(
+            F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "gram"
+        )
+        cand = (
+            prefix.join(b_all, "gram")
+            .filter(
+                (F.col("id_a") != F.col("id_b"))
+                & (
+                    F.col("sz_b").cast("double")
+                    >= F.lit(threshold) * F.col("sz_a") - F.lit(1e-9)
+                )
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            cand.join(g.select(F.col("id").alias("id_a"), "gram"), "id_a")
+            .join(g.select(F.col("id").alias("id_b"), "gram"), ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        out = (
+            inter.join(
+                sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+                "id_a",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("n_inter").cast("double") / F.col("sz_a").cast("double"), 4
+                ).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
+        return out.localCheckpoint()
+    finally:
+        g.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (Hamming distance on 64-bit sketches)
 # ---------------------------------------------------------------------------

@@ -1641,3 +1641,54 @@ def _merge_stats(
             merged[cid] = [by_pos[p] for p in sorted(by_pos)]
             new_counts[cid] = counts.get(cid, 0) + batch_n[cid]
     return merged, new_counts
+
+
+def sq8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar int8 quantization (FAISS SQ8 shape, per-vector symmetric
+    scaling): scale = max|x| / 127, codes = round(x / scale) ∈
+    [-127, 127] — 4× smaller than float32, the standard first
+    compression step for billion-vector ANN serving (PQ's cheaper,
+    higher-fidelity sibling; ``pq_*`` covers the codebook path).
+
+    Pure column expressions over the array — ``transform`` +
+    ``aggregate``, scan-side, no shuffle, no Python. Emits the codes
+    plus the reconstruction audit a deployment gate needs: ``sq_scale``
+    (6dp), ``max_abs_err`` = max |x − code·scale| (6dp), and exact
+    integer ``sum_codes`` / ``sum_abs_codes`` (engine-portable
+    checksums of the code vector). All-zero vectors quantize to
+    all-zero codes with scale 0.
+    """
+    x = F.col(vec_col).cast("array<double>")
+    max_abs = F.aggregate(
+        x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v))
+    )
+    scale = max_abs / F.lit(127.0)
+    codes = F.when(max_abs > 0, F.transform(
+        x, lambda v: F.round(v / scale).cast("int")
+    )).otherwise(F.transform(x, lambda v: F.lit(0)))
+    out = df.withColumn("_scale", scale).withColumn("sq_codes", codes)
+    err = F.zip_with(
+        x,
+        F.col("sq_codes"),
+        lambda v, c: F.abs(v - c.cast("double") * F.col("_scale")),
+    )
+    return out.select(
+        id_col,
+        "sq_codes",
+        F.round("_scale", 6).alias("sq_scale"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, v: F.greatest(a, v)), 6
+        ).alias("max_abs_err"),
+        F.aggregate(
+            F.col("sq_codes"), F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("sum_codes"),
+        F.aggregate(
+            F.col("sq_codes"),
+            F.lit(0).cast("long"),
+            lambda a, c: a + F.abs(c),
+        ).alias("sum_abs_codes"),
+    )

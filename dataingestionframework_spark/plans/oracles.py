@@ -4080,6 +4080,94 @@ ORACLES.update({
 })
 
 ORACLES.update({
+    # exact all-pairs asymmetric containment ground truth: the Spark
+    # side's prefix-filtered candidates + join-algebra verify must
+    # reproduce it bit-for-bit (recall AND ratio math both checked)
+    "containment_join_docs": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS ts FROM documents WHERE doc_id < 200
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, len(ts) - 2),
+                       i -> array_to_string(list_slice(ts, i + 1, i + 3), ' ')
+                   )) AS gs
+            FROM toks WHERE len(ts) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                     / len(a.gs), 4) AS containment
+        FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                    / len(a.gs), 4) >= 0.4
+    """,
+    # identical rank/frequency regression: deterministic top-100 ties
+    # (count desc, token asc), ln/ln OLS slope = covar_pop/var_pop
+    "zipf_slope_docs": f"""
+        WITH tk AS (SELECT lang, unnest({_TOKENS}) AS t FROM documents),
+        counts AS (SELECT lang, t, count(*) AS c FROM tk GROUP BY 1, 2),
+        ranked AS (
+            SELECT lang, c,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, t ASC) AS r
+            FROM counts
+            QUALIFY r <= 100
+        )
+        SELECT lang, count(*) AS n_terms,
+               round(regr_slope(ln(CAST(c AS DOUBLE)),
+                                ln(CAST(r AS DOUBLE))), 4) AS zipf_slope
+        FROM ranked GROUP BY lang
+    """,
+    # same top-50 vocabulary cut (count desc, token asc), occurrence-
+    # level OOV counts — integers end to end, rate an exact division
+    "oov_rate_docs": f"""
+        WITH tk AS (SELECT doc_id, unnest({_TOKENS}) AS t FROM documents),
+        counts AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+        vocab AS (SELECT t FROM counts ORDER BY c DESC, t ASC LIMIT 50),
+        per AS (
+            SELECT tk.doc_id, count(*) AS n_tok,
+                   sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM tk LEFT JOIN vocab v USING (t) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tok, 0) AS BIGINT) AS n_tok,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CASE WHEN coalesce(p.n_tok, 0) > 0
+                    THEN round(CAST(p.n_oov AS DOUBLE) / p.n_tok, 4)
+                    ELSE 0.0 END AS oov_rate
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    # identical per-vector symmetric int8 quantization in list algebra:
+    # same scale, same half-away-from-zero rounding, same audits
+    "sq8_quantize_embeddings": """
+        WITH q AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(
+                       embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma
+            FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id, embedding, ma, ma / 127.0 AS scale,
+                   CASE WHEN ma > 0 THEN list_transform(
+                            embedding,
+                            v -> CAST(round(CAST(v AS DOUBLE)
+                                            / (ma / 127.0)) AS INTEGER))
+                        ELSE list_transform(embedding, v -> 0)
+                   END AS codes
+            FROM q
+        )
+        SELECT vec_id, codes AS sq_codes,
+               round(scale, 6) AS sq_scale,
+               round(list_max(list_transform(
+                   range(1, len(embedding) + 1),
+                   i -> abs(CAST(embedding[i] AS DOUBLE)
+                            - codes[i] * scale))), 6) AS max_abs_err,
+               CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+               CAST(list_sum(list_transform(codes, x -> abs(x)))
+                    AS BIGINT) AS sum_abs_codes
+        FROM c
+    """,
     # the identical hashed char-3-gram nearest-centroid classifier in
     # SQL: same md5-bucket hash, exact-integer dot products, 6dp cosine
     # argmax with lang-asc ties, confidence summed in basis points

@@ -5776,6 +5776,61 @@ def blocklist_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment self-join (operators.dedup.
+    containment_join): ordered pairs where ≥40% of doc A's word
+    3-grams appear in doc B — the quote/doc-in-doc detector Jaccard
+    misses. Candidates come from the asymmetric prefix filter
+    (contained side prunes to its rarest grams, containing side keeps
+    all — recall 1.0); the oracle is exact all-pairs containment on
+    the same bounded id range, so candidate recall AND the verify math
+    are both hash-checked."""
+    from ..operators.dedup import containment_join
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return containment_join(t("documents"), n=3, threshold=0.4, max_id=200)
+
+
+def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per language (operators.corpus.
+    zipf_slope): OLS slope of ln(freq) ~ ln(rank) over each lang's
+    top-100 tokens — the corpus-health screen for template farms
+    (flat) and boilerplate floods (steep). Deterministic top-R ties so
+    the regression set is engine-stable."""
+    from ..operators.corpus import zipf_slope
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return zipf_slope(t("documents"), group_col="lang", top_r=100)
+
+
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc against the corpus's own top-50
+    token vocabulary (operators.corpus.oov_rate) — the tokenizer-fit
+    screen. Top-K cut is a distributed TakeOrderedAndProject, counts
+    are occurrence-level integers, so the per-doc output is
+    engine-exact."""
+    from ..operators.corpus import oov_rate
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return oov_rate(t("documents"), vocab_k=50)
+
+
+def sq8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding table (operators.
+    similarity.sq8_quantize, the FAISS-SQ8 serving compression):
+    per-vector symmetric scale, round-to-int8 codes, reconstruction
+    audit. The full code arrays plus integer checksums are
+    hash-matched against DuckDB list arithmetic."""
+    from ..operators.similarity import sq8_quantize
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return sq8_quantize(t("embeddings"))
+
+
 def lang_id_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (operators.text.lang_id_ngram): hashed char-3-gram
     nearest-centroid classifier — the fastText-langid shape — trained
@@ -6466,6 +6521,10 @@ QUERIES = {
     "encoding_quality_docs": encoding_quality_docs,
     "blocklist_lexicon_docs": blocklist_lexicon_docs,
     "lang_id_ngram_docs": lang_id_ngram_docs,
+    "containment_join_docs": containment_join_docs,
+    "zipf_slope_docs": zipf_slope_docs,
+    "oov_rate_docs": oov_rate_docs,
+    "sq8_quantize_embeddings": sq8_quantize_embeddings,
     "preference_pairs_docs": preference_pairs_docs,
     "kmeans_cluster_embeddings": kmeans_cluster_embeddings,
     "kmeans_incremental_embeddings": kmeans_incremental_embeddings,

@@ -129,6 +129,105 @@ class TestPrefixJoinHotGramCap:
         assert got == expect
 
 
+class TestNewCorpusOps:
+    """containment_join / zipf_slope / oov_rate / sq8_quantize."""
+
+    def test_containment_is_asymmetric(self, spark):
+        from dataingestionframework_spark.operators.dedup import containment_join
+
+        quote = "alpha beta gamma delta epsilon"
+        host = quote + " " + " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(0, quote), (1, host), (2, "totally different text entirely here")],
+            "doc_id long, text string",
+        )
+        got = {(r.id_a, r.id_b): r.containment
+               for r in containment_join(df, threshold=0.9).collect()}
+        assert got[(0, 1)] == 1.0      # the quote is fully inside the host
+        assert (1, 0) not in got       # the host is NOT inside the quote
+        assert not any(2 in p for p in got)
+
+    def test_containment_matches_bruteforce(self, spark):
+        """Prefix-filtered candidates + join verify == exact all-pairs."""
+        from dataingestionframework_spark.operators.dedup import containment_join
+
+        import random
+
+        rng = random.Random(5)
+        base = [f"t{i}" for i in range(60)]
+        rows = []
+        for i in range(40):  # contiguous slices of one base sequence:
+            s = rng.randrange(0, 50)  # short slices sit inside long ones
+            rows.append((i, " ".join(base[s:s + rng.randrange(3, 20)])))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b): r.containment
+               for r in containment_join(df, threshold=0.5).collect()}
+
+        def grams(s):
+            ts = s.split()
+            return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+        gs = {i: grams(t) for i, t in rows}
+        expect = {}
+        for a in gs:
+            for b in gs:
+                if a != b and gs[a]:
+                    c = round(len(gs[a] & gs[b]) / len(gs[a]), 4)
+                    if c >= 0.5:
+                        expect[(a, b)] = c
+        assert got == expect and len(expect) > 0
+
+    def test_zipf_slope_recovers_power_law(self, spark):
+        """A corpus built with freq(rank) = C/rank must regress to
+        slope ≈ -1; a uniform corpus to slope 0."""
+        from dataingestionframework_spark.operators.corpus import zipf_slope
+
+        zipf_text = " ".join(
+            " ".join([f"w{r}"] * (60 // r)) for r in range(1, 13)
+        )
+        flat_text = " ".join(" ".join([f"u{r}"] * 7) for r in range(1, 13))
+        df = spark.createDataFrame(
+            [(0, "zipf", zipf_text), (1, "flat", flat_text)],
+            "doc_id long, lang string, text string",
+        )
+        got = {r.lang: (r.n_terms, r.zipf_slope)
+               for r in zipf_slope(df, group_col="lang", top_r=12).collect()}
+        assert got["zipf"][0] == 12 and abs(got["zipf"][1] + 1.0) < 0.05
+        assert got["flat"][1] == 0.0
+
+    def test_oov_rate_counts_occurrences(self, spark):
+        from dataingestionframework_spark.operators.corpus import oov_rate
+
+        df = spark.createDataFrame(
+            [
+                (0, "a a a b"),        # b (count 1) misses the top-2 cut
+                (1, "a z z z"),        # a, z in vocab {a:4, z:3}
+                (2, ""),               # empty → (0, 0, 0.0)
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.n_tok, r.n_oov, r.oov_rate)
+               for r in oov_rate(df, vocab_k=2).collect()}
+        assert got[0] == (4, 1, 0.25)
+        assert got[1] == (4, 0, 0.0)
+        assert got[2] == (0, 0, 0.0)
+
+    def test_sq8_quantize_bounds_and_zero_vector(self, spark):
+        from dataingestionframework_spark.operators.similarity import sq8_quantize
+
+        df = spark.createDataFrame(
+            [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.vec_id: r for r in sq8_quantize(df).collect()}
+        assert got[0].sq_codes == [127, -64, 32, 0]  # round(0.25/scale)=31.75→32
+        assert max(abs(c) for c in got[0].sq_codes) == 127
+        # reconstruction error bounded by scale/2
+        assert got[0].max_abs_err <= (1.0 / 127.0) / 2 + 1e-9
+        assert got[1].sq_codes == [0, 0, 0, 0]
+        assert got[1].sq_scale == 0.0 and got[1].max_abs_err == 0.0
+
+
 class TestOptimisticCommitConflictMatrix:
     """Pin the parquet emulation's ACID claims as a conflict MATRIX:
     every copy-on-write DML whose base moved — by a pointer-moving
