@@ -4080,6 +4080,36 @@ ORACLES.update({
 })
 
 ORACLES.update({
+    # the same anchored min-aggregation chain: each step's anchor is
+    # the earliest event strictly after the previous step's anchor
+    "funnel_steps_events": """
+        WITH s1 AS (SELECT user_id, min(ts) AS a FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS a FROM events e
+               JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s1.a GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS a FROM events e
+               JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s2.a GROUP BY 1)
+        SELECT 1 AS step_idx, 'view' AS step_name,
+               (SELECT count(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    # first-activity-day cohorts x day offsets, distinct active users
+    "cohort_retention_events": """
+        WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                       FROM events GROUP BY 1),
+        active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                   FROM events)
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.d) AS INTEGER)
+                   AS day_offset,
+               count(*) AS n_active
+        FROM active a JOIN first f USING (user_id)
+        WHERE date_diff('day', f.cohort_day, a.d) <= 14
+        GROUP BY 1, 2
+    """,
     # exact all-pairs asymmetric containment ground truth: the Spark
     # side's prefix-filtered candidates + join-algebra verify must
     # reproduce it bit-for-bit (recall AND ratio math both checked)

@@ -5776,6 +5776,29 @@ def blocklist_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel (operators.behavior.
+    funnel_conversions): users reaching view → click-after-view →
+    purchase-after-that-click. Each stage is a filtered min-agg joined
+    on the previous anchor — no window over the raw event table."""
+    from ..operators.behavior import funnel_conversions
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return funnel_conversions(t("events"), ["view", "click", "purchase"])
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle (operators.behavior.
+    cohort_retention): first-activity-day cohorts × day offsets →
+    distinct active users. Integers and dates end to end."""
+    from ..operators.behavior import cohort_retention
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return cohort_retention(t("events"), max_offset=14)
+
+
 def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric set-containment self-join (operators.dedup.
     containment_join): ordered pairs where ≥40% of doc A's word
@@ -6522,6 +6545,8 @@ QUERIES = {
     "blocklist_lexicon_docs": blocklist_lexicon_docs,
     "lang_id_ngram_docs": lang_id_ngram_docs,
     "containment_join_docs": containment_join_docs,
+    "funnel_steps_events": funnel_steps_events,
+    "cohort_retention_events": cohort_retention_events,
     "zipf_slope_docs": zipf_slope_docs,
     "oov_rate_docs": oov_rate_docs,
     "sq8_quantize_embeddings": sq8_quantize_embeddings,

@@ -228,6 +228,79 @@ class TestNewCorpusOps:
         assert got[1].sq_scale == 0.0 and got[1].max_abs_err == 0.0
 
 
+class TestBehaviorOps:
+    """funnel_conversions / cohort_retention."""
+
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t, u, k) for i, (t, u, k) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_funnel_requires_strict_order(self, spark):
+        from dataingestionframework_spark.operators.behavior import (
+            funnel_conversions,
+        )
+
+        ev = self._ev(spark, [
+            # u1 converts in order
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 10:05:00", 1, "click"),
+            ("2024-01-01 10:10:00", 1, "purchase"),
+            # u2 purchases BEFORE clicking — reaches step 2 only
+            ("2024-01-02 09:00:00", 2, "view"),
+            ("2024-01-02 09:01:00", 2, "purchase"),
+            ("2024-01-02 09:02:00", 2, "click"),
+            # u3 never views — reaches nothing
+            ("2024-01-03 08:00:00", 3, "click"),
+            ("2024-01-03 08:01:00", 3, "purchase"),
+        ])
+        got = {r.step_idx: (r.step_name, r.n_users)
+               for r in funnel_conversions(
+                   ev, ["view", "click", "purchase"]).collect()}
+        assert got == {1: ("view", 2), 2: ("click", 2), 3: ("purchase", 1)}
+
+    def test_funnel_anchor_is_earliest_continuation(self, spark):
+        """First-touch anchoring maximizes conversions: a click between
+        two views must anchor on the FIRST view."""
+        from dataingestionframework_spark.operators.behavior import (
+            funnel_conversions,
+        )
+
+        ev = self._ev(spark, [
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 10:01:00", 1, "click"),
+            ("2024-01-01 10:02:00", 1, "view"),     # later view irrelevant
+            ("2024-01-01 10:03:00", 1, "purchase"),
+        ])
+        got = {r.step_idx: r.n_users
+               for r in funnel_conversions(
+                   ev, ["view", "click", "purchase"]).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_cohort_triangle(self, spark):
+        from dataingestionframework_spark.operators.behavior import (
+            cohort_retention,
+        )
+
+        ev = self._ev(spark, [
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-02 10:00:00", 1, "click"),   # day-1 retained
+            ("2024-01-02 11:00:00", 1, "view"),    # same day counted once
+            ("2024-01-01 12:00:00", 2, "view"),
+            ("2024-01-03 12:00:00", 2, "view"),    # day-2 retained
+            ("2024-01-02 09:00:00", 3, "view"),    # separate cohort
+        ])
+        got = {(str(r.cohort_day), r.day_offset): r.n_active
+               for r in cohort_retention(ev).collect()}
+        assert got == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-02", 0): 1,
+        }
+
+
 class TestOptimisticCommitConflictMatrix:
     """Pin the parquet emulation's ACID claims as a conflict MATRIX:
     every copy-on-write DML whose base moved — by a pointer-moving
