@@ -216,3 +216,62 @@ def trailing_zscore(
     n = F.count(value_col).over(w)
     z = F.when((n >= min_periods) & (s > 0), (F.col(value_col) - m) / s)
     return df.withColumn(n_col, n).withColumn(z_col, z)
+
+
+def seasonal_naive_error(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    period: int = 24,
+) -> DataFrame:
+    """Seasonality check via the seasonal-naive baseline (the MASE
+    denominator of Hyndman's forecast-accuracy canon): aggregate to an
+    hourly series per group, then compare the mean absolute error of
+    the lag-``period`` forecast (same hour yesterday) against the
+    lag-1 naive (previous hour). ratio < 1 ⇒ the series has real
+    daily seasonality worth modeling; ≥ 1 ⇒ the 24 h pattern is noise.
+    The standard pre-forecasting triage for metric pipelines.
+
+    Plan: one tumbling-hour aggregate (linear scan) and two lag
+    windows over the HOURLY table (group-cardinality × hours rows —
+    tiny), so the raw table is never window-sorted. Hourly sums are
+    rounded to 6dp before differencing so both engines difference the
+    same numbers.
+
+    Output: (group, n_hours, mae_seasonal 4dp, mae_naive 4dp,
+    mase_ratio 4dp; ratio NULL when mae_naive is 0).
+    """
+    hourly = (
+        events.groupBy(
+            F.col(group_col).alias("_g"),
+            F.date_trunc("hour", F.col(ts_col)).alias("_h"),
+        )
+        .agg(F.round(F.sum(value_col), 6).alias("_v"))
+    )
+    w = Window.partitionBy("_g").orderBy("_h")
+    lagged = hourly.select(
+        "_g",
+        "_v",
+        F.lag("_v", period).over(w).alias("_vp"),
+        F.lag("_v", 1).over(w).alias("_v1"),
+    )
+    return (
+        lagged.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(F.avg(F.abs(F.col("_v") - F.col("_vp"))), 4).alias(
+                "mae_seasonal"
+            ),
+            F.round(F.avg(F.abs(F.col("_v") - F.col("_v1"))), 4).alias(
+                "mae_naive"
+            ),
+        )
+        .withColumn(
+            "mase_ratio",
+            F.when(
+                F.col("mae_naive") > 0,
+                F.round(F.col("mae_seasonal") / F.col("mae_naive"), 4),
+            ),
+        )
+    )

@@ -4080,6 +4080,36 @@ ORACLES.update({
 })
 
 ORACLES.update({
+    # parse∘build = id: every parsed field is the source field
+    "xml_roundtrip_events": """
+        SELECT event_id, event_id AS xml_id, user_id AS xml_user,
+               event_type AS xml_type
+        FROM events WHERE event_id < 500
+    """,
+    # identical hourly aggregate + lag-24/lag-1 MAE comparison
+    "seasonal_naive_events": """
+        WITH hourly AS (
+            SELECT event_type AS g, date_trunc('hour', ts) AS h,
+                   round(sum(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT g, v,
+                   lag(v, 24) OVER (PARTITION BY g ORDER BY h) AS vp,
+                   lag(v, 1) OVER (PARTITION BY g ORDER BY h) AS v1
+            FROM hourly
+        ),
+        agg AS (
+            SELECT g AS event_type, count(*) AS n_hours,
+                   round(avg(abs(v - vp)), 4) AS mae_seasonal,
+                   round(avg(abs(v - v1)), 4) AS mae_naive
+            FROM lagged GROUP BY 1
+        )
+        SELECT event_type, n_hours, mae_seasonal, mae_naive,
+               CASE WHEN mae_naive > 0
+                    THEN round(mae_seasonal / mae_naive, 4) END AS mase_ratio
+        FROM agg
+    """,
     # the same anchored min-aggregation chain: each step's anchor is
     # the earliest event strictly after the previous step's anchor
     "funnel_steps_events": """

@@ -5776,6 +5776,45 @@ def blocklist_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML parsing (Spark 4 from_xml — the reference's format
+    matrix covers csv/json/parquet/orc; XML is the enterprise-feed
+    format it lacks): deterministic XML built from each event row is
+    parsed back through the real parser — attribute (_-prefixed) and
+    element extraction both exercised — and must reproduce the source
+    fields exactly (parse ∘ build = id, the warc_roundtrip pattern)."""
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events").filter(F.col("event_id") < 500)
+    xml = F.concat(
+        F.lit('<e id="'), F.col("event_id"),
+        F.lit('"><u>'), F.col("user_id"),
+        F.lit("</u><t>"), F.col("event_type"), F.lit("</t></e>"),
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_xml(xml, "_id long, u long, t string").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p._id").alias("xml_id"),
+        F.col("p.u").alias("xml_user"),
+        F.col("p.t").alias("xml_type"),
+    )
+
+
+def seasonal_naive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality triage (operators.windows.seasonal_naive_error,
+    the MASE shape): hourly per-type series, lag-24 forecast MAE vs
+    lag-1 naive MAE. Lags run over the tiny hourly table, never the
+    raw scan; hourly sums are 6dp-stabilized before differencing."""
+    from ..operators.windows import seasonal_naive_error
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return seasonal_naive_error(t("events"), period=24)
+
+
 def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered first-touch funnel (operators.behavior.
     funnel_conversions): users reaching view → click-after-view →
@@ -6546,6 +6585,8 @@ QUERIES = {
     "lang_id_ngram_docs": lang_id_ngram_docs,
     "containment_join_docs": containment_join_docs,
     "funnel_steps_events": funnel_steps_events,
+    "xml_roundtrip_events": xml_roundtrip_events,
+    "seasonal_naive_events": seasonal_naive_events,
     "cohort_retention_events": cohort_retention_events,
     "zipf_slope_docs": zipf_slope_docs,
     "oov_rate_docs": oov_rate_docs,

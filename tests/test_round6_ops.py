@@ -301,6 +301,32 @@ class TestBehaviorOps:
         }
 
 
+def test_seasonal_naive_detects_period(spark):
+    """A strongly daily-periodic hourly series must score
+    mase_ratio << 1; white noise must not."""
+    from dataingestionframework_spark.operators.windows import (
+        seasonal_naive_error,
+    )
+
+    import datetime as dt
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for h in range(24 * 8):
+        ts = t0 + dt.timedelta(hours=h)
+        rows.append((len(rows), ts, "daily", float(100 * (h % 24 == 5))))
+        rows.append((len(rows), ts, "noise", rng.uniform(0, 100)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r.event_type: r for r in seasonal_naive_error(df).collect()}
+    assert got["daily"].mase_ratio is not None
+    assert got["daily"].mase_ratio < 0.1      # perfect 24h repeat
+    assert got["noise"].mase_ratio > 0.5      # no seasonal advantage
+
+
 class TestOptimisticCommitConflictMatrix:
     """Pin the parquet emulation's ACID claims as a conflict MATRIX:
     every copy-on-write DML whose base moved — by a pointer-moving
