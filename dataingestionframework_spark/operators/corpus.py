@@ -1013,7 +1013,10 @@ def oov_rate(
     top-``vocab_k`` token vocabulary — the cheap tokenizer-fit screen:
     docs whose tokens mostly fall outside the working vocabulary are
     encoding noise, wrong-language strays, or code in a prose corpus,
-    and they inflate token budgets downstream.
+    and they inflate token budgets downstream. (The corpus-level
+    complement is ``text.vocab_coverage`` — the v50/v90/v99 curve that
+    picks ``vocab_k``; this operator then GATES individual docs
+    against the chosen K.)
 
     Plan: one global token count → top-K cut as orderBy().limit()
     (Spark's TakeOrderedAndProject — per-partition heaps merged on the

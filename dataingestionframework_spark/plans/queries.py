@@ -5855,11 +5855,14 @@ def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf rank-frequency slope per language (operators.corpus.
-    zipf_slope): OLS slope of ln(freq) ~ ln(rank) over each lang's
-    top-100 tokens — the corpus-health screen for template farms
-    (flat) and boilerplate floods (steep). Deterministic top-R ties so
-    the regression set is engine-stable."""
+    """Zipf rank-frequency slope PER LANGUAGE over each lang's top-100
+    tokens (operators.corpus.zipf_slope) — the per-group sibling of
+    zipf_fit_tokens (global fit over the full vocabulary): the
+    per-group form is what a mixed-language corpus-health dashboard
+    needs (one collapsed language hides inside a global fit), and the
+    top-R cut fits the head where Zipf holds instead of the bending
+    tail. Deterministic top-R ties so the regression set is
+    engine-stable."""
     from ..operators.corpus import zipf_slope
 
     tune(spark)
