@@ -613,38 +613,54 @@ def _prefix_join_candidates(
     if max_prefix_df is None:
         return _prefix_pair_join(prefix0, prefix0, threshold).distinct()
 
-    # hot grams by PREFIX occupancy (not raw df): a gram is pathological
-    # only when many docs carry it in their rarest-first prefix
-    hot = (
-        prefix0.groupBy("gram")
-        .agg(F.count("*").alias("_occ"))
-        .filter(F.col("_occ") > max_prefix_df)
-        .select("gram", F.lit(True).alias("_hot"))
-    )
-    marked = ranked.join(F.broadcast(hot), "gram", "left")
-    h_per_doc = marked.groupBy("id").agg(
-        F.sum(F.when(F.col("_hot"), 1).otherwise(0)).alias("_h")
-    )
-    marked = marked.join(h_per_doc, "id")
-    saturated = F.col("_h") >= alpha_doc
-    # normal docs: re-rank over unbanned grams, same prefix length
-    # (guaranteed to fill: #unbanned = sz - h ≥ sz - α + 1 = prefix_len)
-    w2 = Window.partitionBy("id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
-    norm_prefix = (
-        marked.filter(~saturated & F.col("_hot").isNull())
-        .withColumn("pos", F.row_number().over(w2))
-        .filter(F.col("pos") <= prefix_len)
-        .select("id", "sz", "pos", "gram")
-    )
-    sat_prefix = marked.filter(saturated & (F.col("pos") <= prefix_len)).select(
-        "id", "sz", "pos", "gram"
-    )
-    nn = _prefix_pair_join(norm_prefix, norm_prefix, threshold)
-    # pairs touching a saturated doc: classic full-universe prefixes on
-    # BOTH sides (sat_prefix ⊆ prefix0, so id_a<id_b needs both orders)
-    sa = _prefix_pair_join(sat_prefix, prefix0, threshold)
-    as_ = _prefix_pair_join(prefix0, sat_prefix, threshold)
-    return nn.union(sa).union(as_).distinct()
+    # capped path: one pass builds the ranked table, a cheap probe asks
+    # whether ANY gram is hot — on natural corpora none is (rarest-first
+    # prefixes disperse), and the classic plan runs unchanged instead of
+    # paying the re-rank window + 3-way join for nothing
+    ranked = ranked.persist()
+    try:
+        # hot grams by PREFIX occupancy (not raw df): a gram is
+        # pathological only when many docs carry it in their prefix
+        hot = (
+            prefix0.groupBy("gram")
+            .agg(F.count("*").alias("_occ"))
+            .filter(F.col("_occ") > max_prefix_df)
+            .select("gram", F.lit(True).alias("_hot"))
+        )
+        if hot.limit(1).isEmpty():
+            return (
+                _prefix_pair_join(prefix0, prefix0, threshold)
+                .distinct()
+                .localCheckpoint()
+            )
+        marked = ranked.join(F.broadcast(hot), "gram", "left")
+        h_per_doc = marked.groupBy("id").agg(
+            F.sum(F.when(F.col("_hot"), 1).otherwise(0)).alias("_h")
+        )
+        marked = marked.join(h_per_doc, "id")
+        saturated = F.col("_h") >= alpha_doc
+        # normal docs: re-rank over unbanned grams, same prefix length
+        # (guaranteed to fill: #unbanned = sz - h ≥ sz - α + 1 = len)
+        w2 = Window.partitionBy("id").orderBy(
+            F.col("gdf").asc(), F.col("gram").asc()
+        )
+        norm_prefix = (
+            marked.filter(~saturated & F.col("_hot").isNull())
+            .withColumn("pos", F.row_number().over(w2))
+            .filter(F.col("pos") <= prefix_len)
+            .select("id", "sz", "pos", "gram")
+        )
+        sat_prefix = marked.filter(
+            saturated & (F.col("pos") <= prefix_len)
+        ).select("id", "sz", "pos", "gram")
+        nn = _prefix_pair_join(norm_prefix, norm_prefix, threshold)
+        # pairs touching a saturated doc: classic full-universe prefixes
+        # on BOTH sides (sat ⊆ prefix0, so id_a<id_b needs both orders)
+        sa = _prefix_pair_join(sat_prefix, prefix0, threshold)
+        as_ = _prefix_pair_join(prefix0, sat_prefix, threshold)
+        return nn.union(sa).union(as_).distinct().localCheckpoint()
+    finally:
+        ranked.unpersist()
 
 
 def set_similarity_join_exact(

@@ -1449,31 +1449,52 @@ def lang_id_ngram(
     """
     train = train if train is not None else df
 
-    def grams_col(text):
-        s = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
-        n_starts = F.length(s) - F.lit(n - 1)
+    def bucket_counts(src, key_cols):
+        # explode START POSITIONS, slice AFTER the Generate: slicing
+        # inside the transform lambda would re-evaluate the full
+        # regexp-normalization per gram — O(len²)/doc, measured 45×
+        # slower (the char-gram twin of exploded_word_ngrams' pitfall)
+        s = F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+        )
+        n_starts = F.length("_s") - F.lit(n - 1)
         starts = F.when(
             n_starts >= 1, F.sequence(F.lit(1), n_starts)
         ).otherwise(F.array().cast("array<int>"))
-        return F.transform(starts, lambda p: F.substring(s, p, n))
-
-    def bucket_counts(src, key_cols):
-        exploded = src.select(
-            *key_cols, F.explode(grams_col(F.col(text_col))).alias("_g")
-        ).withColumn(
-            "_b", F.pmod(portable_gram_hash(F.col("_g")), F.lit(dim))
+        pos = src.select(*key_cols, s.alias("_s")).select(
+            *key_cols, "_s", F.explode(starts).alias("_p")
+        )
+        exploded = pos.select(
+            *key_cols,
+            F.pmod(
+                portable_gram_hash(F.col("_s").substr(F.col("_p"), F.lit(n))),
+                F.lit(dim),
+            ).alias("_b"),
         )
         return exploded.groupBy(*key_cols, "_b").agg(
             F.count("*").alias("_cnt")
         )
 
-    cent = bucket_counts(
-        train.filter(F.col(label_col).isNotNull()), [label_col]
-    ).withColumnsRenamed({label_col: "_lang", "_cnt": "_ccnt"})
+    dv = bucket_counts(df, [id_col])
+    if train is df:
+        # centroids are the label-wise sum of the SAME doc vectors —
+        # derive them from dv (a doc-cardinality agg) instead of a
+        # second full corpus explode+hash pass
+        cent = (
+            dv.join(
+                df.select(id_col, F.col(label_col).alias("_lang")), id_col
+            )
+            .filter(F.col("_lang").isNotNull())
+            .groupBy("_lang", "_b")
+            .agg(F.sum("_cnt").alias("_ccnt"))
+        )
+    else:
+        cent = bucket_counts(
+            train.filter(F.col(label_col).isNotNull()), [label_col]
+        ).withColumnsRenamed({label_col: "_lang", "_cnt": "_ccnt"})
     cnorm = cent.groupBy("_lang").agg(
         F.sqrt(F.sum(F.col("_ccnt") * F.col("_ccnt"))).alias("_cn")
     )
-    dv = bucket_counts(df, [id_col])
     dnorm = dv.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt"))).alias("_dn")
     )
