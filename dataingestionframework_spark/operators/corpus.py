@@ -1054,3 +1054,72 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tok"), 4),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the standard
+    corpus-analysis pass for multiword expressions (Church & Hanks):
+    PMI(w1, w2) = ln(P(w1 w2) / (P(w1)·P(w2))), pair probability over
+    adjacent-bigram occurrences, unigram probabilities over token
+    occurrences. High-PMI pairs are phrases ("hong kong"); a corpus
+    whose top PMI list is template boilerplate has a diversity problem.
+
+    ``min_count`` floors the pair count first (PMI is notoriously
+    noisy on hapax pairs). Plan: one bigram explode + three counting
+    aggregates + two equi-joins back onto the PAIR table (vocab-sized,
+    not corpus-sized), top-k via TakeOrderedAndProject with
+    deterministic ties (pmi desc, w1 asc, w2 asc).
+
+    Output: (w1, w2, n_pair, pmi 4dp), ``top_k`` rows.
+    """
+    ws = F.transform(tokens(F.col(text_col)), F.lower)
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(0), F.size(ws) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(ws, i + 1).alias("w1"),
+                    F.element_at(ws, i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = df.select(F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("w"))
+    c12 = grams.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("n_w1"))
+    c2 = uni.groupBy(F.col("w").alias("w2")).agg(F.count("*").alias("n_w2"))
+    totals = grams.agg(F.count("*").alias("t_pair")).crossJoin(
+        uni.agg(F.count("*").alias("t_uni"))
+    )
+    scored = (
+        c12.filter(F.col("n_pair") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("t_pair"))
+                    / (
+                        (F.col("n_w1") / F.col("t_uni"))
+                        * (F.col("n_w2") / F.col("t_uni"))
+                    )
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+        .select("w1", "w2", "n_pair", "pmi")
+    )

@@ -231,3 +231,40 @@ def table_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*keys, status.alias("diff_status"))
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Per-group robust scaling (median/IQR — the outlier-immune
+    z-score): scaled = (x − median_g) / IQR_g. The calibration step
+    that makes scores comparable ACROSS groups before a global
+    threshold — quality scores from different sources/classifiers, or
+    prices across segments, live on different scales, and a single
+    global cut silently over-prunes one group.
+
+    Exact interpolated percentiles (the quantile_cont cross-engine
+    contract) aggregated per group, broadcast back onto the scan —
+    the data side never shuffles. Zero-IQR groups (constant values)
+    yield scaled = 0.0 rather than a divide-by-null surprise.
+
+    Output: input + (med, iqr, ``out_col`` 4dp).
+    """
+    from pyspark.sql import functions as F
+
+    cuts = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        (
+            F.expr(f"percentile({value_col}, 0.75)")
+            - F.expr(f"percentile({value_col}, 0.25)")
+        ).alias("iqr"),
+    )
+    return df.join(F.broadcast(cuts), group_col).withColumn(
+        out_col,
+        F.when(F.col("iqr") > 0,
+               F.round((F.col(value_col) - F.col("med")) / F.col("iqr"), 4)
+        ).otherwise(F.lit(0.0)),
+    )

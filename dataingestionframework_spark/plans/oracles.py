@@ -4080,6 +4080,50 @@ ORACLES.update({
 })
 
 ORACLES.update({
+    # same integer count ratios -> one ln; min-count floor; top-100 by
+    # (pmi desc, w1, w2)
+    "pmi_collocations_docs": f"""
+        WITH toks AS (
+            SELECT list_transform({_TOKENS}, x -> lower(x)) AS ts
+            FROM documents
+        ),
+        bg AS (
+            SELECT ts[p] AS w1, ts[p + 1] AS w2
+            FROM (SELECT ts, unnest(range(1, len(ts))) AS p FROM toks)
+        ),
+        uni AS (SELECT unnest(ts) AS w FROM toks),
+        c12 AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w AS w1, count(*) AS n_w1 FROM uni GROUP BY 1),
+        c2 AS (SELECT w AS w2, count(*) AS n_w2 FROM uni GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM bg) AS t_pair,
+                       (SELECT count(*) FROM uni) AS t_uni)
+        SELECT w1, w2, n_pair,
+               round(ln((CAST(n_pair AS DOUBLE) / t_pair)
+                        / ((CAST(n_w1 AS DOUBLE) / t_uni)
+                           * (CAST(n_w2 AS DOUBLE) / t_uni))), 4) AS pmi
+        FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+        WHERE n_pair >= 5
+        ORDER BY pmi DESC, w1 ASC, w2 ASC
+        LIMIT 100
+    """,
+    # quantile_cont == Spark exact percentile (established contract);
+    # zero-IQR groups scale to 0.0
+    "robust_scale_orders": """
+        WITH cuts AS (
+            SELECT o_orderpriority,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75)
+                   - quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS iqr
+            FROM orders GROUP BY 1
+        )
+        SELECT o.o_orderkey, o.o_orderpriority,
+               round(c.med, 4) AS med, round(c.iqr, 4) AS iqr,
+               CASE WHEN c.iqr > 0
+                    THEN round((CAST(o.o_totalprice AS DOUBLE) - c.med)
+                               / c.iqr, 4)
+                    ELSE 0.0 END AS scaled
+        FROM orders o JOIN cuts c USING (o_orderpriority)
+    """,
     # parse∘build = id: every parsed field is the source field
     "xml_roundtrip_events": """
         SELECT event_id, event_id AS xml_id, user_id AS xml_user,

@@ -5776,6 +5776,44 @@ def blocklist_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators.corpus.pmi_collocations,
+    Church & Hanks): top-100 adjacent-bigram multiword expressions by
+    pointwise mutual information with a min-count floor. Exact integer
+    count ratios into one ln — deterministic doubles; ties ordered by
+    the words."""
+    from ..operators.corpus import pmi_collocations
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return pmi_collocations(t("documents"), min_count=5, top_k=100)
+
+
+def robust_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust scaling (operators.profile.robust_scale):
+    median/IQR calibration of order totals within each order priority
+    — the cross-source score-calibration step before any global
+    threshold. Exact interpolated percentiles broadcast back; the scan
+    side never shuffles."""
+    from ..operators.profile import robust_scale
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    o = t("orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price_d"),
+    )
+    out = robust_scale(o, "price_d", "o_orderpriority")
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("med", 4).alias("med"),
+        F.round("iqr", 4).alias("iqr"),
+        "scaled",
+    )
+
+
 def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native XML parsing (Spark 4 from_xml — the reference's format
     matrix covers csv/json/parquet/orc; XML is the enterprise-feed
@@ -6589,6 +6627,8 @@ QUERIES = {
     "containment_join_docs": containment_join_docs,
     "funnel_steps_events": funnel_steps_events,
     "xml_roundtrip_events": xml_roundtrip_events,
+    "pmi_collocations_docs": pmi_collocations_docs,
+    "robust_scale_orders": robust_scale_orders,
     "seasonal_naive_events": seasonal_naive_events,
     "cohort_retention_events": cohort_retention_events,
     "zipf_slope_docs": zipf_slope_docs,

@@ -301,6 +301,33 @@ class TestBehaviorOps:
         }
 
 
+def test_pmi_ranks_true_collocation_over_frequent_pair(spark):
+    """'hong kong' (always together) must out-PMI 'the cat' (frequent
+    words co-occurring by chance)."""
+    from dataingestionframework_spark.operators.corpus import pmi_collocations
+
+    rows = [(i, "hong kong " + "the cat " * 3 + "the dog " * 3) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w1, r.w2): r.pmi for r in pmi_collocations(df, min_count=5).collect()}
+    assert got[("hong", "kong")] > got[("the", "cat")]
+    assert ("kong", "the") in got  # adjacency crosses phrase boundaries
+
+
+def test_robust_scale_centers_and_guards_zero_iqr(spark):
+    from dataingestionframework_spark.operators.profile import robust_scale
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+         ("b", 7.0), ("b", 7.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    got = {(r.g, r.v): (r.med, r.iqr, r.scaled)
+           for r in robust_scale(df, "v", "g").collect()}
+    assert got[("a", 3.0)] == (3.0, 2.0, 0.0)    # median centers
+    assert got[("a", 5.0)] == (3.0, 2.0, 1.0)    # (5-3)/2
+    assert got[("b", 7.0)] == (7.0, 0.0, 0.0)    # constant group guarded
+
+
 def test_seasonal_naive_detects_period(spark):
     """A strongly daily-periodic hourly series must score
     mase_ratio << 1; white noise must not."""
