@@ -268,3 +268,67 @@ def robust_scale(
                F.round((F.col(value_col) - F.col("med")) / F.col("iqr"), 4)
         ).otherwise(F.lit(0.0)),
     )
+
+
+def classification_metrics(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from (label, prediction)
+    pairs — the eval loop every classifier-based curation stage
+    (quality filter, language ID, toxicity screen) needs before its
+    threshold goes to production.
+
+    One aggregate pass builds the confusion counts; per-class TP/FP/FN
+    are integer sums over the tiny class-pair table, so the metric
+    divisions are engine-exact. Classes appearing only in predictions
+    (or only in labels) still get a row (their recall resp. precision
+    is NULL — 0/0 is reported as NULL, not masked as 0).
+
+    Output: (class, n_true, n_pred, tp, precision, recall, f1 — 4dp).
+    """
+    from pyspark.sql import functions as F
+
+    pairs = df.groupBy(
+        F.col(label_col).alias("_y"), F.col(pred_col).alias("_p")
+    ).agg(F.count("*").alias("_n"))
+    by_true = pairs.groupBy(F.col("_y").alias("class")).agg(
+        F.sum("_n").alias("n_true"),
+        F.sum(F.when(F.col("_y") == F.col("_p"), F.col("_n"))).alias("_tp_t"),
+    )
+    by_pred = pairs.groupBy(F.col("_p").alias("class")).agg(
+        F.sum("_n").alias("n_pred")
+    )
+    out = (
+        by_true.join(by_pred, "class", "full_outer")
+        .select(
+            "class",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("_tp_t", F.lit(0)).alias("tp"),
+        )
+    )
+    precision = F.when(
+        F.col("n_pred") > 0, F.round(F.col("tp") / F.col("n_pred"), 4)
+    )
+    recall = F.when(
+        F.col("n_true") > 0, F.round(F.col("tp") / F.col("n_true"), 4)
+    )
+    return (
+        out.withColumn("precision", precision)
+        .withColumn("recall", recall)
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("n_pred") > 0)
+                & (F.col("n_true") > 0)
+                & (F.col("tp") > 0),
+                F.round(
+                    2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")), 4
+                ),
+            ).otherwise(
+                F.when((F.col("n_pred") > 0) & (F.col("n_true") > 0), 0.0)
+            ),
+        )
+    )

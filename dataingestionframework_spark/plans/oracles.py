@@ -4079,7 +4079,98 @@ ORACLES.update({
     """,
 })
 
+# the hashed char-3-gram nearest-centroid classifier as a reusable CTE
+# body (shared by the lang-ID gate and its metrics gate): same
+# md5-bucket hash, exact-integer dot products, 6dp cosine argmax with
+# lang-asc ties
+_LANG_PRED_CTES = """
+        normed AS (
+            SELECT doc_id, lang,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, lang, s,
+                   unnest(range(1, greatest(len(s) - 1, 1))) AS p
+            FROM normed
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   ('0x' || substring(md5(substring(s, p, 3)), 1, 15))::UBIGINT
+                       % 64 AS b
+            FROM pos
+        ),
+        dv AS (SELECT doc_id, b, count(*) AS c FROM grams GROUP BY 1, 2),
+        cent AS (SELECT lang AS clang, b, count(*) AS cc
+                 FROM grams WHERE lang IS NOT NULL GROUP BY 1, 2),
+        dn AS (SELECT doc_id, sqrt(sum(CAST(c * c AS DOUBLE))) AS dnorm
+               FROM dv GROUP BY 1),
+        cn AS (SELECT clang, sqrt(sum(CAST(cc * cc AS DOUBLE))) AS cnorm
+               FROM cent GROUP BY 1),
+        scored AS (
+            SELECT dv.doc_id, cent.clang,
+                   round(sum(CAST(dv.c * cent.cc AS DOUBLE))
+                         / (any_value(cn.cnorm) * any_value(dn.dnorm)), 6)
+                       AS cos
+            FROM dv JOIN cent USING (b)
+                 JOIN cn USING (clang) JOIN dn USING (doc_id)
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, clang, cos,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cos DESC, clang ASC) AS rn
+            FROM scored
+        ),
+        pred AS (
+            SELECT d.doc_id, d.lang,
+                   coalesce(b.clang, 'und') AS lang_pred,
+                   coalesce(round(b.cos, 4), 0.0) AS conf
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        )
+"""
+
 ORACLES.update({
+    # the shared classifier CTE aggregated to the confusion matrix,
+    # confidence summed in integer basis points
+    "lang_id_ngram_docs": f"""
+        WITH {_LANG_PRED_CTES}
+        SELECT lang, lang_pred, count(*) AS n_docs,
+               CAST(sum(round(conf * 10000)) AS BIGINT) AS sum_conf_bp
+        FROM pred GROUP BY 1, 2
+    """,
+    # the classifier CTE + integer confusion counts; metric divisions
+    # are exact (tp / n_pred etc. of integers)
+    "lang_id_metrics_docs": f"""
+        WITH {_LANG_PRED_CTES},
+        cm AS (SELECT lang AS y, lang_pred AS p, count(*) AS n
+               FROM pred GROUP BY 1, 2),
+        by_true AS (
+            SELECT y AS class, sum(n) AS n_true,
+                   sum(CASE WHEN y = p THEN n END) AS tp_t
+            FROM cm GROUP BY 1
+        ),
+        by_pred AS (SELECT p AS class, sum(n) AS n_pred FROM cm GROUP BY 1),
+        j AS (
+            SELECT coalesce(t.class, q.class) AS class,
+                   CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+                   CAST(coalesce(q.n_pred, 0) AS BIGINT) AS n_pred,
+                   CAST(coalesce(t.tp_t, 0) AS BIGINT) AS tp
+            FROM by_true t FULL OUTER JOIN by_pred q ON t.class = q.class
+        )
+        SELECT class, n_true, n_pred, tp,
+               CASE WHEN n_pred > 0
+                    THEN round(CAST(tp AS DOUBLE) / n_pred, 4) END AS precision,
+               CASE WHEN n_true > 0
+                    THEN round(CAST(tp AS DOUBLE) / n_true, 4) END AS recall,
+               CASE WHEN n_pred > 0 AND n_true > 0 THEN
+                    CASE WHEN tp > 0
+                         THEN round(2.0 * tp / (n_pred + n_true), 4)
+                         ELSE 0.0 END
+               END AS f1
+        FROM j
+    """,
     # same integer count ratios -> one ln; min-count floor; top-100 by
     # (pmi desc, w1, w2)
     "pmi_collocations_docs": f"""
@@ -4272,59 +4363,9 @@ ORACLES.update({
                     AS BIGINT) AS sum_abs_codes
         FROM c
     """,
-    # the identical hashed char-3-gram nearest-centroid classifier in
-    # SQL: same md5-bucket hash, exact-integer dot products, 6dp cosine
-    # argmax with lang-asc ties, confidence summed in basis points
-    "lang_id_ngram_docs": """
-        WITH normed AS (
-            SELECT doc_id, lang,
-                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
-            FROM documents
-        ),
-        pos AS (
-            SELECT doc_id, lang, s,
-                   unnest(range(1, greatest(len(s) - 1, 1))) AS p
-            FROM normed
-        ),
-        grams AS (
-            SELECT doc_id, lang,
-                   ('0x' || substring(md5(substring(s, p, 3)), 1, 15))::UBIGINT
-                       % 64 AS b
-            FROM pos
-        ),
-        dv AS (SELECT doc_id, b, count(*) AS c FROM grams GROUP BY 1, 2),
-        cent AS (SELECT lang AS clang, b, count(*) AS cc
-                 FROM grams WHERE lang IS NOT NULL GROUP BY 1, 2),
-        dn AS (SELECT doc_id, sqrt(sum(CAST(c * c AS DOUBLE))) AS dnorm
-               FROM dv GROUP BY 1),
-        cn AS (SELECT clang, sqrt(sum(CAST(cc * cc AS DOUBLE))) AS cnorm
-               FROM cent GROUP BY 1),
-        scored AS (
-            SELECT dv.doc_id, cent.clang,
-                   round(sum(CAST(dv.c * cent.cc AS DOUBLE))
-                         / (any_value(cn.cnorm) * any_value(dn.dnorm)), 6)
-                       AS cos
-            FROM dv JOIN cent USING (b)
-                 JOIN cn USING (clang) JOIN dn USING (doc_id)
-            GROUP BY 1, 2
-        ),
-        best AS (
-            SELECT doc_id, clang, cos,
-                   row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY cos DESC, clang ASC) AS rn
-            FROM scored
-        ),
-        pred AS (
-            SELECT d.lang,
-                   coalesce(b.clang, 'und') AS lang_pred,
-                   coalesce(round(b.cos, 4), 0.0) AS conf
-            FROM documents d
-            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
-        )
-        SELECT lang, lang_pred, count(*) AS n_docs,
-               CAST(sum(round(conf * 10000)) AS BIGINT) AS sum_conf_bp
-        FROM pred GROUP BY 1, 2
-    """,
+    # the shared classifier CTE aggregated to the confusion matrix,
+    # confidence summed in basis points (defined below as a module
+    # constant; rebound here after _LANG_PRED_CTES exists)
     # chosen = max(score, ties lowest id); rejected = min(score, ties
     # highest id); singleton / zero-margin prompts yield no row
     "preference_pairs_docs": f"""

@@ -5776,6 +5776,21 @@ def blocklist_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def lang_id_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier eval loop (operators.profile.classification_metrics
+    over operators.text.lang_id_ngram): per-class precision/recall/F1
+    of the language-ID predictions against the trusted labels — the
+    audit every classifier-based curation stage needs before its
+    threshold ships. Integer confusion counts; exact divisions."""
+    from ..operators.profile import classification_metrics
+    from ..operators.text import lang_id_ngram
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    preds = lang_id_ngram(t("documents"), n=3, dim=64)
+    return classification_metrics(preds, "lang", "lang_pred")
+
+
 def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining (operators.corpus.pmi_collocations,
     Church & Hanks): top-100 adjacent-bigram multiword expressions by
@@ -6628,6 +6643,7 @@ QUERIES = {
     "funnel_steps_events": funnel_steps_events,
     "xml_roundtrip_events": xml_roundtrip_events,
     "pmi_collocations_docs": pmi_collocations_docs,
+    "lang_id_metrics_docs": lang_id_metrics_docs,
     "robust_scale_orders": robust_scale_orders,
     "seasonal_naive_events": seasonal_naive_events,
     "cohort_retention_events": cohort_retention_events,

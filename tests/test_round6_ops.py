@@ -301,6 +301,29 @@ class TestBehaviorOps:
         }
 
 
+def test_classification_metrics_confusion_math(spark):
+    """Known confusion matrix: per-class P/R/F1 exact; prediction-only
+    and label-only classes get NULL (not 0) on the undefined side."""
+    from dataingestionframework_spark.operators.profile import (
+        classification_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a")] * 3 + [("a", "b")] * 1 + [("b", "b")] * 2
+        + [("b", "c")] * 1,  # 'c' never a true label
+        "y string, p string",
+    )
+    got = {r["class"]: r for r in classification_metrics(df, "y", "p").collect()}
+    a = got["a"]
+    assert (a.n_true, a.n_pred, a.tp) == (4, 3, 3)
+    assert (a.precision, a.recall, a.f1) == (1.0, 0.75, round(6 / 7, 4))
+    b = got["b"]
+    assert (b.n_true, b.n_pred, b.tp) == (3, 3, 2)
+    c = got["c"]
+    assert (c.n_true, c.n_pred, c.tp) == (0, 1, 0)
+    assert c.precision == 0.0 and c.recall is None and c.f1 is None
+
+
 def test_pmi_ranks_true_collocation_over_frequent_pair(spark):
     """'hong kong' (always together) must out-PMI 'the cat' (frequent
     words co-occurring by chance)."""
