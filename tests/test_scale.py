@@ -509,3 +509,34 @@ def test_prefix_join_hot_gram_cap_candidates_scale(spark):
     assert c1 == 30
     # linear: x10 docs -> x10 candidates (quadratic would be ~x100)
     assert c10 <= 12 * c1, f"capped candidates not linear: {c1} -> {c10}"
+
+
+def test_containment_join_scales(spark, sf):
+    """Asymmetric prefix-filter containment: candidate generation is
+    prefix(A) ⋈ all-grams(B) on rarest grams — near-linear on natural
+    corpora; the exact verify runs on candidates only."""
+    from dataingestionframework_spark.operators.dedup import containment_join
+
+    docs = sf("documents").select("doc_id", "text")
+
+    def q(df):
+        containment_join(df, n=3, threshold=0.4, max_id=200).count()
+
+    t1 = _wall(lambda: q(docs))
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    _assert_scales("containment_join", t1, t10)
+
+
+def test_lang_id_ngram_scales(spark, sf):
+    """Language ID: one corpus explode+hash pass, centroid table is
+    L×dim broadcast, per-doc argmax — linear in corpus tokens."""
+    from dataingestionframework_spark.operators.text import lang_id_ngram
+
+    docs = sf("documents").select("doc_id", "lang", "text")
+
+    def q(df):
+        lang_id_ngram(df, n=3, dim=64).groupBy("lang_pred").count().collect()
+
+    t1 = _wall(lambda: q(docs))
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    _assert_scales("lang_id_ngram", t1, t10)
