@@ -1123,3 +1123,57 @@ def pmi_collocations(
         .limit(top_k)
         .select("w1", "w2", "n_pair", "pmi")
     )
+
+
+def padding_waste_report(
+    docs: DataFrame,
+    candidate_lens,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch-shape planning for training readers: for each candidate
+    fixed sequence length, how many tokens of PADDING the corpus would
+    cost (docs shorter than the boundary pad up; longer docs fill
+    ceil(n/len) sequences whose last one pads) and how many sequences
+    it yields — the report that picks max_len / bucket boundaries
+    before a single GPU-hour is spent on pad tokens. (Sequence packing
+    — pack_sequences — eliminates padding entirely; this quantifies
+    what NOT packing costs at each boundary, or the waste of a
+    bucketed-padding reader.)
+
+    One token-count scan, one explode over the (tiny) candidate list,
+    one aggregate — integers end to end.
+
+    Output per candidate length: (seq_len, n_docs, total_tokens,
+    n_sequences, pad_tokens, pad_ratio 4dp).
+    """
+    lens = sorted(int(x) for x in candidate_lens)
+    if not lens or lens[0] <= 0:
+        raise ValueError("candidate_lens must be positive ints")
+    toks = docs.select(token_count(F.col(text_col)).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    tagged = toks.select(
+        "n_tok",
+        F.explode(F.array(*[F.lit(c) for c in lens])).alias("seq_len"),
+    ).withColumn(
+        "n_seq", F.ceil(F.col("n_tok") / F.col("seq_len")).cast("long")
+    )
+    return (
+        tagged.groupBy("seq_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_seq").alias("n_sequences"),
+            F.sum(
+                F.col("n_seq") * F.col("seq_len") - F.col("n_tok")
+            ).alias("pad_tokens"),
+        )
+        .withColumn(
+            "pad_ratio",
+            F.round(
+                F.col("pad_tokens")
+                / (F.col("pad_tokens") + F.col("total_tokens")),
+                4,
+            ),
+        )
+    )

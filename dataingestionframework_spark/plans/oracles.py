@@ -4171,6 +4171,31 @@ ORACLES.update({
                END AS f1
         FROM j
     """,
+    # integer ceil-division padding arithmetic per candidate length
+    "padding_waste_docs": f"""
+        WITH toks AS (
+            SELECT len({_TOKENS}) AS n_tok FROM documents
+        ),
+        tagged AS (
+            SELECT n_tok, seq_len,
+                   CAST(ceil(CAST(n_tok AS DOUBLE) / seq_len) AS BIGINT)
+                       AS n_seq
+            FROM toks, unnest([128, 256, 512, 1024]) AS u(seq_len)
+            WHERE n_tok > 0
+        ),
+        agg AS (
+            SELECT CAST(seq_len AS INTEGER) AS seq_len,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_seq) AS BIGINT) AS n_sequences,
+                   CAST(sum(n_seq * seq_len - n_tok) AS BIGINT) AS pad_tokens
+            FROM tagged GROUP BY 1
+        )
+        SELECT seq_len, n_docs, total_tokens, n_sequences, pad_tokens,
+               round(CAST(pad_tokens AS DOUBLE)
+                     / (pad_tokens + total_tokens), 4) AS pad_ratio
+        FROM agg
+    """,
     # same integer count ratios -> one ln; min-count floor; top-100 by
     # (pmi desc, w1, w2)
     "pmi_collocations_docs": f"""

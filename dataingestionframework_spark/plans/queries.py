@@ -5791,6 +5791,18 @@ def lang_id_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classification_metrics(preds, "lang", "lang_pred")
 
 
+def padding_waste_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-shape planning (operators.corpus.padding_waste_report):
+    padding cost and sequence counts at candidate fixed lengths
+    (128/256/512/1024) — the report that picks max_len before GPU
+    hours go to pad tokens; integers end to end."""
+    from ..operators.corpus import padding_waste_report
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return padding_waste_report(t("documents"), [128, 256, 512, 1024])
+
+
 def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining (operators.corpus.pmi_collocations,
     Church & Hanks): top-100 adjacent-bigram multiword expressions by
@@ -6643,6 +6655,7 @@ QUERIES = {
     "funnel_steps_events": funnel_steps_events,
     "xml_roundtrip_events": xml_roundtrip_events,
     "pmi_collocations_docs": pmi_collocations_docs,
+    "padding_waste_docs": padding_waste_docs,
     "lang_id_metrics_docs": lang_id_metrics_docs,
     "robust_scale_orders": robust_scale_orders,
     "seasonal_naive_events": seasonal_naive_events,

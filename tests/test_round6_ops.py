@@ -301,6 +301,25 @@ class TestBehaviorOps:
         }
 
 
+def test_padding_waste_arithmetic(spark):
+    """Hand-checked padding math: 3 docs of 5/8/17 tokens at len 8 →
+    1+1+3 sequences, pad = 3+0+7."""
+    from dataingestionframework_spark.operators.corpus import (
+        padding_waste_report,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a " * 5), (1, "b " * 8), (2, "c " * 17), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.seq_len: r for r in padding_waste_report(df, [8, 32]).collect()}
+    r8 = got[8]
+    assert (r8.n_docs, r8.total_tokens, r8.n_sequences, r8.pad_tokens) == (3, 30, 5, 10)
+    assert r8.pad_ratio == 0.25
+    r32 = got[32]
+    assert (r32.n_sequences, r32.pad_tokens) == (3, 66)
+
+
 def test_classification_metrics_confusion_math(spark):
     """Known confusion matrix: per-class P/R/F1 exact; prediction-only
     and label-only classes get NULL (not 0) on the undefined side."""
