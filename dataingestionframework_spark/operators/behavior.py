@@ -70,31 +70,45 @@ def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    granularity: str = "day",
     max_offset: int | None = None,
 ) -> DataFrame:
-    """Daily cohort retention: users are cohorted by their FIRST
-    activity day; each later active day counts them at
-    ``day_offset = active_day − cohort_day``. The classic retention
-    triangle (cohort × offset → distinct active users).
+    """Cohort retention triangle: users are cohorted by their FIRST
+    activity period (day or week); each later active period counts
+    them at its offset from the cohort period — the classic retention
+    matrix (cohort × offset → distinct active users).
 
-    Two aggregates and one join on the user key: first-day per user,
-    then distinct (user, day) activity joined back — integers and
-    dates end to end, engine-exact.
+    Two aggregates and one join on the user key (first-seen per user,
+    then cohort×offset distinct count) — never the naive event-log
+    self-join, which is quadratic-prone at 100 TB. Integers and
+    dates/timestamps end to end, engine-exact.
 
-    Output: (cohort_day date, day_offset int, n_active long).
+    Output: daily → (cohort_day date, day_offset int, n_active long);
+    weekly → (cohort_wk timestamp, week_offset int, n_active long).
     """
-    first = events.groupBy(F.col(user_col).alias("_u")).agg(
-        F.min(F.to_date(ts_col)).alias("cohort_day")
-    )
-    active = events.select(
-        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_day")
-    ).distinct()
+    if granularity == "day":
+        period = F.to_date(ts_col)
+        cohort_name, offset_name = "cohort_day", "day_offset"
+    elif granularity == "week":
+        period = F.date_trunc("week", F.col(ts_col))
+        cohort_name, offset_name = "cohort_wk", "week_offset"
+    else:
+        raise ValueError(f"granularity must be day|week, got {granularity!r}")
+    ev = events.select(F.col(user_col).alias("_u"), period.alias("_p"))
+    first = ev.groupBy("_u").agg(F.min("_p").alias(cohort_name))
+    joined = ev.join(first, "_u")
+    if granularity == "day":
+        offset = F.datediff("_p", cohort_name)
+    else:
+        offset = F.floor(
+            (F.col("_p").cast("double") - F.col(cohort_name).cast("double"))
+            / (7 * 86400)
+        ).cast("int")
     out = (
-        active.join(first, "_u")
-        .withColumn("day_offset", F.datediff("_day", "cohort_day"))
-        .groupBy("cohort_day", "day_offset")
-        .agg(F.count("*").alias("n_active"))
+        joined.withColumn(offset_name, offset)
+        .groupBy(cohort_name, offset_name)
+        .agg(F.count_distinct("_u").alias("n_active"))
     )
     if max_offset is not None:
-        out = out.filter(F.col("day_offset") <= max_offset)
+        out = out.filter(F.col(offset_name) <= max_offset)
     return out

@@ -4286,20 +4286,6 @@ ORACLES.update({
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
     """,
-    # first-activity-day cohorts x day offsets, distinct active users
-    "cohort_retention_events": """
-        WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-                       FROM events GROUP BY 1),
-        active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-                   FROM events)
-        SELECT f.cohort_day,
-               CAST(date_diff('day', f.cohort_day, a.d) AS INTEGER)
-                   AS day_offset,
-               count(*) AS n_active
-        FROM active a JOIN first f USING (user_id)
-        WHERE date_diff('day', f.cohort_day, a.d) <= 14
-        GROUP BY 1, 2
-    """,
     # exact all-pairs asymmetric containment ground truth: the Spark
     # side's prefix-filtered candidates + join-algebra verify must
     # reproduce it bit-for-bit (recall AND ratio math both checked)

@@ -4115,28 +4115,17 @@ def try_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by first-seen week
-    (cohort), counted by distinct activity in each subsequent week
-    offset. Two hash-agg shuffles (first-seen per user, then
-    cohort×offset distinct count) — no self-join of the event log with
-    itself, which is the naive formulation and quadratic-prone at
-    100 TB."""
+    """Weekly cohort retention matrix (operators.behavior.
+    cohort_retention, granularity='week'): users grouped by first-seen
+    week, counted by distinct activity per week offset. Two hash-agg
+    shuffles — no self-join of the event log with itself, which is the
+    naive formulation and quadratic-prone at 100 TB. The operator's
+    daily mode is pinned by TestBehaviorOps."""
+    from ..operators.behavior import cohort_retention
+
     tune(spark)
     t = _t(spark, sf_dir)
-    ev = t("events").select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
-    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    return (
-        ev.join(first, "user_id")
-        .withColumn(
-            "week_offset",
-            F.floor(
-                (F.col("wk").cast("double") - F.col("cohort_wk").cast("double"))
-                / (7 * 86400)
-            ).cast("int"),
-        )
-        .groupBy("cohort_wk", "week_offset")
-        .agg(F.count_distinct("user_id").alias("n_active"))
-    )
+    return cohort_retention(t("events"), granularity="week")
 
 
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5892,17 +5881,6 @@ def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversions(t("events"), ["view", "click", "purchase"])
 
 
-def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily cohort retention triangle (operators.behavior.
-    cohort_retention): first-activity-day cohorts × day offsets →
-    distinct active users. Integers and dates end to end."""
-    from ..operators.behavior import cohort_retention
-
-    tune(spark)
-    t = _t(spark, sf_dir)
-    return cohort_retention(t("events"), max_offset=14)
-
-
 def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric set-containment self-join (operators.dedup.
     containment_join): ordered pairs where ≥40% of doc A's word
@@ -6659,7 +6637,6 @@ QUERIES = {
     "lang_id_metrics_docs": lang_id_metrics_docs,
     "robust_scale_orders": robust_scale_orders,
     "seasonal_naive_events": seasonal_naive_events,
-    "cohort_retention_events": cohort_retention_events,
     "zipf_slope_docs": zipf_slope_docs,
     "oov_rate_docs": oov_rate_docs,
     "sq8_quantize_embeddings": sq8_quantize_embeddings,
