@@ -1059,6 +1059,7 @@ def oov_rate(
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     min_count: int = 5,
     top_k: int = 100,
 ) -> DataFrame:
@@ -1070,29 +1071,31 @@ def pmi_collocations(
     whose top PMI list is template boilerplate has a diversity problem.
 
     ``min_count`` floors the pair count first (PMI is notoriously
-    noisy on hapax pairs). Plan: one bigram explode + three counting
-    aggregates + two equi-joins back onto the PAIR table (vocab-sized,
-    not corpus-sized), top-k via TakeOrderedAndProject with
-    deterministic ties (pmi desc, w1 asc, w2 asc).
+    noisy on hapax pairs). Plan: ONE posexplode token pass feeds both
+    the unigram counts and (via a lead window on the doc key — the
+    exploded_word_ngrams shape, not element_at inside a lambda, which
+    re-evaluates the token array per bigram, O(tokens²)/doc) the
+    adjacent-bigram counts; three counting aggregates + two equi-joins
+    on the PAIR table (vocab-sized, not corpus-sized), top-k via
+    TakeOrderedAndProject with deterministic ties (pmi desc, w1, w2).
 
     Output: (w1, w2, n_pair, pmi 4dp), ``top_k`` rows.
     """
-    ws = F.transform(tokens(F.col(text_col)), F.lower)
-    idx = F.when(
-        F.size(ws) >= 2, F.sequence(F.lit(0), F.size(ws) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(ws, i + 1).alias("w1"),
-                    F.element_at(ws, i + 2).alias("w2"),
-                ),
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    uni = df.select(F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("w"))
+    tok_rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.transform(tokens(F.col(text_col)), F.lower)).alias(
+            "_pos", "w"
+        ),
+    )
+    w_next = Window.partitionBy("_id").orderBy("_pos")
+    grams = (
+        tok_rows.select(
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(w_next).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    uni = tok_rows.select("w")
     c12 = grams.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
     c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("n_w1"))
     c2 = uni.groupBy(F.col("w").alias("w2")).agg(F.count("*").alias("n_w2"))
