@@ -43,6 +43,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "tfidf_top_terms_docs": {
         "BroadcastNestedLoopJoin": "1-row corpus-size (N) scalar broadcast"
     },
+    "pmi_collocations_docs": {
+        "BroadcastNestedLoopJoin": "1-row (t_pair, t_uni) totals broadcast"
+    },
     "equi_depth_buckets_docs": {
         "BroadcastNestedLoopJoin": "1-row quartile cut-point broadcast"
     },
