@@ -332,3 +332,94 @@ def classification_metrics(
             ),
         )
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    groups' value distributions: D = max over values of
+    |ECDF_a(v) − ECDF_b(v)| — the distribution-drift monitor that,
+    unlike PSI (psi_drift), needs no binning choice and is sensitive
+    to shape changes PSI's fixed buckets smear out. The pair covers
+    the standard drift dashboard.
+
+    Plan: one (value, group) count aggregate over the scan; the
+    cumulative-ECDF window then runs over the aggregated DISTINCT-value
+    table (values ≪ rows — the same aggregate-then-window discipline
+    as the vocabulary rankings), never over the raw data. Ties are
+    handled exactly: the ECDF steps once per distinct value with its
+    full multiplicity.
+
+    Output: 1 row (n_a, n_b, ks_stat 6dp).
+    """
+    from pyspark.sql import Window, functions as F
+
+    tagged = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("_v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_a"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("_b"),
+    )
+    per_val = tagged.groupBy("_v").agg(
+        F.sum("_a").alias("_na"), F.sum("_b").alias("_nb")
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("_na").over(w).alias("_ca"),
+        F.sum("_nb").over(w).alias("_cb"),
+        F.sum("_na").over(Window.partitionBy()).alias("_ta"),
+        F.sum("_nb").over(Window.partitionBy()).alias("_tb"),
+    )
+    return cum.agg(
+        F.max("_ta").alias("n_a"),
+        F.max("_tb").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("_ca") / F.col("_ta") - F.col("_cb") / F.col("_tb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Gini coefficient of how concentrated the corpus is across
+    groups (sources, domains, languages): 0 = perfectly even shares,
+    →1 = one group dominates. The standard concentration red flag —
+    a "diverse web corpus" whose Gini over domains is 0.98 is one
+    crawler bug away from a single-site corpus.
+
+    G = (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n over ascending-sorted group
+    weights (exact integer/sum arithmetic until one final division).
+    The sort-rank window runs over the GROUP-cardinality table — tiny.
+
+    Output: 1 row (n_groups, total_weight, gini 6dp).
+    """
+    from pyspark.sql import Window, functions as F
+
+    wexpr = F.count("*") if weight_col is None else F.sum(weight_col)
+    shares = df.groupBy(group_col).agg(wexpr.alias("_x"))
+    w = Window.orderBy(F.col("_x").asc(), F.col(group_col).asc())
+    ranked = shares.select(
+        "_x", F.row_number().over(w).alias("_i")
+    )
+    return ranked.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("_x").alias("total_weight"),
+        F.round(
+            (2.0 * F.sum(F.col("_i") * F.col("_x")))
+            / (F.count("*") * F.sum("_x"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

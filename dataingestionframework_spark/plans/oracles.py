@@ -4171,6 +4171,47 @@ ORACLES.update({
                END AS f1
         FROM j
     """,
+    # same per-distinct-value cumulative ECDF difference
+    "ks_drift_events": """
+        WITH tagged AS (
+            SELECT round(value, 3) AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b
+            FROM events WHERE event_type IN ('click', 'error')
+        ),
+        per_val AS (
+            SELECT v, sum(a) AS na, sum(b) AS nb FROM tagged GROUP BY v
+        ),
+        cum AS (
+            SELECT sum(na) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ca,
+                   sum(nb) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cb,
+                   sum(na) OVER () AS ta,
+                   sum(nb) OVER () AS tb
+            FROM per_val
+        )
+        SELECT CAST(max(ta) AS BIGINT) AS n_a,
+               CAST(max(tb) AS BIGINT) AS n_b,
+               round(max(abs(CAST(ca AS DOUBLE) / ta
+                             - CAST(cb AS DOUBLE) / tb)), 6) AS ks_stat
+        FROM cum
+    """,
+    # ascending-share rank Gini, integer sums until one division
+    "source_gini_docs": """
+        WITH shares AS (
+            SELECT source, count(*) AS x FROM documents GROUP BY 1
+        ),
+        ranked AS (
+            SELECT x, row_number() OVER (ORDER BY x ASC, source ASC) AS i
+            FROM shares
+        )
+        SELECT count(*) AS n_groups,
+               CAST(sum(x) AS BIGINT) AS total_weight,
+               round((2.0 * sum(i * x)) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked
+    """,
     # integer ceil-division padding arithmetic per candidate length
     "padding_waste_docs": f"""
         WITH toks AS (

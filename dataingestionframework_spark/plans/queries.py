@@ -5780,6 +5780,32 @@ def lang_id_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classification_metrics(preds, "lang", "lang_pred")
 
 
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (operators.profile.ks_statistic):
+    click vs error value distributions — the binning-free drift
+    monitor next to psi_drift_events. Cumulative ECDFs run over the
+    aggregated distinct-value table, never the raw scan."""
+    from ..operators.profile import ks_statistic
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events").select(
+        "event_type", F.round(F.col("value"), 3).alias("v")
+    )
+    return ks_statistic(ev, "v", "event_type", "click", "error")
+
+
+def source_gini_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration (operators.profile.gini_concentration):
+    Gini over per-source document counts — the one-number diversity
+    red flag. Exact integer arithmetic until one final division."""
+    from ..operators.profile import gini_concentration
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return gini_concentration(t("documents"), "source")
+
+
 def padding_waste_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-shape planning (operators.corpus.padding_waste_report):
     padding cost and sequence counts at candidate fixed lengths
@@ -6634,6 +6660,8 @@ QUERIES = {
     "xml_roundtrip_events": xml_roundtrip_events,
     "pmi_collocations_docs": pmi_collocations_docs,
     "padding_waste_docs": padding_waste_docs,
+    "ks_drift_events": ks_drift_events,
+    "source_gini_docs": source_gini_docs,
     "lang_id_metrics_docs": lang_id_metrics_docs,
     "robust_scale_orders": robust_scale_orders,
     "seasonal_naive_events": seasonal_naive_events,

@@ -301,6 +301,48 @@ class TestBehaviorOps:
         }
 
 
+def test_ks_statistic_bounds(spark):
+    """Identical samples → D = 0; disjoint supports → D = 1; a known
+    half-shifted case → exact hand value."""
+    from dataingestionframework_spark.operators.profile import ks_statistic
+
+    rows = [(float(v), "a") for v in (1, 2, 3, 4)]
+    df_same = spark.createDataFrame(
+        rows + [(float(v), "b") for v in (1, 2, 3, 4)], "v double, g string"
+    )
+    assert ks_statistic(df_same, "v", "g", "a", "b").first().ks_stat == 0.0
+
+    df_disj = spark.createDataFrame(
+        rows + [(float(v), "b") for v in (10, 11)], "v double, g string"
+    )
+    assert ks_statistic(df_disj, "v", "g", "a", "b").first().ks_stat == 1.0
+
+    # a={1,2}, b={2,3}: ECDFs at v=1: 0.5 vs 0 → D=0.5
+    df_half = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b")], "v double, g string"
+    )
+    r = ks_statistic(df_half, "v", "g", "a", "b").first()
+    assert (r.n_a, r.n_b, r.ks_stat) == (2, 2, 0.5)
+
+
+def test_gini_concentration_extremes(spark):
+    from dataingestionframework_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    even = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(40)], "source string"
+    )
+    assert gini_concentration(even, "source").first().gini == 0.0
+
+    skewed = spark.createDataFrame(
+        [("big",)] * 97 + [("a",), ("b",), ("c",)], "source string"
+    )
+    r = gini_concentration(skewed, "source").first()
+    # G = 2*(1*1+2*1+3*1+4*97)/(4*100) - 5/4 = 788/400 - 1.25 = 0.72
+    assert (r.n_groups, r.total_weight, r.gini) == (4, 100, 0.72)
+
+
 def test_padding_waste_arithmetic(spark):
     """Hand-checked padding math: 3 docs of 5/8/17 tokens at len 8 →
     1+1+3 sequences, pad = 3+0+7."""
