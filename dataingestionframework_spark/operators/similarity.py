@@ -1679,9 +1679,11 @@ def sq8_quantize(
     return out.select(
         id_col,
         "sq_codes",
-        F.round("_scale", 6).alias("sq_scale"),
+        # 9dp: embedding magnitudes of 1e-2/dim give scales near 1e-4;
+        # 6dp rounding would zero out legitimately tiny scales
+        F.round("_scale", 9).alias("sq_scale"),
         F.round(
-            F.aggregate(err, F.lit(0.0), lambda a, v: F.greatest(a, v)), 6
+            F.aggregate(err, F.lit(0.0), lambda a, v: F.greatest(a, v)), 9
         ).alias("max_abs_err"),
         F.aggregate(
             F.col("sq_codes"), F.lit(0).cast("long"), lambda a, c: a + c

@@ -4405,11 +4405,11 @@ ORACLES.update({
             FROM q
         )
         SELECT vec_id, codes AS sq_codes,
-               round(scale, 6) AS sq_scale,
+               round(scale, 9) AS sq_scale,
                round(list_max(list_transform(
                    range(1, len(embedding) + 1),
                    i -> abs(CAST(embedding[i] AS DOUBLE)
-                            - codes[i] * scale))), 6) AS max_abs_err,
+                            - codes[i] * scale))), 9) AS max_abs_err,
                CAST(list_sum(codes) AS BIGINT) AS sum_codes,
                CAST(list_sum(list_transform(codes, x -> abs(x)))
                     AS BIGINT) AS sum_abs_codes

@@ -763,3 +763,139 @@ def test_mp4_walk_roundtrip_and_never_raises(
         mutated = bytearray(b)
         mutated[mutate_at] = mutate_to
         parse_mp4_boxes(bytes(mutated))  # any outcome, no exception
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operator properties
+# ---------------------------------------------------------------------------
+
+_token_docs = st.lists(
+    st.lists(st.integers(0, 12), min_size=0, max_size=10),
+    min_size=2, max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_token_docs)
+def test_containment_join_matches_python_reference(spark, docs):
+    """Asymmetric prefix-filter candidates + join verify must equal
+    exact all-pairs containment on arbitrary tiny corpora (n=1 grams
+    so hypothesis controls the set structure directly)."""
+    from dataingestionframework_spark.operators.dedup import containment_join
+
+    rows = [(i, " ".join(f"t{v}" for v in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_join(df, n=1, threshold=0.5).collect()}
+    sets = {i: {f"t{v}" for v in toks} for i, toks in enumerate(docs)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a]:
+                c = round(len(sets[a] & sets[b]) / len(sets[a]), 4)
+                if c >= 0.5:
+                    expect[(a, b)] = c
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=st.lists(
+    st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+             min_size=1, max_size=6),
+    min_size=1, max_size=8,
+))
+def test_sq8_quantize_error_bound_property(spark, vecs):
+    """For ANY float vector: codes bounded by ±127, reconstruction
+    error ≤ scale/2 (+ rounding eps), zero vectors stay zero."""
+    from dataingestionframework_spark.operators.similarity import sq8_quantize
+
+    dim = max(len(v) for v in vecs)
+    rows = [(i, [float(x) for x in (v + [0.0] * (dim - len(v)))])
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import struct
+
+    def f32(x):  # Spark stores float32 — compare against what it stored
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    by_id = {r.vec_id: r for r in sq8_quantize(df).collect()}
+    for i, (_, vec) in enumerate(rows):
+        r = by_id[i]
+        assert all(abs(c) <= 127 for c in r.sq_codes)
+        # bound vs the TRUE stored scale (the reported one is 9dp-rounded)
+        true_scale = max(abs(f32(x)) for x in vec) / 127.0
+        assert r.max_abs_err <= true_scale / 2 + 1e-9
+        if true_scale == 0.0:
+            assert set(r.sq_codes) == {0} and r.max_abs_err == 0.0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(
+    st.tuples(st.integers(0, 3),        # user
+              st.integers(0, 50),       # second offset
+              st.integers(0, 2)),       # step index into [s0, s1, s2]
+    min_size=1, max_size=25,
+))
+def test_funnel_counts_monotone_and_order_invariant(spark, events):
+    """Funnel counts never increase along steps, and input ROW order
+    cannot matter (min-aggregates are order-free)."""
+    from dataingestionframework_spark.operators.behavior import (
+        funnel_conversions,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(
+            [(i, f"2024-01-01 00:00:{s:02d}.{i:03d}", u, f"s{k}")
+             for i, (u, s, k) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        return {r.step_idx: r.n_users
+                for r in funnel_conversions(df, ["s0", "s1", "s2"]).collect()}
+
+    fwd = run(events)
+    assert fwd[1] >= fwd[2] >= fwd[3]
+    assert run(list(reversed(events))) == fwd
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=3, max_size=15),
+       shift=st.integers(-5, 5))
+def test_ks_statistic_properties(spark, vals, shift):
+    """0 ≤ D ≤ 1, D(x, x) = 0, and D is symmetric in the two groups."""
+    from dataingestionframework_spark.operators.profile import ks_statistic
+
+    a = [(float(v), "a") for v in vals]
+    b = [(float(v + shift), "b") for v in vals]
+    df = spark.createDataFrame(a + b, "v double, g string")
+    d_ab = ks_statistic(df, "v", "g", "a", "b").first().ks_stat
+    d_ba = ks_statistic(df, "v", "g", "b", "a").first().ks_stat
+    assert 0.0 <= d_ab <= 1.0 and d_ab == d_ba
+    same = spark.createDataFrame(
+        a + [(v, "b") for v, _ in a], "v double, g string"
+    )
+    assert ks_statistic(same, "v", "g", "a", "b").first().ks_stat == 0.0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(weights=st.lists(st.integers(1, 50), min_size=2, max_size=10),
+       k=st.integers(2, 5))
+def test_gini_bounds_and_scale_invariance(spark, weights, k):
+    """0 ≤ G < 1 and G is invariant under scaling every weight by k."""
+    from dataingestionframework_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    def run(ws):
+        rows = [(f"g{i}", int(w)) for i, w in enumerate(ws)]
+        df = spark.createDataFrame(rows, "source string, w long")
+        return gini_concentration(df, "source", weight_col="w").first().gini
+
+    g1 = run(weights)
+    gk = run([w * k for w in weights])
+    assert 0.0 <= g1 < 1.0
+    assert abs(g1 - gk) < 1e-9
