@@ -250,6 +250,10 @@ def robust_scale(
     contract) aggregated per group, broadcast back onto the scan —
     the data side never shuffles. Zero-IQR groups (constant values)
     yield scaled = 0.0 rather than a divide-by-null surprise.
+    NULL groups are preserved, not dropped: the join back onto the
+    cuts is null-safe, so NULL-group rows form their own cohort and
+    get scaled like everyone else (the adaptive_length_filter lesson —
+    a calibration operator must never silently lose rows).
 
     Output: input + (med, iqr, ``out_col`` 4dp).
     """
@@ -262,7 +266,11 @@ def robust_scale(
             - F.expr(f"percentile({value_col}, 0.25)")
         ).alias("iqr"),
     )
-    return df.join(F.broadcast(cuts), group_col).withColumn(
+    joined = df.alias("d").join(
+        F.broadcast(cuts).alias("c"),
+        F.col(f"d.{group_col}").eqNullSafe(F.col(f"c.{group_col}")),
+    )
+    return joined.select("d.*", "c.med", "c.iqr").withColumn(
         out_col,
         F.when(F.col("iqr") > 0,
                F.round((F.col(value_col) - F.col("med")) / F.col("iqr"), 4)
@@ -284,7 +292,10 @@ def classification_metrics(
     are integer sums over the tiny class-pair table, so the metric
     divisions are engine-exact. Classes appearing only in predictions
     (or only in labels) still get a row (their recall resp. precision
-    is NULL — 0/0 is reported as NULL, not masked as 0).
+    is NULL — 0/0 is reported as NULL, not masked as 0). NULL is
+    treated as a CLASS consistently: NULL labels/predictions group
+    into one class row (null-safe join) and a NULL prediction of a
+    NULL label counts as a true positive — not two disjoint half-rows.
 
     Output: (class, n_true, n_pred, tp, precision, recall, f1 — 4dp).
     """
@@ -295,15 +306,22 @@ def classification_metrics(
     ).agg(F.count("*").alias("_n"))
     by_true = pairs.groupBy(F.col("_y").alias("class")).agg(
         F.sum("_n").alias("n_true"),
-        F.sum(F.when(F.col("_y") == F.col("_p"), F.col("_n"))).alias("_tp_t"),
+        F.sum(
+            F.when(F.col("_y").eqNullSafe(F.col("_p")), F.col("_n"))
+        ).alias("_tp_t"),
     )
     by_pred = pairs.groupBy(F.col("_p").alias("class")).agg(
         F.sum("_n").alias("n_pred")
     )
     out = (
-        by_true.join(by_pred, "class", "full_outer")
+        by_true.alias("t")
+        .join(
+            by_pred.alias("q"),
+            F.col("t.class").eqNullSafe(F.col("q.class")),
+            "full_outer",
+        )
         .select(
-            "class",
+            F.coalesce(F.col("t.class"), F.col("q.class")).alias("class"),
             F.coalesce("n_true", F.lit(0)).alias("n_true"),
             F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
             F.coalesce("_tp_t", F.lit(0)).alias("tp"),

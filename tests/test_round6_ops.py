@@ -301,6 +301,40 @@ class TestBehaviorOps:
         }
 
 
+def test_robust_scale_keeps_null_group_rows(spark):
+    """NULL groups form their own calibration cohort instead of being
+    silently dropped (the adaptive_length_filter lesson)."""
+    from dataingestionframework_spark.operators.profile import robust_scale
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         (None, 5.0), (None, 7.0), (None, 9.0)],
+        "g string, v double",
+    )
+    out = robust_scale(df, "v", "g").collect()
+    assert len(out) == 6
+    nulls = {r.v: r.scaled for r in out if r.g is None}
+    assert nulls == {5.0: -1.0, 7.0: 0.0, 9.0: 1.0}
+
+
+def test_classification_metrics_null_is_one_class(spark):
+    """NULL labels/predictions group into ONE class row, and a NULL
+    prediction of a NULL label is a true positive — not two disjoint
+    half-rows."""
+    from dataingestionframework_spark.operators.profile import (
+        classification_metrics,
+    )
+
+    m = spark.createDataFrame(
+        [("a", "a"), (None, "a"), ("a", None), (None, None)],
+        "y string, p string",
+    )
+    got = {r["class"]: r for r in classification_metrics(m, "y", "p").collect()}
+    assert len(got) == 2
+    n = got[None]
+    assert (n.n_true, n.n_pred, n.tp, n.precision, n.recall) == (2, 2, 1, 0.5, 0.5)
+
+
 def test_ks_statistic_bounds(spark):
     """Identical samples → D = 0; disjoint supports → D = 1; a known
     half-shifted case → exact hand value."""
