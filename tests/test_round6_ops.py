@@ -801,3 +801,26 @@ def test_adaptive_length_filter_keeps_null_group_rows(spark):
     assert by_id[2].len_lo != by_id[0].len_lo
     # verdicts are real: middle-length null doc passes its own band
     assert by_id[4].length_pass
+
+
+def test_xml_parse_handles_entities_and_garbage(spark):
+    """from_xml must decode standard entities and return NULL fields
+    (not throw) on malformed XML — the PERMISSIVE contract the
+    ingestion matrix promises for every format."""
+    df = spark.createDataFrame(
+        [
+            (0, "<e><t>a &amp; b &lt;tag&gt;</t><n>7</n></e>"),
+            (1, "<e><t>plain</t><n>9</n></e>"),
+            (2, "<e><t>broken"),          # malformed: no throw
+            (3, None),                     # NULL input
+        ],
+        "id long, xml string",
+    )
+    out = df.select(
+        "id", F.from_xml("xml", "t string, n long").alias("p")
+    ).select("id", "p.t", "p.n")
+    got = {r.id: (r.t, r.n) for r in out.collect()}
+    assert got[0] == ("a & b <tag>", 7)   # entities decoded
+    assert got[1] == ("plain", 9)
+    assert got[2] == (None, None) or got[2][1] is None
+    assert got[3] == (None, None)
