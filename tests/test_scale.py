@@ -540,3 +540,55 @@ def test_lang_id_ngram_scales(spark, sf):
     t1 = _wall(lambda: q(docs))
     t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
     _assert_scales("lang_id_ngram", t1, t10)
+
+
+def test_funnel_conversions_scales(spark, sf):
+    """Funnel: one filtered min-agg per step joined on the user key —
+    linear in events, no raw-table window."""
+    from dataingestionframework_spark.operators.behavior import (
+        funnel_conversions,
+    )
+
+    ev = sf("events").select("user_id", "ts", "event_type")
+
+    def q(df):
+        funnel_conversions(df, ["view", "click", "purchase"]).collect()
+
+    t1 = _wall(lambda: q(ev))
+    t10 = _wall(lambda: q(_replicate(ev, ["user_id"], REPL, 10_000_000)))
+    _assert_scales("funnel_conversions", t1, t10)
+
+
+def test_ks_statistic_scales(spark, sf):
+    """KS: one (value, group) count over the scan; the ECDF window
+    runs on the aggregated distinct-value table only."""
+    from pyspark.sql import functions as F
+
+    from dataingestionframework_spark.operators.profile import ks_statistic
+
+    ev = sf("events").select(
+        "event_type", F.round(F.col("value"), 3).alias("v")
+    )
+
+    def q(df):
+        ks_statistic(df, "v", "event_type", "click", "error").collect()
+
+    t1 = _wall(lambda: q(ev))
+    # replicate by shifting nothing (no id col needed) — union 10 copies
+    t10 = _wall(lambda: q(_replicate(ev.withColumn("_i", F.lit(0)), ["_i"], REPL, 1)))
+    _assert_scales("ks_statistic", t1, t10)
+
+
+def test_oov_rate_scales(spark, sf):
+    """OOV: token explode + global count + TakeOrderedAndProject top-K
+    + broadcast join — linear in tokens."""
+    from dataingestionframework_spark.operators.corpus import oov_rate
+
+    docs = sf("documents").select("doc_id", "text")
+
+    def q(df):
+        oov_rate(df, vocab_k=50).count()
+
+    t1 = _wall(lambda: q(docs))
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    _assert_scales("oov_rate", t1, t10)
