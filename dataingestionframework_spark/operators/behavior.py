@@ -100,9 +100,12 @@ def cohort_retention(
     if granularity == "day":
         offset = F.datediff("_p", cohort_name)
     else:
+        # date-based, not timestamp-seconds/604800: date_trunc('week')
+        # boundaries are 7d±1h apart across DST transitions, and
+        # floor((7d-1h)/7d) = 0 would assign activity to the wrong
+        # week. datediff on dates is calendar-exact in any timezone.
         offset = F.floor(
-            (F.col("_p").cast("double") - F.col(cohort_name).cast("double"))
-            / (7 * 86400)
+            F.datediff(F.to_date("_p"), F.to_date(cohort_name)) / 7
         ).cast("int")
     out = (
         joined.withColumn(offset_name, offset)

@@ -997,8 +997,12 @@ def zipf_slope(
     )
     return ranked.groupBy(group_col).agg(
         F.count("*").alias("n_terms"),
-        F.round(
-            F.covar_pop("_x", "_y") / F.var_pop("_x"), 4
+        # var_pop = 0 (single distinct rank in the group) would make
+        # Spark emit NaN from 0.0/0.0 where DuckDB's regr_slope returns
+        # NULL — guard so degenerate groups yield NULL on both engines
+        F.when(
+            F.var_pop("_x") > 0,
+            F.round(F.covar_pop("_x", "_y") / F.var_pop("_x"), 4),
         ).alias("zipf_slope"),
     )
 

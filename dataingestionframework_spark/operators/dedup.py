@@ -446,13 +446,19 @@ def verify_pairs_jaccard(
             .select(
                 "id_a",
                 "id_b",
-                F.round(
+                (
                     F.col("n_inter").cast("double")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
-                    4,
-                ).alias("jaccard_sim"),
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+                ).alias("_raw"),
             )
-            .filter(F.col("jaccard_sim") >= threshold)
+            # threshold the UNROUNDED similarity (candidate generators
+            # only guarantee recall for raw >= threshold; a pair in
+            # [t - 5e-5, t) must not round up into the result set),
+            # round only for output
+            .filter(F.col("_raw") >= threshold)
+            .select(
+                "id_a", "id_b", F.round(F.col("_raw"), 4).alias("jaccard_sim")
+            )
         )
         return out.localCheckpoint()
     finally:
@@ -795,11 +801,19 @@ def containment_join(
             .select(
                 "id_a",
                 "id_b",
-                F.round(
-                    F.col("n_inter").cast("double") / F.col("sz_a").cast("double"), 4
-                ).alias("containment"),
+                (
+                    F.col("n_inter").cast("double") / F.col("sz_a").cast("double")
+                ).alias("_raw"),
             )
-            .filter(F.col("containment") >= threshold)
+            # threshold on the UNROUNDED ratio — the size/prefix filters
+            # only guarantee recall for raw >= threshold, so a pair in
+            # [t - 5e-5, t) must not round its way into the result set
+            # (it could have been pruned from the candidates); round
+            # only for output
+            .filter(F.col("_raw") >= threshold)
+            .select(
+                "id_a", "id_b", F.round(F.col("_raw"), 4).alias("containment")
+            )
         )
         return out.localCheckpoint()
     finally:

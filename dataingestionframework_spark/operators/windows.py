@@ -233,11 +233,17 @@ def seasonal_naive_error(
     daily seasonality worth modeling; ≥ 1 ⇒ the 24 h pattern is noise.
     The standard pre-forecasting triage for metric pipelines.
 
-    Plan: one tumbling-hour aggregate (linear scan) and two lag
-    windows over the HOURLY table (group-cardinality × hours rows —
-    tiny), so the raw table is never window-sorted. Hourly sums are
-    rounded to 6dp before differencing so both engines difference the
-    same numbers.
+    Plan: one tumbling-hour aggregate (linear scan), then TIME-BASED
+    lags via equi self-joins on (group, hour − period h) and (group,
+    hour − 1 h) over the HOURLY table (group-cardinality × hours rows
+    — tiny), so the raw table is never window-sorted and the seasonal
+    baseline really is "same hour ``period`` hours ago": on series
+    with missing hours a row-offset lag would silently misalign (it
+    means "``period`` observed hours back"), which round-6 advice
+    flagged — hours with no observation ``period`` hours earlier now
+    contribute NULL and drop out of the MAE, on both engines. Hourly
+    sums are rounded to 6dp before differencing so both engines
+    difference the same numbers.
 
     Output: (group, n_hours, mae_seasonal 4dp, mae_naive 4dp,
     mase_ratio 4dp; ratio NULL when mae_naive is 0).
@@ -249,23 +255,55 @@ def seasonal_naive_error(
         )
         .agg(F.round(F.sum(value_col), 6).alias("_v"))
     )
-    w = Window.partitionBy("_g").orderBy("_h")
-    lagged = hourly.select(
+    p_season = hourly.select(
         "_g",
-        "_v",
-        F.lag("_v", period).over(w).alias("_vp"),
-        F.lag("_v", 1).over(w).alias("_v1"),
+        (F.col("_h") + F.expr(f"INTERVAL {int(period)} HOURS")).alias("_h"),
+        F.col("_v").alias("_vp"),
+    )
+    p_prev = hourly.select(
+        "_g",
+        (F.col("_h") + F.expr("INTERVAL 1 HOURS")).alias("_h"),
+        F.col("_v").alias("_v1"),
+    )
+    # per-row absolute errors as integer MICRO-units: the hourly values
+    # are 6dp, so abs-diff × 1e6 is (up to double noise ≪ 0.5) an exact
+    # integer; integer sums are order-independent, which makes the MAE
+    # bit-identical across engines — a plain avg(double) accumulates in
+    # engine-specific order and can land on opposite sides of a 4dp
+    # rounding boundary (observed: 74.48225 → 74.4823 vs 74.4822)
+    d_season = F.round(F.abs(F.col("_v") - F.col("_vp")) * 1e6).cast("long")
+    d_naive = F.round(F.abs(F.col("_v") - F.col("_v1")) * 1e6).cast("long")
+    lagged = (
+        hourly.join(p_season, ["_g", "_h"], "left")
+        .join(p_prev, ["_g", "_h"], "left")
+        .select("_g", d_season.alias("_dp"), d_naive.alias("_d1"))
     )
     return (
         lagged.groupBy(F.col("_g").alias(group_col))
         .agg(
             F.count("*").alias("n_hours"),
-            F.round(F.avg(F.abs(F.col("_v") - F.col("_vp"))), 4).alias(
-                "mae_seasonal"
-            ),
-            F.round(F.avg(F.abs(F.col("_v") - F.col("_v1"))), 4).alias(
-                "mae_naive"
-            ),
+            F.sum("_dp").alias("_sp"),
+            F.count("_dp").alias("_np"),
+            F.sum("_d1").alias("_s1"),
+            F.count("_d1").alias("_n1"),
+        )
+        .select(
+            group_col,
+            "n_hours",
+            # half-up 4dp rounding done in INTEGER arithmetic:
+            # round(sum/(count*1e6), 4) = (2*sum + 100*count) div
+            # (200*count) tenths-of-micro — engines' round(double, 4)
+            # provably disagree on exact .00005 boundaries (observed
+            # 74.48225 -> 74.4823 Spark vs 74.4822 DuckDB), integer
+            # div cannot
+            F.when(
+                F.col("_np") > 0,
+                F.expr("(2*_sp + 100*_np) div (200*_np)") / F.lit(1e4),
+            ).alias("mae_seasonal"),
+            F.when(
+                F.col("_n1") > 0,
+                F.expr("(2*_s1 + 100*_n1) div (200*_n1)") / F.lit(1e4),
+            ).alias("mae_naive"),
         )
         .withColumn(
             "mase_ratio",

@@ -273,12 +273,15 @@ ORACLES: dict[str, str] = {
                    )) AS g
             FROM toks
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4) AS jaccard_sim
-        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                    / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4) >= 0.3
+        SELECT id_a, id_b, round(raw_sim, 4) AS jaccard_sim
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+                       AS raw_sim
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        )
+        WHERE raw_sim >= 0.3
     """,
     "text_stats_docs": f"""
         WITH t AS (SELECT doc_id, text, {_TOKENS} AS ts FROM documents)
@@ -451,15 +454,15 @@ ORACLES: dict[str, str] = {
                       FROM documents WHERE doc_id < 300),
         grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
                   FROM ({_GRAMS3}) GROUP BY doc_id)
-        SELECT id_a, id_b, jaccard_sim
+        SELECT id_a, id_b, round(raw_sim, 4) AS jaccard_sim
         FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                         / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
-                       AS jaccard_sim
+                   CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+                       AS raw_sim
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         )
-        WHERE jaccard_sim >= 0.3
+        WHERE raw_sim >= 0.3
     """,
     # the bucketed-index variant must reproduce the SAME exact
     # all-pairs answer (bucket_key folding can only ADD candidates,
@@ -469,15 +472,15 @@ ORACLES: dict[str, str] = {
                       FROM documents WHERE doc_id < 300),
         grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
                   FROM ({_GRAMS3}) GROUP BY doc_id)
-        SELECT id_a, id_b, jaccard_sim
+        SELECT id_a, id_b, round(raw_sim, 4) AS jaccard_sim
         FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                         / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
-                       AS jaccard_sim
+                   CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+                       AS raw_sim
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         )
-        WHERE jaccard_sim >= 0.3
+        WHERE raw_sim >= 0.3
     """,
     "time_travel_counts": """
         SELECT CAST(0 AS INTEGER) AS version, 'create' AS op,
@@ -1666,15 +1669,15 @@ ORACLES: dict[str, str] = {
         WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
         grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
                   FROM ({_GRAMS3}) GROUP BY doc_id)
-        SELECT id_a, id_b, jaccard_sim
+        SELECT id_a, id_b, round(raw_sim, 4) AS jaccard_sim
         FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                         / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
-                       AS jaccard_sim
+                   CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+                       AS raw_sim
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         )
-        WHERE jaccard_sim >= 0.3
+        WHERE raw_sim >= 0.3
     """,
     # one-shot rebuild of the streamed sketch: merge-by-addition makes
     # the drained store equal the batch sketch, so the same md5 buckets
@@ -2135,15 +2138,15 @@ ORACLES: dict[str, str] = {
         WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
         grams AS (SELECT doc_id, list_distinct(list(gram)) AS g
                   FROM ({_GRAMS3}) GROUP BY doc_id)
-        SELECT id_a, id_b, jaccard_sim
+        SELECT id_a, id_b, round(raw_sim, 4) AS jaccard_sim
         FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                         / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
-                       AS jaccard_sim
+                   CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
+                       AS raw_sim
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         )
-        WHERE jaccard_sim >= 0.3
+        WHERE raw_sim >= 0.3
     """,
     # ivf_ann_topk probes enough cells on this dataset that its result
     # equals the exact brute-force top-k — the oracle IS the exact scan,
@@ -2392,8 +2395,8 @@ ORACLES: dict[str, str] = {
         dropped AS (
             SELECT DISTINCT greatest(a.doc_id, b.doc_id) AS doc_id
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-            WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                        / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
                   >= 0.3
         )
         SELECT d.doc_id
@@ -2430,8 +2433,8 @@ ORACLES: dict[str, str] = {
         dropped AS (
             SELECT DISTINCT greatest(a.doc_id, b.doc_id) AS doc_id
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-            WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                        / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4)
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE)
                   >= 0.65
         )
         SELECT c.doc_id
@@ -3228,18 +3231,22 @@ ORACLES.update({
                   JOIN grams g USING (doc_id) WHERE d.source = 'src0'),
         pairs AS (
             SELECT c.doc_id, b.doc_id AS bench_id,
-                   round(CAST(len(list_intersect(c.g, b.g)) AS DOUBLE)
-                         / CAST(len(list_distinct(c.g || b.g)) AS DOUBLE), 4)
-                       AS jaccard_sim
+                   CAST(len(list_intersect(c.g, b.g)) AS DOUBLE)
+                       / CAST(len(list_distinct(c.g || b.g)) AS DOUBLE)
+                       AS raw_sim
             FROM corp c CROSS JOIN bench b
         ),
         flagged AS (
+            -- filter on the UNROUNDED similarity (mirrors
+            -- verify_pairs_jaccard); rank on the ROUNDED value since
+            -- that is the column Spark sorts, ties -> bench_id
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                         ORDER BY jaccard_sim DESC,
+                                         ORDER BY round(raw_sim, 4) DESC,
                                                   bench_id) AS rn
-            FROM pairs WHERE jaccard_sim >= 0.3
+            FROM pairs WHERE raw_sim >= 0.3
         )
-        SELECT doc_id, bench_id, jaccard_sim FROM flagged WHERE rn = 1
+        SELECT doc_id, bench_id, round(raw_sim, 4) AS jaccard_sim
+        FROM flagged WHERE rn = 1
     """,
 })
 
@@ -4148,7 +4155,7 @@ ORACLES.update({
                FROM pred GROUP BY 1, 2),
         by_true AS (
             SELECT y AS class, sum(n) AS n_true,
-                   sum(CASE WHEN y = p THEN n END) AS tp_t
+                   sum(CASE WHEN y IS NOT DISTINCT FROM p THEN n END) AS tp_t
             FROM cm GROUP BY 1
         ),
         by_pred AS (SELECT p AS class, sum(n) AS n_pred FROM cm GROUP BY 1),
@@ -4157,7 +4164,8 @@ ORACLES.update({
                    CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
                    CAST(coalesce(q.n_pred, 0) AS BIGINT) AS n_pred,
                    CAST(coalesce(t.tp_t, 0) AS BIGINT) AS tp
-            FROM by_true t FULL OUTER JOIN by_pred q ON t.class = q.class
+            FROM by_true t FULL OUTER JOIN by_pred q
+                 ON t.class IS NOT DISTINCT FROM q.class
         )
         SELECT class, n_true, n_pred, tp,
                CASE WHEN n_pred > 0
@@ -4287,7 +4295,9 @@ ORACLES.update({
                event_type AS xml_type
         FROM events WHERE event_id < 500
     """,
-    # identical hourly aggregate + lag-24/lag-1 MAE comparison
+    # identical hourly aggregate + TIME-BASED lag-24h/lag-1h MAE
+    # comparison (self-joins on h - INTERVAL, matching the operator's
+    # missing-hour-safe alignment)
     "seasonal_naive_events": """
         WITH hourly AS (
             SELECT event_type AS g, date_trunc('hour', ts) AS h,
@@ -4295,16 +4305,34 @@ ORACLES.update({
             FROM events GROUP BY 1, 2
         ),
         lagged AS (
-            SELECT g, v,
-                   lag(v, 24) OVER (PARTITION BY g ORDER BY h) AS vp,
-                   lag(v, 1) OVER (PARTITION BY g ORDER BY h) AS v1
-            FROM hourly
+            SELECT h.g, h.v, p24.v AS vp, p1.v AS v1
+            FROM hourly h
+            LEFT JOIN hourly p24
+              ON p24.g = h.g AND p24.h = h.h - INTERVAL 24 HOURS
+            LEFT JOIN hourly p1
+              ON p1.g = h.g AND p1.h = h.h - INTERVAL 1 HOUR
+        ),
+        micro AS (
+            -- integer micro-unit errors: order-independent sums make
+            -- the MAE bit-identical across engines (see operator)
+            SELECT g,
+                   CAST(round(abs(v - vp) * 1e6) AS BIGINT) AS dp,
+                   CAST(round(abs(v - v1) * 1e6) AS BIGINT) AS d1
+            FROM lagged
         ),
         agg AS (
+            -- half-up 4dp rounding in INTEGER arithmetic (matches the
+            -- operator; engine round(double,4) diverges on .00005)
             SELECT g AS event_type, count(*) AS n_hours,
-                   round(avg(abs(v - vp)), 4) AS mae_seasonal,
-                   round(avg(abs(v - v1)), 4) AS mae_naive
-            FROM lagged GROUP BY 1
+                   CASE WHEN count(dp) > 0 THEN
+                       CAST((2*sum(dp) + 100*count(dp))
+                            // (200*count(dp)) AS DOUBLE) / 1e4
+                   END AS mae_seasonal,
+                   CASE WHEN count(d1) > 0 THEN
+                       CAST((2*sum(d1) + 100*count(d1))
+                            // (200*count(d1)) AS DOUBLE) / 1e4
+                   END AS mae_naive
+            FROM micro GROUP BY 1
         )
         SELECT event_type, n_hours, mae_seasonal, mae_naive,
                CASE WHEN mae_naive > 0
@@ -4342,12 +4370,14 @@ ORACLES.update({
                    )) AS gs
             FROM toks WHERE len(ts) >= 3
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-                     / len(a.gs), 4) AS containment
-        FROM g a JOIN g b ON a.doc_id <> b.doc_id
-        WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-                    / len(a.gs), 4) >= 0.4
+        SELECT id_a, id_b, round(raw_c, 4) AS containment
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                       / len(a.gs) AS raw_c
+            FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        )
+        WHERE raw_c >= 0.4
     """,
     # identical rank/frequency regression: deterministic top-100 ties
     # (count desc, token asc), ln/ln OLS slope = covar_pop/var_pop
@@ -4838,3 +4868,92 @@ ORACLES.update({
         FROM walk GROUP BY node
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Output-type alignment.
+#
+# The driver's hash comparison is type-sensitive: both result sets are
+# canonicalized through Arrow/pandas, so a DuckDB HUGEINT (a bare
+# ``sum(CASE ...)`` materializes as ``decimal128(38,0)`` -> Python
+# ``Decimal``) hash-fails against a Spark ``bigint`` even when every
+# value is bit-identical.  That exact gap kept ``blocklist_filter_docs``
+# driver-red for rounds 4-6 while the local gate (which normalized
+# ``Decimal -> float``) stayed green.
+#
+# Rather than scatter CASTs through 4,800 lines of SQL, every oracle
+# whose Arrow output type diverges from its Spark twin is wrapped here
+# with DuckDB's ``SELECT * REPLACE`` -- column names and order are
+# preserved, only the named columns are cast.  The map below is the
+# authoritative list; ``tools/check_oracle.py`` compares Arrow schemas
+# on every run, so any new divergence fails the local gate immediately.
+_OUTPUT_CASTS: dict[str, dict[str, str]] = {
+    # DuckDB HUGEINT (decimal128(38,0)) vs Spark bigint -- the class
+    # that provably fails the driver hash (values bit-identical).
+    "blocklist_filter_docs": {"n_passing": "BIGINT"},
+    "blocklist_lexicon_docs": {"n_passing": "BIGINT"},
+    "q12_late_shipment_priority": {"high_line_count": "BIGINT",
+                                   "low_line_count": "BIGINT"},
+    "expectations_orders": {"n_failed": "BIGINT"},
+    "argmax_agg_family": {"n_f": "BIGINT"},
+    "zipf_fit_tokens": {"n_tokens": "BIGINT"},
+    "char_entropy_docs": {"n_chars": "BIGINT"},
+    "line_dedup_within_doc": {"kept_segments": "BIGINT",
+                              "dropped_segments": "BIGINT"},
+    "gopher_quality_docs": {"fail_word_count": "BIGINT",
+                            "fail_mean_word_len": "BIGINT",
+                            "fail_symbol_ratio": "BIGINT",
+                            "fail_alpha_words": "BIGINT",
+                            "fail_required_words": "BIGINT",
+                            "fail_line_shape": "BIGINT",
+                            "n_pass": "BIGINT"},
+    "recursive_cte_rollup": {"sum_roots": "BIGINT"},
+    "funnel_stages_events": {"n_signup": "BIGINT",
+                             "n_signup_click": "BIGINT",
+                             "n_full_funnel": "BIGINT"},
+    "inverted_index_docs": {"total_tf": "BIGINT"},
+    "encoding_quality_docs": {"total_replacement": "BIGINT",
+                              "total_control": "BIGINT",
+                              "n_passing": "BIGINT"},
+    "unicode_nfc_docs": {"n_changed": "BIGINT"},
+    "adaptive_length_docs": {"n_pass": "BIGINT"},
+    # int-width alignment (int32 vs int64 both directions) and decimal
+    # precision alignment -- not observed to fail the driver, but the
+    # local gate is now strict, so every divergence is pinned to the
+    # Spark schema here.
+    "vocab_coverage_docs": {"v50": "INTEGER", "v90": "INTEGER",
+                            "v99": "INTEGER"},
+    "decimal_agg": {"sum_price_dec": "DECIMAL(28,2)",
+                    "sum_disc_dec": "DECIMAL(34,4)"},
+    "regression_robust_stats": {"n": "BIGINT"},
+    "q10_returned_items": {"revenue": "DECIMAL(25,2)"},
+    "substring_dedup_docs": {"n_removed": "BIGINT"},
+    "stats_regression_orders": {"n": "BIGINT"},
+    "entity_match_customers": {"dist": "INTEGER"},
+    "window_rank_extras": {"quartile": "INTEGER"},
+    "rolling_unique_users": {"dau": "INTEGER", "wau7": "INTEGER"},
+    "c4_clean_docs": {"n_segments": "INTEGER",
+                      "kept_segments": "INTEGER",
+                      "dropped_segments": "INTEGER"},
+    "format_roundtrip_agg": {"total_price": "DECIMAL(22,2)"},
+    "quality_classifier_docs": {"n_tokens": "INTEGER"},
+    "bm25_search_docs": {"doc_len": "INTEGER"},
+    "kmeans_cluster_embeddings": {"cluster_id": "INTEGER"},
+    "kmeans_incremental_embeddings": {"cluster_id": "INTEGER"},
+    "stream_kmeans_intake_parity": {"cluster_id": "INTEGER"},
+    "chat_transcripts_docs": {"transcript_chars": "INTEGER",
+                              "mask_starts": "BIGINT[]",
+                              "mask_ends": "BIGINT[]"},
+}
+
+
+def _apply_output_casts() -> None:
+    for _name, _casts in _OUTPUT_CASTS.items():
+        _repl = ", ".join(f"CAST({c} AS {t}) AS {c}"
+                          for c, t in _casts.items())
+        ORACLES[_name] = (
+            f"SELECT * REPLACE ({_repl}) FROM (\n{ORACLES[_name]}\n)"
+        )
+
+
+_apply_output_casts()

@@ -352,24 +352,25 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase-blocklist screening — the cheap first gate before
-    model-based content filters. Gate mechanism: the exploded
-    positional-token equi-join (operators.text.blocklist_lexicon_filter)
-    with the 2-phrase policy list as a table, so both sides of the
-    cross-engine contract are a plain tokenize → n-gram → join →
-    GROUP BY — a shape the driver has hash-matched across dozens of
-    queries. (The replace-count fast path, blocklist_filter, stays
-    library code; test_blocklist_replace_count_equals_lexicon_join
-    pins the two mechanisms equal on this very corpus+list.)
+    """Phrase-blocklist screening (operators.text.blocklist_filter):
+    word-boundary hit counts for a stand-in policy list, computed with
+    an engine-proof replace-count contract (tokenize on [^a-z0-9]+,
+    no \\b regex) — the cheap first gate before model-based content
+    filters. Scan-only, zero shuffles before the final groupBy; the
+    thousand-term lexicon scale path is blocklist_lexicon_docs, and
+    test_blocklist_replace_count_equals_lexicon_join pins the two
+    mechanisms equal on this very corpus+list. (Rounds 4-6 driver
+    hash-fails on this query were an oracle output-type bug — DuckDB
+    HUGEINT vs Spark bigint — fixed in plans/oracles._OUTPUT_CASTS,
+    not a mechanism bug; the round-6 mechanism swap is reverted.)
     Aggregated to (lang, n_docs, n_passing, total_hits)."""
-    from ..operators.text import blocklist_lexicon_filter
+    from ..operators.text import blocklist_filter
 
     tune(spark)
     t = _t(spark, sf_dir)
-    lex = spark.createDataFrame(
-        [("merge",), ("window sort",)], "phrase string"
+    out = blocklist_filter(
+        t("documents"), ["merge", "window sort"], max_hits=2
     )
-    out = blocklist_lexicon_filter(t("documents"), lex, max_hits=2)
     return out.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("blocklist_pass").cast("long")).alias("n_passing"),

