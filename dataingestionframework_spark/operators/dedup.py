@@ -888,3 +888,135 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (robust local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_POS_BITS = 20  # fingerprint key = hash<<20 | gram_pos
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03) — the standard robust copy-detection sketch: unlike
+    0-mod-p gram sampling, winnowing GUARANTEES that any shared token
+    run of length ≥ w + k − 1 produces at least one shared fingerprint,
+    at expected density 2/(w+1).
+
+    Mechanism, all engine-portable integer math: positional word
+    ``k``-grams (posexplode + lead window — ONE tokenize pass per doc,
+    the documented O(tokens²) array-form pitfall avoided), each gram
+    hashed to 40 bits via an md5 prefix (portable: DuckDB twin is
+    ``('0x' || substring(md5(g), 1, 10))::UBIGINT``), then each of the
+    doc's ``n_grams − w + 1`` full windows of ``w`` consecutive grams
+    selects its minimum ``hash·2²⁰ + pos`` key — one long comparison,
+    so the tie-break (leftmost minimal hash) is identical in every
+    engine — and selected keys are deduplicated. Window selection is a
+    frame min over the per-doc position order: the gram explode's
+    hash(doc_id) shuffle is the ONLY shuffle and is reused by the
+    frame window AND any downstream per-doc aggregate.
+
+    Positions must fit 20 bits (1M grams/doc); longer docs should be
+    segmented first (``text.segment_documents``).
+
+    Returns (id, fp_hash, fp_pos) distinct — the fingerprint index.
+    Join it to itself (or to a reference index) on ``fp_hash`` for
+    copy-candidate pairs: :func:`winnowing_candidate_pairs`.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnowing requires k >= 1 and w >= 1")
+    from pyspark.sql import Window
+
+    from ..functions import tokens
+
+    tok_rows = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    parts = ["tok"] + [F.lead("tok", i).over(wo) for i in range(1, k)]
+    last = F.lead("tok", k - 1).over(wo) if k > 1 else F.col("tok")
+    grams = (
+        tok_rows.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            last.alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .drop("_t")
+    )
+    h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
+    keyed = grams.select(
+        F.col(id_col),
+        F.col("pos"),
+        (F.shiftleft(h40, _WINNOW_POS_BITS) + F.col("pos")).alias("_key"),
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    n_grams = Window.partitionBy(id_col)
+    anchored = keyed.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min("_key").over(frame).alias("_sel"),
+        F.count("*").over(n_grams).alias("_g"),
+    ).filter(F.col("pos") <= F.col("_g") - w)  # full windows only
+    return (
+        anchored.select(F.col(id_col), F.col("_sel"))
+        .distinct()
+        .select(
+            F.col(id_col),
+            F.shiftrightunsigned(F.col("_sel"), _WINNOW_POS_BITS).alias(
+                "fp_hash"
+            ),
+            F.col("_sel")
+            .bitwiseAND(F.lit((1 << _WINNOW_POS_BITS) - 1))
+            .alias("fp_pos"),
+        )
+    )
+
+
+def winnowing_candidate_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Copy-candidate pairs from a winnowing fingerprint index: docs
+    sharing ≥ ``min_shared`` distinct fingerprint HASHES (position
+    ignored — moved text still matches, the point of local
+    fingerprinting). Plain equi-join on ``fp_hash`` — banded-join
+    shape, no all-pairs.
+
+    ``max_fp_df`` drops fingerprints present in more than that many
+    docs (boilerplate/license headers — the hot keys that would emit
+    C(m,2) pairs). Documented recall trade, same contract as
+    ``max_prefix_df`` in the set-similarity join: dropped grams are
+    CHOSEN by document frequency, never silently truncated.
+    """
+    fph = fps.select(F.col(id_col).alias("id"), "fp_hash").distinct()
+    if max_fp_df is not None:
+        dfreq = fph.groupBy("fp_hash").agg(F.count("*").alias("_df"))
+        fph = (
+            fph.join(dfreq, "fp_hash")
+            .filter(F.col("_df") <= max_fp_df)
+            .drop("_df")
+        )
+    a = fph.select(F.col("id").alias("id_a"), "fp_hash")
+    b = fph.select(F.col("id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -441,3 +441,86 @@ def gini_concentration(
             6,
         ).alias("gini"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney, IJUFKS'02; Machanavajjhala
+    et al., ICDE'06) — the privacy pre-check a release pipeline runs
+    before publishing quasi-identifiable rows: every combination of the
+    quasi-identifier columns forms an equivalence class; rows in small
+    classes are re-identifiable.
+
+    Output is the CLASS-SIZE HISTOGRAM (one row per distinct class
+    size): (class_size, n_classes, n_rows, min_l) where ``min_l`` is
+    the minimum number of distinct ``sensitive_col`` values across
+    classes of that size (NULL when no sensitive column is given) —
+    the table from which any k/l policy reads directly: rows below k
+    = sum(n_rows) over class_size < k; l-diversity holds iff
+    min(min_l) ≥ l.
+
+    Two hash aggregates (QI-combination → class size, then size →
+    histogram); the second input is |distinct QI combos|, so the plan
+    is one real shuffle plus a tiny one. NULL QI values group as their
+    own value (NULL ZIP is still a linkable value) — groupBy semantics,
+    matched by the SQL oracle's GROUP BY.
+    """
+    aggs = [F.count("*").alias("_sz")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("_l"))
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out = classes.groupBy(F.col("_sz").alias("class_size")).agg(
+        F.count("*").alias("n_classes"),
+        F.sum("_sz").alias("n_rows"),
+        (
+            F.min("_l") if sensitive_col is not None else F.lit(None).cast("long")
+        ).alias("min_l"),
+    )
+    return out
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Hot-key report for shuffle/join planning — the diagnostic run
+    BEFORE a 100 TB join to decide salting / AQE-skew-join / broadcast:
+    the top-``top_n`` keys by row count with each key's share of the
+    table and its skew factor (count ÷ mean count per key; >> 1 means
+    that key's shuffle partition is the straggler).
+
+    One hash aggregate on the key, a 1-row scalar broadcast of
+    (total_rows, n_keys) — the plan-audit-sanctioned scalar pattern —
+    and a top-k sort that compiles to TakeOrderedAndProject (no global
+    sort materializes). NULL keys are profiled too (a hot NULL is the
+    single most common real-world join skew).
+
+    Output: (key[string], cnt, share 6dp, skew_factor 4dp, rank).
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    ranked = (
+        counts.join(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("_nkeys") / F.col("_total"), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -4957,3 +4957,91 @@ def _apply_output_casts() -> None:
 
 
 _apply_output_casts()
+
+
+# winnowing (Schleimer et al.): identical positional 5-gram md5-prefix
+# hashes, identical hash*2^20+pos window-min selection — the integer
+# key makes the leftmost-min tie-break engine-exact
+_WINNOW_SEL = """
+        toks AS (SELECT doc_id, {tokens} AS ts FROM documents{filt}),
+        g AS (
+            SELECT doc_id, p - 1 AS pos,
+                   ('0x' || substring(md5(array_to_string(
+                        list_slice(ts, p, p + 4), ' ')), 1, 10))::UBIGINT AS h
+            FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS p
+                  FROM toks WHERE len(ts) >= 5)
+        ),
+        keyed AS (
+            SELECT doc_id, pos, h * 1048576 + pos AS k,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM g
+        ),
+        win AS (
+            SELECT doc_id, pos, ng,
+                   min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS sel
+            FROM keyed
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id,
+                   CAST(sel // 1048576 AS BIGINT) AS fp_hash,
+                   CAST(sel % 1048576 AS BIGINT) AS fp_pos
+            FROM win WHERE pos <= ng - 4
+        )
+"""
+
+ORACLES.update({
+    "winnowing_fingerprint_docs": "WITH " + _WINNOW_SEL.format(
+        tokens=_TOKENS, filt=""
+    ) + """
+        SELECT doc_id, count(*) AS n_fp,
+               min(fp_hash) AS min_fp, max(fp_hash) AS max_fp
+        FROM fp GROUP BY doc_id
+    """,
+    "winnowing_pairs_docs": "WITH " + _WINNOW_SEL.format(
+        tokens=_TOKENS, filt=" WHERE doc_id < 300"
+    ) + """,
+        fph AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        rare AS (
+            SELECT fp_hash FROM fph GROUP BY fp_hash
+            HAVING count(*) <= 50
+        ),
+        kept AS (SELECT f.doc_id, f.fp_hash FROM fph f JOIN rare USING (fp_hash))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM kept a JOIN kept b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    # identical QI equivalence classes (GROUP BY groups NULL as a value
+    # in both engines), histogram over class sizes
+    "k_anonymity_histogram_customers": """
+        WITH cls AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+                   count(DISTINCT c_acctbal) AS l
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT sz AS class_size, count(*) AS n_classes,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               min(l) AS min_l
+        FROM cls GROUP BY 1
+    """,
+    # same count/share/skew arithmetic; string-cast key gives both
+    # engines the identical binary tie-break at the top-k boundary
+    "skew_profile_orders": """
+        WITH c AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cnt
+            FROM orders GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     count(*) AS nkeys FROM c)
+        SELECT key, cnt,
+               round(cnt / t.total, 6) AS share,
+               round(cnt * t.nkeys / t.total, 4) AS skew_factor,
+               CAST(row_number() OVER (ORDER BY cnt DESC, key ASC)
+                    AS INTEGER) AS rank
+        FROM c, t
+        ORDER BY cnt DESC, key ASC
+        LIMIT 20
+    """,
+})

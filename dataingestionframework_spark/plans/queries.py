@@ -6688,3 +6688,74 @@ QUERIES = {
     "stream_warc_intake_parity": stream_warc_intake_parity,
     "pcm_energy_segments_docs": pcm_energy_segments_docs,
 }
+
+
+def winnowing_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint index (operators.dedup.
+    winnowing_fingerprints; Schleimer et al., SIGMOD'03): per-doc
+    fingerprint count and hash range from the guaranteed-recall local
+    sketch (any shared run of ≥ w+k−1 tokens shares a fingerprint;
+    density 2/(w+1)). All integer math off a portable md5 prefix, so
+    the oracle rebuilds the identical window-min selection in SQL."""
+    from ..operators.dedup import winnowing_fingerprints
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    fps = winnowing_fingerprints(t("documents"), k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp_hash").alias("min_fp"),
+        F.max("fp_hash").alias("max_fp"),
+    )
+
+
+def winnowing_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-candidate pairs by shared winnowing fingerprints
+    (operators.dedup.winnowing_candidate_pairs): equi-join on the
+    fingerprint hash — the banded-join copy-detection shape, no
+    all-pairs — with the hot-fingerprint cap (max_fp_df) documented
+    and the oracle applying the identical cap."""
+    from ..operators.dedup import winnowing_candidate_pairs, winnowing_fingerprints
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    fps = winnowing_fingerprints(
+        t("documents").filter(F.col("doc_id") < 300), k=5, w=4
+    )
+    return winnowing_candidate_pairs(fps, min_shared=2, max_fp_df=50)
+
+
+def k_anonymity_histogram_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators.profile.
+    k_anonymity_audit; Sweeney / Machanavajjhala et al.): class-size
+    histogram over the (nation, market-segment) quasi-identifier with
+    min distinct account-balance values per class size — the
+    release-gate privacy report."""
+    from ..operators.profile import k_anonymity_audit
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return k_anonymity_audit(
+        t("customer"), ["c_nationkey", "c_mktsegment"], sensitive_col="c_acctbal"
+    )
+
+
+def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key shuffle diagnostic (operators.profile.skew_profile):
+    top-20 order-count customers with share and skew factor — the
+    report read before salting / AQE-skew-join decisions on a 100 TB
+    join. Scalar totals broadcast (plan-audit-sanctioned 1-row
+    pattern); top-k compiles to TakeOrderedAndProject."""
+    from ..operators.profile import skew_profile
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return skew_profile(t("orders"), "o_custkey", top_n=20)
+
+
+QUERIES.update({
+    "winnowing_fingerprint_docs": winnowing_fingerprint_docs,
+    "winnowing_pairs_docs": winnowing_pairs_docs,
+    "k_anonymity_histogram_customers": k_anonymity_histogram_customers,
+    "skew_profile_orders": skew_profile_orders,
+})

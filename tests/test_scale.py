@@ -592,3 +592,37 @@ def test_oov_rate_scales(spark, sf):
     t1 = _wall(lambda: q(docs))
     t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
     _assert_scales("oov_rate", t1, t10)
+
+
+def test_winnowing_scales(spark, sf):
+    """Winnowing: gram explode + per-doc frame-min window + distinct +
+    fingerprint equi-join — every stage partitions on doc_id or
+    fp_hash, linear in corpus tokens."""
+    from dataingestionframework_spark.operators.dedup import (
+        winnowing_candidate_pairs,
+        winnowing_fingerprints,
+    )
+
+    docs = sf("documents").select("doc_id", "text")
+
+    def q(df):
+        fps = winnowing_fingerprints(df, k=5, w=4)
+        winnowing_candidate_pairs(fps, min_shared=2, max_fp_df=50).count()
+
+    t1 = _wall(lambda: q(docs))
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    _assert_scales("winnowing", t1, t10)
+
+
+def test_skew_profile_scales(spark, sf):
+    """Skew profile: one hash agg + scalar broadcast + top-k — linear."""
+    from dataingestionframework_spark.operators.profile import skew_profile
+
+    orders = sf("orders").select("o_custkey")
+
+    def q(df):
+        skew_profile(df, "o_custkey", top_n=20).count()
+
+    t1 = _wall(lambda: q(orders))
+    t10 = _wall(lambda: q(_replicate(orders, ["o_custkey"], REPL, 10_000_000)))
+    _assert_scales("skew_profile", t1, t10)

@@ -28,6 +28,9 @@ sys.path.insert(0, ".")
 ALLOW: dict[str, dict[str, str]] = {
     # 1-row scalar subquery joined without a key: Spark plans a
     # broadcast nested loop over exactly one row — constant cost
+    "skew_profile_orders": {
+        "BroadcastNestedLoopJoin": "1-row (total_rows, n_keys) scalar broadcast"
+    },
     "q15_top_supplier": {
         "BroadcastNestedLoopJoin": "1-row max-revenue scalar broadcast"
     },
