@@ -899,3 +899,48 @@ def test_gini_bounds_and_scale_invariance(spark, weights, k):
     gk = run([w * k for w in weights])
     assert 0.0 <= g1 < 1.0
     assert abs(g1 - gk) < 1e-9
+
+
+def _winnow_py(toks, k, w):
+    """Pure-Python winnowing reference: md5-prefix 40-bit gram hashes,
+    leftmost-min (hash<<20 | pos) per full window, distinct."""
+    import hashlib
+
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    keys = [
+        (int(hashlib.md5(g.encode()).hexdigest()[:10], 16) << 20) | i
+        for i, g in enumerate(grams)
+    ]
+    sel = {min(keys[i:i + w]) for i in range(len(keys) - w + 1)}
+    return {(s >> 20, s & ((1 << 20) - 1)) for s in sel}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "e"]), min_size=0,
+             max_size=30),
+    min_size=1, max_size=4))
+def test_winnowing_matches_python_reference(spark, docs):
+    """winnowing_fingerprints == the obvious Python winnower for every
+    doc shape: below-window docs vanish, ties resolve leftmost, and the
+    (hash, pos) pairs agree exactly — the same integer-key contract the
+    DuckDB oracle replays."""
+    from dataingestionframework_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in winnowing_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_hash, r.fp_pos))
+    expected = {}
+    for i, toks in enumerate(docs):
+        fps = _winnow_py(toks, k, w)
+        if fps:
+            expected[i] = fps
+    assert got == expected
