@@ -1694,3 +1694,110 @@ def sq8_quantize(
             lambda a, c: a + F.abs(c),
         ).alias("sum_abs_codes"),
     )
+
+
+def prefix_dim_recall(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    prefix_dims: Sequence[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka/prefix-truncation quality audit (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS'22): before shipping
+    shortened vectors, measure what ANN quality each prefix length
+    keeps — recall@k of the prefix-dim exact top-k against the full-dim
+    exact top-k, per query.
+
+    Plan shape: the query vectors (|query_ids| rows, model-sized) are
+    broadcast against the corpus once; each (query, prefix) scoring is
+    a scan-side array expression (``slice`` + the same fused
+    dot/norm aggregate as ``cosine_topk``), ranks come from one window
+    per (query, prefix) partition over the scored table, and recall is
+    a self-join of the two rank-k sets on (query, neighbor). Nothing
+    quadratic in corpus size; the corpus is scanned once per prefix
+    length (prefix slices can't share one pass because norms differ).
+
+    Cross-engine determinism: similarities rounded to 6dp before
+    ranking, ties broken by neighbor id — the repo-wide embedding
+    ordering contract.
+
+    Output: (query_id, prefix_dim, n_overlap, recall — n_overlap/k).
+    """
+    if not query_ids or not prefix_dims:
+        raise ValueError("query_ids and prefix_dims must be non-empty")
+    dims = sorted(set(int(d) for d in prefix_dims))
+    full = df.select(
+        F.col(id_col).alias("nbr"), F.col(vec_col).alias("_v")
+    )
+    qs = df.filter(F.col(id_col).isin(*[int(q) for q in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    scored = (
+        full.join(F.broadcast(qs), F.col("nbr") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr",
+            F.round(cosine_similarity(F.col("_v"), F.col("_q")), 6).alias(
+                "_cs_full"
+            ),
+            *[
+                F.round(
+                    cosine_similarity(
+                        F.slice(F.col("_v"), 1, d), F.slice(F.col("_q"), 1, d)
+                    ),
+                    6,
+                ).alias(f"_cs_{d}")
+                for d in dims
+            ],
+        )
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("_cs_full").desc(), F.col("nbr").asc()
+    )
+    base = (
+        scored.withColumn("_rf", F.row_number().over(wf))
+        .filter(F.col("_rf") <= k)
+        .select("query_id", "nbr")
+    )
+    outs = []
+    for d in dims:
+        wd = Window.partitionBy("query_id").orderBy(
+            F.col(f"_cs_{d}").desc(), F.col("nbr").asc()
+        )
+        topd = (
+            scored.withColumn("_rd", F.row_number().over(wd))
+            .filter(F.col("_rd") <= k)
+            .select("query_id", "nbr")
+        )
+        ov = (
+            base.join(topd, ["query_id", "nbr"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("_n"))
+        )
+        outs.append(
+            # left join from the query universe: a prefix length whose
+            # top-k shares NOTHING with the full ranking must report
+            # recall 0, not vanish from the report
+            qs.select("query_id")
+            .join(ov, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(d).alias("prefix_dim"),
+                F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias(
+                    "n_overlap"
+                ),
+                F.round(
+                    F.coalesce(F.col("_n"), F.lit(0).cast("long"))
+                    / F.lit(float(k)),
+                    4,
+                ).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

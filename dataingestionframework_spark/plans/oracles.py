@@ -5045,3 +5045,83 @@ ORACLES.update({
         LIMIT 20
     """,
 })
+
+
+ORACLES.update({
+    # same 6dp-rounded cosine ranking contract as embedding_topk; the
+    # prefix rankings and the full ranking are separate window ranks,
+    # overlap counted on (query, neighbor)
+    "mrl_prefix_recall_embeddings": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN (0, 1, 2)),
+        s AS (
+            SELECT q.query_id, e.vec_id AS nbr,
+               round(list_cosine_similarity(e.v, q.qv), 6) AS cf,
+               round(list_cosine_similarity(list_slice(e.v, 1, 8), list_slice(q.qv, 1, 8)), 6) AS c8,
+               round(list_cosine_similarity(list_slice(e.v, 1, 16), list_slice(q.qv, 1, 16)), 6) AS c16,
+               round(list_cosine_similarity(list_slice(e.v, 1, 32), list_slice(q.qv, 1, 32)), 6) AS c32
+            FROM e JOIN q ON e.vec_id <> q.query_id
+        ),
+        bf AS (
+            SELECT query_id, nbr FROM (
+                SELECT query_id, nbr,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cf DESC, nbr) AS r
+                FROM s) WHERE r <= 10
+        ),
+        b8 AS (
+            SELECT query_id, nbr FROM (
+                SELECT query_id, nbr,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c8 DESC, nbr) AS r
+                FROM s) WHERE r <= 10
+        ),
+        o8 AS (
+            SELECT q2.query_id, 8 AS prefix_dim,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap
+            FROM (SELECT DISTINCT query_id FROM q) q2
+            LEFT JOIN (
+                SELECT b.query_id, count(*) AS n
+                FROM bf b JOIN b8 USING (query_id, nbr) GROUP BY 1
+            ) o USING (query_id)
+        ),
+        b16 AS (
+            SELECT query_id, nbr FROM (
+                SELECT query_id, nbr,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c16 DESC, nbr) AS r
+                FROM s) WHERE r <= 10
+        ),
+        o16 AS (
+            SELECT q2.query_id, 16 AS prefix_dim,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap
+            FROM (SELECT DISTINCT query_id FROM q) q2
+            LEFT JOIN (
+                SELECT b.query_id, count(*) AS n
+                FROM bf b JOIN b16 USING (query_id, nbr) GROUP BY 1
+            ) o USING (query_id)
+        ),
+        b32 AS (
+            SELECT query_id, nbr FROM (
+                SELECT query_id, nbr,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c32 DESC, nbr) AS r
+                FROM s) WHERE r <= 10
+        ),
+        o32 AS (
+            SELECT q2.query_id, 32 AS prefix_dim,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap
+            FROM (SELECT DISTINCT query_id FROM q) q2
+            LEFT JOIN (
+                SELECT b.query_id, count(*) AS n
+                FROM bf b JOIN b32 USING (query_id, nbr) GROUP BY 1
+            ) o USING (query_id)
+        )
+        SELECT query_id, prefix_dim, n_overlap,
+               round(n_overlap / 10.0, 4) AS recall
+        FROM (SELECT * FROM o8 UNION ALL SELECT * FROM o16
+              UNION ALL SELECT * FROM o32)
+    """,
+})

@@ -6759,3 +6759,22 @@ QUERIES.update({
     "k_anonymity_histogram_customers": k_anonymity_histogram_customers,
     "skew_profile_orders": skew_profile_orders,
 })
+
+
+def mrl_prefix_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-truncation audit (operators.similarity.
+    prefix_dim_recall; Kusupati et al. NeurIPS'22): recall@10 of
+    exact top-k under 8/16/32-dim prefixes vs the full 64-dim ranking,
+    for three query vectors — the report read before shipping
+    shortened embeddings. Query side is model-sized (3 rows,
+    broadcast); corpus side scans, no quadratic stage."""
+    from ..operators.similarity import prefix_dim_recall
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return prefix_dim_recall(
+        t("embeddings"), query_ids=[0, 1, 2], prefix_dims=[8, 16, 32], k=10
+    )
+
+
+QUERIES["mrl_prefix_recall_embeddings"] = mrl_prefix_recall_embeddings

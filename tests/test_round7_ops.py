@@ -241,3 +241,27 @@ def test_seasonal_lag_is_time_based_not_row_based(spark):
     # also difference 03 against 01 (|99-20| = 79 -> mae 44.5)
     assert row.mae_naive == 10.0
     assert row.mae_seasonal is None  # no hour has a 24h-earlier twin
+
+
+def test_prefix_dim_recall_full_prefix_is_perfect_and_zero_reported(spark):
+    """The full-dimension 'prefix' reproduces the full ranking exactly
+    (recall 1.0), and a query×prefix pair with zero overlap still gets
+    its row (recall 0.0), not silence."""
+    from dataingestionframework_spark.operators.similarity import (
+        prefix_dim_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {(r.query_id, r.prefix_dim): r for r in prefix_dim_recall(
+        emb, query_ids=[0, 1], prefix_dims=[64], k=10).collect()}
+    assert got[(0, 64)].n_overlap == 10 and got[(0, 64)].recall == 1.0
+    assert got[(1, 64)].recall == 1.0
+
+    # orthogonal prefix: vectors whose first dims are identical carry
+    # no ranking signal; every (query, prefix) row must still appear
+    rows = [(i, [0.0, 0.0] + [float((i * 7 + j) % 5) for j in range(6)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = prefix_dim_recall(df, query_ids=[0], prefix_dims=[2, 8], k=5)
+    got2 = {(r.query_id, r.prefix_dim): r for r in out.collect()}
+    assert set(got2) == {(0, 2), (0, 8)}  # zero-signal prefix reported too

@@ -31,6 +31,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "skew_profile_orders": {
         "BroadcastNestedLoopJoin": "1-row (total_rows, n_keys) scalar broadcast"
     },
+    "mrl_prefix_recall_embeddings": {
+        "BroadcastNestedLoopJoin": (
+            "3-row query-vector broadcast x corpus scan (brute-force "
+            "scoring side; the scale path is IVF probes)"
+        )
+    },
     "q15_top_supplier": {
         "BroadcastNestedLoopJoin": "1-row max-revenue scalar broadcast"
     },
