@@ -570,12 +570,15 @@ def weighted_sample(
     the sample is a pure function of (data, seed) — no rand(), so any
     engine re-derives the identical set. Scale shape: scan-side key
     expression + top-k (TakeOrderedAndProject — per-partition heaps,
-    no global sort). Weights must be > 0.
+    no global sort). Rows with weight <= 0 (or NULL) have zero
+    selection probability and are FILTERED, which is the A-ES
+    semantics — not left to trip an ANSI divide-by-zero.
     """
     u = _unit_hash("aes", seed, F.col(id_col))
     key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
-        docs.withColumn("aes_key", key)
+        docs.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("aes_key", key)
         .orderBy(F.desc("aes_key"), F.col(id_col))
         .limit(k)
         .drop("aes_key")

@@ -289,9 +289,14 @@ ORACLES: dict[str, str] = {
                CAST(length(text) AS INTEGER) AS n_chars_calc,
                CAST(len(ts) AS INTEGER)      AS n_tokens,
                CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
-               round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 4) AS ttr,
-               round(CAST(len(list_filter(ts, x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
-                     / len(ts), 4) AS stopword_ratio
+               CASE WHEN len(ts) > 0 THEN
+                   round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 4)
+               END AS ttr,
+               CASE WHEN len(ts) > 0 THEN
+                   round(CAST(len(list_filter(ts,
+                       x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
+                       / len(ts), 4)
+               END AS stopword_ratio
         FROM t
     """,
     "embedding_topk": """
@@ -499,19 +504,30 @@ ORACLES: dict[str, str] = {
         WHERE o_orderkey < 2000 AND o_orderstatus = 'F'
     """,
     "argmax_agg_family": """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey, o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey ASC) AS r_top,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice ASC,
+                                               o_orderkey ASC) AS r_bot
+            FROM orders
+        )
         SELECT o_orderpriority,
-               arg_max(o_orderkey, o_totalprice) AS top_order,
-               arg_min(o_orderkey, o_totalprice) AS bottom_order,
+               max(CASE WHEN r_top = 1 THEN o_orderkey END) AS top_order,
+               max(CASE WHEN r_bot = 1 THEN o_orderkey END) AS bottom_order,
                count_if(o_orderstatus = 'F') AS n_f,
                bool_or(o_totalprice > 400000) AS any_big,
                bool_and(o_totalprice > 0) AS all_pos
-        FROM orders GROUP BY o_orderpriority
+        FROM ranked GROUP BY o_orderpriority
     """,
     "variant_json_events": """
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   AS k_value
         FROM events
-        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) <= 50
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) <= 50
     """,
     "token_budget_select_docs": f"""
         WITH t AS (
@@ -669,9 +685,10 @@ ORACLES: dict[str, str] = {
     """,
     "json_extract_events": """
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   AS k_value
         FROM events
-        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
     """,
     "string_regex_orders": """
         SELECT o_orderkey,
@@ -1215,15 +1232,17 @@ ORACLES: dict[str, str] = {
         r AS (
             SELECT doc_id,
                    string_agg(substring(ph, i * 2 + 1, 2), '' ORDER BY i) AS rhex,
-                   count(*) AS rn,
-                   max(length(ph) / 2) AS osz
+                   count(*) AS rn
             FROM g GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(osz AS INTEGER) AS orig_size,
-               CAST(rn AS INTEGER) AS resized_size,
-               md5(lower(rhex)) AS resized_md5
-        FROM r
+        -- left join back to the doc universe: an EMPTY payload has no
+        -- strided positions (range unnest emits nothing) but the
+        -- operator still reports (0, 0, md5('')) for it
+        SELECT f.doc_id,
+               CAST(length(f.ph) / 2 AS INTEGER) AS orig_size,
+               CAST(coalesce(r.rn, 0) AS INTEGER) AS resized_size,
+               md5(lower(coalesce(r.rhex, ''))) AS resized_md5
+        FROM f LEFT JOIN r USING (doc_id)
     """,
     "corpus_diff_versions": """
         WITH old AS (
@@ -1649,16 +1668,27 @@ ORACLES: dict[str, str] = {
     # The mapInPandas stub hashes payload bytes into 4 buckets
     # (bucket[i%4] += byte/255). The corpus is pure ASCII, so the SQL
     # twin can rebuild the buckets from per-char code points.
+    # true UTF-8 BYTE buckets via the hex of the encoded payload — not
+    # per-CHAR code points, which silently diverge from the operator's
+    # byte loop the moment a non-ASCII character appears (fuzz-gate
+    # finding; the shipped corpus is ASCII so both agreed there)
     "multimodal_stub_features": """
+        WITH f AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,
+               CAST(n AS INTEGER) AS payload_size,
                round(coalesce(list_sum(list_transform(
-                   list_filter(range(0, length(text)), i -> i % 4 = 0),
-                   i -> ord(substring(text, i + 1, 1)) / 255.0)), 0), 4) AS f0,
+                   list_filter(range(0, n), i -> i % 4 = 0),
+                   i -> ('0x' || substring(hx, i * 2 + 1, 2))::INT / 255.0
+               )), 0), 4) AS f0,
                round(coalesce(list_sum(list_transform(
-                   list_filter(range(0, length(text)), i -> i % 4 = 3),
-                   i -> ord(substring(text, i + 1, 1)) / 255.0)), 0), 4) AS f3
-        FROM documents
+                   list_filter(range(0, n), i -> i % 4 = 3),
+                   i -> ('0x' || substring(hx, i * 2 + 1, 2))::INT / 255.0
+               )), 0), 4) AS f3
+        FROM f
     """,
     "simhash_near_dup": _simhash_sql(bits=60, max_hamming=8),
     "dedup_cluster_canonical": _cc_cluster_sql(bits=60, max_hamming=8),
@@ -2550,8 +2580,12 @@ ORACLES: dict[str, str] = {
         WITH m AS (
             SELECT source,
                    len(ws) AS n_words,
-                   round(list_aggregate(
-                       list_transform(ws, w -> CAST(len(w) AS DOUBLE)), 'sum')
+                   -- coalesce: sum of an EMPTY list is NULL in DuckDB
+                   -- but the operator's fold yields 0.0 (a NULL here
+                   -- silently drops empty docs from the avg — fuzz find)
+                   round(coalesce(list_aggregate(
+                       list_transform(ws, w -> CAST(len(w) AS DOUBLE)),
+                       'sum'), 0)
                        / greatest(len(ws), 1), 4) AS mean_word_len,
                    (len(regexp_extract_all(text, '#'))
                     + len(regexp_extract_all(text, '\\.\\.\\.')))
@@ -2987,7 +3021,8 @@ ORACLES: dict[str, str] = {
     "pandas_grouped_agg_gmean": """
         SELECT o_orderpriority,
                round(exp(avg(ln(o_totalprice))), 2) AS gmean_price
-        FROM orders GROUP BY o_orderpriority
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY o_orderpriority
     """,
     # binaryFile ingest: payload bytes are the utf-8 text, so length
     # and sha256 are recomputable straight from the table.
@@ -3008,6 +3043,7 @@ ORACLES: dict[str, str] = {
                         / 1152921504606846976.0,
                        1.0 / n_chars) AS aes_key
             FROM documents
+            WHERE n_chars > 0
         )
         ORDER BY aes_key DESC, doc_id
         LIMIT 100
@@ -3018,16 +3054,16 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                len(ws) AS n_tokens,
                round(1.0 / (1.0 + exp(-(
-                   list_aggregate(list_transform(ws, w ->
+                   coalesce(list_aggregate(list_transform(ws, w ->
                        CAST((('0x' || substring(md5(w), 1, 15))::UBIGINT
                               % 1024) * 2654435761 % 2000 AS DOUBLE)
-                           / 1000.0 - 1.0), 'sum')
+                           / 1000.0 - 1.0), 'sum'), 0)
                    / greatest(len(ws), 1)))), 4) AS score,
                round(1.0 / (1.0 + exp(-(
-                   list_aggregate(list_transform(ws, w ->
+                   coalesce(list_aggregate(list_transform(ws, w ->
                        CAST((('0x' || substring(md5(w), 1, 15))::UBIGINT
                               % 1024) * 2654435761 % 2000 AS DOUBLE)
-                           / 1000.0 - 1.0), 'sum')
+                           / 1000.0 - 1.0), 'sum'), 0)
                    / greatest(len(ws), 1)))), 4) >= 0.5 AS keep
         FROM (
             SELECT doc_id,
@@ -3305,9 +3341,11 @@ ORACLES.update({
     # Benford leading-digit audit via integer-cents string arithmetic
     "benford_orders": """
         WITH b AS (
-            SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
-                       AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-            FROM orders
+            SELECT digit FROM (
+                SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+                           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+                FROM orders
+            ) WHERE digit BETWEEN 1 AND 9
         )
         SELECT digit, n,
                round(n / sum(n) OVER (), 4) AS observed,
@@ -3518,7 +3556,7 @@ ORACLES.update({
     # shared sampled-frame fingerprints (64-byte frames, stride 2):
     # frames rebuilt from hex(payload) slices — 128 hex chars per frame
     "video_frame_near_dup": """
-        WITH p AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx
+        WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx
                    FROM documents),
         fr AS (
             SELECT DISTINCT doc_id,

