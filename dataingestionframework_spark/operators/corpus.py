@@ -277,7 +277,15 @@ def train_split_shard(
     shuffle without a global sort.
     """
     train_w, val_w, _ = weights
-    split_key = F.col(group_col) if group_col else F.col(id_col)
+    # NULL group hashes as the empty-string group — concat_ws would
+    # silently drop the NULL AND its separator, giving a different
+    # (and engine-unportable) hash input than the SQL twin's
+    # coalesce(group, '')
+    split_key = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+        if group_col
+        else F.col(id_col)
+    )
     u = _unit_hash("split", seed, split_key)
     split = (
         F.when(u < train_w, "train")
@@ -538,16 +546,22 @@ def corpus_diff(
     'changed' into the incremental dedup/quality path and 'removed'
     into retention tooling.
     """
-    fp = lambda d: d.select(  # noqa: E731
-        F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("_fp")
+    # presence is tracked by an explicit marker, NOT by fingerprint
+    # nullness: md5(NULL text) is NULL, and using it as the existence
+    # test misclassifies a NULL-text doc present in both versions as
+    # 'added' (fuzz-gate find); eqNullSafe keeps NULL==NULL 'unchanged'
+    fp = lambda d, side: d.select(  # noqa: E731
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("string")).alias(f"_fp_{side}"),
+        F.lit(True).alias(f"_in_{side}"),
     )
-    o = fp(old).withColumnRenamed("_fp", "_fp_old")
-    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    o = fp(old, "old")
+    n = fp(new, "new")
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("_fp_old").isNull(), "added")
-        .when(F.col("_fp_new").isNull(), "removed")
-        .when(F.col("_fp_old") == F.col("_fp_new"), "unchanged")
+        F.when(~F.coalesce(F.col("_in_old"), F.lit(False)), "added")
+        .when(~F.coalesce(F.col("_in_new"), F.lit(False)), "removed")
+        .when(F.col("_fp_old").eqNullSafe(F.col("_fp_new")), "unchanged")
         .otherwise("changed")
     )
     return joined.select(id_col, status.alias("status"))

@@ -151,7 +151,14 @@ def psi_drift(
             ),
         ).cast("int")
         return (
-            df.select(bucket.alias("bucket"))
+            # NULL / non-finite observations carry no distribution
+            # information and NaN would land in an engine-defined
+            # bucket (DuckDB refuses the cast outright) — excluded
+            df.filter(
+                F.col(value_col).isNotNull()
+                & ~F.isnan(F.col(value_col).cast("double"))
+            )
+            .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count("*").alias(name))
         )

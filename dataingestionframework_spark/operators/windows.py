@@ -248,8 +248,16 @@ def seasonal_naive_error(
     Output: (group, n_hours, mae_seasonal 4dp, mae_naive 4dp,
     mase_ratio 4dp; ratio NULL when mae_naive is 0).
     """
+    # NULL / non-finite observations are MISSING rows (a single NaN
+    # would poison its hour's sum, then overflow the micro-unit
+    # integer cast; keeping NULL rows would manufacture NULL-valued
+    # hours that count toward n_hours)
+    finite = events.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
     hourly = (
-        events.groupBy(
+        finite.groupBy(
             F.col(group_col).alias("_g"),
             F.date_trunc("hour", F.col(ts_col)).alias("_h"),
         )

@@ -1057,7 +1057,12 @@ ORACLES: dict[str, str] = {
     "stream_stateful_counters_parity": """
         SELECT user_id,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               -- FILTER: the stateful counter sums via pandas, which
+               -- skips NaN/None; a bare SQL sum would NaN-poison the
+               -- whole user on one bad reading
+               round(coalesce(sum(value) FILTER (WHERE value IS NOT NULL
+                                                   AND isfinite(value)),
+                              0), 2) AS total_value
         FROM events
         GROUP BY user_id
     """,
@@ -1222,7 +1227,10 @@ ORACLES: dict[str, str] = {
     """,
     "resize_stub_docs": """
         WITH f AS (
+            -- NULL payloads are DROPPED by the operator (nothing to
+            -- resize; its output schema is non-null)
             SELECT doc_id, hex(encode(text)) AS ph FROM documents
+            WHERE text IS NOT NULL
         ),
         g AS (
             SELECT doc_id, ph,
@@ -1256,7 +1264,7 @@ ORACLES: dict[str, str] = {
         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                CASE WHEN o.doc_id IS NULL THEN 'added'
                     WHEN n.doc_id IS NULL THEN 'removed'
-                    WHEN o.fp = n.fp THEN 'unchanged'
+                    WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     """,
@@ -1475,13 +1483,15 @@ ORACLES: dict[str, str] = {
     """,
     "rolling_fingerprint_docs": f"""
         SELECT doc_id,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform({_TOKENS},
-                           x -> CAST(('0x' || substring(md5(x), 1, 10))::UBIGINT
-                                     AS BIGINT))),
-                   (a, b) -> (a * 31 + b) & 1099511627775
-               ) AS rolling_fp
+               CASE WHEN text IS NULL THEN NULL ELSE
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform({_TOKENS},
+                               x -> CAST(('0x' || substring(md5(x), 1, 10))
+                                         ::UBIGINT AS BIGINT))),
+                       (a, b) -> (a * 31 + b) & 1099511627775
+                   )
+               END AS rolling_fp
         FROM documents
     """,
     # Concat-and-chunk packing: running token sum per language, each doc
@@ -1662,7 +1672,8 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS payload_size,
                sha256(text) AS payload_hash,
-               'application/octet-stream' AS payload_mime
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE 'application/octet-stream' END AS payload_mime
         FROM documents
     """,
     # The mapInPandas stub hashes payload bytes into 4 buckets
@@ -1680,14 +1691,20 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id,
                CAST(n AS INTEGER) AS payload_size,
-               round(coalesce(list_sum(list_transform(
-                   list_filter(range(0, n), i -> i % 4 = 0),
-                   i -> ('0x' || substring(hx, i * 2 + 1, 2))::INT / 255.0
-               )), 0), 4) AS f0,
-               round(coalesce(list_sum(list_transform(
-                   list_filter(range(0, n), i -> i % 4 = 3),
-                   i -> ('0x' || substring(hx, i * 2 + 1, 2))::INT / 255.0
-               )), 0), 4) AS f3
+               -- NULL payload -> NULL features (the mapInPandas stub
+               -- appends None); empty payload -> 0.0 buckets
+               CASE WHEN hx IS NULL THEN NULL ELSE
+                   round(coalesce(list_sum(list_transform(
+                       list_filter(range(0, n), i -> i % 4 = 0),
+                       i -> ('0x' || substring(hx, i * 2 + 1, 2))::INT / 255.0
+                   )), 0), 4)
+               END AS f0,
+               CASE WHEN hx IS NULL THEN NULL ELSE
+                   round(coalesce(list_sum(list_transform(
+                       list_filter(range(0, n), i -> i % 4 = 3),
+                       i -> ('0x' || substring(hx, i * 2 + 1, 2))::INT / 255.0
+                   )), 0), 4)
+               END AS f3
         FROM f
     """,
     "simhash_near_dup": _simhash_sql(bits=60, max_hamming=8),
@@ -1837,8 +1854,10 @@ ORACLES: dict[str, str] = {
                    || '<MID>' || substring(text, a + 1, b - a) AS fim_text
         FROM h2
         UNION ALL
+        -- l IS NULL: a NULL-text doc passes through (NULL cuts, NULL
+        -- fim_text) — the WHERE l >= 3 / l < 3 split would drop it
         SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), text
-        FROM d WHERE l < 3
+        FROM d WHERE l < 3 OR l IS NULL
     """,
     # same distinct per-source gram sets, pairwise via the gram join
     "source_overlap_docs": f"""
@@ -1864,10 +1883,12 @@ ORACLES: dict[str, str] = {
         WITH b AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bucket),
         r AS (SELECT least(9, greatest(0,
                   CAST(floor(value / 50.0) AS INTEGER))) AS bucket
-              FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+              FROM events WHERE ts < TIMESTAMP '2024-01-16'
+                AND value IS NOT NULL AND isfinite(value)),
         c AS (SELECT least(9, greatest(0,
                   CAST(floor(value / 50.0) AS INTEGER))) AS bucket
-              FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+              FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+                AND value IS NOT NULL AND isfinite(value)),
         rc AS (SELECT bucket, count(*) AS n_ref FROM r GROUP BY 1),
         cc AS (SELECT bucket, count(*) AS n_cur FROM c GROUP BY 1),
         j AS (SELECT b.bucket, coalesce(rc.n_ref, 0) AS n_ref,
@@ -2578,15 +2599,20 @@ ORACLES: dict[str, str] = {
     # min_required_hits=1 (see queries.gopher_quality_docs).
     "gopher_quality_docs": """
         WITH m AS (
+            -- nulldoc: a NULL-text doc has NULL measures and NULL rule
+            -- verdicts on Spark — counted in n_docs, excluded from
+            -- every fail count, n_pass, and the avg (fuzz find)
             SELECT source,
+                   text IS NULL AS nulldoc,
                    len(ws) AS n_words,
                    -- coalesce: sum of an EMPTY list is NULL in DuckDB
                    -- but the operator's fold yields 0.0 (a NULL here
                    -- silently drops empty docs from the avg — fuzz find)
+                   CASE WHEN text IS NULL THEN NULL ELSE
                    round(coalesce(list_aggregate(
                        list_transform(ws, w -> CAST(len(w) AS DOUBLE)),
                        'sum'), 0)
-                       / greatest(len(ws), 1), 4) AS mean_word_len,
+                       / greatest(len(ws), 1), 4) END AS mean_word_len,
                    (len(regexp_extract_all(text, '#'))
                     + len(regexp_extract_all(text, '\\.\\.\\.')))
                        / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_ratio,
@@ -2612,13 +2638,25 @@ ORACLES: dict[str, str] = {
         ),
         r AS (
             SELECT source, mean_word_len,
-                   CASE WHEN n_words BETWEEN 30 AND 100000 THEN 1 ELSE 0 END AS ok_wc,
-                   CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS ok_mwl,
-                   CASE WHEN round(symbol_ratio, 4) <= 0.1 THEN 1 ELSE 0 END AS ok_sym,
-                   CASE WHEN round(alpha_frac, 4) >= 0.8 THEN 1 ELSE 0 END AS ok_alpha,
-                   CASE WHEN required_hits >= 1 THEN 1 ELSE 0 END AS ok_req,
-                   CASE WHEN round(bullet_frac, 4) <= 0.9
-                         AND round(ellipsis_frac, 4) <= 0.3 THEN 1 ELSE 0 END AS ok_line
+                   CASE WHEN nulldoc THEN NULL
+                        WHEN n_words BETWEEN 30 AND 100000 THEN 1
+                        ELSE 0 END AS ok_wc,
+                   CASE WHEN nulldoc THEN NULL
+                        WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1
+                        ELSE 0 END AS ok_mwl,
+                   CASE WHEN nulldoc THEN NULL
+                        WHEN round(symbol_ratio, 4) <= 0.1 THEN 1
+                        ELSE 0 END AS ok_sym,
+                   CASE WHEN nulldoc THEN NULL
+                        WHEN round(alpha_frac, 4) >= 0.8 THEN 1
+                        ELSE 0 END AS ok_alpha,
+                   CASE WHEN nulldoc THEN NULL
+                        WHEN required_hits >= 1 THEN 1
+                        ELSE 0 END AS ok_req,
+                   CASE WHEN nulldoc THEN NULL
+                        WHEN round(bullet_frac, 4) <= 0.9
+                         AND round(ellipsis_frac, 4) <= 0.3 THEN 1
+                        ELSE 0 END AS ok_line
             FROM m
         )
         SELECT source,
@@ -3053,18 +3091,22 @@ ORACLES: dict[str, str] = {
     "quality_classifier_docs": """
         SELECT doc_id,
                len(ws) AS n_tokens,
+               -- NULL text: ws is NULL -> len/score/keep all NULL on
+               -- Spark; the coalesce below only covers EMPTY docs
+               CASE WHEN ws IS NULL THEN NULL ELSE
                round(1.0 / (1.0 + exp(-(
                    coalesce(list_aggregate(list_transform(ws, w ->
                        CAST((('0x' || substring(md5(w), 1, 15))::UBIGINT
                               % 1024) * 2654435761 % 2000 AS DOUBLE)
                            / 1000.0 - 1.0), 'sum'), 0)
-                   / greatest(len(ws), 1)))), 4) AS score,
+                   / greatest(len(ws), 1)))), 4) END AS score,
+               CASE WHEN ws IS NULL THEN NULL ELSE
                round(1.0 / (1.0 + exp(-(
                    coalesce(list_aggregate(list_transform(ws, w ->
                        CAST((('0x' || substring(md5(w), 1, 15))::UBIGINT
                               % 1024) * 2654435761 % 2000 AS DOUBLE)
                            / 1000.0 - 1.0), 'sum'), 0)
-                   / greatest(len(ws), 1)))), 4) >= 0.5 AS keep
+                   / greatest(len(ws), 1)))), 4) >= 0.5 END AS keep
         FROM (
             SELECT doc_id,
                    list_filter(string_split_regex(text, '\\s+'),
@@ -3124,6 +3166,7 @@ def _ewma_sql(alpha: float = 0.5, window: int = 8) -> str:
                stddev_samp(value) OVER wt AS s,
                count(value)       OVER wt AS n
             FROM events
+            WHERE value IS NOT NULL AND isfinite(value)
             WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
                    wt AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
@@ -3664,8 +3707,11 @@ ORACLES.update({
     # exact rolling 7-day distinct users on the per-day set pre-agg
     "rolling_unique_users": """
         WITH daily AS (
+            -- FILTER: a NULL user is not a user (Spark collect_set
+            -- skips NULLs; bare list(DISTINCT) would count one)
             SELECT CAST(ts AS DATE) AS d,
-                   list(DISTINCT user_id) AS users
+                   coalesce(list(DISTINCT user_id)
+                            FILTER (WHERE user_id IS NOT NULL), []) AS users
             FROM events GROUP BY 1
         )
         SELECT d,
@@ -3964,12 +4010,15 @@ ORACLES.update({
             FROM documents
         ),
         c AS (
+            -- coalesce: NULL text counts 0 chars / 0 hits and PASSES
+            -- (the operator's documented NULL contract)
             SELECT lang,
-                   length(t) AS n,
-                   length(t) - length(replace(t, chr(65533), '')) AS n_rep,
-                   length(t) - length(regexp_replace(t,
-                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
-                       AS n_ctl
+                   coalesce(length(t), 0) AS n,
+                   coalesce(length(t) - length(replace(t, chr(65533), '')),
+                            0) AS n_rep,
+                   coalesce(length(t) - length(regexp_replace(t,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')),
+                       0) AS n_ctl
             FROM d
         )
         SELECT lang, count(*) AS n_docs,
@@ -4040,7 +4089,8 @@ ORACLES.update({
     "grouped_split_docs": """
         WITH h AS (
             SELECT doc_id, source,
-                   ('0x' || substring(md5('split:42:' || source), 1, 15))
+                   ('0x' || substring(md5('split:42:'
+                        || coalesce(source, '')), 1, 15))
                        ::UBIGINT / 1152921504606846976.0 AS u
             FROM documents
         )
@@ -4338,9 +4388,14 @@ ORACLES.update({
     # missing-hour-safe alignment)
     "seasonal_naive_events": """
         WITH hourly AS (
+            -- non-finite observations are missing (matches the
+            -- operator's filter; NaN would poison the hour then
+            -- overflow the micro-unit integer cast)
             SELECT event_type AS g, date_trunc('hour', ts) AS h,
                    round(sum(value), 6) AS v
-            FROM events GROUP BY 1, 2
+            FROM events
+            WHERE value IS NOT NULL AND isfinite(value)
+            GROUP BY 1, 2
         ),
         lagged AS (
             SELECT h.g, h.v, p24.v AS vp, p1.v AS v1
@@ -4877,13 +4932,15 @@ ORACLES.update({
                         quantile_cont(n_tok, 0.05) AS len_lo,
                         quantile_cont(n_tok, 0.95) AS len_hi
                  FROM toks GROUP BY lang)
-        SELECT lang, count(*) AS n_docs,
-               sum(CASE WHEN n_tok BETWEEN len_lo AND len_hi
+        -- null-safe join: a NULL lang is its own cohort with its own
+        -- thresholds (matches the operator's eqNullSafe join-back)
+        SELECT t.lang AS lang, count(*) AS n_docs,
+               sum(CASE WHEN t.n_tok BETWEEN c.len_lo AND c.len_hi
                         THEN 1 ELSE 0 END) AS n_pass,
-               round(any_value(len_lo), 6) AS len_lo,
-               round(any_value(len_hi), 6) AS len_hi
-        FROM toks JOIN cuts USING (lang)
-        GROUP BY lang
+               round(any_value(c.len_lo), 6) AS len_lo,
+               round(any_value(c.len_hi), 6) AS len_hi
+        FROM toks t JOIN cuts c ON t.lang IS NOT DISTINCT FROM c.lang
+        GROUP BY t.lang
     """.replace("{TOKENS}", _TOKENS),
 })
 

@@ -1143,9 +1143,12 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = d.sampleBy("lang", fractions, seed=42)
     totals = d.groupBy("lang").agg(F.count("*").alias("total"))
     counts = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
-    frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
-    expected = F.col("total") * frac[F.col("lang")]
-    sigma = F.sqrt(expected * (1 - frac[F.col("lang")]))
+    frac_map = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    # strata NOT in the fractions map (incl. a NULL lang) are sampled
+    # at rate 0 by sampleBy — coalesce so their bound is 0 ± 1, not NULL
+    frac = F.coalesce(frac_map[F.col("lang")], F.lit(0.0))
+    expected = F.col("total") * frac
+    sigma = F.sqrt(expected * (1 - frac))
     return (
         totals.join(counts, "lang", "left")
         .select(
@@ -4405,8 +4408,13 @@ def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import ewma_finite, trailing_zscore
 
     t = _t(spark, sf_dir)
+    # non-finite/NULL observations are MISSING: one NaN would poison
+    # every window it enters (DuckDB's stddev errors outright)
+    ev = t("events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
     e = ewma_finite(
-        t("events"), "value", ["user_id"], ["ts", "event_id"],
+        ev, "value", ["user_id"], ["ts", "event_id"],
         alpha=0.5, window=8,
     )
     z = trailing_zscore(

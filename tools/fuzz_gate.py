@@ -98,6 +98,12 @@ def build(out_dir: str) -> None:
         {"doc_id": 90010, "text": base_texts[1] + " tail appended here",
          "lang": "en", "source": "src1",
          "n_chars": len(base_texts[1]) + 19},
+        # NULL profile: key columns (doc_id) stay non-null — a
+        # documented precondition — but every value column may be NULL
+        {"doc_id": 90011, "text": None, "lang": "en", "source": "src0",
+         "n_chars": 0},
+        {"doc_id": 90012, "text": "null lang and source doc",
+         "lang": None, "source": None, "n_chars": 24},
     ]
     pq.write_table(_append_rows(docs, doc_rows),
                    f"{out_dir}/documents.parquet")
@@ -116,6 +122,19 @@ def build(out_dir: str) -> None:
          "props": "{}"},
         {"event_id": 90005, "ts": datetime(2024, 1, 21, 23, 59, 59),
          "user_id": 8, "event_type": "signup", "value": 0.001,
+         "props": "{}"},
+        # NULL/NaN profile: NaN values are the classic cross-engine
+        # trap (Spark groups NaN==NaN and sorts it largest; DuckDB
+        # likewise but aggregates differ), NULL props/value hit every
+        # coalesce path
+        {"event_id": 90006, "ts": datetime(2024, 1, 22, 6, 30, 0),
+         "user_id": 9, "event_type": "view", "value": float("nan"),
+         "props": "{}"},
+        {"event_id": 90007, "ts": datetime(2024, 1, 22, 7, 30, 0),
+         "user_id": 9, "event_type": "view", "value": None,
+         "props": None},
+        {"event_id": 90008, "ts": datetime(2024, 1, 22, 8, 30, 0),
+         "user_id": None, "event_type": "click", "value": -50.5,
          "props": "{}"},
     ]
     pq.write_table(_append_rows(ev, ev_rows), f"{out_dir}/events.parquet")
@@ -141,6 +160,8 @@ def build(out_dir: str) -> None:
          "c_nationkey": 1, "c_acctbal": -999.99, "c_mktsegment": "BUILDING"},
         {"c_custkey": 90002, "c_name": "Customer#000000001",
          "c_nationkey": 1, "c_acctbal": -999.99, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 90003, "c_name": None, "c_nationkey": 1,
+         "c_acctbal": None, "c_mktsegment": "BUILDING"},
     ]
     pq.write_table(_append_rows(cust, c_rows),
                    f"{out_dir}/customer.parquet")
