@@ -2334,7 +2334,13 @@ ORACLES: dict[str, str] = {
                     FROM events WHERE user_id < 20),
         hourly AS (SELECT user_id, h, round(avg(value), 4) AS v
                    FROM ev GROUP BY user_id, h),
-        bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        -- clamp: at most 90 days (2160 h) of spine per user,
+        -- anchored at the latest hour (matches the operator's
+        -- bounded-state contract)
+        bounds AS (SELECT user_id,
+                          greatest(min(h), max(h) - INTERVAL 2160 HOURS)
+                              AS h0,
+                          max(h) AS h1
                    FROM ev GROUP BY user_id),
         spine AS (SELECT user_id,
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
@@ -3456,7 +3462,13 @@ ORACLES.update({
                     FROM events WHERE user_id < 20),
         hourly AS (SELECT user_id, h, round(avg(value), 4) AS v
                    FROM ev GROUP BY user_id, h),
-        bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        -- clamp: at most 90 days (2160 h) of spine per user,
+        -- anchored at the latest hour (matches the operator's
+        -- bounded-state contract)
+        bounds AS (SELECT user_id,
+                          greatest(min(h), max(h) - INTERVAL 2160 HOURS)
+                              AS h0,
+                          max(h) AS h1
                    FROM ev GROUP BY user_id),
         spine AS (SELECT user_id,
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h

@@ -3511,8 +3511,17 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.round(F.avg("value"), 4).alias("v"))
+    # bounded-state resample: the spine is clamped to the most recent
+    # 90 days (2160 h) per user, anchored at the user's LATEST hour —
+    # without the clamp one corrupt 1970 timestamp would materialize a
+    # half-million-row dense spine for that user (fuzz-gate find); a
+    # no-op on sane data, where user histories span days
     bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.greatest(
+            F.date_trunc("hour", F.min("ts")),
+            F.date_trunc("hour", F.max("ts"))
+            - F.expr("INTERVAL 2160 HOURS"),
+        ).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
     )
     spine = bounds.select(
@@ -4793,8 +4802,17 @@ def resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.round(F.avg("value"), 4).alias("v"))
+    # bounded-state resample: the spine is clamped to the most recent
+    # 90 days (2160 h) per user, anchored at the user's LATEST hour —
+    # without the clamp one corrupt 1970 timestamp would materialize a
+    # half-million-row dense spine for that user (fuzz-gate find); a
+    # no-op on sane data, where user histories span days
     bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.greatest(
+            F.date_trunc("hour", F.min("ts")),
+            F.date_trunc("hour", F.max("ts"))
+            - F.expr("INTERVAL 2160 HOURS"),
+        ).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
     )
     spine = bounds.select(

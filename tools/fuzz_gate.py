@@ -136,6 +136,24 @@ def build(out_dir: str) -> None:
         {"event_id": 90008, "ts": datetime(2024, 1, 22, 8, 30, 0),
          "user_id": None, "event_type": "click", "value": -50.5,
          "props": "{}"},
+        # temporal-boundary profile: epoch start, leap day, exact
+        # midnight, ISO-week boundary (Sunday->Monday), far future —
+        # date_trunc / interval / window-frame semantics at the edges
+        {"event_id": 90009, "ts": datetime(1970, 1, 1, 0, 0, 0),
+         "user_id": 11, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        {"event_id": 90010, "ts": datetime(2024, 2, 29, 12, 0, 0),
+         "user_id": 11, "event_type": "view", "value": 2.0,
+         "props": "{}"},
+        {"event_id": 90011, "ts": datetime(2024, 1, 28, 23, 59, 59),
+         "user_id": 12, "event_type": "click", "value": 3.0,
+         "props": "{}"},
+        {"event_id": 90012, "ts": datetime(2024, 1, 29, 0, 0, 0),
+         "user_id": 12, "event_type": "click", "value": 4.0,
+         "props": "{}"},
+        {"event_id": 90013, "ts": datetime(2150, 6, 15, 6, 0, 0),
+         "user_id": 13, "event_type": "purchase", "value": 9.99e12,
+         "props": "{}"},
     ]
     pq.write_table(_append_rows(ev, ev_rows), f"{out_dir}/events.parquet")
 
