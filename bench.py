@@ -28,23 +28,26 @@ def main() -> None:
     # Warm the JVM/session so query 1 doesn't absorb startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Two runs per query, min reported: the first run pays one-time JVM
-    # codegen compilation and absorbs VM noise; min-of-2 is the
-    # steady-state number a long-running cluster job would see.
+    # Three runs per query, MEDIAN reported: this VM's run-to-run noise
+    # is ±6% (NOTES.md) and generated two rounds of false regression
+    # signals under single-run / min-of-2 reporting; the median of 3 is
+    # robust to one slow outlier without rewarding a lucky cache hit
+    # (round-7 verdict item 6). Run 1 additionally pays the one-time
+    # JVM codegen compilation, which the median discards.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        best = None
-        for _ in range(2):
+        times: list[float] = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).collect()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                times.append(time.perf_counter() - t0)
             except Exception as e:  # keep benching; a broken query shows as -1
                 print(f"# bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
-                best = -1.0
+                times = []
                 break
-        timings[name] = round(best, 3)
+        timings[name] = round(sorted(times)[len(times) // 2], 3) if times else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # "queries" first, headline totals LAST: the driver records only the
@@ -56,6 +59,7 @@ def main() -> None:
             "queries": timings,
             "n_queries": len(timings),
             "n_errors": sum(1 for t in timings.values() if t < 0),
+            "stat": f"median_of_{n_runs}",
             "metric": "total_query_wall_clock",
             "value": total,
             "unit": "sec",

@@ -43,6 +43,24 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Numeric predicates
+# ---------------------------------------------------------------------------
+
+
+def is_finite(c: Column) -> Column:
+    """True iff ``c`` is a finite number — the Spark twin of DuckDB's
+    ``isfinite()``: NULL, NaN, and ±Infinity all fail. Every monitor
+    that treats non-finite observations as MISSING rows (PSI, EWMA,
+    seasonal-naive, streaming counters) filters through this one
+    predicate so the Spark operator and its oracle share a single
+    finiteness convention (round-7 advice: Spark excluded only
+    NULL/NaN while the oracles used isfinite, so a ±Inf reading
+    silently broke parity)."""
+    d = c.cast("double")
+    return d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+
+
+# ---------------------------------------------------------------------------
 # Text helpers (whitespace tokenization; used by operators.text / dedup)
 # ---------------------------------------------------------------------------
 

@@ -955,11 +955,24 @@ def winnowing_fingerprints(
         .drop("_t")
     )
     h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
-    keyed = grams.select(
-        F.col(id_col),
-        F.col("pos"),
-        (F.shiftleft(h40, _WINNOW_POS_BITS) + F.col("pos")).alias("_key"),
+    # LOUD precondition: a position past 2^20 would silently bleed into
+    # the hash bits of the packed key (corrupted fingerprints, silently
+    # wrong candidate pairs). CaseWhen evaluates branches lazily, so
+    # in-range rows never touch raise_error — one integer compare per
+    # gram, nothing vs the md5 beside it.
+    pos_ok = F.col("pos") < F.lit(1 << _WINNOW_POS_BITS)
+    packed = F.when(
+        pos_ok, F.shiftleft(h40, _WINNOW_POS_BITS) + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnowing_fingerprints: gram position exceeds the "
+                f"{1 << _WINNOW_POS_BITS}-gram/doc envelope — segment "
+                "long documents first (text.segment_documents)"
+            )
+        ).cast("long")
     )
+    keyed = grams.select(F.col(id_col), F.col("pos"), packed.alias("_key"))
     frame = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     )

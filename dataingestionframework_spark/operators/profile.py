@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import is_finite
+
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 
 
@@ -152,12 +154,10 @@ def psi_drift(
         ).cast("int")
         return (
             # NULL / non-finite observations carry no distribution
-            # information and NaN would land in an engine-defined
-            # bucket (DuckDB refuses the cast outright) — excluded
-            df.filter(
-                F.col(value_col).isNotNull()
-                & ~F.isnan(F.col(value_col).cast("double"))
-            )
+            # information; NaN would land in an engine-defined bucket
+            # (DuckDB refuses the cast outright) and ±Inf would hit
+            # floor(±inf) — excluded via the shared isfinite twin
+            df.filter(is_finite(F.col(value_col)))
             .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count("*").alias(name))
@@ -524,10 +524,14 @@ def skew_profile(
                 F.col("cnt") * F.col("_nkeys") / F.col("_total"), 4
             ).alias("skew_factor"),
         )
-        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        # asc_nulls_last: Spark's bare asc sorts NULL FIRST while the
+        # DuckDB oracle's ASC is NULLS LAST — a hot NULL key tying
+        # another key on cnt must rank identically on both engines
+        # (round-7 advice)
+        .orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
         .limit(top_n)
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import is_finite
+
 
 def top_per_group(
     df: DataFrame, group_cols: list[str], order_col: str, k: int = 1, tiebreak: str | None = None
@@ -249,19 +251,27 @@ def seasonal_naive_error(
     mase_ratio 4dp; ratio NULL when mae_naive is 0).
     """
     # NULL / non-finite observations are MISSING rows (a single NaN
-    # would poison its hour's sum, then overflow the micro-unit
-    # integer cast; keeping NULL rows would manufacture NULL-valued
-    # hours that count toward n_hours)
-    finite = events.filter(
-        F.col(value_col).isNotNull()
-        & ~F.isnan(F.col(value_col).cast("double"))
-    )
+    # or ±Inf would poison its hour's sum, then overflow the
+    # micro-unit integer cast; keeping NULL rows would manufacture
+    # NULL-valued hours that count toward n_hours)
+    finite = events.filter(is_finite(F.col(value_col)))
     hourly = (
         finite.groupBy(
             F.col(group_col).alias("_g"),
             F.date_trunc("hour", F.col(ts_col)).alias("_h"),
         )
         .agg(F.round(F.sum(value_col), 6).alias("_v"))
+        # micro-unit parity envelope: beyond |sum| ≈ 1e8 a double's ulp
+        # (~1.5e-8 at 1e8, growing linearly) approaches the 5e-7
+        # half-boundary of the 6-dp round above, so engine-specific
+        # summation order stops being absorbed by the rounding — and at
+        # |diff| > 9.2e12 the ×1e6 BIGINT cast below overflows outright
+        # (round-7 advice). Hours whose sums exceed the envelope are
+        # excluded on BOTH engines (filtered on the already-rounded
+        # value, which is bit-identical, so the exclusion set is too);
+        # a series carrying such magnitudes belongs to the range
+        # monitor, not a 4-dp seasonality triage.
+        .filter(F.abs(F.col("_v")) <= F.lit(1e8))
     )
     p_season = hourly.select(
         "_g",

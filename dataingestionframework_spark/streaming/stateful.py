@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -23,7 +24,12 @@ def _update_counters(
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # finite-only sum: pandas' skipna drops NaN/None but would
+        # happily propagate ±Inf into the running state, diverging
+        # from the batch oracle's isfinite filter (round-7 advice) —
+        # non-finite readings are missing observations here too
+        v = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
+        total += float(v[np.isfinite(v)].sum())
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
@@ -39,9 +45,19 @@ def running_user_counters(events: DataFrame) -> DataFrame:
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
+        from ..functions import is_finite
+
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # finite-only, zero-default sum: the streaming state starts
+            # at 0.0 and skips non-finite readings — mirror both here
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(is_finite(F.col("value")), F.col("value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("total_value"),
         )
     return events.groupBy("user_id").applyInPandasWithState(
         _update_counters,
@@ -152,7 +168,10 @@ def _make_profile_processor():
             n, total = got if got is not None else (0, 0.0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
+                # finite-only: mirror the batch fallback's is_finite
+                # filter (pandas skipna drops NaN/None but not ±Inf)
+                v = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
+                total += float(v[np.isfinite(v)].sum())
                 for t in pdf["event_type"].unique():
                     self._types.updateValue((str(t),), (True,))
             self._counts.update((n, total))
@@ -187,9 +206,19 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
+        from ..functions import is_finite
+
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # finite-only, zero-default sum: the streaming state starts
+            # at 0.0 and skips non-finite readings — mirror both here
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(is_finite(F.col("value")), F.col("value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("total_value"),
             F.count_distinct("event_type").alias("n_types"),
         )
 
@@ -217,7 +246,13 @@ def _update_ewma(
     # micro-batch arrival order (the parity query feeds time-split files)
     rows = rows.sort_values(["ts", "event_id"])
     for v in rows["value"]:
-        vals.append(float(v))
+        # non-finite observations are MISSING (family contract shared
+        # with ewma_finite / psi / seasonal_naive): they count toward
+        # n_seen but never enter the value window — one NaN/±Inf would
+        # otherwise poison every EWMA it stays in for 8 emissions
+        fv = float(v) if v is not None else float("nan")
+        if np.isfinite(fv):
+            vals.append(fv)
         n += 1
     vals = vals[-EWMA_WINDOW:]
     state.update((vals, n))
@@ -228,7 +263,13 @@ def _update_ewma(
         num += vals[i] * w
         den += w
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_seen": [n], "ewma": [round(num / den, 4)]}
+        {
+            "user_id": [key[0]],
+            "n_seen": [n],
+            # all-non-finite history → no estimate (NULL, matching the
+            # oracle's sum(NULL)/sum(NULL))
+            "ewma": [round(num / den, 4) if den > 0 else None],
+        }
     )
 
 
@@ -250,21 +291,31 @@ def running_user_ewma(events: DataFrame) -> DataFrame:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        from ..functions import is_finite
+
         from ..operators.windows import ewma_finite
 
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
+        # family contract: non-finite observations count toward n_seen
+        # but never enter the value window (mirrors _update_ewma)
         e = ewma_finite(
-            events, "value", ["user_id"], ["ts", "event_id"],
+            events.filter(is_finite(F.col("value"))),
+            "value", ["user_id"], ["ts", "event_id"],
             alpha=EWMA_ALPHA, window=EWMA_WINDOW,
         )
-        return (
+        last = (
             e.withColumn("_rn", F.row_number().over(w))
-            .withColumn("n_seen", F.count("*").over(Window.partitionBy("user_id")))
             .filter(F.col("_rn") == 1)
-            .select("user_id", "n_seen", F.round("ewma", 4).alias("ewma"))
+            .select("user_id", F.round("ewma", 4).alias("ewma"))
         )
+        ns = events.groupBy("user_id").agg(F.count("*").alias("n_seen"))
+        # null-safe: a NULL user is a real stream key (groupBy state
+        # keys on it), so the count row must pick up its ewma too
+        return ns.join(
+            last, ns["user_id"].eqNullSafe(last["user_id"]), "left"
+        ).select(ns["user_id"], "n_seen", "ewma")
     return events.groupBy("user_id").applyInPandasWithState(
         _update_ewma,
         outputStructType=EWMA_OUT_SCHEMA,

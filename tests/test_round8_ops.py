@@ -1,0 +1,222 @@
+"""Round-8 regression pins: the shared finiteness predicate, the
+monitor-family measurement envelopes (EWMA 1e9 input envelope,
+seasonal-naive 1e8 hourly-sum envelope), the winnowing position-
+envelope guard (loud, not silent corruption), skew-profile NULL-key
+ordering, and the stateful-EWMA non-finite contract."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+INF = float("inf")
+NAN = float("nan")
+
+
+# ---------------------------------------------------------------------------
+# is_finite — the Spark twin of DuckDB's isfinite()
+# ---------------------------------------------------------------------------
+
+
+def test_is_finite_matches_duckdb_isfinite(spark):
+    import duckdb
+
+    from dataingestionframework_spark.functions import is_finite
+
+    vals = [1.5, 0.0, -7.0, INF, -INF, NAN, None, 9.99e12, -1e308]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r.f for r in df.select(is_finite(F.col("v")).alias("f"))
+        .collect()
+    ]
+    def lit(v):
+        if v is None:
+            return "NULL"
+        return repr(v).replace("inf", "'infinity'::DOUBLE").replace(
+            "nan", "'nan'::DOUBLE"
+        )
+
+    want = [
+        duckdb.sql(
+            "SELECT v IS NOT NULL AND isfinite(v) FROM "
+            f"(SELECT CAST({lit(v)} AS DOUBLE) AS v)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want == [True, True, True, False, False, False, False,
+                           True, True]
+
+
+# ---------------------------------------------------------------------------
+# EWMA measurement envelope: non-finite AND out-of-envelope are missing
+# ---------------------------------------------------------------------------
+
+
+def test_stateful_ewma_skips_nonfinite_but_counts_them(spark):
+    from dataingestionframework_spark.streaming.stateful import (
+        running_user_ewma,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, 10.0),
+        (2, "2024-01-01 01:00:00", 7, NAN),
+        (3, "2024-01-01 02:00:00", 7, INF),
+        (4, "2024-01-01 03:00:00", 7, 20.0),
+        # user 8: nothing finite -> NULL ewma, n_seen still 2
+        (5, "2024-01-01 00:00:00", 8, -INF),
+        (6, "2024-01-01 01:00:00", 8, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r for r in running_user_ewma(df).collect()}
+    assert out[7].n_seen == 4
+    # window holds [10.0, 20.0]: ewma = (20*1 + 10*0.5) / 1.5
+    assert out[7].ewma == pytest.approx(round(25.0 / 1.5, 4))
+    assert out[8].n_seen == 2 and out[8].ewma is None
+
+
+def test_ewma_anomaly_excludes_out_of_envelope_magnitudes(spark):
+    """|value| > 1e9 readings are outside the 4-dp display contract's
+    precision envelope and must not reach the detector on either
+    engine (round-7 fuzz failure: 9.99e12 pushed the EWMA past
+    double's 15.9 significant digits)."""
+    from dataingestionframework_spark.plans.queries import QUERIES
+
+    out = QUERIES["ewma_anomaly_events"](spark, SF_DIR)
+    mx = out.agg(F.max(F.abs("value"))).first()[0]
+    assert mx is None or mx <= 1e9
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive hourly-sum envelope
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_naive_excludes_out_of_envelope_hours(spark):
+    from dataingestionframework_spark.operators.windows import (
+        seasonal_naive_error,
+    )
+
+    rows = []
+    # 48 in-envelope hourly observations with a clean daily pattern
+    for d in range(2):
+        for h in range(24):
+            rows.append(
+                (len(rows), f"2024-01-{d + 1:02d} {h:02d}:30:00",
+                 1, "view", float(100 + h))
+            )
+    # one hostile hour whose sum blows the 1e8 envelope
+    rows.append((999, "2024-01-03 05:30:00", 1, "view", 9.99e12))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+        "event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = seasonal_naive_error(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the hostile hour is excluded: 48 in-envelope hours remain, the
+    # seasonal lag is a perfect forecast on day 2
+    assert r.n_hours == 48
+    assert r.mae_seasonal == 0.0
+    assert r.mase_ratio == 0.0
+
+
+# ---------------------------------------------------------------------------
+# winnowing position envelope: loud error, exact packing at the edge
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_raises_past_position_envelope(spark, monkeypatch):
+    """A gram position past 2^bits must raise with a message naming the
+    segmentation fix — NOT silently bleed into the hash bits (round-7
+    verdict item 3: the 1M-gram precondition was untested). Patched to
+    6 bits so the boundary is reachable with 70 tokens."""
+    import dataingestionframework_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_WINNOW_POS_BITS", 6)
+    words = [f"w{i}x" for i in range(70)]  # 66 grams at k=5 > 2^6
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    with pytest.raises(Exception, match="segment"):
+        dd.winnowing_fingerprints(df, k=5, w=4).collect()
+
+
+def test_winnowing_exact_at_envelope_edge(spark, monkeypatch):
+    """At the LAST in-envelope position (pos == 2^bits - 1) the packed
+    key still splits back into (hash, pos) losslessly."""
+    import dataingestionframework_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_WINNOW_POS_BITS", 7)
+    n_tokens = 131  # 127 grams at k=5: max pos = 126 = 2^7 - 2
+    words = [f"tok{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    fps = dd.winnowing_fingerprints(df, k=5, w=4).collect()
+    assert fps, "expected fingerprints from a 131-token doc"
+    assert all(0 <= r.fp_pos < (1 << 7) for r in fps)
+    assert all(r.fp_hash < (1 << 40) for r in fps)
+
+
+# ---------------------------------------------------------------------------
+# skew profile: NULL key ordering pinned NULLS LAST on ties
+# ---------------------------------------------------------------------------
+
+
+def test_skew_profile_null_key_sorts_last_on_tie(spark):
+    from dataingestionframework_spark.operators.profile import skew_profile
+
+    rows = [(None,), (None,), ("a",), ("a",), ("b",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, "k", top_n=10).collect()
+    keys = [r.key for r in out]
+    # cnt=2 tie between 'a' and NULL: 'a' must rank before NULL
+    assert keys == ["a", None, "b"]
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# stream counters: ±Inf readings are missing observations
+# ---------------------------------------------------------------------------
+
+
+def test_running_counters_batch_fallback_skips_nonfinite(spark):
+    from dataingestionframework_spark.streaming.stateful import (
+        running_user_counters,
+    )
+
+    rows = [
+        (1, 7, 10.0), (2, 7, INF), (3, 7, NAN), (4, 7, 5.5),
+        (5, 8, -INF),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = {r.user_id: r for r in running_user_counters(df).collect()}
+    assert out[7].n_events == 4 and out[7].total_value == 15.5
+    assert out[8].n_events == 1 and out[8].total_value == 0.0
+
+
+def test_update_counters_callback_skips_nonfinite():
+    """Drive the applyInPandasWithState callback directly (no stream):
+    the running total must match the batch fallback's finite-only sum."""
+    import pandas as pd
+
+    from dataingestionframework_spark.streaming.stateful import (
+        _update_counters,
+    )
+
+    class _State:
+        exists = False
+
+        def __init__(self):
+            self.stored = None
+
+        def update(self, v):
+            self.stored = v
+
+    st = _State()
+    pdf = pd.DataFrame({"value": [10.0, INF, NAN, None, 5.5]})
+    out = list(_update_counters((7,), iter([pdf]), st))
+    assert st.stored == (5, 15.5)
+    assert out[0]["total_value"][0] == 15.5
