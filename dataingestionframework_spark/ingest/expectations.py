@@ -60,7 +60,10 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     ).first()
     n = row["__n"]
     out = [
-        (e.name, e.column, e.kind, n, int(row[e.name]), int(row[e.name]) == 0)
+        # an aggregate over ZERO rows yields NULL, not 0: zero rows
+        # contain zero violations, so every rule passes vacuously
+        (e.name, e.column, e.kind, n, int(row[e.name] or 0),
+         int(row[e.name] or 0) == 0)
         for e in expectations
     ]
     return df.sparkSession.createDataFrame(

@@ -115,3 +115,89 @@ def cohort_retention(
     if max_offset is not None:
         out = out.filter(F.col(offset_name) <= max_offset)
     return out
+
+
+def cooccurrence_lift(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = 1000,
+    top_n: int = 50,
+) -> DataFrame:
+    """Pairwise co-occurrence mining with lift (the market-basket /
+    item-affinity primitive behind "also bought", template detection
+    across document sources, and co-click mining): items sharing a
+    basket form candidate pairs; ``lift = P(a,b) / (P(a)·P(b))`` > 1
+    means the pair co-occurs more than independence predicts.
+
+    Plan, 100 TB-shaped: distinct (basket, item) once, a SELF
+    EQUI-JOIN on the basket key with ``item_a < item_b`` (banded-join
+    shape — never all-pairs across baskets), a hash aggregate on the
+    pair, then shuffle-joins against the per-item totals (vocabulary-
+    sized — NOT broadcast; only the 1-row basket count is, the
+    plan-audit-sanctioned scalar pattern). The quadratic term
+    is per-basket: ``max_basket_size`` drops pathological hot baskets
+    (a basket with 1M items contributes 5·10¹¹ pairs — the same
+    hot-bucket cap as LSH banding; dropped baskets are a documented
+    recall trade, count them via the returned plan if needed).
+
+    Output: top-``top_n`` pairs by (n_ab desc, item_a, item_b) —
+    (item_a, item_b, n_ab, n_a, n_b, lift 6dp).
+    """
+    items = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = items.groupBy("_bk").agg(F.count("*").alias("_sz"))
+        items = (
+            items.join(sizes, "_bk")
+            .filter(F.col("_sz") <= max_basket_size)
+            .drop("_sz")
+        )
+    n_baskets = items.agg(
+        F.count_distinct("_bk").alias("_n_baskets")
+    )
+    totals = items.groupBy(F.col("_it").alias("_t_it")).agg(
+        F.count("*").alias("_n_one")
+    )
+    a = items.select("_bk", F.col("_it").alias("item_a"))
+    b = items.select("_bk", F.col("_it").alias("item_b"))
+    pairs = (
+        a.join(b, "_bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    # per-item totals are VOCABULARY-sized (could be billions of
+    # items at 100 TB) — shuffle-join them on the item key; only the
+    # 1-row basket count is broadcast
+    out = (
+        pairs.join(
+            totals.withColumnRenamed("_n_one", "n_a"),
+            F.col("item_a") == F.col("_t_it"),
+        )
+        .drop("_t_it")
+        .join(
+            totals.withColumnRenamed("_n_one", "n_b"),
+            F.col("item_b") == F.col("_t_it"),
+        )
+        .drop("_t_it")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab") * F.col("_n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "item_a", "item_b")
+        .limit(top_n)
+    )
+    return out

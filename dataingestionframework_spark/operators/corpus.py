@@ -371,6 +371,10 @@ def global_sort_rank(
     with_b = df.withColumn("_bucket", bucket)
     counts = {r["_bucket"]: r["n"] for r in
               with_b.groupBy("_bucket").agg(F.count("*").alias("n")).collect()}
+    if not counts:  # empty input: F.create_map() of nothing is VOID-typed
+        return df.withColumn(rank_col, F.lit(None).cast("bigint")).filter(
+            F.lit(False)
+        )
     acc, offsets = 0, {}
     for b in sorted(counts):
         offsets[b] = acc

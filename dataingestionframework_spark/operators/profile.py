@@ -177,8 +177,15 @@ def psi_drift(
     tot = j.agg(
         F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
     )
-    p = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(eps))
-    q = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(eps))
+    # an EMPTY side has no distribution: proportions (and the PSI
+    # term) are NULL rather than an ANSI divide-by-zero — the
+    # empty-selection case every 100 TB monitor hits eventually
+    p = F.when(
+        F.col("_tr") > 0, F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(eps))
+    )
+    q = F.when(
+        F.col("_tc") > 0, F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(eps))
+    )
     return j.crossJoin(F.broadcast(tot)).select(
         "bucket",
         "n_ref",
@@ -402,10 +409,16 @@ def ks_statistic(
     return cum.agg(
         F.max("_ta").alias("n_a"),
         F.max("_tb").alias("n_b"),
+        # an ABSENT side has no ECDF: the statistic is NULL, not an
+        # ANSI divide-by-zero (DuckDB's x/0 is NULL, so the oracle
+        # already lands there)
         F.round(
             F.max(
-                F.abs(
-                    F.col("_ca") / F.col("_ta") - F.col("_cb") / F.col("_tb")
+                F.when(
+                    (F.col("_ta") > 0) & (F.col("_tb") > 0),
+                    F.abs(
+                        F.col("_ca") / F.col("_ta") - F.col("_cb") / F.col("_tb")
+                    ),
                 )
             ),
             6,
@@ -535,3 +548,114 @@ def skew_profile(
 
     w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def hbos_outliers(
+    df: DataFrame,
+    id_col: str,
+    num_col: str,
+    cat_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    top_n: int = 50,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel, KI'12) — the
+    linear-time unsupervised anomaly scorer quality pipelines run where
+    isolation forests are too expensive: per-feature density histograms,
+    score = Σ_features −ln(p_feature(row)). Rows in thin buckets of
+    EVERY feature score highest.
+
+    Two features here, one numeric (equi-width buckets over [lo, hi),
+    edges clamped — same static-bound convention as :func:`psi_drift`,
+    so bucket membership is engine-portable) and one categorical
+    (frequency = its share). Plan: two tiny aggregates (n_buckets and
+    |categories| rows — genuinely model-sized, broadcast), one 1-row
+    total, then a single scan scores every row; top-k compiles to
+    TakeOrderedAndProject. Nothing quadratic, nothing Python.
+
+    Non-finite numeric values are unscorable (no bucket) and excluded
+    via the shared :func:`is_finite` contract. Probabilities are
+    floored at ``eps`` like PSI so empty-ish buckets stay finite.
+
+    Output: (id, num_bucket, cat_value, score 6dp) × top_n by
+    (score desc, id).
+    """
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col(num_col) - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    base = df.filter(is_finite(F.col(num_col))).select(
+        F.col(id_col).alias("id"),
+        bucket.alias("num_bucket"),
+        F.col(cat_col).alias("cat_value"),
+    )
+    tot = base.agg(F.count("*").alias("_n"))
+    num_hist = base.groupBy("num_bucket").agg(F.count("*").alias("_nb"))
+    cat_hist = base.groupBy("cat_value").agg(F.count("*").alias("_nc"))
+    return (
+        base.join(F.broadcast(num_hist), "num_bucket")
+        .join(F.broadcast(cat_hist), "cat_value")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            "num_bucket",
+            "cat_value",
+            F.round(
+                -F.log(F.greatest(F.col("_nb") / F.col("_n"), F.lit(eps)))
+                - F.log(F.greatest(F.col("_nc") / F.col("_n"), F.lit(eps))),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(top_n)
+    )
+
+
+def fd_profile(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Approximate functional-dependency audit (the g₃ error of Huhtala
+    et al.'s TANE, Comput. J. 1999): for each candidate ``A → B``, the
+    minimum number of rows to delete for the dependency to hold exactly
+    is ``n_rows − Σ_a max_b count(a, b)``. confidence = kept/n_rows;
+    1.0 means the FD holds, and a determinant with n_distinct == n_rows
+    is a candidate key. The schema-discovery profile run before
+    declaring MERGE keys or partition columns on an unfamiliar table.
+
+    Plan per pair: groupBy(A, B) count → groupBy(A) max — two hash
+    aggregates whose SECOND input is |distinct A| (the same linear
+    shape as k-anonymity); pairs are unioned so Spark runs them as one
+    job. NULL determinant/dependent values group as values (NULL → a
+    class of its own), matching SQL GROUP BY on both engines.
+
+    Output: one row per pair — (determinant, dependent, n_rows,
+    n_distinct_det, n_violations, confidence 6dp).
+    """
+    if not pairs:
+        raise ValueError("fd_profile needs at least one (det, dep) pair")
+    outs = []
+    for det, dep in pairs:
+        per_ab = df.groupBy(
+            F.col(det).alias("_a"), F.col(dep).alias("_b")
+        ).agg(F.count("*").alias("_n"))
+        per_a = per_ab.groupBy("_a").agg(
+            F.max("_n").alias("_keep"), F.sum("_n").alias("_cnt")
+        )
+        outs.append(
+            per_a.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.sum("_cnt").alias("n_rows"),
+                F.count("*").alias("n_distinct_det"),
+                (F.sum("_cnt") - F.sum("_keep")).alias("n_violations"),
+                F.round(F.sum("_keep") / F.sum("_cnt"), 6).alias("confidence"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

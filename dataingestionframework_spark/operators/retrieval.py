@@ -162,3 +162,79 @@ def hashed_embedding(
 
 
 __all__ = ["bm25_topk", "build_inverted_index", "hashed_embedding"]
+
+
+def rbo_rank_agreement(
+    scored: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    k: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-Biased Overlap between two rankings of the same items
+    (Webber, Moffat & Zobel, TOIS'10) — the top-weighted agreement
+    metric used to compare retrieval systems (BM25 vs embeddings, old
+    vs new quality scorer) without assuming conjointness beyond the
+    compared prefixes. Truncated-at-``k`` form, normalized so identical
+    prefixes score 1.0:
+
+        RBO = (1−p)/(1−p^k) · Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+
+    Mechanism without any per-depth loop: an item at ranks (ra, rb)
+    enters the prefix intersection at depth e = max(ra, rb), so the
+    depth sum regroups per ITEM as W(e) = Σ_{d=e..k} p^{d−1}/d — a
+    ``k``-row weight spine computed once with a tiny cumulative window
+    and broadcast. Plan: two top-k ranks per group (row_number windows
+    over the group shuffle), an equi self-join on (group, id), one
+    broadcast spine join, one final group aggregate. Per-group cost is
+    O(k); group count is unbounded — shuffles only on the group key.
+
+    Ties break on ``id`` ascending in BOTH rankings (engine-portable
+    determinism). Output: (group, n_common, rbo 6dp) per group.
+    """
+    if not 0 < p < 1:
+        raise ValueError("p must be in (0, 1)")
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    wa = Window.partitionBy(g).orderBy(
+        F.col(score_a_col).desc(), F.col(id_col).asc()
+    )
+    wb = Window.partitionBy(g).orderBy(
+        F.col(score_b_col).desc(), F.col(id_col).asc()
+    )
+    ranked = scored.select(
+        g.alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wb).alias("_rb"),
+    )
+    both = (
+        ranked.filter((F.col("_ra") <= k) & (F.col("_rb") <= k))
+        .select("grp", "_id", F.greatest("_ra", "_rb").alias("_e"))
+    )
+    spark = scored.sparkSession
+    # k-row weight spine: W(e) = sum_{d=e..k} p^(d-1)/d via a
+    # cumulative window from the deep end (identical accumulation
+    # order in the DuckDB twin)
+    spine = spark.range(1, k + 1).select(F.col("id").cast("int").alias("_d"))
+    ww = Window.orderBy(F.col("_d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    weights = spine.select(
+        F.col("_d").alias("_e"),
+        F.sum(F.pow(F.lit(float(p)), F.col("_d") - 1) / F.col("_d"))
+        .over(ww)
+        .alias("_w"),
+    )
+    norm = (1.0 - p) / (1.0 - p ** k)
+    return (
+        both.join(F.broadcast(weights), "_e")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum("_w") * F.lit(norm), 6).alias("rbo"),
+        )
+    )

@@ -143,7 +143,12 @@ def srp_near_dup_pairs(
     identical output to the all-pairs form whenever banding recall is
     total (see :func:`srp_band_rows` for the miss-probability math).
     """
-    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    dim_row = df.select(F.size(F.col(vec_col))).first()
+    if dim_row is None:  # empty corpus: no pairs, declared schema
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    dim = dim_row[0]
     # n·n_bands small rows; materialized because the self-join would
     # otherwise evaluate the SRP plane dot products once PER SIDE
     bands = srp_band_rows(
@@ -220,7 +225,17 @@ def ivf_fit(
     train = fit_df.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_clusters, seed=seed).fit(train)
+    # model-fit path: one count job is fine here (never on serving).
+    # Empty input -> no cells; fewer rows than clusters -> clamp k
+    # (Spark ML KMeans requires k <= n).
+    n = train.count()
+    if n == 0:
+        return []
+    if n == 1:  # ML KMeans requires k >= 2; the model IS the row
+        return [
+            [float(x) for x in fit_df.select(vec_col).first()[0]]
+        ]
+    model = KMeans(k=min(n_clusters, n), seed=seed).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
@@ -272,6 +287,11 @@ def ivf_assign(
     """
     if centroids is None:
         centroids = ivf_fit(df, vec_col, n_clusters, seed, sample_fraction)
+    if not centroids:  # empty corpus fit: no cells, no assignments
+        empty = df.filter(F.lit(False)).withColumn(
+            "ivf_cell", F.lit(None).cast("int")
+        )
+        return empty, centroids
 
     # argmin_{c} ||v - c||² via the smallest (distance, cell) struct
     scored = F.array(
@@ -357,6 +377,10 @@ def knn_join_brute(
             "knn_join_bucketed for a distributed big-by-big kNN join"
         )
     r_rows = right.select(F.col(right_id), F.col(vec_col)).collect()
+    if not r_rows:  # empty right side: no neighbors for anyone
+        return left.sparkSession.createDataFrame(
+            [], "left_id long, right_id long, cosine_sim double, rank int"
+        )
     r_ids = np.array([row[0] for row in r_rows], dtype=np.int64)
     r_mat = np.array([row[1] for row in r_rows], dtype=np.float64)
     r_norm = r_mat / np.maximum(np.linalg.norm(r_mat, axis=1, keepdims=True), 1e-12)
@@ -381,13 +405,14 @@ def knn_join_brute(
             sims = np.round(l_norm @ mat.T, 6)
             # top-k with deterministic ties: sort by (-sim, right_id)
             order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :k]
+            kk = order.shape[1]  # right side may hold fewer than k rows
             n = len(pdf)
             yield pd.DataFrame(
                 {
-                    "left_id": np.repeat(pdf["left_id"].to_numpy(), k),
+                    "left_id": np.repeat(pdf["left_id"].to_numpy(), kk),
                     "right_id": ids[order].ravel(),
                     "cosine_sim": np.take_along_axis(sims, order, axis=1).ravel(),
-                    "rank": np.tile(np.arange(1, k + 1), n),
+                    "rank": np.tile(np.arange(1, kk + 1), n),
                 }
             )
 
@@ -467,6 +492,10 @@ def _probe_join_topk(
     on ivf_cell, window top-k per left row."""
     from pyspark.sql import Window
 
+    if not centroids:  # empty corpus index: no cells to probe
+        return left.sparkSession.createDataFrame(
+            [], "left_id long, right_id long, cosine_sim double, rank int"
+        )
     l = left.select(
         F.col(left_id).alias("left_id"),
         F.col(vec_col).alias("lvec"),
@@ -617,7 +646,10 @@ def pq_fit(
     from pyspark.ml.functions import array_to_vector
 
     fit_df = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
-    dim = len(fit_df.select(vec_col).first()[0])
+    dim_row = fit_df.select(vec_col).first()
+    if dim_row is None:  # nothing to quantize: no codebooks
+        return []
+    dim = len(dim_row[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -629,9 +661,20 @@ def pq_fit(
             for j in range(m)
         ]
     ).cache()
+    # fewer rows than codes: clamp k per subspace (ML KMeans needs
+    # k <= n); fit-path count job, never on serving
+    n = slices.count()
+    if n == 1:  # ML KMeans requires k >= 2; each codebook IS the slice
+        row = fit_df.select(vec_col).first()[0]
+        v = [float(x) for x in row]
+        books1 = [[v[j * sub:(j + 1) * sub]] for j in range(m)]
+        slices.unpersist()
+        return books1
     books = []
     for j in range(m):
-        model = KMeans(k=n_codes, seed=seed + j, featuresCol=f"s{j}").fit(slices)
+        model = KMeans(
+            k=min(n_codes, n), seed=seed + j, featuresCol=f"s{j}"
+        ).fit(slices)
         books.append([list(map(float, c)) for c in model.clusterCenters()])
     slices.unpersist()
     return books
@@ -1005,6 +1048,10 @@ def hard_negative_mining(
             "over-fetch + label filter for the distributed form"
         )
     rows = df.select(F.col(id_col), F.col(vec_col), F.col(label_col)).collect()
+    if not rows:  # empty corpus: no negatives exist
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neg_id long, cosine_sim double, rank int"
+        )
     c_ids = np.array([r[0] for r in rows], dtype=np.int64)
     c_mat = np.array([r[1] for r in rows], dtype=np.float64)
     c_lab = np.array([r[2] for r in rows])
@@ -1037,14 +1084,15 @@ def hard_negative_mining(
             order = np.lexsort(
                 (np.broadcast_to(ids, sims.shape), -sims), axis=1
             )[:, :k]
+            kk = order.shape[1]  # corpus may hold fewer than k rows
             picked = np.take_along_axis(sims, order, axis=1)
             n = len(pdf)
             out = pd.DataFrame(
                 {
-                    "query_id": np.repeat(pdf["query_id"].to_numpy(), k),
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), kk),
                     "neg_id": ids[order].ravel(),
                     "cosine_sim": picked.ravel(),
-                    "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
                 }
             )
             yield out[np.isfinite(out["cosine_sim"])]
@@ -1427,6 +1475,13 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     )
+    if not init:  # empty input: no clusters, schema-correct empty frames
+        empty = (
+            base.withColumn("cluster_id", F.lit(None).cast("int"))
+            .withColumn("cos_sim", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+        )
+        return empty, {}, {}
     cents: dict[int, list[float]] = {
         i: [float(x) for x in r._v] for i, r in enumerate(init)
     }
@@ -1479,6 +1534,8 @@ def kmeans_update(
     count unchanged. Returns (assigned batch, centroids', counts').
     """
     assigned = assign_to_centroids(df_new, centroids, vec_col, round_dp)
+    if not centroids:  # no model to update: state passes through
+        return assigned, {}, dict(counts)
     cells = (
         assigned.select(
             "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
@@ -1512,6 +1569,12 @@ def assign_to_centroids(
     literals: zero shuffle, composes into any plan. Adds
     ``cluster_id`` and ``cos_sim``.
     """
+    if not centroids:  # no model: nothing is assignable
+        return (
+            df.withColumn("cluster_id", F.lit(None).cast("int"))
+            .withColumn("cos_sim", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+        )
     scored = F.array(
         *[
             F.struct(

@@ -361,6 +361,9 @@ ORACLES: dict[str, str] = {
                count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        -- Spark emits no rows for rollup over EMPTY input; drop the
+        -- standard's grand-total-of-nothing row (no-op on real data)
+        HAVING count(*) > 0
     """,
     "pivot_orders_status": """
         SELECT o_orderpriority,
@@ -383,12 +386,14 @@ ORACLES: dict[str, str] = {
         )
         SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_total,
                CAST(sum(exact_custs) AS BIGINT) AS sum_group_exact,
-               true AS merged_within_5pct
+               CASE WHEN (SELECT count(DISTINCT o_custkey) FROM orders) > 0
+                    THEN true END AS merged_within_5pct
         FROM g
     """,
     "approx_percentile_verdict": """
         SELECT round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
-               true AS within_1pct
+               CASE WHEN count(o_totalprice) > 0
+                    THEN true END AS within_1pct
         FROM orders
     """,
     "stratified_sample_mix": """
@@ -1148,11 +1153,15 @@ ORACLES: dict[str, str] = {
                NULL, NULL, min(o_orderpriority), max(o_orderpriority)
         FROM orders
     """,
+    # coalesce(sum, 0): zero rows contain zero violations, so every
+    # rule passes vacuously (matches ingest/expectations.py evaluate)
     "expectations_orders": """
         SELECT 'orderkey_not_null' AS rule, 'o_orderkey' AS "column",
                'not_null' AS kind, count(*) AS n_rows,
-               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_failed,
-               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+               coalesce(sum(CASE WHEN o_orderkey IS NULL
+                                 THEN 1 ELSE 0 END), 0) AS n_failed,
+               coalesce(sum(CASE WHEN o_orderkey IS NULL
+                                 THEN 1 ELSE 0 END), 0) = 0 AS passed
         FROM orders
         UNION ALL
         SELECT 'orderkey_unique', 'o_orderkey', 'unique', count(*),
@@ -1161,24 +1170,24 @@ ORACLES: dict[str, str] = {
         FROM orders
         UNION ALL
         SELECT 'totalprice_range', 'o_totalprice', 'between', count(*),
-               sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 450000.0)
-                        THEN 1 ELSE 0 END),
-               sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 450000.0)
-                        THEN 1 ELSE 0 END) = 0
+               coalesce(sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 450000.0)
+                        THEN 1 ELSE 0 END), 0),
+               coalesce(sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 450000.0)
+                        THEN 1 ELSE 0 END), 0) = 0
         FROM orders
         UNION ALL
         SELECT 'status_domain', 'o_orderstatus', 'in_set', count(*),
-               sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
-                        THEN 1 ELSE 0 END),
-               sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
-                        THEN 1 ELSE 0 END) = 0
+               coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END), 0),
+               coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END), 0) = 0
         FROM orders
         UNION ALL
         SELECT 'priority_format', 'o_orderpriority', 'matches', count(*),
-               sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
-                        THEN 1 ELSE 0 END),
-               sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
-                        THEN 1 ELSE 0 END) = 0
+               coalesce(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                        THEN 1 ELSE 0 END), 0),
+               coalesce(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                        THEN 1 ELSE 0 END), 0) = 0
         FROM orders
     """,
     "session_window_batch": """
@@ -1327,6 +1336,8 @@ ORACLES: dict[str, str] = {
                round(sum(l_extendedprice), 2) AS sum_price
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+        -- Spark emits no rows for cube over EMPTY input (see rollup_agg)
+        HAVING count(*) > 0
     """,
     "grouping_sets_agg": """
         SELECT l_returnflag, l_linestatus,
@@ -1900,15 +1911,20 @@ ORACLES: dict[str, str] = {
                      coalesce(cc.n_cur, 0) AS n_cur
               FROM b LEFT JOIN rc USING (bucket)
               LEFT JOIN cc USING (bucket)),
-        t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+        t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+        -- an empty side has no distribution: NULL proportions, not a
+        -- divide-by-zero (matches the operator's when(_tr > 0) guard)
+        pq AS (SELECT bucket, n_ref, n_cur,
+                      CASE WHEN tr > 0
+                           THEN greatest(n_ref / tr, 1e-6) END AS p,
+                      CASE WHEN tc > 0
+                           THEN greatest(n_cur / tc, 1e-6) END AS q
+               FROM j, t)
         SELECT bucket, n_ref, n_cur,
-               round(greatest(n_ref / tr, 1e-6), 6) AS p_ref,
-               round(greatest(n_cur / tc, 1e-6), 6) AS p_cur,
-               round((greatest(n_cur / tc, 1e-6)
-                      - greatest(n_ref / tr, 1e-6))
-                     * ln(greatest(n_cur / tc, 1e-6)
-                          / greatest(n_ref / tr, 1e-6)), 6) AS psi_term
-        FROM j, t
+               round(p, 6) AS p_ref,
+               round(q, 6) AS p_cur,
+               round((q - p) * ln(q / p), 6) AS psi_term
+        FROM pq
     """,
     # direct two-pass Σ(x−μ)(x−μ)ᵀ — equality proves the one-pass
     # Gram identity (raw XᵀX minus rank-1 mean correction)
@@ -2239,7 +2255,8 @@ ORACLES: dict[str, str] = {
     # cross-engine is the exact count plus a 5% relative-error bound.
     "approx_distinct_parts": """
         SELECT count(DISTINCT l_partkey) AS exact_parts,
-               true                      AS within_5pct
+               CASE WHEN count(DISTINCT l_partkey) > 0
+                    THEN true END        AS within_5pct
         FROM lineitem
     """,
     # line-level (8-word-segment) boilerplate dedup: segments occurring
@@ -5251,5 +5268,125 @@ ORACLES.update({
                round(n_overlap / 10.0, 4) AS recall
         FROM (SELECT * FROM o8 UNION ALL SELECT * FROM o16
               UNION ALL SELECT * FROM o32)
+    """,
+})
+
+
+ORACLES.update({
+    # pairwise co-occurrence lift: same distinct -> basket-cap ->
+    # self-equi-join -> totals -> 1-row basket count chain
+    "cooccurrence_lift_lineitem": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        ),
+        kept AS (
+            SELECT bk FROM items GROUP BY bk HAVING count(*) <= 1000
+        ),
+        fi AS (SELECT i.bk, i.it FROM items i JOIN kept USING (bk)),
+        nb AS (SELECT count(DISTINCT bk) AS n FROM fi),
+        tot AS (SELECT it, count(*) AS n_one FROM fi GROUP BY it),
+        pairs AS (
+            SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+            FROM fi a JOIN fi b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT item_a, item_b, n_ab,
+               ta.n_one AS n_a, tb.n_one AS n_b,
+               round(n_ab * nb.n / (ta.n_one * tb.n_one), 6) AS lift
+        FROM pairs
+        JOIN tot ta ON ta.it = item_a
+        JOIN tot tb ON tb.it = item_b, nb
+        ORDER BY n_ab DESC, item_a, item_b
+        LIMIT 50
+    """,
+    # HBOS: same clamp-before-cast bucketing as psi_drift, eps floor,
+    # -ln densities; ties broken by id under the rounded score
+    "hbos_outliers_orders": """
+        WITH base AS (
+            SELECT o_orderkey AS id,
+                   CAST(least(9, greatest(0,
+                       floor((o_totalprice - 0.0) / 50000.0))) AS INTEGER)
+                       AS num_bucket,
+                   o_orderpriority AS cat_value
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+        ),
+        t AS (SELECT count(*) AS n FROM base),
+        nh AS (SELECT num_bucket, count(*) AS nb FROM base GROUP BY 1),
+        ch AS (SELECT cat_value, count(*) AS nc FROM base GROUP BY 1)
+        SELECT id, b.num_bucket, b.cat_value,
+               round(-ln(greatest(nb / t.n, 1e-6))
+                     - ln(greatest(nc / t.n, 1e-6)), 6) AS score
+        FROM base b
+        JOIN nh USING (num_bucket)
+        JOIN ch USING (cat_value), t
+        ORDER BY score DESC, id
+        LIMIT 50
+    """,
+    # TANE g3: rows kept = sum over determinant classes of the modal
+    # dependent count; NULLs group as values on both engines
+    "fd_profile_orders": """
+        WITH ab1 AS (SELECT o_custkey AS a, o_orderstatus AS b,
+                            count(*) AS n
+                     FROM orders GROUP BY 1, 2),
+        a1 AS (SELECT a, max(n) AS keep, sum(n) AS cnt FROM ab1 GROUP BY 1),
+        r1 AS (SELECT 'o_custkey' AS determinant,
+                      'o_orderstatus' AS dependent,
+                      CAST(sum(cnt) AS BIGINT) AS n_rows,
+                      count(*) AS n_distinct_det,
+                      CAST(sum(cnt) - sum(keep) AS BIGINT) AS n_violations,
+                      round(sum(keep) / sum(cnt), 6) AS confidence
+               FROM a1),
+        ab2 AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       count(*) AS n
+                FROM orders GROUP BY 1, 2),
+        a2 AS (SELECT a, max(n) AS keep, sum(n) AS cnt FROM ab2 GROUP BY 1),
+        r2 AS (SELECT 'o_orderpriority', 'o_orderstatus',
+                      CAST(sum(cnt) AS BIGINT), count(*),
+                      CAST(sum(cnt) - sum(keep) AS BIGINT),
+                      round(sum(keep) / sum(cnt), 6)
+               FROM a2),
+        ab3 AS (SELECT o_orderkey AS a, o_totalprice AS b, count(*) AS n
+                FROM orders GROUP BY 1, 2),
+        a3 AS (SELECT a, max(n) AS keep, sum(n) AS cnt FROM ab3 GROUP BY 1),
+        r3 AS (SELECT 'o_orderkey', 'o_totalprice',
+                      CAST(sum(cnt) AS BIGINT), count(*),
+                      CAST(sum(cnt) - sum(keep) AS BIGINT),
+                      round(sum(keep) / sum(cnt), 6)
+               FROM a3)
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        SELECT * FROM r3
+    """,
+    # RBO truncated at k=20, p=0.9: an item at ranks (ra, rb) enters
+    # the prefix intersection at depth max(ra, rb); per-depth weights
+    # regrouped per item via the same desc-cumulative spine window
+    "rbo_rank_agreement_docs": """
+        WITH ranked AS (
+            SELECT lang AS grp, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS ra,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY CAST(len(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS DOUBLE) DESC, doc_id) AS rb
+            FROM documents
+        ),
+        hits AS (
+            SELECT grp, greatest(ra, rb) AS e
+            FROM ranked WHERE ra <= 20 AND rb <= 20
+        ),
+        spine AS (SELECT CAST(unnest(range(1, 21)) AS INTEGER) AS d),
+        w AS (
+            SELECT d AS e,
+                   sum(pow(0.9, d - 1) / d) OVER (
+                       ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS wt
+            FROM spine
+        )
+        SELECT grp AS lang, count(*) AS n_common,
+               round(sum(wt) * ((1 - 0.9) / (1 - pow(0.9, 20))), 6) AS rbo
+        FROM hits JOIN w ON w.e = hits.e
+        GROUP BY grp
     """,
 })

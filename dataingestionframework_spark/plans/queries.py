@@ -868,8 +868,10 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     emb = t("embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty corpus: no query vector, no neighbors
+        return spark.createDataFrame([], "vec_id long, cosine_sim double")
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qrow[0], k=10)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,7 +907,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty corpus: no query vector, no neighbors
+        return spark.createDataFrame([], "vec_id long, cosine_sim double")
+    qvec = qrow[0]
     key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|k=16|seed=42".encode()).hexdigest()
     cpath = os.path.join(tempfile.gettempdir(), "dif_ivf_centroids", f"{key}.json")
     centroids = load_centroids(cpath)
@@ -944,7 +949,10 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty corpus: no query vector, no neighbors
+        return spark.createDataFrame([], "rank int, vec_id long")
+    qvec = qrow[0]
     key = hashlib.sha1(
         f"{os.path.abspath(sf_dir)}|pq m=8 codes=16 seed=42".encode()
     ).hexdigest()
@@ -1077,14 +1085,14 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     -error verdict on the HLL estimate (deterministic: Spark's HLL++ is
     seed-free)."""
     t = _t(spark, sf_dir)
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey")
     return t("lineitem").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        (
-            F.abs(
-                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
-            ).cast("double")
-            / F.countDistinct("l_partkey")
-            < 0.05
+        exact.alias("exact_parts"),
+        # empty population: the verdict is NULL, not a divide-by-zero
+        F.when(
+            exact > 0,
+            (F.abs(approx - exact).cast("double") / exact) < 0.05,
         ).alias("within_5pct"),
     )
 
@@ -1110,9 +1118,11 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(F.broadcast(exact_total)).select(
         "exact_total",
         "sum_group_exact",  # > exact_total: customers span priorities
-        (
+        # empty population: NULL verdict, not a divide-by-zero
+        F.when(
+            F.col("exact_total") > 0,
             (F.abs(F.col("hll_total") - F.col("exact_total")).cast("double")
-             / F.col("exact_total")) < 0.05
+             / F.col("exact_total")) < 0.05,
         ).alias("merged_within_5pct"),
     )
 
@@ -4176,8 +4186,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     lex = bm25_topk(t("documents"), ["spark", "window", "merge"], k=50)
     emb = t("embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    sem = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=50)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty embeddings: semantic branch contributes nothing
+        sem = spark.createDataFrame([], "vec_id long, cosine_sim double")
+    else:
+        sem = cosine_topk(emb.filter(F.col("vec_id") != 0), qrow[0], k=50)
     wl = Window.orderBy(F.desc("score"), F.col("doc_id"))
     ws = Window.orderBy(F.desc("cosine_sim"), F.col("vec_id"))
     lexr = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
@@ -4263,7 +4276,12 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t("documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="dif_bin_")
     try:
-        for r in src.collect():  # fixture creation, not the measured path
+        src_rows = src.collect()  # fixture creation, not the measured path
+        if not src_rows:  # nothing to materialize: empty ingest
+            return spark.createDataFrame(
+                [], "doc_id long, n_bytes long, sha256 string"
+            )
+        for r in src_rows:
             with open(os.path.join(root, f"doc_{r['doc_id']}.bin"), "wb") as f:
                 f.write(r["text"].encode("utf-8"))
         binf = spark.read.format("binaryFile").load(os.path.join(root, "*.bin"))
@@ -5031,6 +5049,8 @@ def stream_ann_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(r.embedding)
         for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     ]
+    if not cents:  # empty corpus: no index cells, nothing to intake
+        return spark.createDataFrame([], "vec_id long")
     import time as _time
 
     now = _time.time()
@@ -5305,6 +5325,12 @@ def stream_late_drop_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture construction: one scalar (max event time) shapes the echo
     # batch; not part of the measured plan
     m0 = b0.agg(F.max("ts")).collect()[0][0]
+    if m0 is None:  # empty seed batch: no windows can ever emit
+        return spark.createDataFrame(
+            [],
+            "window_start timestamp, window_end timestamp, "
+            "event_type string, n long, total_value double",
+        )
     floor_m0 = m0.replace(minute=0, second=0, microsecond=0)
     b1 = ev.filter(
         (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
@@ -6210,7 +6236,13 @@ def parquet_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return rep.groupBy("column_name").agg(
         F.sum("num_values").alias("n_values"),
-        F.sum("null_count").alias("n_nulls"),
+        # a zero-row file writes a row group with NO statistics object:
+        # zero values provably contain zero nulls, so report 0 (the
+        # full-scan oracle's count(*) - count(col)); stats missing on a
+        # NON-empty group stays NULL (honestly unknown)
+        F.when(F.sum("null_count").isNotNull(), F.sum("null_count"))
+        .when(F.sum("num_values") == 0, F.lit(0))
+        .alias("n_nulls"),
         F.min(F.col("min_value").cast("long")).alias("min_value"),
         F.max(F.col("max_value").cast("long")).alias("max_value"),
     )
@@ -6326,6 +6358,10 @@ def stream_kmeans_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
     batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
     _, cents, counts = kmeans_lloyd(base, k=4, iters=1)
+    if not cents:  # empty base: no model, nothing to merge into
+        return spark.createDataFrame(
+            [], "cluster_id int, n_new long, n_total long, c_sum double"
+        )
 
     root = tempfile.mkdtemp(prefix="dif_kmeans_stream_")
     src_dir = os.path.join(root, "src")
@@ -6845,3 +6881,87 @@ def mrl_prefix_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["mrl_prefix_recall_embeddings"] = mrl_prefix_recall_embeddings
+
+
+def cooccurrence_lift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (operators.behavior.
+    cooccurrence_lift): part pairs sharing an order, support >= 2,
+    lift vs independence. Self equi-join on the order key only
+    (never cross-basket), per-basket hot cap, vocabulary-sized item
+    totals shuffle-joined, 1-row basket-count broadcast."""
+    from ..operators.behavior import cooccurrence_lift
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return cooccurrence_lift(
+        t("lineitem"), "l_orderkey", "l_partkey",
+        min_support=2, max_basket_size=1000, top_n=50,
+    )
+
+
+def hbos_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (operators.profile.hbos_outliers):
+    -ln density over a 10-bucket totalprice histogram plus the
+    priority frequency — the linear-time anomaly scorer. Two
+    model-sized histogram broadcasts + one scan; top-k compiles to
+    TakeOrderedAndProject."""
+    from ..operators.profile import hbos_outliers
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return hbos_outliers(
+        t("orders"), "o_orderkey", "o_totalprice", "o_orderpriority",
+        lo=0.0, hi=500000.0, n_buckets=10, top_n=50,
+    )
+
+
+def fd_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit (operators.profile.
+    fd_profile, TANE g3 error): candidate A->B dependencies with
+    violation counts and confidence — the schema-discovery profile
+    run before declaring MERGE keys. Two hash aggregates per pair,
+    second input |distinct A|."""
+    from ..operators.profile import fd_profile
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return fd_profile(
+        t("orders"),
+        [
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderpriority", "o_orderstatus"),
+            ("o_orderkey", "o_totalprice"),
+        ],
+    )
+
+
+def rbo_rank_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (operators.retrieval.rbo_rank_agreement,
+    Webber et al. TOIS'10) between the by-chars and the by-tokens
+    ranking of each language's documents, truncated at depth 20 —
+    the top-weighted agreement metric for comparing two scorers.
+    Per-group windows + a broadcast 20-row weight spine; O(k) per
+    group, shuffles only on lang."""
+    from ..functions import token_count
+    from ..operators.retrieval import rbo_rank_agreement
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    scored = t("documents").select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score_chars"),
+        token_count(F.col("text")).cast("double").alias("score_tokens"),
+    )
+    return rbo_rank_agreement(
+        scored, "lang", "doc_id", "score_chars", "score_tokens",
+        k=20, p=0.9,
+    )
+
+
+QUERIES.update({
+    "cooccurrence_lift_lineitem": cooccurrence_lift_lineitem,
+    "hbos_outliers_orders": hbos_outliers_orders,
+    "fd_profile_orders": fd_profile_orders,
+    "rbo_rank_agreement_docs": rbo_rank_agreement_docs,
+})

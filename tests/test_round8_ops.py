@@ -220,3 +220,146 @@ def test_update_counters_callback_skips_nonfinite():
     out = list(_update_counters((7,), iter([pdf]), st))
     assert st.stored == (5, 15.5)
     assert out[0]["total_value"][0] == 15.5
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators: cooccurrence lift, HBOS, FD profile, RBO
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_lift_basic(spark):
+    from dataingestionframework_spark.operators.behavior import (
+        cooccurrence_lift,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+        (4, "b"), (4, "b"),  # duplicate item in a basket counts once
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {(r.item_a, r.item_b): r for r in cooccurrence_lift(
+        df, "bk", "it", min_support=2, top_n=10
+    ).collect()}
+    ab = out[("a", "b")]
+    # a,b co-occur in baskets 1,2 of 4 baskets; n_a=3, n_b=3
+    assert ab.n_ab == 2 and ab.n_a == 3 and ab.n_b == 3
+    assert ab.lift == pytest.approx(round(2 * 4 / 9.0, 6))
+    assert ("a", "c") not in out  # support 1 < min_support
+
+
+def test_cooccurrence_hot_basket_capped(spark):
+    from dataingestionframework_spark.operators.behavior import (
+        cooccurrence_lift,
+    )
+
+    rows = [(1, f"i{j}") for j in range(50)] + [
+        (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = cooccurrence_lift(
+        df, "bk", "it", min_support=1, max_basket_size=10, top_n=1000
+    ).collect()
+    # the 50-item basket is dropped entirely; only (x, y) remains
+    assert {(r.item_a, r.item_b) for r in out} == {("x", "y")}
+
+
+def test_hbos_scores_thin_buckets_highest(spark):
+    from dataingestionframework_spark.operators.profile import hbos_outliers
+
+    rows = [(i, 10.0, "common") for i in range(99)] + [(999, 99999.0, "rare")]
+    df = spark.createDataFrame(rows, "id long, v double, c string")
+    out = hbos_outliers(df, "id", "v", "c", lo=0.0, hi=100000.0,
+                        n_buckets=10, top_n=3)
+    top = out.collect()[0]
+    assert top.id == 999  # alone in its bucket AND its category
+    # score = -ln(1/100) - ln(1/100)
+    assert top.score == pytest.approx(round(-2 * math.log(0.01), 6))
+
+
+def test_fd_profile_exact_and_violated(spark):
+    from dataingestionframework_spark.operators.profile import fd_profile
+
+    rows = [(1, "x"), (1, "x"), (2, "x"), (2, "y"), (2, "y"), (3, None)]
+    df = spark.createDataFrame(rows, "a long, b string")
+    out = {r.determinant: r for r in fd_profile(
+        df, [("a", "b"), ("b", "a")]
+    ).collect()}
+    fa = out["a"]
+    # a=2 maps to both x and y: keep max(1,2)=2 of 3 -> 1 violation
+    assert fa.n_rows == 6 and fa.n_distinct_det == 3
+    assert fa.n_violations == 1
+    assert fa.confidence == pytest.approx(round(5 / 6, 6))
+
+
+def test_rbo_identical_and_disjoint_rankings(spark):
+    from dataingestionframework_spark.operators.retrieval import (
+        rbo_rank_agreement,
+    )
+
+    # identical rankings -> rbo == 1.0
+    rows = [("g", i, float(100 - i), float(100 - i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id long, sa double, sb double")
+    out = rbo_rank_agreement(df, "g", "id", "sa", "sb", k=10, p=0.9).collect()
+    assert len(out) == 1 and out[0].rbo == pytest.approx(1.0)
+    assert out[0].n_common == 10
+
+    # fully reversed rankings of 2k items -> top-k prefixes disjoint
+    rows2 = [("g", i, float(i), float(-i)) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "g string, id long, sa double, sb double")
+    out2 = rbo_rank_agreement(df2, "g", "id", "sa", "sb", k=10, p=0.9).collect()
+    assert out2 == []  # no item in both prefixes -> no group row
+
+
+def test_rbo_monotone_in_overlap(spark):
+    from dataingestionframework_spark.operators.retrieval import (
+        rbo_rank_agreement,
+    )
+
+    # ranking B = A with the tail swapped: high agreement but < 1
+    sa = list(range(30, 0, -1))
+    sb = sa.copy()
+    sb[8], sb[9] = sb[9], sb[8]
+    rows = [("g", i, float(sa[i]), float(sb[i])) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id long, sa double, sb double")
+    r = rbo_rank_agreement(df, "g", "id", "sa", "sb", k=10, p=0.9).collect()[0]
+    assert 0.9 < r.rbo < 1.0
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input guards (the empty/single fuzz-profile class)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_join_brute_empty_and_small_right(spark):
+    from dataingestionframework_spark.operators.similarity import (
+        knn_join_brute,
+    )
+
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty = left.filter("vec_id < 0")
+    assert knn_join_brute(left, empty, k=3).count() == 0
+    # right smaller than k: emit what exists, ranks 1..n_right
+    one = left.filter("vec_id = 1")
+    out = knn_join_brute(left, one, k=3).collect()
+    assert len(out) == 2 and all(r.rank == 1 for r in out)
+
+
+def test_kmeans_lloyd_empty_input(spark):
+    from dataingestionframework_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assigned, cents, counts = kmeans_lloyd(df, k=4, iters=1)
+    assert assigned.count() == 0 and cents == {} and counts == {}
+
+
+def test_global_sort_rank_empty(spark):
+    from dataingestionframework_spark.operators.corpus import seeded_shuffle
+
+    df = spark.createDataFrame([], "doc_id long")
+    assert seeded_shuffle(df, seed=7).count() == 0

@@ -626,3 +626,85 @@ def test_skew_profile_scales(spark, sf):
     t1 = _wall(lambda: q(orders))
     t10 = _wall(lambda: q(_replicate(orders, ["o_custkey"], REPL, 10_000_000)))
     _assert_scales("skew_profile", t1, t10)
+
+
+def test_cooccurrence_lift_scales(spark, sf):
+    """Co-occurrence lift: distinct + basket-key self-join + pair agg +
+    totals joins — x10 baskets with the same per-basket size is linear
+    (pair count grows with baskets, not quadratically with rows)."""
+    from dataingestionframework_spark.operators.behavior import (
+        cooccurrence_lift,
+    )
+
+    li = sf("lineitem").select("l_orderkey", "l_partkey")
+
+    def q(df):
+        cooccurrence_lift(
+            df, "l_orderkey", "l_partkey", min_support=2, top_n=50
+        ).count()
+
+    t1 = _wall(lambda: q(li))
+    t10 = _wall(
+        lambda: q(_replicate(li, ["l_orderkey"], REPL, 100_000_000))
+    )
+    _assert_scales("cooccurrence_lift", t1, t10)
+
+
+def test_hbos_outliers_scales(spark, sf):
+    """HBOS: two tiny histogram aggregates + one scoring scan + top-k."""
+    from dataingestionframework_spark.operators.profile import hbos_outliers
+
+    o = sf("orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+    def q(df):
+        hbos_outliers(
+            df, "o_orderkey", "o_totalprice", "o_orderpriority",
+            lo=0.0, hi=500000.0, top_n=50,
+        ).count()
+
+    t1 = _wall(lambda: q(o))
+    t10 = _wall(lambda: q(_replicate(o, ["o_orderkey"], REPL, 100_000_000)))
+    _assert_scales("hbos_outliers", t1, t10)
+
+
+def test_fd_profile_scales(spark, sf):
+    """FD audit: two hash aggregates per pair, second input |distinct A|."""
+    from dataingestionframework_spark.operators.profile import fd_profile
+
+    o = sf("orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+
+    def q(df):
+        fd_profile(
+            df, [("o_custkey", "o_orderstatus"), ("o_orderkey", "o_custkey")]
+        ).count()
+
+    t1 = _wall(lambda: q(o))
+    t10 = _wall(
+        lambda: q(_replicate(o, ["o_orderkey", "o_custkey"], REPL, 100_000_000))
+    )
+    _assert_scales("fd_profile", t1, t10)
+
+
+def test_rbo_rank_agreement_scales(spark, sf):
+    """RBO: per-group rank windows + a broadcast k-row spine — linear
+    in rows; x10 GROUPS (shifted doc ids re-bucketed by lang suffix)
+    with the same per-group size."""
+    from dataingestionframework_spark.operators.retrieval import (
+        rbo_rank_agreement,
+    )
+
+    d = sf("documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("double").alias("sa"),
+        (F.col("n_chars") % 997).cast("double").alias("sb"),
+    )
+
+    def q(df):
+        rbo_rank_agreement(df, "lang", "doc_id", "sa", "sb", k=20).count()
+
+    rep = _replicate(d, ["doc_id"], REPL, 10_000_000).withColumn(
+        "lang",
+        F.concat(F.col("lang"), (F.col("doc_id") / 10_000_000).cast("int").cast("string")),
+    )
+    t1 = _wall(lambda: q(d))
+    t10 = _wall(lambda: q(rep))
+    _assert_scales("rbo_rank_agreement", t1, t10)

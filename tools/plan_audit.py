@@ -85,6 +85,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "dsir_importance_docs": {
         "BroadcastNestedLoopJoin": "1-row (R, T) distribution-totals broadcast"
     },
+    "cooccurrence_lift_lineitem": {
+        "BroadcastNestedLoopJoin": "1-row basket-count scalar broadcast"
+    },
+    "hbos_outliers_orders": {
+        "BroadcastNestedLoopJoin": "1-row total-rows scalar broadcast"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
