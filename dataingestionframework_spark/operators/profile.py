@@ -659,3 +659,178 @@ def fd_profile(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def psi_bucket_merge_into_store(
+    batch_df: DataFrame,
+    store_path: str,
+    value_col: str,
+    ts_col: str,
+    cutoff,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> None:
+    """foreachBatch sink body for a STREAMING drift monitor: reduce the
+    micro-batch to per-(side, bucket) counts — side = reference if
+    ``ts < cutoff`` else current, buckets exactly as :func:`psi_drift`
+    (clamped equi-width, non-finite excluded via the shared
+    :func:`is_finite` contract) — and additively merge them into a
+    persisted parquet store. Counts COMMUTE, so any shard order / any
+    trigger produces the identical store, and the drained store equals
+    the one-shot bucket counts over all rows; :func:`psi_from_store`
+    then yields the exact batch :func:`psi_drift` table. Each batch
+    costs O(batch) + a ≤ 2·n_buckets-row merge; the raw stream is
+    never re-read — the continuous-monitoring shape at 100 TB (same
+    store discipline as kmeans_stats_merge_into_store / CMS rollup:
+    explicit existence probe, checkpoint-then-overwrite).
+    """
+    from ..session import path_exists
+
+    spark = batch_df.sparkSession
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+        ),
+    ).cast("int")
+    counts = (
+        batch_df.filter(is_finite(F.col(value_col)))
+        .select(
+            F.when(F.col(ts_col) < F.lit(cutoff), F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("side"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("side", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    if path_exists(spark, store_path):
+        prev = spark.read.parquet(store_path)
+        counts = (
+            prev.unionByName(counts)
+            .groupBy("side", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    counts.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+
+def psi_from_store(spark, store_path: str, n_buckets: int = 10,
+                   eps: float = 1e-6) -> DataFrame:
+    """Derive the :func:`psi_drift` output table from a drained bucket
+    store: pivot the (side, bucket, n) counts onto the static bucket
+    spine and apply the identical eps-floored ``(q−p)·ln(q/p)`` term —
+    same NULL-proportions-on-empty-side contract. ≤ 2·n_buckets rows
+    end to end."""
+    st = spark.read.parquet(store_path)
+    spine = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    ref = st.filter(F.col("side") == "ref").select(
+        "bucket", F.col("n").alias("n_ref")
+    )
+    cur = st.filter(F.col("side") == "cur").select(
+        "bucket", F.col("n").alias("n_cur")
+    )
+    j = (
+        spine.join(ref, "bucket", "left")
+        .join(cur, "bucket", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+        .localCheckpoint()
+    )
+    tot = j.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
+    p = F.when(
+        F.col("_tr") > 0, F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(eps))
+    )
+    q = F.when(
+        F.col("_tc") > 0, F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(eps))
+    )
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )
+
+
+def mi_profile(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Entropy / mutual-information audit between column pairs — the
+    SOFT companion to :func:`fd_profile`: an exact FD gives
+    H(B|A) = 0; MI(A;B) measures how much of B's uncertainty A removes
+    even when the dependency is approximate (feature redundancy,
+    leakage screening between a feature and a label, pick-the-
+    partition-column-that-actually-predicts-access). All quantities in
+    nats from EXACT counts:
+
+        H(X) = −Σ p ln p,  MI = H(A) + H(B) − H(A,B)
+
+    Plan per pair: one groupBy(A, B) count (the only corpus-sized
+    aggregate), then entropies from three tiny regroupings of that
+    count table (|A|, |B|, |A,B| rows) and a 1-row total — the same
+    two-level shape as k-anonymity/fd_profile; pairs union into one
+    job. NULL values group as values (a NULL is information too).
+
+    Output per pair: (col_a, col_b, n_rows, h_a, h_b, h_ab, mi — all
+    6dp; mi is clamped at ≥ 0 against last-ulp negative noise on
+    independent columns).
+    """
+    if not pairs:
+        raise ValueError("mi_profile needs at least one (col_a, col_b) pair")
+
+    outs = []
+    for a, b in pairs:
+        ab = df.groupBy(
+            F.col(a).alias("_a"), F.col(b).alias("_b")
+        ).agg(F.count("*").alias("_n"))
+
+        # entropies via sum(c·ln c) identities so each needs only its
+        # own count table and the shared scalar n:
+        #   H = ln n − (Σ c·ln c) / n
+        pa = ab.groupBy("_a").agg(F.sum("_n").alias("_c"))
+        pb = ab.groupBy("_b").agg(F.sum("_n").alias("_c"))
+        s_a = pa.agg(
+            F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_s"),
+            F.sum("_c").alias("_n_rows"),
+        )
+        s_b = pb.agg(F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_s"))
+        s_ab = ab.agg(F.sum(F.col("_n") * F.log(F.col("_n"))).alias("_s"))
+        h = (
+            s_a.crossJoin(F.broadcast(s_b.withColumnRenamed("_s", "_sb")))
+            .crossJoin(F.broadcast(s_ab.withColumnRenamed("_s", "_sab")))
+            .select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("_n_rows").alias("n_rows"),
+                (F.log(F.col("_n_rows")) - F.col("_s") / F.col("_n_rows"))
+                .alias("_ha"),
+                (F.log(F.col("_n_rows")) - F.col("_sb") / F.col("_n_rows"))
+                .alias("_hb"),
+                (F.log(F.col("_n_rows")) - F.col("_sab") / F.col("_n_rows"))
+                .alias("_hab"),
+            )
+            .select(
+                "col_a",
+                "col_b",
+                "n_rows",
+                F.round("_ha", 6).alias("h_a"),
+                F.round("_hb", 6).alias("h_b"),
+                F.round("_hab", 6).alias("h_ab"),
+                F.round(
+                    F.greatest(
+                        F.col("_ha") + F.col("_hb") - F.col("_hab"), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("mi"),
+            )
+        )
+        outs.append(h)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -5390,3 +5390,55 @@ ORACLES.update({
         GROUP BY grp
     """,
 })
+
+
+ORACLES.update({
+    # streaming PSI intake == batch psi_drift by count commutativity:
+    # the oracle is the identical SQL as psi_drift_events
+    "stream_psi_intake_parity": ORACLES["psi_drift_events"],
+})
+
+
+ORACLES.update({
+    # same H = ln n - sum(c*ln c)/n identity from exact counts; MI
+    # clamped >= 0 against last-ulp noise on independent columns
+    "mi_profile_orders": """
+        WITH ab1 AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                            count(*) AS n
+                     FROM orders GROUP BY 1, 2),
+        sa1 AS (SELECT sum(c * ln(c)) AS s, sum(c) AS nr
+                FROM (SELECT sum(n) AS c FROM ab1 GROUP BY a)),
+        sb1 AS (SELECT sum(c * ln(c)) AS s
+                FROM (SELECT sum(n) AS c FROM ab1 GROUP BY b)),
+        sab1 AS (SELECT sum(n * ln(n)) AS s FROM ab1),
+        r1 AS (SELECT 'o_orderpriority' AS col_a, 'o_orderstatus' AS col_b,
+                      CAST(sa1.nr AS BIGINT) AS n_rows,
+                      round(ln(sa1.nr) - sa1.s / sa1.nr, 6) AS h_a,
+                      round(ln(sa1.nr) - sb1.s / sa1.nr, 6) AS h_b,
+                      round(ln(sa1.nr) - sab1.s / sa1.nr, 6) AS h_ab,
+                      round(greatest(
+                          (ln(sa1.nr) - sa1.s / sa1.nr)
+                          + (ln(sa1.nr) - sb1.s / sa1.nr)
+                          - (ln(sa1.nr) - sab1.s / sa1.nr), 0.0), 6) AS mi
+               FROM sa1, sb1, sab1),
+        ab2 AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                       count(*) AS n
+                FROM orders GROUP BY 1, 2),
+        sa2 AS (SELECT sum(c * ln(c)) AS s, sum(c) AS nr
+                FROM (SELECT sum(n) AS c FROM ab2 GROUP BY a)),
+        sb2 AS (SELECT sum(c * ln(c)) AS s
+                FROM (SELECT sum(n) AS c FROM ab2 GROUP BY b)),
+        sab2 AS (SELECT sum(n * ln(n)) AS s FROM ab2),
+        r2 AS (SELECT 'o_orderstatus', 'o_orderpriority',
+                      CAST(sa2.nr AS BIGINT),
+                      round(ln(sa2.nr) - sa2.s / sa2.nr, 6),
+                      round(ln(sa2.nr) - sb2.s / sa2.nr, 6),
+                      round(ln(sa2.nr) - sab2.s / sa2.nr, 6),
+                      round(greatest(
+                          (ln(sa2.nr) - sa2.s / sa2.nr)
+                          + (ln(sa2.nr) - sb2.s / sa2.nr)
+                          - (ln(sa2.nr) - sab2.s / sa2.nr), 0.0), 6)
+               FROM sa2, sb2, sab2)
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    """,
+})

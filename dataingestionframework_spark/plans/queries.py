@@ -6965,3 +6965,90 @@ QUERIES.update({
     "fd_profile_orders": fd_profile_orders,
     "rbo_rank_agreement_docs": rbo_rank_agreement_docs,
 })
+
+
+def stream_psi_intake_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DRIFT MONITOR under the hash gate (the 19th stream
+    parity; operators.profile.psi_bucket_merge_into_store): events
+    arrive in three micro-batches; foreachBatch reduces each to
+    per-(side, bucket) counts — side split on the same 2024-01-16
+    cutoff as psi_drift_events — and additively merges them into a
+    parquet store. Counts commute, so the drained store equals the
+    one-shot bucket counts and psi_from_store reproduces the batch
+    psi_drift table EXACTLY; the oracle is therefore the identical SQL
+    as psi_drift_events."""
+    import datetime as _dt
+    import shutil
+    import time as _time
+
+    from ..operators.profile import (
+        psi_bucket_merge_into_store,
+        psi_from_store,
+    )
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    ev = t("events").select("event_id", "ts", "value")
+    cutoff = _dt.datetime(2024, 1, 16)
+
+    root = tempfile.mkdtemp(prefix="dif_psi_stream_")
+    src = os.path.join(root, "src")
+    store = os.path.join(root, "buckets")
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(3):
+        p = os.path.join(src, f"shard{i}.parquet")
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now - 600 + i * 100,) * 2)
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: psi_bucket_merge_into_store(
+                    b, store, "value", "ts", cutoff, lo=0.0, hi=500.0
+                )
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        out = psi_from_store(spark, store)
+        rows = out.collect()  # materialize before the store dir is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["stream_psi_intake_parity"] = stream_psi_intake_parity
+
+
+def mi_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy / mutual-information audit (operators.profile.
+    mi_profile) over the same candidate pairs as fd_profile_orders —
+    the soft-dependency companion (H(B|A)=0 iff the FD is exact; MI
+    measures approximate dependence / feature redundancy). One
+    corpus-sized pair-count aggregate per pair; entropies from tiny
+    regroupings via the H = ln n − Σ c·ln c / n identity."""
+    from ..operators.profile import mi_profile
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return mi_profile(
+        t("orders"),
+        [
+            ("o_orderpriority", "o_orderstatus"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+
+
+QUERIES["mi_profile_orders"] = mi_profile_orders

@@ -363,3 +363,66 @@ def test_global_sort_rank_empty(spark):
 
     df = spark.createDataFrame([], "doc_id long")
     assert seeded_shuffle(df, seed=7).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming PSI intake: additive store == one-shot counts, any order
+# ---------------------------------------------------------------------------
+
+
+def test_psi_store_order_invariant(spark, tmp_path):
+    import datetime as dt
+
+    from dataingestionframework_spark.operators.profile import (
+        psi_bucket_merge_into_store,
+        psi_drift,
+        psi_from_store,
+    )
+
+    cutoff = dt.datetime(2024, 1, 16)
+    rows = [
+        (i, dt.datetime(2024, 1, 10 + (i % 12), 6), float(i * 37 % 500))
+        for i in range(120)
+    ] + [(900, dt.datetime(2024, 1, 20), NAN), (901, dt.datetime(2024, 1, 21), INF)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+
+    def run(order):
+        store = str(tmp_path / f"store_{'_'.join(map(str, order))}")
+        for i in order:
+            psi_bucket_merge_into_store(
+                df.filter(F.pmod("event_id", F.lit(3)) == i),
+                store, "value", "ts", cutoff, lo=0.0, hi=500.0,
+            )
+        return sorted(
+            tuple(r) for r in psi_from_store(spark, store).collect()
+        )
+
+    a = run([0, 1, 2])
+    b = run([2, 0, 1])
+    assert a == b
+    batch = sorted(
+        tuple(r)
+        for r in psi_drift(
+            df.filter(F.col("ts") < F.lit(cutoff)),
+            df.filter(F.col("ts") >= F.lit(cutoff)),
+            "value", lo=0.0, hi=500.0,
+        ).collect()
+    )
+    assert a == batch
+
+
+def test_mi_profile_exact_dependency_and_independence(spark):
+    from dataingestionframework_spark.operators.profile import mi_profile
+
+    # B is a function of A: MI == H(B); C is independent of A: MI ~ 0
+    # (c cycles on i//4 so every (a, c) cell appears equally often)
+    rows = [(i % 4, (i % 4) * 10, (i // 4) % 2) for i in range(64)]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    out = {(r.col_a, r.col_b): r for r in mi_profile(
+        df, [("a", "b"), ("a", "c")]
+    ).collect()}
+    fab = out[("a", "b")]
+    assert fab.mi == pytest.approx(fab.h_b, abs=1e-6)  # H(B|A) = 0
+    assert fab.h_a == pytest.approx(round(math.log(4), 6))
+    fac = out[("a", "c")]
+    assert fac.mi == pytest.approx(0.0, abs=1e-6)  # balanced grid

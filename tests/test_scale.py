@@ -708,3 +708,17 @@ def test_rbo_rank_agreement_scales(spark, sf):
     t1 = _wall(lambda: q(d))
     t10 = _wall(lambda: q(rep))
     _assert_scales("rbo_rank_agreement", t1, t10)
+
+
+def test_mi_profile_scales(spark, sf):
+    """MI audit: one pair-count agg per pair + tiny regroupings."""
+    from dataingestionframework_spark.operators.profile import mi_profile
+
+    o = sf("orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+    def q(df):
+        mi_profile(df, [("o_orderpriority", "o_orderstatus")]).count()
+
+    t1 = _wall(lambda: q(o))
+    t10 = _wall(lambda: q(_replicate(o, ["o_orderkey"], REPL, 100_000_000)))
+    _assert_scales("mi_profile", t1, t10)

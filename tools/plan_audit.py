@@ -91,6 +91,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "hbos_outliers_orders": {
         "BroadcastNestedLoopJoin": "1-row total-rows scalar broadcast"
     },
+    "mi_profile_orders": {
+        "BroadcastNestedLoopJoin": "1-row entropy-sum scalar broadcasts"
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
