@@ -834,3 +834,78 @@ def mi_profile(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Classifier-threshold calibration sweep — the report that picks a
+    quality-filter cutoff before it ships: for every candidate
+    threshold t, the confusion counts of the rule ``score >= t``
+    against a boolean label, with precision/recall/F1. The curation
+    question ("keep the top X% — what recall does that cost?") is read
+    straight off this table.
+
+    Plan: the row stream is map-side exploded against the broadcast
+    threshold spine (|T| rows — a config constant), then ONE hash
+    aggregate onto |T| keys with map-side combine, so the cost is one
+    scan regardless of |T|; no per-threshold jobs, no driver loop.
+    Rows with NULL score or NULL label carry no signal and are
+    excluded up front (documented; count them via profile() if
+    needed). 0/0 divisions are NULL (empty flag set / no positives),
+    matching SQL semantics on both engines.
+
+    Output per threshold: (threshold, n_flagged, tp, fp, fn,
+    precision 6dp, recall 6dp, f1 6dp), ordered by threshold.
+    """
+    if not thresholds:
+        raise ValueError("threshold_sweep needs at least one threshold")
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold double"
+    )
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    flag = F.col("_s") >= F.col("threshold")
+    agg = (
+        base.join(F.broadcast(spine))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(flag, 1)).alias("n_flagged"),
+            F.count(F.when(flag & F.col("_y"), 1)).alias("tp"),
+            F.count(F.when(flag & ~F.col("_y"), 1)).alias("fp"),
+            F.count(F.when(~flag & F.col("_y"), 1)).alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    return agg.select(
+        "threshold",
+        "n_flagged",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold")

@@ -1864,3 +1864,51 @@ def prefix_dim_recall(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def vector_quality_status(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+    status_col: str = "vec_status",
+) -> DataFrame:
+    """Embedding intake validation — the pre-filter every vector
+    pipeline runs before ANN indexing: encoders emit NaN/Inf rows on
+    bad inputs, upstream joins produce NULLs, truncation bugs produce
+    wrong dimensions, and a zero vector has no direction (cosine is
+    undefined). One scan-side expression tags each row:
+
+        'null'       — the vector itself is NULL
+        'wrong_dim'  — size != expected_dim (when given)
+        'non_finite' — any element NULL/NaN/±Inf
+        'zero_norm'  — all elements exactly 0.0
+        'ok'         — usable
+
+    Pure array expressions inside whole-stage codegen (F.exists /
+    F.aggregate — no UDF); filter on ``status == 'ok'`` for the clean
+    stream and aggregate the column for the intake report. The checks
+    are ordered most-fundamental-first, so a NULL vector is 'null',
+    not 'wrong_dim'. At 100 TB this is one projection on the scan —
+    the cost of NOT running it is an index poisoned by NaN similarity
+    (NaN sorts above every real score in Spark's DESC order).
+    """
+    v = F.col(vec_col)
+    x_bad = lambda x: (  # noqa: E731 — tiny predicate, local by design
+        x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf")))
+    )
+    status = F.when(v.isNull(), F.lit("null"))
+    if expected_dim is not None:
+        status = status.when(
+            F.size(v) != F.lit(expected_dim), F.lit("wrong_dim")
+        )
+    status = (
+        status.when(F.exists(v, x_bad), F.lit("non_finite"))
+        .when(
+            ~F.exists(v, lambda x: x.cast("double") != F.lit(0.0)),
+            F.lit("zero_norm"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn(status_col, status)

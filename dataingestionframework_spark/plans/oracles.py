@@ -5442,3 +5442,79 @@ ORACLES.update({
         SELECT * FROM r1 UNION ALL SELECT * FROM r2
     """,
 })
+
+
+ORACLES.update({
+    # same defect injection + most-fundamental-first status ladder;
+    # element predicates via list_filter counts
+    "vector_quality_embeddings": """
+        WITH c AS (
+            SELECT vec_id,
+                   CASE
+                     WHEN vec_id % 67 = 3 THEN NULL
+                     WHEN vec_id % 53 = 0 THEN
+                       list_concat(['nan'::FLOAT],
+                                   embedding[2:len(embedding)])
+                     WHEN vec_id % 59 = 1 THEN embedding[1:10]
+                     WHEN vec_id % 61 = 2 THEN
+                       list_transform(embedding, x -> 0.0::FLOAT)
+                     ELSE embedding
+                   END AS v
+            FROM embeddings
+        ),
+        tagged AS (
+            SELECT vec_id,
+                   CASE
+                     WHEN v IS NULL THEN 'null'
+                     WHEN len(v) <> 64 THEN 'wrong_dim'
+                     WHEN len(list_filter(v, x -> x IS NULL
+                              OR isnan(CAST(x AS DOUBLE))
+                              OR NOT isfinite(CAST(x AS DOUBLE)))) > 0
+                          THEN 'non_finite'
+                     WHEN len(list_filter(v,
+                              x -> CAST(x AS DOUBLE) <> 0.0)) = 0
+                          THEN 'zero_norm'
+                     ELSE 'ok'
+                   END AS vec_status
+            FROM c
+        )
+        SELECT vec_status, count(*) AS n,
+               CAST(sum(vec_id) AS BIGINT) AS id_sum
+        FROM tagged GROUP BY vec_status
+    """,
+})
+
+
+ORACLES.update({
+    # same portable-hash score, long-doc label, spine-join sweep
+    "threshold_sweep_docs": """
+        WITH base AS (
+            SELECT CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       AS DOUBLE) / 4294967296.0 AS s,
+                   n_chars > 400 AS y
+            FROM documents
+            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        spine AS (SELECT unnest(range(1, 10)) / 10.0 AS threshold),
+        agg AS (
+            SELECT threshold,
+                   count(CASE WHEN s >= threshold THEN 1 END) AS n_flagged,
+                   count(CASE WHEN s >= threshold AND y THEN 1 END) AS tp,
+                   count(CASE WHEN s >= threshold AND NOT y THEN 1 END) AS fp,
+                   count(CASE WHEN s < threshold AND y THEN 1 END) AS fn
+            FROM base, spine GROUP BY threshold
+        )
+        SELECT threshold, n_flagged, tp, fp, fn,
+               round(CASE WHEN tp + fp > 0
+                          THEN tp / CAST(tp + fp AS DOUBLE) END, 6)
+                   AS precision,
+               round(CASE WHEN tp + fn > 0
+                          THEN tp / CAST(tp + fn AS DOUBLE) END, 6)
+                   AS recall,
+               round(CASE WHEN 2*tp + fp + fn > 0
+                          THEN 2*tp / CAST(2*tp + fp + fn AS DOUBLE) END, 6)
+                   AS f1
+        FROM agg ORDER BY threshold
+    """,
+})

@@ -7052,3 +7052,75 @@ def mi_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["mi_profile_orders"] = mi_profile_orders
+
+
+def vector_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding intake validation (operators.similarity.
+    vector_quality_status): deterministic defects injected into the
+    clean fixture — NaN element at vec_id%53==0, truncated dim at
+    %59==1, zeroed at %61==2, NULL vector at %67==3 — then the intake
+    report: count + id checksum per status class. The report every
+    vector pipeline reads before ANN indexing; one scan, no UDF."""
+    from ..operators.similarity import vector_quality_status
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    emb = t("embeddings").select("vec_id", "embedding")
+    corrupted = emb.select(
+        "vec_id",
+        F.when(
+            F.pmod("vec_id", F.lit(67)) == 3, F.lit(None).cast("array<float>")
+        )
+        .when(
+            F.pmod("vec_id", F.lit(53)) == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice(F.col("embedding"), 2, 1_000_000),
+            ),
+        )
+        .when(
+            F.pmod("vec_id", F.lit(59)) == 1,
+            F.slice(F.col("embedding"), 1, 10),
+        )
+        .when(
+            F.pmod("vec_id", F.lit(61)) == 2,
+            F.transform(F.col("embedding"), lambda x: F.lit(0.0).cast("float")),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    tagged = vector_quality_status(corrupted, "embedding", expected_dim=64)
+    return tagged.groupBy("vec_status").agg(
+        F.count("*").alias("n"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
+QUERIES["vector_quality_embeddings"] = vector_quality_embeddings
+
+
+def threshold_sweep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff calibration (operators.profile.threshold_sweep):
+    precision/recall/F1 of ``score >= t`` at 9 candidate thresholds —
+    the table a curation pipeline reads to pick its quality filter.
+    Deterministic fixture: score = portable-hash unit of the doc id,
+    label = long-document flag. One scan: rows map-side exploded
+    against the broadcast 9-row threshold spine into a single |T|-key
+    hash aggregate."""
+    from ..operators.profile import threshold_sweep
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    d = t("documents").select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(float(16 ** 8))
+        ).alias("score"),
+        (F.col("n_chars") > 400).alias("label"),
+    )
+    return threshold_sweep(
+        d, "score", "label", [i / 10.0 for i in range(1, 10)]
+    )
+
+
+QUERIES["threshold_sweep_docs"] = threshold_sweep_docs

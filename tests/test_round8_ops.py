@@ -426,3 +426,44 @@ def test_mi_profile_exact_dependency_and_independence(spark):
     assert fab.h_a == pytest.approx(round(math.log(4), 6))
     fac = out[("a", "c")]
     assert fac.mi == pytest.approx(0.0, abs=1e-6)  # balanced grid
+
+
+def test_vector_quality_status_ladder(spark):
+    from dataingestionframework_spark.operators.similarity import (
+        vector_quality_status,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, [1.0]),            # wrong dim
+        (4, [NAN, 1.0]),
+        (5, [INF, 1.0]),
+        (6, [0.0, 0.0]),
+        (7, [1.0, None]),      # NULL element -> non_finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.vec_status for r in vector_quality_status(
+        df, expected_dim=2
+    ).collect()}
+    assert out == {1: "ok", 2: "null", 3: "wrong_dim", 4: "non_finite",
+                   5: "non_finite", 6: "zero_norm", 7: "non_finite"}
+
+
+def test_threshold_sweep_confusion_math(spark):
+    from dataingestionframework_spark.operators.profile import threshold_sweep
+
+    # scores 0.1..1.0, label = score > 0.55
+    rows = [(i / 10.0, i / 10.0 > 0.55) for i in range(1, 11)]
+    rows += [(None, True), (0.9, None)]  # no-signal rows excluded
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r.threshold: r for r in threshold_sweep(
+        df, "score", "label", [0.5, 0.8]
+    ).collect()}
+    t5 = out[0.5]
+    # flagged = scores >= 0.5 -> 6 rows (0.5..1.0); positives = 0.6..1.0
+    assert (t5.n_flagged, t5.tp, t5.fp, t5.fn) == (6, 5, 1, 0)
+    assert t5.precision == pytest.approx(round(5 / 6, 6))
+    assert t5.recall == 1.0 and t5.f1 == pytest.approx(round(10 / 11, 6))
+    t8 = out[0.8]
+    assert (t8.n_flagged, t8.tp, t8.fp, t8.fn) == (3, 3, 0, 2)

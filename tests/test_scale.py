@@ -722,3 +722,42 @@ def test_mi_profile_scales(spark, sf):
     t1 = _wall(lambda: q(o))
     t10 = _wall(lambda: q(_replicate(o, ["o_orderkey"], REPL, 100_000_000)))
     _assert_scales("mi_profile", t1, t10)
+
+
+def test_vector_quality_scales(spark, sf):
+    """Vector gate: one scan-side status projection + tiny agg."""
+    from dataingestionframework_spark.operators.similarity import (
+        vector_quality_status,
+    )
+
+    e = sf("embeddings").select("vec_id", "embedding")
+
+    def q(df):
+        vector_quality_status(df, expected_dim=64).groupBy(
+            "vec_status"
+        ).count().collect()
+
+    t1 = _wall(lambda: q(e))
+    t10 = _wall(lambda: q(_replicate(e, ["vec_id"], REPL, 10_000_000)))
+    _assert_scales("vector_quality", t1, t10)
+
+
+def test_threshold_sweep_scales(spark, sf):
+    """Threshold sweep: one scan exploded against a 9-row spine into
+    one |T|-key aggregate — linear regardless of |T|."""
+    from dataingestionframework_spark.operators.profile import threshold_sweep
+
+    d = sf("documents").select(
+        (F.col("n_chars") % 1000 / 1000.0).alias("score"),
+        (F.col("n_chars") > 400).alias("label"),
+        "doc_id",
+    )
+
+    def q(df):
+        threshold_sweep(
+            df, "score", "label", [i / 10.0 for i in range(1, 10)]
+        ).count()
+
+    t1 = _wall(lambda: q(d))
+    t10 = _wall(lambda: q(_replicate(d, ["doc_id"], REPL, 10_000_000)))
+    _assert_scales("threshold_sweep", t1, t10)

@@ -94,6 +94,13 @@ ALLOW: dict[str, dict[str, str]] = {
     "mi_profile_orders": {
         "BroadcastNestedLoopJoin": "1-row entropy-sum scalar broadcasts"
     },
+    "threshold_sweep_docs": {
+        "BroadcastNestedLoopJoin": (
+            "9-row threshold-spine broadcast (keyless map-side explode "
+            "into one |T|-key aggregate)"
+        ),
+        "global-sort": "result ordering over |T| = 9 rows",
+    },
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
