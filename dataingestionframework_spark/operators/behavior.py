@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import is_finite
+
 
 def funnel_conversions(
     events: DataFrame,
@@ -201,3 +203,79 @@ def cooccurrence_lift(
         .limit(top_n)
     )
     return out
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    window_hours: int | None = None,
+) -> DataFrame:
+    """Last-touch conversion attribution — the standard credit
+    assignment between funnels and uplift models: every conversion
+    event credits its value to the user's MOST RECENT preceding touch
+    event of an eligible type (strictly earlier; optionally within a
+    lookback window).
+
+    Plan: an AS-OF-join shape without a dedicated operator — touches
+    and conversions both shuffle once on the user key, a per-user sort
+    ranks each (conversion, candidate-touch) pair and row_number picks
+    the latest. Candidate pairs per user are |touches|·|conversions|
+    WITHIN that user only (bounded by per-user activity, never
+    corpus²); ties on touch time break by touch event id (newest id
+    wins — deterministic on both engines). Conversions with NO
+    eligible touch are attributed to the NULL channel (the 'direct'
+    bucket every attribution report needs).
+
+    Output: one row per channel — (channel, n_conversions,
+    credited_value 2dp), channel NULL = unattributed.
+    """
+    from pyspark.sql import Window
+
+    t = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(type_col).alias("channel"),
+        F.col("event_id").alias("_tid"),
+    )
+    c = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col("event_id").alias("_cid"),
+        F.col(value_col).alias("_val"),
+    )
+    cond = F.col("_tts") < F.col("_cts")
+    if window_hours is not None:
+        cond = cond & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {int(window_hours)} HOURS")
+        )
+    paired = c.join(t, "_u", "left").filter(cond | F.col("_tts").isNull())
+    w = Window.partitionBy("_u", "_cid").orderBy(
+        F.col("_tts").desc_nulls_last(), F.col("_tid").desc_nulls_last()
+    )
+    picked = (
+        paired.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    # conversions whose ONLY join partners were filtered out (user has
+    # touches, none eligible) must still appear: re-anchor on the
+    # conversion set with a left join back
+    base = c.select("_u", "_cid", "_val")
+    attr = base.join(
+        picked.select("_cid", "channel"), "_cid", "left"
+    )
+    return attr.groupBy("channel").agg(
+        F.count("*").alias("n_conversions"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(is_finite(F.col("_val")), F.col("_val"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("credited_value"),
+    )

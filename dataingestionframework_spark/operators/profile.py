@@ -909,3 +909,68 @@ def threshold_sweep(
             6,
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+def cohen_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Inter-annotator agreement (Cohen's κ, 1960) between two label
+    columns — the labeled-data QA gate before training on human or
+    model annotations: observed agreement p_o corrected by the
+    chance agreement p_e of the two raters' marginal distributions,
+
+        κ = (p_o − p_e) / (1 − p_e)
+
+    κ ≈ 0 means the raters agree no better than chance even when raw
+    accuracy looks high (the imbalanced-label trap). All from exact
+    counts: one (a, b) pair-count aggregate over the scan, then the
+    marginals are tiny regroupings joined NULL-SAFELY (an abstaining
+    rater's NULL is a category of its own — dropping those rows would
+    overstate agreement). κ is NULL when p_e = 1 (both raters constant
+    — agreement is vacuous, not perfect).
+
+    Output: 1 row (n_rows, po 6dp, pe 6dp, kappa 6dp).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count("*").alias("_n"))
+    tot = cells.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(
+            F.when(F.col("_a").eqNullSafe(F.col("_b")), F.col("_n"))
+        ).alias("_agree"),
+    )
+    ma = cells.groupBy(F.col("_a").alias("_k")).agg(
+        F.sum("_n").alias("_ma")
+    )
+    mb = cells.groupBy(F.col("_b").alias("_k")).agg(
+        F.sum("_n").alias("_mb")
+    )
+    # full-outer null-safe join: a category only one rater ever used
+    # contributes 0 to p_e (its other marginal is 0)
+    pe_sum = (
+        ma.join(mb, ma["_k"].eqNullSafe(mb["_k"]), "full_outer")
+        .select(
+            (
+                F.coalesce(ma["_ma"], F.lit(0)).cast("double")
+                * F.coalesce(mb["_mb"], F.lit(0)).cast("double")
+            ).alias("_prod")
+        )
+        .agg(F.sum("_prod").alias("_pe_num"))
+    )
+    po = F.coalesce(F.col("_agree"), F.lit(0)) / F.col("_tot")
+    pe = F.col("_pe_num") / (F.col("_tot") * F.col("_tot"))
+    return (
+        tot.crossJoin(F.broadcast(pe_sum))
+        .filter(F.col("_tot") > 0)
+        .select(
+            F.col("_tot").alias("n_rows"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round(
+                F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6
+            ).alias("kappa"),
+        )
+    )

@@ -5518,3 +5518,70 @@ ORACLES.update({
         FROM agg ORDER BY threshold
     """,
 })
+
+
+ORACLES.update({
+    # as-of shape: latest strictly-earlier touch per conversion,
+    # (tts, tid) DESC tie-break; unattributed -> NULL channel
+    "attribution_last_touch_events": """
+        WITH t AS (
+            SELECT user_id AS u, ts AS tts, event_type AS channel,
+                   event_id AS tid
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        c AS (
+            SELECT user_id AS u, ts AS cts, event_id AS cid,
+                   value AS val
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pick AS (
+            SELECT c.cid AS cid, t.channel,
+                   row_number() OVER (
+                       PARTITION BY c.cid
+                       ORDER BY t.tts DESC, t.tid DESC) AS rn
+            FROM c JOIN t ON t.u = c.u AND t.tts < c.cts
+        )
+        SELECT p.channel,
+               count(*) AS n_conversions,
+               round(coalesce(sum(c.val) FILTER (
+                   WHERE c.val IS NOT NULL AND isfinite(c.val)), 0), 2)
+                   AS credited_value
+        FROM c LEFT JOIN (SELECT cid, channel FROM pick WHERE rn = 1) p
+          ON p.cid = c.cid
+        GROUP BY p.channel
+    """,
+    # exact-count kappa with NULL-safe marginals; kappa NULL at pe=1
+    "cohen_kappa_docs": """
+        WITH d AS (
+            SELECT lang AS a,
+                   CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b
+            FROM documents
+        ),
+        cells AS (SELECT a, b, count(*) AS n FROM d GROUP BY a, b),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS t,
+                   CAST(coalesce(sum(n) FILTER (
+                       WHERE a IS NOT DISTINCT FROM b), 0) AS BIGINT)
+                       AS agree
+            FROM cells
+        ),
+        ma AS (SELECT a AS k, sum(n) AS m FROM cells GROUP BY a),
+        mb AS (SELECT b AS k, sum(n) AS m FROM cells GROUP BY b),
+        pe_num AS (
+            SELECT sum(CAST(coalesce(ma.m, 0) AS DOUBLE)
+                       * CAST(coalesce(mb.m, 0) AS DOUBLE)) AS s
+            FROM ma FULL OUTER JOIN mb
+              ON ma.k IS NOT DISTINCT FROM mb.k
+        )
+        SELECT tot.t AS n_rows,
+               round(agree / CAST(t AS DOUBLE), 6) AS po,
+               round(pe_num.s / (CAST(t AS DOUBLE) * t), 6) AS pe,
+               round(CASE WHEN pe_num.s / (CAST(t AS DOUBLE) * t) < 1.0
+                          THEN (agree / CAST(t AS DOUBLE)
+                                - pe_num.s / (CAST(t AS DOUBLE) * t))
+                               / (1.0 - pe_num.s / (CAST(t AS DOUBLE) * t))
+                     END, 6) AS kappa
+        FROM tot, pe_num
+        WHERE tot.t > 0
+    """,
+})

@@ -7124,3 +7124,43 @@ def threshold_sweep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["threshold_sweep_docs"] = threshold_sweep_docs
+
+
+def attribution_last_touch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators.behavior.
+    attribution_last_touch): every purchase credits its value to the
+    user's most recent strictly-earlier click/view; no eligible touch
+    → the NULL 'direct' bucket. AS-OF-join shape — one shuffle per
+    side on the user key, per-user candidate pairs only, deterministic
+    (touch ts, touch id) tie-break."""
+    from ..operators.behavior import attribution_last_touch
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    return attribution_last_touch(
+        t("events"), ["click", "view"], "purchase"
+    )
+
+
+def cohen_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (operators.profile.cohen_kappa):
+    κ between the trusted lang label and a synthetic second annotator
+    (doc_id%7==0 relabeled 'xx') — the labeled-data QA gate; exact
+    counts, NULL-safe marginals, chance-corrected."""
+    from ..operators.profile import cohen_kappa
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    d = t("documents").select(
+        "lang",
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang_b"),
+    )
+    return cohen_kappa(d, "lang", "lang_b")
+
+
+QUERIES.update({
+    "attribution_last_touch_events": attribution_last_touch_events,
+    "cohen_kappa_docs": cohen_kappa_docs,
+})

@@ -467,3 +467,64 @@ def test_threshold_sweep_confusion_math(spark):
     assert t5.recall == 1.0 and t5.f1 == pytest.approx(round(10 / 11, 6))
     t8 = out[0.8]
     assert (t8.n_flagged, t8.tp, t8.fp, t8.fn) == (3, 3, 0, 2)
+
+
+def test_attribution_last_touch_basic(spark):
+    from dataingestionframework_spark.operators.behavior import (
+        attribution_last_touch,
+    )
+
+    rows = [
+        # user 1: click then view then purchase -> view credited
+        (1, "2024-01-01 01:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 02:00:00", 1, "view", 0.0),
+        (3, "2024-01-01 03:00:00", 1, "purchase", 100.0),
+        # user 2: touch AFTER the purchase -> direct (NULL channel)
+        (4, "2024-01-02 05:00:00", 2, "click", 0.0),
+        (5, "2024-01-02 04:00:00", 2, "purchase", 50.0),
+        # user 3: no touches at all -> direct
+        (6, "2024-01-03 00:00:00", 3, "purchase", 25.0),
+        # user 4: tie on touch ts -> higher event_id wins
+        (7, "2024-01-04 00:00:00", 4, "click", 0.0),
+        (8, "2024-01-04 00:00:00", 4, "view", 0.0),
+        (9, "2024-01-04 01:00:00", 4, "purchase", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.channel: r for r in attribution_last_touch(
+        df, ["click", "view"], "purchase"
+    ).collect()}
+    assert out["view"].n_conversions == 2  # user 1 + user 4 (id 8 wins tie)
+    assert out["view"].credited_value == 110.0
+    assert out[None].n_conversions == 2 and out[None].credited_value == 75.0
+    assert "click" not in out
+
+
+def test_cohen_kappa_perfect_chance_and_constant(spark):
+    from dataingestionframework_spark.operators.profile import cohen_kappa
+
+    # perfect agreement
+    d1 = spark.createDataFrame([("a", "a"), ("b", "b")] * 10, "a string, b string")
+    r = cohen_kappa(d1, "a", "b").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0
+
+    # independent raters on a balanced 2x2 grid: kappa ~ 0
+    rows = [(x, y) for x in "ab" for y in "ab" for _ in range(5)]
+    d2 = spark.createDataFrame(rows, "a string, b string")
+    r2 = cohen_kappa(d2, "a", "b").collect()[0]
+    assert r2.kappa == pytest.approx(0.0, abs=1e-6)
+
+    # both raters constant: pe = 1 -> kappa NULL, po = 1
+    d3 = spark.createDataFrame([("a", "a")] * 8, "a string, b string")
+    r3 = cohen_kappa(d3, "a", "b").collect()[0]
+    assert r3.kappa is None and r3.po == 1.0
+
+    # NULL labels are categories: NULL vs NULL agrees
+    d4 = spark.createDataFrame(
+        [("a", "a"), (None, None), ("a", None), (None, "a")],
+        "a string, b string",
+    )
+    r4 = cohen_kappa(d4, "a", "b").collect()[0]
+    assert r4.po == 0.5

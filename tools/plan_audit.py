@@ -94,6 +94,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "mi_profile_orders": {
         "BroadcastNestedLoopJoin": "1-row entropy-sum scalar broadcasts"
     },
+    "cohen_kappa_docs": {
+        "BroadcastNestedLoopJoin": "1-row pe-numerator scalar broadcast"
+    },
     "threshold_sweep_docs": {
         "BroadcastNestedLoopJoin": (
             "9-row threshold-spine broadcast (keyless map-side explode "
