@@ -36,7 +36,19 @@ def main() -> None:
     # JVM codegen compilation, which the median discards.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    mins: dict[str, float] = {}
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        # ~820 query executions share one JVM: localCheckpoint blocks
+        # and shuffle files are only reclaimed when ContextCleaner sees
+        # a JVM GC, and Spark's own periodicGC interval is 30 min — far
+        # longer than the whole bench. Without this nudge the block
+        # manager accumulates across the registry and LATE queries
+        # degrade 2-10x (measured: two median-of-3 runs at ~430 s vs
+        # ~320 s historical, regressions concentrated in the
+        # checkpoint-heavy tail). One System.gc() every 25 queries
+        # costs ~100 ms and keeps the session state flat.
+        if qi % 25 == 0:
+            spark.sparkContext._jvm.System.gc()
         times: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -48,8 +60,14 @@ def main() -> None:
                 times = []
                 break
         timings[name] = round(sorted(times)[len(times) // 2], 3) if times else -1.0
+        mins[name] = round(min(times), 3) if times else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # min-of-N companion: this VM shows one-sided multi-second stalls
+    # that hit arbitrary queries (NOTES.md round 8); the median keeps
+    # them honest, the min preserves comparability with pre-round-8
+    # artifacts (which reported min-of-2)
+    total_min = round(sum(t for t in mins.values() if t >= 0), 3)
     # "queries" first, headline totals LAST: the driver records only the
     # tail of stdout, so the fields that must survive truncation (metric/
     # value/sf) go at the end of the line. Compact separators fit more
@@ -60,6 +78,7 @@ def main() -> None:
             "n_queries": len(timings),
             "n_errors": sum(1 for t in timings.values() if t < 0),
             "stat": f"median_of_{n_runs}",
+            "value_min": total_min,
             "metric": "total_query_wall_clock",
             "value": total,
             "unit": "sec",
