@@ -37,18 +37,11 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
-    for qi, (name, fn) in enumerate(QUERIES.items()):
-        # ~820 query executions share one JVM: localCheckpoint blocks
-        # and shuffle files are only reclaimed when ContextCleaner sees
-        # a JVM GC, and Spark's own periodicGC interval is 30 min — far
-        # longer than the whole bench. Without this nudge the block
-        # manager accumulates across the registry and LATE queries
-        # degrade 2-10x (measured: two median-of-3 runs at ~430 s vs
-        # ~320 s historical, regressions concentrated in the
-        # checkpoint-heavy tail). One System.gc() every 25 queries
-        # costs ~100 ms and keeps the session state flat.
-        if qi % 25 == 0:
-            spark.sparkContext._jvm.System.gc()
+    # Session-state hygiene (localCheckpoint block / shuffle-file
+    # reclamation) lives in get_spark's periodicGC.interval=1min conf —
+    # the ContextCleaner GCs on its own schedule; no harness-side
+    # System.gc() loop needed.
+    for name, fn in QUERIES.items():
         times: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()

@@ -72,11 +72,15 @@ class DeltaManagedTable:
 
     # -- reads ----------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         from ..errors import TableNotFoundError
 
         if not self.exists():
             raise TableNotFoundError(self.root)
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self._resolve_tag(tag)
         reader = self.spark.read.format("delta")
         if version is not None:
             # native time travel — the parquet backend's manifest-log
@@ -126,8 +130,37 @@ class DeltaManagedTable:
         overwrite: bool = False,
         partition_cols: list[str] | None = None,
         identity_col: str | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "DeltaManagedTable":
+        """``generated`` maps column -> SQL expr and becomes a native
+        ``GENERATED ALWAYS AS (expr)`` column (Delta requires this at
+        CREATE — unlike the parquet backend's post-hoc
+        ``set_generated_column``, which exists because its manifest
+        metadata is mutable; the SMOKE script exercises both
+        declaration points against the same appends)."""
         if self.exists() and not overwrite:
+            return self
+        if generated and identity_col:
+            raise ValueError("generated + identity_col in one create is unsupported")
+        if generated:
+            builder = (
+                _DeltaTable.createOrReplace(self.spark)
+                if overwrite
+                else _DeltaTable.createIfNotExists(self.spark)
+            )
+            builder = builder.location(self.root)
+            for f in schema.fields:
+                if f.name in generated:
+                    builder = builder.addColumn(
+                        f.name, f.dataType, generatedAlwaysAs=generated[f.name]
+                    )
+                else:
+                    builder = builder.addColumn(f.name, f.dataType)
+            builder = builder.property("delta.autoOptimize.optimizeWrite", "true")
+            builder = builder.property("delta.autoOptimize.autoCompact", "true")
+            if partition_cols:
+                builder = builder.partitionedBy(*partition_cols)
+            builder.execute()
             return self
         if identity_col:
             # reference parity: BIGINT GENERATED ALWAYS AS IDENTITY
@@ -309,6 +342,62 @@ class DeltaManagedTable:
         pre = "delta.constraints."
         return {r.key[len(pre):]: r.value for r in props if r.key.startswith(pre)}
 
+    def generated_columns(self) -> dict[str, str]:
+        """GENERATED ALWAYS AS expressions, read from the Delta column
+        metadata key ``delta.generationExpression`` (the documented
+        storage location) — same return shape as the parquet backend."""
+        out: dict[str, str] = {}
+        for f in self.schema().fields:
+            expr = f.metadata.get("delta.generationExpression")
+            if expr:
+                out[f.name] = expr
+        return out
+
+    # -- tags (named snapshots; parquet-backend parity via TBLPROPERTIES) ----
+
+    _TAG_PRE = "graft.tag."
+
+    def tags(self) -> dict[str, int]:
+        props = self.spark.sql(
+            f"SHOW TBLPROPERTIES delta.`{self.root}`"
+        ).collect()
+        return {
+            r.key[len(self._TAG_PRE):]: int(r.value)
+            for r in props
+            if r.key.startswith(self._TAG_PRE)
+        }
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot version (default: latest). Stored as a table
+        property, so the tag travels with the table and survives
+        restores. UNLIKE the parquet backend, Delta VACUUM does NOT pin
+        tagged versions — a tag older than the vacuum retention window
+        stops being readable; set ``delta.deletedFileRetentionDuration``
+        to cover the oldest tag you need (documented in DEPLOY.md)."""
+        if version is None:
+            version = int(
+                self._dt().history().selectExpr("max(version)").first()[0]
+            )
+        if not name.replace("-", "").replace("_", "").replace(".", "").isalnum():
+            raise ValueError(f"tag name {name!r} must be alphanumeric-ish")
+        self.spark.sql(
+            f"ALTER TABLE delta.`{self.root}` SET TBLPROPERTIES "
+            f"('{self._TAG_PRE}{name}' = '{int(version)}')"
+        )
+        return int(version)
+
+    def untag(self, name: str) -> None:
+        self.spark.sql(
+            f"ALTER TABLE delta.`{self.root}` UNSET TBLPROPERTIES IF EXISTS "
+            f"('{self._TAG_PRE}{name}')"
+        )
+
+    def _resolve_tag(self, tag: str) -> int:
+        tags = self.tags()
+        if tag not in tags:
+            raise ValueError(f"{self.root}: unknown tag {tag!r}")
+        return tags[tag]
+
     def read_stream(self) -> DataFrame:
         """Native Delta streaming source (appends; callers set
         skipChangeCommits upstream DML tolerance)."""
@@ -316,12 +405,14 @@ class DeltaManagedTable:
 
     def restore(self, version: int | None = None, tag: str | None = None) -> None:
         """Native ``RESTORE TABLE`` (same contract as the parquet
-        backend: a restore is a new commit, history preserved). Tags
-        are a parquet-backend feature; on Delta pass a version."""
-        if version is None:
-            raise ValueError("DeltaManagedTable.restore: version required")
+        backend: a restore is a new commit, history preserved; a tag
+        resolves to its pinned version first)."""
         if tag is not None:
-            raise ValueError("DeltaManagedTable.restore: tags unsupported")
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self._resolve_tag(tag)
+        if version is None:
+            raise ValueError("DeltaManagedTable.restore: version or tag required")
         self.spark.sql(
             f"RESTORE TABLE delta.`{self.root}` TO VERSION AS OF {version}"
         )

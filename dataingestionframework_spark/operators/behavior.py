@@ -39,15 +39,21 @@ def funnel_conversions(
     Plan: one filtered min-aggregate per step, each joined to the
     previous step's anchor times — L small hash joins all keyed on the
     user, reusing one partitioning; no per-user event sorting, no
-    window over the raw table.
+    window over the raw table. The per-step anchor frames are
+    checkpointed (they feed the next step), then ALL step counts are
+    collected in ONE union-aggregate job — not L driver actions — and
+    the checkpoint blocks are unpersisted before returning.
 
     Output: (step_idx, step_name, n_users), step_idx 1-based.
     """
     if not steps:
         raise ValueError("funnel_conversions needs at least one step")
+    from functools import reduce
+
     spark = events.sparkSession
     anchors: DataFrame | None = None
-    counts: list[tuple[int, str, int]] = []
+    checkpointed: list[DataFrame] = []
+    step_users: list[DataFrame] = []
     for i, step in enumerate(steps):
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
@@ -62,7 +68,20 @@ def funnel_conversions(
                 .agg(F.min("_ts").alias("_anchor"))
             )
         anchors = anchors.localCheckpoint()  # L tiny user-level frames
-        counts.append((i + 1, step, anchors.count()))
+        checkpointed.append(anchors)
+        step_users.append(anchors.select(F.lit(i + 1).alias("step_idx")))
+    union = reduce(DataFrame.unionByName, step_users)
+    try:
+        got = {
+            int(r["step_idx"]): int(r["n"])
+            for r in union.groupBy("step_idx")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    finally:
+        for frame in checkpointed:
+            frame.unpersist()
+    counts = [(i + 1, s, got.get(i + 1, 0)) for i, s in enumerate(steps)]
     return spark.createDataFrame(
         counts, "step_idx int, step_name string, n_users long"
     )
@@ -157,6 +176,12 @@ def cooccurrence_lift(
             .filter(F.col("_sz") <= max_basket_size)
             .drop("_sz")
         )
+    # `items` fans out to FOUR consumers (both self-join sides, the
+    # per-item totals, the basket count) — materialize the distinct +
+    # basket-cap subtree once instead of recomputing it per consumer
+    # (same precedent as srp_band_rows; blocks reclaimed by the 1min
+    # periodic-GC cleaner once the frame leaves scope).
+    items = items.localCheckpoint()
     n_baskets = items.agg(
         F.count_distinct("_bk").alias("_n_baskets")
     )
@@ -236,7 +261,14 @@ def attribution_last_touch(
     """
     from pyspark.sql import Window
 
-    t = events.filter(F.col(type_col).isin(list(touch_types))).select(
+    # NULL-ts touches are never "strictly earlier" than anything, so
+    # drop them here — then `_tts IS NULL` below can ONLY mean an
+    # unmatched left-join row (user with zero eligible touches), and a
+    # user whose only touches carry NULL timestamps lands in the NULL
+    # channel exactly like the oracle's inner join does.
+    t = events.filter(
+        F.col(type_col).isin(list(touch_types)) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("_u"),
         F.col(ts_col).alias("_tts"),
         F.col(type_col).alias("channel"),

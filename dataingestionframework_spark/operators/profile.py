@@ -670,6 +670,7 @@ def psi_bucket_merge_into_store(
     lo: float,
     hi: float,
     n_buckets: int = 10,
+    batch_id: int | None = None,
 ) -> None:
     """foreachBatch sink body for a STREAMING drift monitor: reduce the
     micro-batch to per-(side, bucket) counts — side = reference if
@@ -684,10 +685,18 @@ def psi_bucket_merge_into_store(
     never re-read — the continuous-monitoring shape at 100 TB (same
     store discipline as kmeans_stats_merge_into_store / CMS rollup:
     explicit existence probe, checkpoint-then-overwrite).
+
+    Pass the foreachBatch epoch id as ``batch_id``: foreachBatch is
+    at-least-once, and an additive merge double-counts a redelivered
+    batch — the epoch sidecar (:func:`~dataingestionframework_spark.
+    session.store_epoch`) makes retries no-ops so the drained store
+    truly equals the one-shot counts.
     """
-    from ..session import path_exists
+    from ..session import path_exists, record_store_epoch, store_epoch
 
     spark = batch_df.sparkSession
+    if batch_id is not None and batch_id <= store_epoch(spark, store_path):
+        return  # at-least-once redelivery of an already-merged epoch
     width = (hi - lo) / n_buckets
     bucket = F.least(
         F.lit(n_buckets - 1),
@@ -696,7 +705,13 @@ def psi_bucket_merge_into_store(
         ),
     ).cast("int")
     counts = (
-        batch_df.filter(is_finite(F.col(value_col)))
+        # NULL-ts rows are droppable on BOTH sides: a measurement with
+        # no timestamp cannot be sided against the cutoff (the batch
+        # psi_drift query excludes them the same way — its ref/cur
+        # split predicates are both NULL-false)
+        batch_df.filter(
+            is_finite(F.col(value_col)) & F.col(ts_col).isNotNull()
+        )
         .select(
             F.when(F.col(ts_col) < F.lit(cutoff), F.lit("ref"))
             .otherwise(F.lit("cur"))
@@ -714,6 +729,8 @@ def psi_bucket_merge_into_store(
             .agg(F.sum("n").alias("n"))
         )
     counts.localCheckpoint().write.mode("overwrite").parquet(store_path)
+    if batch_id is not None:
+        record_store_epoch(spark, store_path, batch_id)
 
 
 def psi_from_store(spark, store_path: str, n_buckets: int = 10,

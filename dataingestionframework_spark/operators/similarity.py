@@ -222,6 +222,10 @@ def ivf_fit(
     from pyspark.ml.functions import array_to_vector
 
     fit_df = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
+    # NULL vectors carry no geometry — drop them BEFORE counting so
+    # the n==0/n==1 fast paths see only fittable rows (a lone NULL row
+    # previously reached the n==1 first()[0] fetch and raised).
+    fit_df = fit_df.filter(F.col(vec_col).isNotNull())
     train = fit_df.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -368,15 +372,21 @@ def knn_join_brute(
     import pandas as pd
     from pyspark.sql import types as T
 
-    n_right = right.count()
-    if n_right > max_broadcast_rows:
+    # single-action guard: collect max+1 rows — one scan proves both
+    # "fits under the cap" and fetches the payload (a separate count()
+    # would scan the right side twice).
+    r_rows = (
+        right.select(F.col(right_id), F.col(vec_col))
+        .limit(max_broadcast_rows + 1)
+        .collect()
+    )
+    if len(r_rows) > max_broadcast_rows:
         raise ValueError(
-            f"knn_join_brute right side has {n_right} rows "
-            f"(> max_broadcast_rows={max_broadcast_rows}); it must be "
+            f"knn_join_brute right side exceeds "
+            f"max_broadcast_rows={max_broadcast_rows}; it must be "
             "collected to the driver and broadcast — use "
             "knn_join_bucketed for a distributed big-by-big kNN join"
         )
-    r_rows = right.select(F.col(right_id), F.col(vec_col)).collect()
     if not r_rows:  # empty right side: no neighbors for anyone
         return left.sparkSession.createDataFrame(
             [], "left_id long, right_id long, cosine_sim double, rank int"
@@ -646,6 +656,8 @@ def pq_fit(
     from pyspark.ml.functions import array_to_vector
 
     fit_df = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
+    # drop NULL vectors before the dim probe / n==1 path (see ivf_fit)
+    fit_df = fit_df.filter(F.col(vec_col).isNotNull())
     dim_row = fit_df.select(vec_col).first()
     if dim_row is None:  # nothing to quantize: no codebooks
         return []
@@ -1040,14 +1052,19 @@ def hard_negative_mining(
     import pandas as pd
     from pyspark.sql import types as T
 
-    n_corpus = df.count()
-    if n_corpus > max_broadcast_rows:
+    # single-action guard: limit(max+1).collect() proves the cap AND
+    # fetches the payload in one scan (count()+collect() scanned twice).
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .limit(max_broadcast_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_broadcast_rows:
         raise ValueError(
-            f"hard_negative_mining corpus has {n_corpus} rows "
-            f"(> max_broadcast_rows={max_broadcast_rows}); use an IVF "
+            f"hard_negative_mining corpus exceeds "
+            f"max_broadcast_rows={max_broadcast_rows}; use an IVF "
             "over-fetch + label filter for the distributed form"
         )
-    rows = df.select(F.col(id_col), F.col(vec_col), F.col(label_col)).collect()
     if not rows:  # empty corpus: no negatives exist
         return df.sparkSession.createDataFrame(
             [], "query_id long, neg_id long, cosine_sim double, rank int"
@@ -1603,6 +1620,7 @@ def kmeans_stats_merge_into_store(
     store_path: str,
     vec_col: str = "embedding",
     round_dp: int = 6,
+    batch_id: int | None = None,
 ) -> None:
     """foreachBatch sink body for a streaming cluster-assignment
     intake: assign the micro-batch to the FROZEN centroids scan-side,
@@ -1619,8 +1637,16 @@ def kmeans_stats_merge_into_store(
     per-batch centroid re-rounding (which would drift with batch
     boundaries), statistics stay full-precision in the store; rounding
     happens once, in :func:`kmeans_from_stats`.
+
+    Pass the foreachBatch epoch id as ``batch_id`` so an at-least-once
+    redelivery merges as a no-op (epoch sidecar, see
+    :func:`~dataingestionframework_spark.session.store_epoch`).
     """
+    from ..session import record_store_epoch, store_epoch
+
     spark = batch_df.sparkSession
+    if batch_id is not None and batch_id <= store_epoch(spark, store_path):
+        return  # already-merged epoch redelivered
     stats = (
         assign_to_centroids(batch_df, centroids, vec_col, round_dp)
         .select("cluster_id", F.posexplode(F.col(vec_col).cast("array<double>")))
@@ -1643,6 +1669,8 @@ def kmeans_stats_merge_into_store(
         )
     # materialize BEFORE overwrite: the merged plan reads store_path
     stats.localCheckpoint().write.mode("overwrite").parquet(store_path)
+    if batch_id is not None:
+        record_store_epoch(spark, store_path, batch_id)
 
 
 def kmeans_from_stats(

@@ -104,6 +104,7 @@ def cms_merge_into_store(
     store_path: str,
     depth: int = 4,
     width: int = 1024,
+    batch_id: int | None = None,
 ) -> None:
     """foreachBatch sink body: sketch the micro-batch and additively
     merge it into a persisted parquet sketch table. Each batch costs
@@ -112,13 +113,24 @@ def cms_merge_into_store(
     unbounded 100 TB stream. Merge order cannot matter (counter
     addition commutes), so AvailableNow drains and live triggers
     produce the identical store; the stream parity query proves the
-    drained store equals the one-shot batch sketch."""
+    drained store equals the one-shot batch sketch.
+
+    Pass the foreachBatch epoch id as ``batch_id`` so an at-least-once
+    redelivery merges as a no-op (epoch sidecar, see
+    :func:`~dataingestionframework_spark.session.store_epoch`).
+    """
+    from ..session import path_exists, record_store_epoch, store_epoch
+
     spark = batch_df.sparkSession
+    if batch_id is not None and batch_id <= store_epoch(spark, store_path):
+        return  # already-merged epoch redelivered
     sk = cms_build(batch_df, key_col, depth, width)
-    try:
-        prev = spark.read.parquet(store_path)
-        sk = cms_merge(prev, sk)
-    except Exception:  # noqa: BLE001 — first batch: no store yet
-        pass
+    # explicit existence probe, not try/except: a bare except would
+    # also swallow a transient read failure while the store EXISTS and
+    # overwrite all accumulated counters with this one micro-batch
+    if path_exists(spark, store_path):
+        sk = cms_merge(spark.read.parquet(store_path), sk)
     # materialize BEFORE overwrite: the merged plan reads store_path
     sk.localCheckpoint().write.mode("overwrite").parquet(store_path)
+    if batch_id is not None:
+        record_store_epoch(spark, store_path, batch_id)

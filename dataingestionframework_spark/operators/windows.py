@@ -39,7 +39,13 @@ def sessionize(
     """Gap-based sessionization: new session when the gap to the previous
     event exceeds ``gap_minutes``. lag + cumulative-sum — one shuffle on
     the key, both windows share the same partitioning (no second shuffle).
+
+    NULL-ts rows are DROPPED (a missing timestamp is a missing
+    observation — it belongs to no point on the session timeline, and
+    engines disagree on where NULL sorts in a window ORDER BY, so any
+    other treatment is engine-defined).
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak))
     # cast-to-double keeps sub-second precision (unix_timestamp truncates);
     # the intermediate timestamp cast accepts TIMESTAMP_NTZ input too

@@ -332,7 +332,7 @@ ORACLES: dict[str, str] = {
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
@@ -1196,7 +1196,7 @@ ORACLES: dict[str, str] = {
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_s
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ),
         s AS (
@@ -1681,7 +1681,7 @@ ORACLES: dict[str, str] = {
                event_type,
                count(*) AS n,
                round(sum(value), 2) AS total_value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         GROUP BY 1, 2, 3
     """,
     "binary_payload_meta": """
@@ -2110,7 +2110,7 @@ ORACLES: dict[str, str] = {
     "acf_hourly_events": """
         WITH s AS (SELECT event_type, date_trunc('hour', ts) AS h,
                           count(*) AS c
-                   FROM events GROUP BY 1, 2),
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         l AS (SELECT event_type, c,
                      lag(c, 1) OVER w AS l1,
                      lag(c, 2) OVER w AS l2,
@@ -2127,7 +2127,7 @@ ORACLES: dict[str, str] = {
     "cusum_changepoint_events": """
         WITH s AS (SELECT event_type, date_trunc('hour', ts) AS h,
                           count(*) AS c
-                   FROM events GROUP BY 1, 2),
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         e AS (SELECT event_type, h,
                      count(*) OVER (PARTITION BY event_type) AS n_points,
                      sum(c) OVER (PARTITION BY event_type) AS tot,
@@ -3371,7 +3371,7 @@ ORACLES.update({
             SELECT event_type AS from_type,
                    lead(event_type) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS to_type
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         c AS (
             SELECT from_type, to_type, count(*) AS n
@@ -3557,7 +3557,7 @@ ORACLES.update({
                    date_trunc('hour', ts)
                    + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
                           ELSE INTERVAL 0 MINUTE END AS b
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         w AS (
             SELECT event_type,
@@ -3713,9 +3713,10 @@ ORACLES.update({
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events
-            WHERE value IS NOT NULL AND isfinite(value)
+            WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
         ),
-        ns AS (SELECT user_id, count(*) AS n_seen FROM events GROUP BY 1),
+        ns AS (SELECT user_id, count(*) AS n_seen FROM events
+               WHERE ts IS NOT NULL GROUP BY 1),
         ew AS (
             SELECT user_id,
                    round(sum(CASE WHEN rn <= 8
@@ -3759,7 +3760,7 @@ ORACLES.update({
             SELECT CAST(ts AS DATE) AS d,
                    coalesce(list(DISTINCT user_id)
                             FILTER (WHERE user_id IS NOT NULL), []) AS users
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         )
         SELECT d,
                len(users) AS dau,

@@ -45,6 +45,18 @@ def get_spark(app_name: str = "dataingestionframework_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # localCheckpoint blocks and shuffle files are reclaimed only
+        # when ContextCleaner observes a driver GC; the 30 min default
+        # exceeds any bench/test session, so block-manager state
+        # accumulates across hundreds of queries and late queries
+        # degrade 2-10x (NOTES.md round 8). A few minutes keeps session
+        # state flat without paying a forced full-GC pause every 60 s —
+        # session hygiene belongs here, not in a System.gc() loop
+        # inside the benchmark harness. Env-overridable for A/B runs.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "3min"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
@@ -117,3 +129,67 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
     return bool(fs.exists(jpath))
+
+
+# driver-side fast path for the epoch sidecar: foreachBatch bodies run
+# on the driver, so within one process the last-merged epoch is a dict
+# lookup; the file is only read after a restart and only written when
+# the epoch advances. Keyed by absolute store path.
+_EPOCH_CACHE: dict[str, int] = {}
+
+
+def _epoch_file(store_path: str) -> str:
+    return store_path.rstrip("/") + "__epoch"
+
+
+def store_epoch(spark: SparkSession, store_path: str) -> int:
+    """Last foreachBatch epoch merged into an accumulating parquet
+    store (``-1`` if never recorded). Durable record: a tiny text
+    sidecar at ``<store>__epoch`` written through the Hadoop
+    FileSystem API (object-store portable, no Spark job — a parquet
+    sidecar would cost a full job per micro-batch).
+
+    foreachBatch is at-least-once: a failed/retried trigger redelivers
+    the SAME epoch id, and ids are monotonically increasing within one
+    checkpoint lineage — so "merge only if batch_id > store_epoch" is
+    exactly the dedup the Structured Streaming guide prescribes for
+    idempotent sinks. One store is therefore coupled to ONE checkpoint
+    lineage (restart with a fresh checkpoint → fresh store), the same
+    contract a Delta txn-version sink carries.
+    """
+    cached = _EPOCH_CACHE.get(store_path)
+    if cached is not None:
+        return cached
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(_epoch_file(store_path))
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return -1
+    stream = fs.open(jpath)
+    try:
+        reader = sc._jvm.java.io.BufferedReader(
+            sc._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = reader.readLine()
+    finally:
+        stream.close()
+    epoch = int(line.strip()) if line and line.strip() else -1
+    _EPOCH_CACHE[store_path] = epoch
+    return epoch
+
+
+def record_store_epoch(spark: SparkSession, store_path: str, batch_id: int) -> None:
+    """Record ``batch_id`` as merged (see :func:`store_epoch`). Written
+    AFTER the data merge: the residual crash window between the two
+    writes re-merges one batch on retry — strictly smaller exposure
+    than no dedup at all; true atomicity needs a transactional store
+    (the Delta ``txn`` pattern, documented in DEPLOY.md)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(_epoch_file(store_path))
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)  # overwrite
+    try:
+        out.write(bytearray(f"{int(batch_id)}\n", "utf-8"))
+    finally:
+        out.close()
+    _EPOCH_CACHE[store_path] = int(batch_id)

@@ -286,7 +286,15 @@ def running_user_ewma(events: DataFrame) -> DataFrame:
 
     Batch frames fall back to the window-algebra form restricted to
     each user's last row.
+
+    NULL-ts rows are dropped up front (missing-observation contract,
+    uniform across the time-series family): an EWMA is time-ordered,
+    and a row with no timestamp has no position in the order — nor do
+    engines agree where NULL would sort.
     """
+    from pyspark.sql import functions as _F
+
+    events = events.filter(_F.col("ts").isNotNull())
     if not events.isStreaming:
         from pyspark.sql import Window
         from pyspark.sql import functions as F

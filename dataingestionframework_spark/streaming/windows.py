@@ -25,7 +25,13 @@ def tumbling_window_agg(
     key_col: str = "event_type",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Count/sum per (tumbling window, key) with late-data bound."""
+    """Count/sum per (tumbling window, key) with late-data bound.
+
+    NULL-ts rows are dropped explicitly (missing-observation contract,
+    uniform across the window family): F.window() silently skips them,
+    but a SQL twin's date_trunc would emit a NULL-window group.
+    """
+    events = events.filter(F.col(ts_col).isNotNull())
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
@@ -48,7 +54,9 @@ def sliding_window_agg(
     key_col: str = "event_type",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Overlapping windows: each event lands in window/slide buckets."""
+    """Overlapping windows: each event lands in window/slide buckets.
+    NULL-ts rows dropped (same contract as tumbling_window_agg)."""
+    events = events.filter(F.col(ts_col).isNotNull())
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(ts_col, window, slide).alias("w"), F.col(key_col))
@@ -68,7 +76,14 @@ def session_window_agg(
 
     The streaming twin of ``operators.windows.sessionize`` — state-store
     backed, merges sessions across micro-batches.
+
+    NULL-ts rows are dropped explicitly (same missing-observation
+    contract as ``sessionize``): Spark's session_window silently skips
+    them, but SQL gaps-and-islands twins would fold them into the
+    predecessor's session — the filter makes the contract visible and
+    engine-independent.
     """
+    events = events.filter(F.col(ts_col).isNotNull())
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))

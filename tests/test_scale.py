@@ -761,3 +761,171 @@ def test_threshold_sweep_scales(spark, sf):
     t1 = _wall(lambda: q(d))
     t10 = _wall(lambda: q(_replicate(d, ["doc_id"], REPL, 10_000_000)))
     _assert_scales("threshold_sweep", t1, t10)
+
+
+# ---------------------------------------------------------------------------
+# x100 sweeps for the quadratic-PRONE operators (round-8 verdict item 3):
+# the ops whose naive form is all-pairs. Base is sf0.001 so x100 stays
+# test-sized; the assertion compares x100 against x10 of the SAME base —
+# a linear plan costs ~10x the x10 wall, a quadratic one ~100x.
+# ---------------------------------------------------------------------------
+
+REPL100 = 100
+MAX_RATIO_100 = 12.0  # x10 more data than the x10 run, +20% modeling slack
+
+
+@pytest.fixture(scope="module")
+def sf001(spark):
+    def load(table: str) -> DataFrame:
+        from dataingestionframework_spark.plans.tables import load
+
+        return load(spark, "/root/testdata/sf0.001", table)
+
+    return load
+
+
+def _assert_scales_100(name: str, t10: float, t100: float) -> None:
+    limit = MAX_RATIO_100 * t10 + SLACK_SEC
+    assert t100 < limit, (
+        f"{name}: x{REPL100} data took {t100:.2f}s vs {t10:.2f}s at "
+        f"x{REPL} (limit {limit:.2f}s) — super-linear growth"
+    )
+
+
+def test_cooccurrence_lift_scales_x100(spark, sf001):
+    from dataingestionframework_spark.operators.behavior import (
+        cooccurrence_lift,
+    )
+
+    li = sf001("lineitem").select("l_orderkey", "l_partkey")
+
+    def q(df):
+        cooccurrence_lift(
+            df, "l_orderkey", "l_partkey", min_support=2, top_n=50
+        ).count()
+
+    t10 = _wall(lambda: q(_replicate(li, ["l_orderkey"], REPL, 100_000_000)))
+    t100 = _wall(
+        lambda: q(_replicate(li, ["l_orderkey"], REPL100, 100_000_000))
+    )
+    _assert_scales_100("cooccurrence_lift", t10, t100)
+
+
+def test_cooccurrence_hot_basket_cap_engages(spark, sf001):
+    """Skewed hot basket (10^4 items in ONE basket): the
+    max_basket_size cap must (a) drop it — output identical to the
+    corpus with the basket pre-removed — and (b) keep the wall flat
+    (uncapped, the one basket alone contributes C(10^4,2) ≈ 5·10^7
+    pairs and dominates everything)."""
+    from dataingestionframework_spark.operators.behavior import (
+        cooccurrence_lift,
+    )
+
+    li = sf001("lineitem").select("l_orderkey", "l_partkey")
+    hot = spark.range(10_000).select(
+        F.lit(999_999_999).alias("l_orderkey"),
+        (F.col("id") + 5_000_000).alias("l_partkey"),
+    )
+    with_hot = li.unionByName(hot)
+
+    def run(df):
+        return sorted(
+            tuple(r)
+            for r in cooccurrence_lift(
+                df, "l_orderkey", "l_partkey", min_support=2,
+                max_basket_size=1000, top_n=50,
+            ).collect()
+        )
+
+    t0 = time.perf_counter()
+    got_hot = run(with_hot)
+    t_hot = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    got_base = run(li)
+    t_base = time.perf_counter() - t0
+    assert got_hot == got_base  # the capped basket contributes nothing
+    assert t_hot < 6.0 * t_base + SLACK_SEC, (
+        f"hot-basket run {t_hot:.2f}s vs {t_base:.2f}s base — cap did "
+        "not keep the quadratic term out of the plan"
+    )
+
+
+def test_containment_join_scales_x100(spark, sf001):
+    from dataingestionframework_spark.operators.dedup import containment_join
+
+    docs = sf001("documents").select("doc_id", "text")
+
+    def q(df):
+        containment_join(df, n=3, threshold=0.4, max_id=200).count()
+
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    t100 = _wall(
+        lambda: q(_replicate(docs, ["doc_id"], REPL100, 10_000_000))
+    )
+    _assert_scales_100("containment_join", t10, t100)
+
+
+def test_winnowing_scales_x100(spark, sf001):
+    from dataingestionframework_spark.operators.dedup import (
+        winnowing_candidate_pairs,
+        winnowing_fingerprints,
+    )
+
+    docs = sf001("documents").select("doc_id", "text")
+
+    def q(df):
+        fps = winnowing_fingerprints(df, k=5, w=4)
+        winnowing_candidate_pairs(fps, min_shared=2, max_fp_df=50).count()
+
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    t100 = _wall(
+        lambda: q(_replicate(docs, ["doc_id"], REPL100, 10_000_000))
+    )
+    _assert_scales_100("winnowing", t10, t100)
+
+
+def test_set_similarity_join_scales_x100(spark, sf001):
+    from dataingestionframework_spark.operators.dedup import (
+        set_similarity_join_exact,
+    )
+
+    docs = sf001("documents").select("doc_id", "text")
+
+    def q(df):
+        set_similarity_join_exact(
+            df, n=3, threshold=0.7, max_prefix_df=200
+        ).count()
+
+    t10 = _wall(lambda: q(_replicate(docs, ["doc_id"], REPL, 10_000_000)))
+    t100 = _wall(
+        lambda: q(_replicate(docs, ["doc_id"], REPL100, 10_000_000))
+    )
+    _assert_scales_100("set_similarity_join", t10, t100)
+
+
+def test_prefix_join_capped_candidates_linear_x100(spark):
+    """Deterministic (no wall-clock) x100 pin: with one hot prefix gram
+    shared by every templated doc, CAPPED candidate count must grow
+    x100 when the templated subset grows x100 — uncapped grows C(m,2),
+    i.e. x10,000."""
+    from dataingestionframework_spark.operators.dedup import (
+        _prefix_join_candidates,
+    )
+
+    def corpus(n_hot):
+        groups = n_hot // 3
+        rows = [(i, f"u{i} hot p{i % groups}") for i in range(n_hot)]
+        rows += [
+            (n_hot + j, f"w{j}a w{j}b w{j}c p{j % groups}")
+            for j in range(10 * n_hot)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    c1 = _prefix_join_candidates(corpus(30), "text", "doc_id", 1, 0.5, 10).count()
+    c100 = _prefix_join_candidates(
+        corpus(3000), "text", "doc_id", 1, 0.5, 10
+    ).count()
+    assert c1 == 30
+    assert c100 <= 120 * c1, (
+        f"capped candidates not linear at x100: {c1} -> {c100}"
+    )

@@ -191,8 +191,120 @@ def main():
     else:
         print("PASS  identity[delta]")
 
+    # -- CHECK constraints (round-7/8 catalog surface) -----------------
+    # same declaration point on both backends: a violating append must
+    # raise on BOTH; a valid one must land on BOTH; after DROP the
+    # previously-violating row must land on BOTH.
+    from dataingestionframework_spark.errors import ConstraintViolationError
+
+    extra_checks = 0
+
+    def _rejects(t, df) -> bool:
+        try:
+            t.append(df, merge_schema=False)
+            return False
+        except Exception as e:  # noqa: BLE001
+            # parquet backend: ConstraintViolationError; Delta: its own
+            # DeltaInvariantViolationException — accept either spelling
+            return isinstance(e, ConstraintViolationError) or (
+                "onstraint" in type(e).__name__ + str(e)
+                or "nvariant" in type(e).__name__ + str(e)
+            )
+
+    par.step(
+        "constraint:add (current >= 0)",
+        lambda t: t.add_check_constraint("cur_nonneg", "current >= 0"),
+    )
+    bad = _df(spark, [(99, "bad", -5)])
+    ok_p, ok_d = _rejects(par.p, bad), _rejects(par.d, bad)
+    extra_checks += 1
+    if ok_p and ok_d and _image(par.p) == _image(par.d):
+        print("PASS  constraint:violating-append-rejected[both]")
+    else:
+        par.failures.append(
+            f"constraint rejection parity: parquet={ok_p} delta={ok_d}"
+        )
+        print("FAIL  constraint:violating-append-rejected")
+    par.step(
+        "constraint:valid-append",
+        lambda t: t.append(_df(spark, [(5, "e", 2)]), merge_schema=False),
+    )
+    par.step(
+        "constraint:drop",
+        lambda t: t.drop_check_constraint("cur_nonneg"),
+    )
+    par.step(
+        "constraint:append-after-drop",
+        lambda t: t.append(_df(spark, [(99, "bad", -5)]), merge_schema=False),
+    )
+
+    # -- tags (named snapshots; round-7/8 surface) ----------------------
+    # tag the current version on both, append, then read(tag=) must
+    # reproduce the pre-append image on both backends.
+    pre_p, pre_d = _image(par.p), _image(par.d)
+    par.p.tag("smoke-tag")
+    par.d.tag("smoke-tag")
+    par.step(
+        "tag:append-after-tag",
+        lambda t: t.append(_df(spark, [(41, "zz", 3)]), merge_schema=False),
+    )
+    extra_checks += 1
+    tp = sorted(
+        tuple(r[c] for c in sorted(par.p.read(tag="smoke-tag").columns))
+        for r in par.p.read(tag="smoke-tag").collect()
+    )
+    td = sorted(
+        tuple(r[c] for c in sorted(par.d.read(tag="smoke-tag").columns))
+        for r in par.d.read(tag="smoke-tag").collect()
+    )
+    if tp == pre_p and td == pre_d:
+        print("PASS  tag:read-at-tag[both]")
+    else:
+        par.failures.append("tag read mismatch: read(tag) != pre-tag image")
+        print("FAIL  tag:read-at-tag")
+
+    # -- generated columns (round-7/8 surface) --------------------------
+    # declaration points differ by design (parquet: post-hoc metadata;
+    # delta: CREATE-time GENERATED ALWAYS AS) but the append contract
+    # must match: omitted column computed, wrong value rejected.
+    from dataingestionframework_spark.catalog.table import TableCatalog as TC
+
+    gschema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("v2", T.LongType(), True),
+        ]
+    )
+    gp = TC(spark, f"{work_dir}/gen-p").table("s.gen")
+    gp.create(T.StructType(gschema.fields[:2]))
+    gp.set_generated_column("v2", "v * 2")
+    gd = TC(spark, f"{work_dir}/gen-d", backend="delta").table("s.gen")
+    gd.create(gschema, generated={"v2": "v * 2"})
+    for t in (gp, gd):
+        t.append(
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+            merge_schema=True,
+        )
+    extra_checks += 1
+    gi_p = sorted(tuple(r) for r in gp.read().select("k", "v", "v2").collect())
+    gi_d = sorted(tuple(r) for r in gd.read().select("k", "v", "v2").collect())
+    if gi_p == gi_d == [(1, 10, 20)]:
+        print("PASS  generated:computed-on-append[both]")
+    else:
+        par.failures.append(f"generated compute: parquet={gi_p} delta={gi_d}")
+        print("FAIL  generated:computed-on-append")
+    wrong = spark.createDataFrame([(2, 10, 99)], gschema)
+    extra_checks += 1
+    if _rejects(gp, wrong) and _rejects(gd, wrong):
+        print("PASS  generated:wrong-value-rejected[both]")
+    else:
+        par.failures.append("generated wrong-value accepted by a backend")
+        print("FAIL  generated:wrong-value-rejected")
+
     print(
-        f"\n{par.steps + 2 + 1} checks, {len(par.failures)} failures"
+        f"\n{par.steps + 2 + 1 + extra_checks} checks, "
+        f"{len(par.failures)} failures"
         + ("" if not par.failures else ":\n  " + "\n  ".join(par.failures))
     )
     sys.exit(1 if par.failures else 0)

@@ -180,6 +180,16 @@ def build(out_dir: str) -> None:
         {"event_id": 90019, "ts": datetime(2024, 1, 24, 3, 15, 0),
          "user_id": 15, "event_type": "view", "value": 2.5e8,
          "props": "{}"},
+        # NULL-ts profile (round-8 advice): a NULL timestamp is never
+        # "strictly earlier" than anything — user 16's only touch has
+        # ts NULL, so their purchase must land in the NULL (direct)
+        # attribution channel on BOTH engines; every ts-ordered
+        # operator must treat the row as a missing observation
+        {"event_id": 90020, "ts": None, "user_id": 16,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 90021, "ts": datetime(2024, 1, 25, 10, 0, 0),
+         "user_id": 16, "event_type": "purchase", "value": 77.0,
+         "props": "{}"},
     ]
     pq.write_table(_append_rows(ev, ev_rows), f"{out_dir}/events.parquet")
 
@@ -307,10 +317,105 @@ def build_single(out_dir: str) -> None:
         )
 
 
+def build_skew(out_dir: str) -> None:
+    """Adversarial-skew profile (round-8 verdict item 6): one key per
+    fact table holding >= 50% of its rows, one hot LSH bucket (a block
+    of byte-identical docs — every minhash band collides), one
+    10^4-item basket (the cooccurrence hot-basket cap), one hot IVF
+    cell (duplicate vectors). Correctness must hold AND the sweep must
+    finish inside the profile wall envelope — the profile exists to
+    prove the documented hot-key/hot-bucket caps actually engage
+    instead of letting one key go quadratic."""
+    os.makedirs(out_dir, exist_ok=True)
+    from datetime import datetime, timedelta
+
+    # events: user 777 ends up holding ~55% of all rows
+    ev = _read("events")
+    t0 = datetime(2024, 1, 15, 0, 0, 0)
+    ev_rows = [
+        {"event_id": 500000 + i,
+         "ts": t0 + timedelta(minutes=7 * i),
+         "user_id": 777,
+         "event_type": ("view", "click", "purchase")[i % 3],
+         "value": float((i * 13) % 997) / 4.0,
+         "props": "{}"}
+        for i in range(int(ev.num_rows * 1.2))
+    ]
+    pq.write_table(_append_rows(ev, ev_rows), f"{out_dir}/events.parquet")
+
+    # documents: one hot LSH/dedup bucket — 80 byte-identical docs
+    docs = _read("documents")
+    base = docs.column("text")[0].as_py()
+    doc_rows = [
+        {"doc_id": 500000 + i, "text": base, "lang": "en",
+         "source": f"src{i % 3}", "n_chars": len(base)}
+        for i in range(80)
+    ]
+    pq.write_table(_append_rows(docs, doc_rows),
+                   f"{out_dir}/documents.parquet")
+
+    # lineitem: ONE basket with 10^4 distinct items (uncapped, this
+    # basket alone emits C(10^4,2) ~ 5*10^7 candidate pairs) and a hot
+    # supplier on every appended row
+    li = _read("lineitem")
+    li_rows = [
+        {"l_orderkey": 4999999, "l_partkey": 5000000 + j, "l_suppkey": 7,
+         "l_linenumber": j % 7 + 1, "l_quantity": float(j % 50 + 1),
+         "l_extendedprice": float((j * 17) % 9000 + 100),
+         "l_discount": 0.04, "l_tax": 0.03,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": datetime(1996, 3, 1, 0, 0, 0)
+         + timedelta(hours=j % 480)}
+        for j in range(10_000)
+    ]
+    pq.write_table(_append_rows(li, li_rows), f"{out_dir}/lineitem.parquet")
+
+    # orders: customer 1 holds ~55% of all orders
+    orders = _read("orders")
+    od_rows = [
+        {"o_orderkey": 5000000 + i, "o_custkey": 1,
+         "o_orderstatus": "OF"[i % 2],
+         "o_totalprice": float((i * 31) % 90000 + 1000) / 7.0,
+         "o_orderdate": datetime(1995, 1, 1) + timedelta(days=i % 700),
+         "o_orderpriority": ("1-URGENT", "3-MEDIUM", "5-LOW")[i % 3]}
+        for i in range(int(orders.num_rows * 1.2))
+    ]
+    pq.write_table(_append_rows(orders, od_rows),
+                   f"{out_dir}/orders.parquet")
+
+    # embeddings: one hot IVF cell / cosine bucket — 100 duplicates of
+    # one vector under fresh ids
+    emb = _read("embeddings")
+    v = emb.column("embedding")[2].as_py()
+    e_rows = [
+        {"vec_id": 500000 + i, "embedding": v, "label": i % 3}
+        for i in range(100)
+    ]
+    pq.write_table(_append_rows(emb, e_rows), f"{out_dir}/embeddings.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        pq.write_table(_read(t), f"{out_dir}/{t}.parquet")
+
+    for t in ALL_TABLES:
+        assert pq.read_schema(f"{out_dir}/{t}.parquet").equals(
+            pq.read_schema(f"{SRC}/{t}.parquet")
+        ), t
+
+
 PROFILES = {
     "hostile": build,
     "empty": build_empty,
     "single": build_single,
+    "skew": build_skew,
+}
+
+# Wall envelope per profile (seconds, full registry sweep): the skew
+# profile's REASON TO EXIST is that the hot-key caps keep the sweep
+# flat — a cap regression shows up as a quadratic blow-through of this
+# budget long before it shows up as a wrong answer. Budgets are ~2x
+# the measured wall on this VM (NOTES.md round 9).
+PROFILE_WALL_BUDGET_SEC: dict[str, float] = {
+    "skew": 1200.0,
 }
 
 
@@ -333,12 +438,16 @@ def corpus_fingerprint() -> str:
 
 
 def run_profile(profile: str, out_dir: str, only: list[str]) -> int:
+    import time
+
     PROFILES[profile](out_dir)
     print(f"# fuzz profile={profile} corpus at {out_dir} "
           f"corpus_fp={corpus_fingerprint()}")
+    t0 = time.perf_counter()
     proc = subprocess.run(
         [sys.executable, "tools/check_oracle.py", out_dir, *only],
         capture_output=True, text=True)
+    wall = time.perf_counter() - t0
     n_waived = n_fail = 0
     for line in proc.stdout.splitlines():
         if line.startswith("FAIL"):
@@ -349,8 +458,15 @@ def run_profile(profile: str, out_dir: str, only: list[str]) -> int:
                 continue
             n_fail += 1
         print(line)
+    budget = PROFILE_WALL_BUDGET_SEC.get(profile)
+    if budget is not None and not only and wall > budget:
+        # full-sweep wall blow-through = a hot-key cap stopped engaging
+        n_fail += 1
+        print(f"FAIL  {profile}-wall-envelope: sweep took {wall:.0f}s "
+              f"> budget {budget:.0f}s — a documented cap is no longer "
+              "bounding the skewed key")
     print(f"# fuzz verdict profile={profile}: {n_fail} real failures, "
-          f"{n_waived} dataset-contingent waived")
+          f"{n_waived} dataset-contingent waived, wall={wall:.0f}s")
     return n_fail
 
 
