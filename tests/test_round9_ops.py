@@ -205,3 +205,28 @@ def test_funnel_zero_user_steps_still_emitted(spark):
     assert out[1] == ("view", 1)
     assert out[2] == ("cart", 1)
     assert out[3] == ("purchase", 0)  # zero-user tail step must appear
+
+
+def test_store_epoch_survives_driver_restart(spark, tmp_path):
+    """The epoch sidecar's durable path: clearing the driver-side cache
+    simulates a restart — the epoch must read back from the Hadoop-FS
+    text file, and redelivery must STILL be a no-op."""
+    from dataingestionframework_spark import session as S
+    from dataingestionframework_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge_into_store,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "event_id long, user_id long"
+    )
+    store = str(tmp_path / "cms")
+    cms_merge_into_store(df, "user_id", store, batch_id=4)
+    assert S.store_epoch(spark, store) == 4
+    S._EPOCH_CACHE.clear()  # "restart"
+    assert S.store_epoch(spark, store) == 4  # read back from the file
+    S._EPOCH_CACHE.clear()
+    cms_merge_into_store(df, "user_id", store, batch_id=4)  # redelivery
+    keys = spark.createDataFrame([(2,)], "user_id long")
+    est = cms_estimate(spark.read.parquet(store), keys, "user_id").collect()[0]
+    assert int(est.est_cnt) == 20  # not 40
