@@ -285,11 +285,14 @@ def corpus_incremental_intake(
                 F.col("_q") >= min_quality
             ).drop("_q")
         b = b.withColumn("_fp", fingerprint(F.col(text_col))).dropDuplicates(["_fp"])
-        try:
+        # existence probe, not a bare except: a transient sink-read
+        # failure must fail the batch (foreachBatch retries), not skip
+        # the anti-join and silently append duplicates
+        from ..session import path_exists
+
+        if path_exists(spark, sink_path):
             seen = spark.read.parquet(sink_path).select("_fp").distinct()
             b = b.join(seen, "_fp", "left_anti")
-        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
-            pass
         b.write.mode("append").parquet(sink_path)
 
     return (
@@ -351,10 +354,14 @@ def corpus_incremental_near_dup_intake(
         spark = batch.sparkSession
 
         def _read_or_none(path: str) -> DataFrame | None:
-            try:
-                return spark.read.parquet(path).select(id_col, text_col)
-            except Exception:  # noqa: BLE001 — store doesn't exist yet
+            # probe, not try/except: a transient read failure while the
+            # store EXISTS must retry the batch, not skip the replay
+            # guard and duplicate writes
+            from ..session import path_exists
+
+            if not path_exists(spark, path):
                 return None
+            return spark.read.parquet(path).select(id_col, text_col)
 
         b = batch.dropDuplicates([id_col])
         seen = _read_or_none(sink_path)
@@ -551,11 +558,11 @@ def embedding_incremental_ann_intake(
     def handle(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession
         b = batch.dropDuplicates([id_col])
-        try:
+        # probe, not try/except (see corpus_incremental_intake)
+        from ..session import path_exists
+
+        if path_exists(spark, sink_path):
             seen = spark.read.parquet(sink_path).select(id_col)
-        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist
-            seen = None
-        if seen is not None:
             b = b.join(seen, id_col, "left_anti")
         b = b.localCheckpoint()
         assigned, _ = ivf_assign(b, vec_col=vec_col, centroids=centroids)

