@@ -38,8 +38,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     # Session-state hygiene (localCheckpoint block / shuffle-file
-    # reclamation) lives in get_spark's periodicGC.interval=1min conf —
-    # the ContextCleaner GCs on its own schedule; no harness-side
+    # reclamation) lives in get_spark's periodicGC.interval conf
+    # (SPARK_GRAFT_PERIODIC_GC, default 3min — see session.py) — the
+    # ContextCleaner GCs on its own schedule; no harness-side
     # System.gc() loop needed.
     for name, fn in QUERIES.items():
         times: list[float] = []

@@ -229,6 +229,19 @@ class DeltaManagedTable:
 
     def truncate(self) -> None:
         self._dt().delete()
+        # parquet-backend parity: truncation voids streaming-sink
+        # bookkeeping — a rollup restarted on the emptied table under a
+        # fresh checkpoint sees epoch ids from 0 again, and a stale txn
+        # would silently skip them all
+        props = self.spark.sql(
+            f"SHOW TBLPROPERTIES delta.`{self.root}`"
+        ).collect()
+        for r in props:
+            if r.key.startswith(self._TXN_PRE):
+                self.spark.sql(
+                    f"ALTER TABLE delta.`{self.root}` UNSET TBLPROPERTIES "
+                    f"IF EXISTS ('{r.key}')"
+                )
 
     def replace_where(self, df: DataFrame, condition: Column | str) -> None:
         """Native ``replaceWhere`` overwrite: Delta validates incoming
@@ -273,6 +286,7 @@ class DeltaManagedTable:
         matched_condition: Column | str | None = None,
         merge_schema: bool = False,
         return_metrics: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> dict | None:
         """Native Delta MERGE — same keyword surface as the parquet
         backend's emulated merge, same five reference variants
@@ -282,6 +296,17 @@ class DeltaManagedTable:
         ``n_matched`` = numTargetRowsUpdated (rows the matched-UPDATE
         clause applied to) — the parquet backend computes the same
         quantity, so metrics are backend-identical.
+
+        ``txn=(app_id, version)``: recorded via :meth:`set_txn` AFTER
+        the merge commit. Unlike the parquet backend — where the txn
+        rides the commit pointer atomically — OSS Delta exposes
+        ``txnAppId``/``txnVersion`` writer options only for
+        append/overwrite paths, so a MERGE txn here is a separate
+        table-property commit and a crash between the two re-merges
+        one batch on retry (at-least-once, not exactly-once; for true
+        idempotence on Delta route the partial through an
+        append+aggregate layout and the txn writer options —
+        DEPLOY.md).
         """
         cond = " AND ".join(f"tgt.`{c}` = src.`{c}`" for c in on)
         m = self._dt().alias("tgt").merge(source.alias("src"), cond)
@@ -303,6 +328,8 @@ class DeltaManagedTable:
         if merge_schema:
             m = m.withSchemaEvolution()
         m.execute()
+        if txn is not None:
+            self.set_txn(txn[0], txn[1])
         if return_metrics:
             om = (self._dt().history(1).select("operationMetrics").first() or [{}])[0]
             return {
@@ -356,6 +383,20 @@ class DeltaManagedTable:
     # -- tags (named snapshots; parquet-backend parity via TBLPROPERTIES) ----
 
     _TAG_PRE = "graft.tag."
+    _TXN_PRE = "graft.txn."
+
+    @staticmethod
+    def _check_prop_name(name: str, kind: str = "tag") -> str:
+        """Names are interpolated into ALTER TABLE ... TBLPROPERTIES
+        SQL, so restrict to an alphanumeric-ish alphabet — one check
+        shared by tag()/untag()/_resolve_tag()/set_txn (round-9
+        ADVICE: untag() skipped it, letting a quoted name break or
+        inject into the statement)."""
+        if not name or not name.replace("-", "").replace("_", "").replace(
+            ".", ""
+        ).isalnum():
+            raise ValueError(f"{kind} name {name!r} must be alphanumeric-ish")
+        return name
 
     def tags(self) -> dict[str, int]:
         props = self.spark.sql(
@@ -378,8 +419,7 @@ class DeltaManagedTable:
             version = int(
                 self._dt().history().selectExpr("max(version)").first()[0]
             )
-        if not name.replace("-", "").replace("_", "").replace(".", "").isalnum():
-            raise ValueError(f"tag name {name!r} must be alphanumeric-ish")
+        self._check_prop_name(name)
         self.spark.sql(
             f"ALTER TABLE delta.`{self.root}` SET TBLPROPERTIES "
             f"('{self._TAG_PRE}{name}' = '{int(version)}')"
@@ -387,16 +427,42 @@ class DeltaManagedTable:
         return int(version)
 
     def untag(self, name: str) -> None:
+        self._check_prop_name(name)
         self.spark.sql(
             f"ALTER TABLE delta.`{self.root}` UNSET TBLPROPERTIES IF EXISTS "
             f"('{self._TAG_PRE}{name}')"
         )
 
     def _resolve_tag(self, tag: str) -> int:
+        self._check_prop_name(tag)
         tags = self.tags()
         if tag not in tags:
             raise ValueError(f"{self.root}: unknown tag {tag!r}")
         return tags[tag]
+
+    # -- application transactions (parquet-backend txn parity) ---------------
+
+    def txn_version(self, app_id: str) -> int:
+        """Last recorded transaction version for ``app_id`` (-1 if
+        none) — same surface as the parquet backend. Backed by
+        ``graft.txn.<app>`` TBLPROPERTIES; see :meth:`merge` for the
+        atomicity caveat vs the parquet pointer-riding txn."""
+        self._check_prop_name(app_id, "txn app")
+        props = self.spark.sql(
+            f"SHOW TBLPROPERTIES delta.`{self.root}`"
+        ).collect()
+        key = self._TXN_PRE + app_id
+        for r in props:
+            if r.key == key:
+                return int(r.value)
+        return -1
+
+    def set_txn(self, app_id: str, version: int) -> None:
+        self._check_prop_name(app_id, "txn app")
+        self.spark.sql(
+            f"ALTER TABLE delta.`{self.root}` SET TBLPROPERTIES "
+            f"('{self._TXN_PRE}{app_id}' = '{int(version)}')"
+        )
 
     def read_stream(self) -> DataFrame:
         """Native Delta streaming source (appends; callers set

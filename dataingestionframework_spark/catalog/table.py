@@ -58,12 +58,37 @@ class ManagedTable:
     def exists(self) -> bool:
         return os.path.exists(self._pointer())
 
-    def _current_version(self) -> str:
+    def _pointer_lines(self) -> list[str]:
         try:
             with open(self._pointer()) as f:
-                return f.read().strip()
+                return f.read().splitlines()
         except FileNotFoundError:
             raise TableNotFoundError(self.root)
+
+    def _current_version(self) -> str:
+        lines = self._pointer_lines()
+        return lines[0].strip() if lines else ""
+
+    def _txns(self) -> dict[str, int]:
+        """Application transaction versions riding the commit pointer
+        (Delta's ``txn`` appId/version pattern). Stored on line 2 of
+        the pointer file, so a txn commits in the SAME ``os.replace``
+        as the data it describes — an idempotent streaming sink
+        (epoch <= txn_version → skip) gets exactly-once with no
+        crash window between data write and bookkeeping write."""
+        try:
+            lines = self._pointer_lines()
+        except TableNotFoundError:
+            return {}
+        if len(lines) < 2 or not lines[1].strip():
+            return {}
+        return {k: int(v) for k, v in json.loads(lines[1]).items()}
+
+    def txn_version(self, app_id: str) -> int:
+        """Last committed transaction version for ``app_id`` (-1 if
+        never recorded — including when the table does not exist, so a
+        dropped-and-recreated table can never inherit a stale epoch)."""
+        return self._txns().get(app_id, -1)
 
     def data_dir(self) -> str:
         return os.path.join(self.root, self._current_version())
@@ -72,12 +97,23 @@ class ManagedTable:
         v = f"v-{uuid.uuid4().hex[:12]}"
         return v, os.path.join(self.root, v)
 
-    def _swap(self, version: str, schema: T.StructType) -> None:
+    def _swap(
+        self,
+        version: str,
+        schema: T.StructType,
+        txn: tuple[str, int] | None = None,
+        clear_txns: bool = False,
+    ) -> None:
         os.makedirs(self.root, exist_ok=True)
         self._write_meta(schema)
+        txns = {} if clear_txns else self._txns() if self.exists() else {}
+        if txn is not None:
+            txns[str(txn[0])] = int(txn[1])
         tmp = self._pointer() + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             f.write(version)
+            if txns:
+                f.write("\n" + json.dumps(txns, sort_keys=True))
         os.replace(tmp, self._pointer())  # atomic on POSIX
 
     def _meta(self) -> dict:
@@ -556,6 +592,8 @@ class ManagedTable:
         _op: str = "overwrite",
         expect_version: str | None = None,
         expect_commits: int | None = None,
+        txn: tuple[str, int] | None = None,
+        _clear_txns: bool = False,
     ) -> None:
         # UPDATE/MERGE expressions can break constraints just as inserts
         # can; every Spark-path write funnels through here or append()
@@ -584,11 +622,19 @@ class ManagedTable:
 
                 shutil.rmtree(path, ignore_errors=True)
                 raise ConcurrentWriteError(self.root, expect_version, now)
-        self._swap(v, df.schema)
+        self._swap(v, df.schema, txn=txn, clear_txns=_clear_txns)
         self._log_commit(_op)
 
     def truncate(self) -> None:
-        self.overwrite(self.spark.createDataFrame([], self.schema()), _op="truncate")
+        # truncation voids any streaming-sink bookkeeping too: a rollup
+        # restarted on the emptied table under a fresh checkpoint sees
+        # epoch ids from 0 again, and a stale txn would silently skip
+        # them all (round-9 ADVICE)
+        self.overwrite(
+            self.spark.createDataFrame([], self.schema()),
+            _op="truncate",
+            _clear_txns=True,
+        )
 
     def replace_where(self, df: DataFrame, condition: Column | str) -> None:
         """Delta ``replaceWhere`` analogue: atomically replace exactly
@@ -661,6 +707,7 @@ class ManagedTable:
         matched_condition: Column | str | None = None,
         merge_schema: bool = False,
         return_metrics: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> dict | None:
         """Delta-style MERGE on equality keys ``on``.
 
@@ -745,6 +792,7 @@ class ManagedTable:
             _op="merge",
             expect_version=base_version,
             expect_commits=base_commits,
+            txn=txn,
         )
         return metrics
 
@@ -881,4 +929,15 @@ class TableCatalog:
         return self.table(name).exists()
 
     def drop(self, name: str) -> None:
-        shutil.rmtree(os.path.join(self.root, *name.split(".")), ignore_errors=True)
+        path = os.path.join(self.root, *name.split("."))
+        shutil.rmtree(path, ignore_errors=True)
+        # a dropped table takes ALL its bookkeeping with it: the legacy
+        # round-9 epoch sidecar next to the table dir, any store
+        # rotation dirs, and the in-process epoch cache — otherwise a
+        # table recreated at this path under a fresh checkpoint lineage
+        # would inherit a stale epoch and silently skip every batch
+        # (round-9 ADVICE). Table txns need no cleanup: they live in
+        # the pointer file that was just removed.
+        from ..session import drop_store
+
+        drop_store(self.spark, path)

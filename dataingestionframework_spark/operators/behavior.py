@@ -179,8 +179,9 @@ def cooccurrence_lift(
     # `items` fans out to FOUR consumers (both self-join sides, the
     # per-item totals, the basket count) — materialize the distinct +
     # basket-cap subtree once instead of recomputing it per consumer
-    # (same precedent as srp_band_rows; blocks reclaimed by the 1min
-    # periodic-GC cleaner once the frame leaves scope).
+    # (same precedent as srp_band_rows; blocks reclaimed by the
+    # periodic-GC cleaner — SPARK_GRAFT_PERIODIC_GC, default 3min —
+    # once the frame leaves scope).
     items = items.localCheckpoint()
     n_baskets = items.agg(
         F.count_distinct("_bk").alias("_n_baskets")

@@ -684,7 +684,7 @@ def psi_bucket_merge_into_store(
     costs O(batch) + a ≤ 2·n_buckets-row merge; the raw stream is
     never re-read — the continuous-monitoring shape at 100 TB (same
     store discipline as kmeans_stats_merge_into_store / CMS rollup:
-    explicit existence probe, checkpoint-then-overwrite).
+    explicit existence probe, atomic commit_store rotation).
 
     Pass the foreachBatch epoch id as ``batch_id``: foreachBatch is
     at-least-once, and an additive merge double-counts a redelivered
@@ -692,10 +692,12 @@ def psi_bucket_merge_into_store(
     session.store_epoch`) makes retries no-ops so the drained store
     truly equals the one-shot counts.
     """
-    from ..session import path_exists, record_store_epoch, store_epoch
+    from ..session import commit_store, path_exists, store_epoch
 
     spark = batch_df.sparkSession
-    if batch_id is not None and batch_id <= store_epoch(spark, store_path):
+    # store_epoch also repairs any interrupted commit rotation
+    last = store_epoch(spark, store_path)
+    if batch_id is not None and batch_id <= last:
         return  # at-least-once redelivery of an already-merged epoch
     width = (hi - lo) / n_buckets
     bucket = F.least(
@@ -728,9 +730,8 @@ def psi_bucket_merge_into_store(
             .groupBy("side", "bucket")
             .agg(F.sum("n").alias("n"))
         )
-    counts.localCheckpoint().write.mode("overwrite").parquet(store_path)
-    if batch_id is not None:
-        record_store_epoch(spark, store_path, batch_id)
+    # stage-write + rename: data and epoch marker commit in ONE rename
+    commit_store(counts, store_path, batch_id)
 
 
 def psi_from_store(spark, store_path: str, n_buckets: int = 10,

@@ -1642,10 +1642,12 @@ def kmeans_stats_merge_into_store(
     redelivery merges as a no-op (epoch sidecar, see
     :func:`~dataingestionframework_spark.session.store_epoch`).
     """
-    from ..session import record_store_epoch, store_epoch
+    from ..session import commit_store, store_epoch
 
     spark = batch_df.sparkSession
-    if batch_id is not None and batch_id <= store_epoch(spark, store_path):
+    # store_epoch also repairs any interrupted commit rotation
+    last = store_epoch(spark, store_path)
+    if batch_id is not None and batch_id <= last:
         return  # already-merged epoch redelivered
     stats = (
         assign_to_centroids(batch_df, centroids, vec_col, round_dp)
@@ -1667,10 +1669,10 @@ def kmeans_stats_merge_into_store(
             .groupBy("cluster_id", "pos")
             .agg(F.sum("s").alias("s"), F.sum("m").alias("m"))
         )
-    # materialize BEFORE overwrite: the merged plan reads store_path
-    stats.localCheckpoint().write.mode("overwrite").parquet(store_path)
-    if batch_id is not None:
-        record_store_epoch(spark, store_path, batch_id)
+    # stage-write + rename: data and epoch marker commit in ONE rename
+    # (no pre-write localCheckpoint — the plan reads the live store
+    # while the write lands in the staging dir)
+    commit_store(stats, store_path, batch_id)
 
 
 def kmeans_from_stats(

@@ -119,10 +119,13 @@ def cms_merge_into_store(
     redelivery merges as a no-op (epoch sidecar, see
     :func:`~dataingestionframework_spark.session.store_epoch`).
     """
-    from ..session import path_exists, record_store_epoch, store_epoch
+    from ..session import commit_store, path_exists, store_epoch
 
     spark = batch_df.sparkSession
-    if batch_id is not None and batch_id <= store_epoch(spark, store_path):
+    # store_epoch also repairs any interrupted commit rotation, so the
+    # existence probe below sees a consistent store
+    last = store_epoch(spark, store_path)
+    if batch_id is not None and batch_id <= last:
         return  # already-merged epoch redelivered
     sk = cms_build(batch_df, key_col, depth, width)
     # explicit existence probe, not try/except: a bare except would
@@ -130,7 +133,7 @@ def cms_merge_into_store(
     # overwrite all accumulated counters with this one micro-batch
     if path_exists(spark, store_path):
         sk = cms_merge(spark.read.parquet(store_path), sk)
-    # materialize BEFORE overwrite: the merged plan reads store_path
-    sk.localCheckpoint().write.mode("overwrite").parquet(store_path)
-    if batch_id is not None:
-        record_store_epoch(spark, store_path, batch_id)
+    # stage-write + rename: data and epoch marker commit in ONE rename
+    # (no pre-write localCheckpoint needed — the plan reads the live
+    # store while the write lands in the staging dir)
+    commit_store(sk, store_path, batch_id)

@@ -1007,11 +1007,20 @@ def bpe_encode(
     here: the merge loop is inherently sequential per word (each merge
     changes the next round's pair set), exactly the "genuinely needs
     Python" carve-out the UDTF docstring reserves.
+
+    Pre-tokenization is the engine-portable ASCII ``\\s+`` split (the
+    exact alphabet Java regex and RE2 give ``\\s``) rather than
+    Python's Unicode-aware ``str.split()`` — so the same text
+    tokenizes identically here, in :func:`~...functions.tokens`, and
+    in a SQL oracle.
     """
+    import re
     from typing import Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+", re.ASCII)
 
     ranks = {pair: i for i, pair in enumerate(merges)}
     id_field = next(f for f in df.schema.fields if f.name == id_col)
@@ -1040,7 +1049,7 @@ def bpe_encode(
         for pdf in batches:
             ids, toks, chars = [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in (text or "").split() if w]
+                words = [w for w in ws.split(text or "") if w]
                 ids.append(rid)
                 toks.append(sum(encode_word(w) for w in words))
                 chars.append(len(text or ""))
@@ -1053,6 +1062,52 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write a BPE merge table in the published ``merges.txt`` wire
+    format (tokenizer releases ship exactly this: an optional
+    ``#version`` header, then one space-separated symbol pair per
+    line in rank order) so tables trained here interoperate with
+    standard tokenizer tooling."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a ``merges.txt``-format BPE merge table (the format
+    published tokenizers distribute — ``#`` header lines skipped, one
+    ``p1 p2`` pair per line, file order = merge rank). The bring-your-
+    own-tokenizer path: point this at a production tokenizer's merges
+    file and :func:`bpe_encode` counts tokens with ITS vocabulary."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'p1 p2', got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges
+
+
+def default_merges_path() -> str:
+    """The repo's committed merge-table fixture (trained once by
+    :func:`bpe_train` on the sf0.001 documents corpus — regenerate
+    with ``python -m tools.regen_bpe_fixture``)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "bpe_merges.txt",
+    )
 
 
 def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1127,6 +1182,8 @@ def bpe_train(
 
     import pandas as _pd
 
+    from ..session import release_checkpoint
+
     vocab = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -1187,9 +1244,16 @@ def bpe_train(
                     {"syms": folded, "cnt": pdf["cnt"].astype("int64")}
                 )
 
+        prev = vocab
         vocab = vocab.mapInPandas(
             apply, schema="syms array<string>, cnt long"
         ).localCheckpoint()
+        # eager checkpoint: the previous round's vocab image feeds
+        # nothing now — release it instead of leaking one checkpoint
+        # per merge round (same RDD-level release as the graph
+        # iteratives; DataFrame.unpersist is a no-op for checkpoints)
+        release_checkpoint(prev)
+    release_checkpoint(vocab)  # result is the driver-side merge list only
     return merges
 
 

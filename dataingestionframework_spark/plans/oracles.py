@@ -5586,3 +5586,57 @@ ORACLES.update({
         WHERE tot.t > 0
     """,
 })
+
+
+def _bpe_encode_merges_sql() -> str:
+    """Oracle for bpe_encode_merges_docs, generated from the SAME
+    committed merges.txt fixture the Spark query loads.
+
+    Encoding as SQL: each word becomes a chr(31)-delimited symbol
+    string (every symbol wrapped as <SEP>sym<SEP>, so a pattern can
+    never match inside a larger symbol), then the merge rules apply as
+    rank-ordered non-overlapping replace()s. This equals the greedy
+    lowest-rank-first encode loop because a TRAINED merge table only
+    references symbols that earlier merges (or single characters)
+    created — rule k can never re-enable a rule < k — and replace()'s
+    leftmost non-overlapping scan matches the greedy loop's leftmost
+    tie-break. Token count per word = half the delimiter count; both
+    sides pre-tokenize with the engine-portable ASCII \\s+ split.
+    Precondition (shared with the Spark side's fixture): text contains
+    no chr(31) — the unit-separator control char, absent from every
+    corpus profile including the fuzz builders' control-byte rows.
+    """
+    from ..operators.text import default_merges_path, load_merges
+
+    sep = "chr(31)"
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = (
+        "list_aggregate(list_transform(generate_series(1, length(w)), "
+        f"i -> {sep} || w[i] || {sep}), 'string_agg', '')"
+    )
+    for a, b in load_merges(default_merges_path()):
+        pat = f"{sep} || {lit(a)} || {sep} || {sep} || {lit(b)} || {sep}"
+        rep = f"{sep} || {lit(a + b)} || {sep}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_TOKENS}) AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        enc AS (
+            SELECT doc_id,
+                   (length(x) - length(replace(x, chr(31), ''))) // 2
+                       AS n_toks
+            FROM (SELECT doc_id, {expr} AS x FROM words)
+        )
+        SELECT d.doc_id, CAST(coalesce(e.n, 0) AS BIGINT) AS n_tokens
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, sum(n_toks) AS n
+                   FROM enc GROUP BY doc_id) e USING (doc_id)
+    """
+
+
+ORACLES["bpe_encode_merges_docs"] = _bpe_encode_merges_sql()

@@ -735,6 +735,27 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(t("documents"))
 
 
+def bpe_encode_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-parity count (operators.text.bpe_encode + the
+    committed merges.txt fixture): per-document token counts under a
+    FIXED externally-supplied BPE merge table — the bring-your-own-
+    tokenizer story (load a production tokenizer's published merges
+    file, count tokens with ITS vocabulary before paying for real
+    tokenization at 100 TB). One Arrow mapInPandas pass, merge table
+    broadcast driver-side, scan partitioning preserved, no shuffle.
+    Oracle: the same greedy encode expressed as rank-ordered
+    non-overlapping replaces over a chr(31)-delimited symbol string —
+    equivalent because a trained merge table only references symbols
+    earlier merges (or single chars) created, so rank-order exhaustive
+    application equals the lowest-rank-first greedy loop."""
+    from ..operators.text import bpe_encode, default_merges_path, load_merges
+
+    tune(spark)
+    t = _t(spark, sf_dir)
+    merges = load_merges(default_merges_path())
+    return bpe_encode(t("documents"), merges).select("doc_id", "n_tokens")
+
+
 def reconcile_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive table checksum (operators.profile.
     table_fingerprint): sum of portable per-row md5-prefix values mod
@@ -6587,6 +6608,7 @@ QUERIES = {
     "blocklist_filter_docs": blocklist_filter_docs,
     "cusum_changepoint_events": cusum_changepoint_events,
     "vocab_coverage_docs": vocab_coverage_docs,
+    "bpe_encode_merges_docs": bpe_encode_merges_docs,
     "simhash_near_dup": simhash_near_dup,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "pq_ann_topk": pq_ann_topk,

@@ -237,10 +237,8 @@ def test_streaming_rollup_epoch_guard(spark, tmp_path):
     an AvailableNow drain, re-running the SAME checkpoint (no new
     files) leaves the table untouched, and replaying the last epoch's
     handle directly (the at-least-once shape) is a no-op because the
-    epoch sidecar already records it."""
-    import os
-
-    from dataingestionframework_spark import session as S
+    epoch rides the merge commit as a table txn (round 10: was a
+    separate sidecar file)."""
     from dataingestionframework_spark.catalog.table import TableCatalog
     from dataingestionframework_spark.streaming.rollup import (
         merge_rollup,
@@ -276,7 +274,7 @@ def test_streaming_rollup_epoch_guard(spark, tmp_path):
 
     drain()
     want = sorted(tuple(r) for r in table.read().collect())
-    last_epoch = S.store_epoch(spark, table.root)
+    last_epoch = table.txn_version("streaming_rollup")
     assert last_epoch >= 2  # three files -> three epochs
 
     # same checkpoint, no new data: nothing re-merges
@@ -284,8 +282,8 @@ def test_streaming_rollup_epoch_guard(spark, tmp_path):
     assert sorted(tuple(r) for r in table.read().collect()) == want
 
     # at-least-once redelivery of the LAST epoch, handle-level: the
-    # guard (epoch <= sidecar) must refuse the merge
-    if last_epoch <= S.store_epoch(spark, table.root):
+    # guard (epoch <= committed txn) must refuse the merge
+    if last_epoch <= table.txn_version("streaming_rollup"):
         pass  # guarded — mirror of the handle's skip branch
     else:
         merge_rollup(table, rollup_batch(ev))

@@ -37,6 +37,12 @@ import os  # noqa: E402
 
 STRICT_FLOATS = os.environ.get("ORACLE_STRICT_FLOATS") == "1"
 
+# ORACLE_TIMINGS=1 appends per-query wall clock (t=1.23s) to every
+# verdict line — consumed by tools/fuzz_gate.py's per-family wall
+# envelopes. Off by default so committed ORACLE_r{N}.txt artifacts
+# stay byte-comparable across runs.
+SHOW_TIMINGS = os.environ.get("ORACLE_TIMINGS") == "1"
+
 
 def normalize(v):
     if v is None:
@@ -155,21 +161,28 @@ def main():
     print(f"# registry={len(queries)} queries oracles={len(oracles)} "
           f"sf_dir={sf_dir} typegate=arrow")
 
+    import time
+
     n_pass = n_fail = n_weak = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t_q = time.perf_counter()
+
+        def _t() -> str:
+            return f" t={time.perf_counter() - t_q:.2f}s" if SHOW_TIMINGS else ""
+
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             sschema = sdf.schema
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}{_t()}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows-only ({len(srows)} rows)")
+            print(f"weak  {name}: rows-only ({len(srows)} rows){_t()}")
             n_weak += 1
             continue
         try:
@@ -179,7 +192,7 @@ def main():
             dcols = tbl.column_names
             drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}{_t()}")
             n_fail += 1
             continue
         problems = []
@@ -197,10 +210,10 @@ def main():
                 diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            print(f"FAIL  {name}: {'; '.join(problems)}{_t()}")
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(srows)} rows)")
+            print(f"PASS  {name} ({len(srows)} rows){_t()}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
     sys.exit(1 if n_fail else 0)

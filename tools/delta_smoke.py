@@ -302,6 +302,82 @@ def main():
         par.failures.append("generated wrong-value accepted by a backend")
         print("FAIL  generated:wrong-value-rejected")
 
+    # -- streaming rollup exactly-once via table txns (round 10) --------
+    # the epoch rides the MERGE commit (parquet: atomically in the
+    # pointer; delta: graft.txn.* TBLPROPERTIES — see delta.py:merge
+    # for the atomicity caveat). Drive the REAL streaming maintainer
+    # against both backends from the same source files, then prove the
+    # redelivery guard and that truncate voids the bookkeeping.
+    import datetime as dtm
+
+    from dataingestionframework_spark.streaming.rollup import (
+        merge_rollup,
+        rollup_batch,
+        streaming_rollup,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (i, dtm.datetime(2024, 1, 10 + i % 3, i % 24), f"t{i % 2}",
+             float(i))
+            for i in range(120)
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    src = f"{work_dir}/ev-src"
+    ev.repartition(3).write.parquet(src)
+    sschema = spark.read.parquet(src).schema
+    rp = TC(spark, f"{work_dir}/ru-p").table("s.ru")
+    rd = TC(spark, f"{work_dir}/ru-d", backend="delta").table("s.ru")
+    for t, ck in ((rp, "ck-p"), (rd, "ck-d")):
+        stream = (
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        streaming_rollup(stream, t, checkpoint=f"{work_dir}/{ck}")
+    extra_checks += 1
+    ri_p, ri_d = _image(rp), _image(rd)
+    ok_txn = (
+        rp.txn_version("streaming_rollup") >= 2
+        and rd.txn_version("streaming_rollup") >= 2
+    )
+    if ri_p == ri_d and ok_txn:
+        print(f"PASS  rollup:drain-parity+txn[both] ({len(ri_p)} rows)")
+    else:
+        par.failures.append(
+            f"rollup drain: images equal={ri_p == ri_d} txns="
+            f"({rp.txn_version('streaming_rollup')}, "
+            f"{rd.txn_version('streaming_rollup')})"
+        )
+        print("FAIL  rollup:drain-parity+txn")
+    # at-least-once redelivery of epoch 0 (handle-level mirror): the
+    # txn guard must refuse the merge on BOTH backends
+    extra_checks += 1
+    for t in (rp, rd):
+        if not (0 <= t.txn_version("streaming_rollup")):
+            merge_rollup(t, rollup_batch(ev), txn=("streaming_rollup", 0))
+    if _image(rp) == ri_p and _image(rd) == ri_d:
+        print("PASS  rollup:redelivery-noop[both]")
+    else:
+        par.failures.append("rollup redelivery moved a table")
+        print("FAIL  rollup:redelivery-noop")
+    # truncate voids the bookkeeping with the data on BOTH backends
+    extra_checks += 1
+    rp.truncate()
+    rd.truncate()
+    if (
+        rp.txn_version("streaming_rollup") == -1
+        and rd.txn_version("streaming_rollup") == -1
+    ):
+        print("PASS  rollup:truncate-clears-txn[both]")
+    else:
+        par.failures.append(
+            f"truncate left txns: parquet={rp.txn_version('streaming_rollup')} "
+            f"delta={rd.txn_version('streaming_rollup')}"
+        )
+        print("FAIL  rollup:truncate-clears-txn")
+
     print(
         f"\n{par.steps + 2 + 1 + extra_checks} checks, "
         f"{len(par.failures)} failures"
