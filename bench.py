@@ -55,6 +55,13 @@ def main() -> None:
                 break
         timings[name] = round(sorted(times)[len(times) // 2], 3) if times else -1.0
         mins[name] = round(min(times), 3) if times else -1.0
+        # per-run diagnostics (stderr only — stdout stays the one JSON
+        # line): session-aging and steal show up as run-to-run drift
+        # that the median/min summary hides
+        print(
+            f"# bench {name}: runs={[round(t, 3) for t in times]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # min-of-N companion: this VM shows one-sided multi-second stalls
