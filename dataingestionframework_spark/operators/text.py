@@ -1539,53 +1539,68 @@ def lang_id_ngram(
             F.count("*").alias("_cnt")
         )
 
-    dv = bucket_counts(df, [id_col])
-    if train is df:
-        # centroids are the label-wise sum of the SAME doc vectors —
-        # derive them from dv (a doc-cardinality agg) instead of a
-        # second full corpus explode+hash pass
-        cent = (
-            dv.join(
-                df.select(id_col, F.col(label_col).alias("_lang")), id_col
+    # dv feeds THREE consumers (centroids, doc norms, the scoring join);
+    # left lazy, the optimizer re-runs the full corpus explode+hash for
+    # each — four Generate scans in the physical plan (guide §2.4:
+    # duplicated subtrees are shuffles/passes to remove). Persist the
+    # doc-cardinality agg once and every consumer reads the cached rows.
+    dv = bucket_counts(df, [id_col]).persist()
+    try:
+        if train is df:
+            # centroids are the label-wise sum of the SAME doc vectors —
+            # derive them from dv (a doc-cardinality agg) instead of a
+            # second full corpus explode+hash pass
+            cent = (
+                dv.join(
+                    df.select(id_col, F.col(label_col).alias("_lang")), id_col
+                )
+                .filter(F.col("_lang").isNotNull())
+                .groupBy("_lang", "_b")
+                .agg(F.sum("_cnt").alias("_ccnt"))
             )
-            .filter(F.col("_lang").isNotNull())
-            .groupBy("_lang", "_b")
-            .agg(F.sum("_cnt").alias("_ccnt"))
+        else:
+            cent = bucket_counts(
+                train.filter(F.col(label_col).isNotNull()), [label_col]
+            ).withColumnsRenamed({label_col: "_lang", "_cnt": "_ccnt"})
+        cnorm = cent.groupBy("_lang").agg(
+            F.sqrt(F.sum(F.col("_ccnt") * F.col("_ccnt"))).alias("_cn")
         )
-    else:
-        cent = bucket_counts(
-            train.filter(F.col(label_col).isNotNull()), [label_col]
-        ).withColumnsRenamed({label_col: "_lang", "_cnt": "_ccnt"})
-    cnorm = cent.groupBy("_lang").agg(
-        F.sqrt(F.sum(F.col("_ccnt") * F.col("_ccnt"))).alias("_cn")
-    )
-    dnorm = dv.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt"))).alias("_dn")
-    )
-    scored = (
-        dv.join(F.broadcast(cent), "_b")
-        .groupBy(id_col, "_lang")
-        .agg(F.sum(F.col("_cnt") * F.col("_ccnt")).alias("_dot"))
-        .join(F.broadcast(cnorm), "_lang")
-        .join(dnorm, id_col)
-        .withColumn(
-            "_cos", F.round(F.col("_dot") / (F.col("_cn") * F.col("_dn")), 6)
+        dnorm = dv.groupBy(id_col).agg(
+            F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt"))).alias("_dn")
         )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cos").desc(), F.col("_lang").asc()
-    )
-    best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
-            F.col("_lang").alias("lang_pred"),
-            F.round("_cos", 4).alias("lang_confidence"),
+        scored = (
+            dv.join(F.broadcast(cent), "_b")
+            .groupBy(id_col, "_lang")
+            .agg(F.sum(F.col("_cnt") * F.col("_ccnt")).alias("_dot"))
+            .join(F.broadcast(cnorm), "_lang")
+            .join(dnorm, id_col)
+            .withColumn(
+                "_cos", F.round(F.col("_dot") / (F.col("_cn") * F.col("_dn")), 6)
+            )
         )
-    )
+        # argmax via ONE hash aggregation (min_by over (-cos, lang) —
+        # identical order to the former row_number window: cos desc,
+        # ties to the lexicographically smaller language) instead of a
+        # per-id sort window: partial aggregation halves the shuffled
+        # rows and drops the Window sort (guide §2.3).
+        best = (
+            scored.groupBy(id_col)
+            .agg(
+                F.expr(
+                    "min_by(struct(_lang, _cos), struct(-_cos, _lang))"
+                ).alias("_best")
+            )
+            .select(
+                id_col,
+                F.col("_best._lang").alias("lang_pred"),
+                F.round("_best._cos", 4).alias("lang_confidence"),
+            )
+        )
+        # materialize the (doc-cardinality, 3-column) prediction table
+        # before dv is unpersisted; the returned plan builds on it
+        best = best.localCheckpoint()
+    finally:
+        dv.unpersist()
     out = df.join(best, id_col, "left")
     return out.withColumn(
         "lang_pred", F.coalesce("lang_pred", F.lit("und"))

@@ -57,6 +57,21 @@ def get_spark(app_name: str = "dataingestionframework_spark",
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "3min"),
         )
+        # Driver-metadata hygiene (guide §5: the driver should do almost
+        # no data work — and should not HOLD data-sized metadata either).
+        # Even with the UI disabled, AppStatusListener/SQLAppStatusListener
+        # retain per-execution state for the status API; the defaults keep
+        # 1000 SQL executions including their full physical-plan strings
+        # (several MB each for the wide-aggregate plans here). Across a
+        # few thousand query executions that pins hundreds of MB in the
+        # old generation: measured on the round-10 baseline bench, the 8g
+        # driver heap hit 99.9% old-gen occupancy mid-run with 24 s of GC
+        # in one 5-minute window. Bounding retention keeps the heap flat;
+        # these are the same bounds a long-lived production driver needs.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
