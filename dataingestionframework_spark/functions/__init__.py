@@ -67,6 +67,21 @@ def is_finite(c: Column) -> Column:
 DEFAULT_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
 
+def bound(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass its VALUE into ``fn``.
+
+    Catalyst collapses projections, re-inlining an aliased expression
+    into every consumer; referenced inside a higher-order-function
+    lambda, the expression is then re-evaluated PER ARRAY ELEMENT — a
+    token array used by a per-gram lambda re-tokenizes the document
+    once per gram, O(tokens²)/doc (measured 5.7× on the sliding-window
+    gram pass at sf0.1, guide §1.2 step 2). Routing the value through a
+    single-element array makes it a bound lambda variable: evaluated
+    once per row, referenced thereafter.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens of a text column (empty strings removed)."""
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
@@ -96,13 +111,18 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram array (space-joined shingles), distinct."""
-    toks = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    """Word n-gram array (space-joined shingles), distinct.
+
+    Tokens are λ-bound (:func:`bound`) so tokenization runs once per
+    row instead of once per gram."""
+    return bound(
+        tokens(text),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     DEFAULT_STOPWORDS,
+    bound,
     distinct_token_count,
     stopword_count,
     token_count,
@@ -164,15 +165,20 @@ def chunk_documents(
     projection + explode — no shuffle, no Python. Output: (id, chunk_id,
     n_chunk_tokens, chunk). Docs with no tokens yield no chunks.
     """
-    toks = tokens(F.col(text_col))
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    # tokens λ-bound (functions.bound): one tokenization per document,
+    # not one per chunk start
+    chunk_arrays = bound(
+        tokens(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+            ),
+            lambda s: F.slice(toks, s + 1, chunk_size),
+        ),
     )
     chunked = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
-        ).alias("chunk_id", "chunk_toks"),
+        F.posexplode(chunk_arrays).alias("chunk_id", "chunk_toks"),
     )
     return chunked.filter(F.size("chunk_toks") > 0).select(
         id_col,
@@ -286,14 +292,20 @@ def segment_documents(
     if delim is not None:
         segs = F.split(F.col(text_col), delim)
     else:
-        toks = tokens(F.col(text_col))
-        starts = F.sequence(
-            F.lit(0),
-            F.greatest(F.size(toks) - 1, F.lit(0)),
-            F.lit(words_per_segment),
-        )
-        segs = F.transform(
-            starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, words_per_segment))
+        # tokens λ-bound (functions.bound): one tokenization per doc,
+        # not one per segment start
+        segs = bound(
+            tokens(F.col(text_col)),
+            lambda toks: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(toks) - 1, F.lit(0)),
+                    F.lit(words_per_segment),
+                ),
+                lambda s: F.concat_ws(
+                    " ", F.slice(toks, s + 1, words_per_segment)
+                ),
+            ),
         )
     out = df.select(F.col(id_col), F.posexplode(segs).alias("seg_id", "segment"))
     return out.filter(F.length(F.trim(F.col("segment"))) > 0)
@@ -557,16 +569,21 @@ def c4_line_filter(
     if delim is not None:
         raw = F.split(F.col(text_col), delim)
     else:
-        toks = tokens(F.col(text_col))
-        starts = F.sequence(
-            F.lit(0),
-            F.greatest(F.size(toks) - 1, F.lit(0)),
-            F.lit(words_per_segment),
+        # tokens λ-bound (functions.bound): one tokenization per doc,
+        # not one per segment start
+        raw = bound(
+            tokens(F.col(text_col)),
+            lambda toks: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(toks) - 1, F.lit(0)),
+                    F.lit(words_per_segment),
+                ),
+                lambda s: F.concat_ws(
+                    " ", F.slice(toks, s + 1, words_per_segment)
+                ),
+            ),
         )
-        raw = F.transform(
-            starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, words_per_segment))
-        )
-    segs = F.filter(raw, lambda s: F.length(F.trim(s)) > 0)
 
     def keep(s):
         t = F.trim(s)
@@ -578,14 +595,32 @@ def c4_line_filter(
             cond = cond & ~low.contains(phrase.lower())
         return cond
 
-    kept = F.filter(segs, keep)
+    # the raw segment array is λ-bound too: the output columns below
+    # reference segs/kept four times, and each bare reference would
+    # re-run segment construction + both filters over the row
+    out = bound(
+        raw,
+        lambda r: bound(
+            F.filter(r, lambda s: F.length(F.trim(s)) > 0),
+            lambda segs: bound(
+                F.filter(segs, keep),
+                lambda kept: F.struct(
+                    F.size(segs).alias("n_segments"),
+                    F.size(kept).alias("kept_segments"),
+                    (F.size(segs) - F.size(kept)).alias("dropped_segments"),
+                    F.array_join(kept, sep).alias("clean_text"),
+                ),
+            ),
+        ),
+    )
     return (
-        df.select(
+        df.select(F.col(id_col), out.alias("_c4"))
+        .select(
             F.col(id_col),
-            F.size(segs).alias("n_segments"),
-            F.size(kept).alias("kept_segments"),
-            (F.size(segs) - F.size(kept)).alias("dropped_segments"),
-            F.array_join(kept, sep).alias("clean_text"),
+            F.col("_c4.n_segments").alias("n_segments"),
+            F.col("_c4.kept_segments").alias("kept_segments"),
+            F.col("_c4.dropped_segments").alias("dropped_segments"),
+            F.col("_c4.clean_text").alias("clean_text"),
         )
         .filter(F.col("kept_segments") >= min_kept_segments)
     )
@@ -638,6 +673,31 @@ def hashed_linear_score(
     )
 
 
+def _bigram_pairs(text_col: str) -> Column:
+    """array<struct<w1,w2>> of sliding lowercase bigrams — the shared
+    expression under the in-plan LM scorer and the persisted-model
+    build path. The token array is λ-bound (functions.bound) so
+    tokenize+lower runs once per document; a bare reference inside the
+    per-bigram lambda would re-evaluate it per element, O(tokens²)/doc.
+    Empty result array (→ explode drops the doc) when size < 2: the
+    naive sequence(0, greatest(size-2, 0)) always emits index 0, and
+    element_at on an empty/1-token array is an ANSI runtime error —
+    one empty doc would kill the whole job."""
+    return bound(
+        F.transform(tokens(F.col(text_col)), F.lower),
+        lambda ws: F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.struct(
+                    F.element_at(ws, i + 1).alias("w1"),
+                    F.element_at(ws, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
+
+
 def bigram_lm_score(
     docs: DataFrame,
     text_col: str = "text",
@@ -661,25 +721,9 @@ def bigram_lm_score(
     produce no bigrams and are absent from the output (matching the
     DuckDB oracle, which also drops them).
     """
-    ws = F.transform(tokens(F.col(text_col)), F.lower)
-    # Empty index array (→ explode drops the doc) when size < 2: the
-    # naive sequence(0, greatest(size-2, 0)) always emits index 0, and
-    # element_at on an empty/1-token array is an ANSI runtime error —
-    # one empty doc would kill the whole job.
-    idx = F.when(
-        F.size(ws) >= 2, F.sequence(F.lit(0), F.size(ws) - 2)
-    ).otherwise(F.array().cast("array<int>"))
     grams = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(ws, i + 1).alias("w1"),
-                    F.element_at(ws, i + 2).alias("w2"),
-                ),
-            )
-        ).alias("bg"),
+        F.explode(_bigram_pairs(text_col)).alias("bg"),
     ).select("id", "bg.w1", "bg.w2")
     c12 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = grams.groupBy("w1").agg(F.count("*").alias("c1"))
@@ -740,23 +784,28 @@ def remove_duplicate_spans(
     """
     ws = tokens(F.col(text_col))
 
-    def gram_of(p):
-        s = F.concat_ws(" ", F.slice(ws, p, k))
+    def gram_of(w, p):
+        s = F.concat_ws(" ", F.slice(w, p, k))
         return F.xxhash64(s) if hash_grams else s
 
     gram_t = "bigint" if hash_grams else "string"
-    # sliding k-token windows: (doc, start pos, gram), 1-based
+    # sliding k-token windows: (doc, start pos, gram), 1-based. The
+    # token array is λ-bound (functions.bound) so tokenization runs
+    # once per document — a bare `ws` reference inside the per-window
+    # lambda re-tokenizes per start position, O(tokens²)/doc (measured
+    # 3.9 s → 0.7 s for this pass alone at sf0.1).
+    windows = bound(
+        ws,
+        lambda w: F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - k + 1),
+                lambda p: F.struct(p.alias("p"), gram_of(w, p).alias("gram")),
+            ),
+        ).otherwise(F.array().cast(f"array<struct<p:int,gram:{gram_t}>>")),
+    )
     grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.when(
-                F.size(ws) >= k,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - k + 1),
-                    lambda p: F.struct(p.alias("p"), gram_of(p).alias("gram")),
-                ),
-            ).otherwise(F.array().cast(f"array<struct<p:int,gram:{gram_t}>>"))
-        ).alias("w"),
+        F.col(id_col).alias("id"), F.explode(windows).alias("w")
     ).select("id", "w.p", "w.gram")
     dup = (
         grams.groupBy("gram")
@@ -805,22 +854,10 @@ def _bigram_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     scorer and the persisted-model build/serve paths. gram_key =
     xxhash64(w1, w2): ONE join column, so the bigram-count table can be
     bucketed on it and serving joins never reshuffle the model."""
-    ws = F.transform(tokens(F.col(text_col)), F.lower)
-    idx = F.when(
-        F.size(ws) >= 2, F.sequence(F.lit(0), F.size(ws) - 2)
-    ).otherwise(F.array().cast("array<int>"))
     return (
         docs.select(
             F.col(id_col).alias("id"),
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        F.element_at(ws, i + 1).alias("w1"),
-                        F.element_at(ws, i + 2).alias("w2"),
-                    ),
-                )
-            ).alias("bg"),
+            F.explode(_bigram_pairs(text_col)).alias("bg"),
         )
         .select("id", "bg.w1", "bg.w2")
         .withColumn("gram_key", F.xxhash64("w1", "w2"))
