@@ -37,6 +37,33 @@ def _gate_name(base: str) -> str:
     return name
 
 
+# Fitted-model cache (IVF centroids / PQ codebooks) — PROCESS-scoped.
+# Fit-once-persist-reuse is these operators' documented production
+# shape (the fit is a build step; serving loads the model), but the
+# earlier cache lived in /tmp keyed only on the sf_dir, so one bench/
+# oracle invocation could serve the NEXT invocation's fit precomputed —
+# result caching across runs, not optimization. A fresh mkdtemp per
+# process means every invocation fits from the parquet inputs before
+# any serving; atexit removes the directory.
+_MODEL_DIR: str | None = None
+
+
+def _model_path(tag: str) -> str:
+    global _MODEL_DIR
+    if _MODEL_DIR is None:
+        import shutil
+
+        _MODEL_DIR = tempfile.mkdtemp(prefix="dif_models_")
+        __import__("atexit").register(
+            lambda d=_MODEL_DIR: shutil.rmtree(d, ignore_errors=True)
+        )
+    import hashlib
+
+    return os.path.join(
+        _MODEL_DIR, hashlib.sha1(tag.encode()).hexdigest() + ".json"
+    )
+
+
 def _drop_gate_tables() -> None:  # pragma: no cover — exit-time path
     try:
         from pyspark.sql import SparkSession
@@ -921,8 +948,6 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared (k=10, nprobe=5 of 16 cells ≈ 37% of rows scanned) on this
     corpus; the recall-vs-nprobe sweep lives in
     tests/test_advanced_ops.py."""
-    import hashlib
-
     from ..operators.similarity import (
         ivf_assign,
         ivf_topk,
@@ -936,8 +961,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qrow is None:  # empty corpus: no query vector, no neighbors
         return spark.createDataFrame([], "vec_id long, cosine_sim double")
     qvec = qrow[0]
-    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|k=16|seed=42".encode()).hexdigest()
-    cpath = os.path.join(tempfile.gettempdir(), "dif_ivf_centroids", f"{key}.json")
+    cpath = _model_path(f"{os.path.abspath(sf_dir)}|k=16|seed=42")
     centroids = load_centroids(cpath)
     assigned, centroids = ivf_assign(emb, n_clusters=16, centroids=centroids)
     save_centroids(cpath, centroids)
@@ -962,8 +986,6 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain exact scan — a full hash-matched contract, not
     a tolerance verdict. At 100 TB the ADC stage scans 32-bit codes
     (no raw vectors) and stage 2 fetches only `shortlist` rows by id."""
-    import hashlib
-
     from ..operators.similarity import (
         load_centroids,
         pq_encode,
@@ -978,10 +1000,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qrow is None:  # empty corpus: no query vector, no neighbors
         return spark.createDataFrame([], "rank int, vec_id long")
     qvec = qrow[0]
-    key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|pq m=8 codes=16 seed=42".encode()
-    ).hexdigest()
-    cpath = os.path.join(tempfile.gettempdir(), "dif_pq_codebooks", f"{key}.json")
+    cpath = _model_path(f"{os.path.abspath(sf_dir)}|pq m=8 codes=16 seed=42")
     books = load_centroids(cpath)
     if books is None:
         books = pq_fit(emb, m=8, n_codes=16, seed=42)
@@ -1529,8 +1548,6 @@ def knn_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation sweep lives in tests/test_advanced_ops.py. Centroids
     are persisted/reloaded like ivf_ann_topk's — no k-means fit on the
     serving path."""
-    import hashlib
-
     from ..operators.similarity import (
         knn_join_bucketed,
         load_centroids,
@@ -1541,10 +1558,7 @@ def knn_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t("embeddings")
     left = emb.filter(F.col("vec_id") < 50)
     right = emb.filter(F.col("vec_id") >= 50)
-    key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|knn-right|k=8|seed=42".encode()
-    ).hexdigest()
-    cpath = os.path.join(tempfile.gettempdir(), "dif_ivf_centroids", f"{key}.json")
+    cpath = _model_path(f"{os.path.abspath(sf_dir)}|knn-right|k=8|seed=42")
     centroids = load_centroids(cpath)
     if centroids is None:
         from ..operators.similarity import ivf_fit
@@ -1563,8 +1577,6 @@ def knn_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins it with NO Exchange on the corpus side (plan asserted in
     test_knn_join_indexed_no_exchange_on_corpus_side). Exhaustive
     probing => exact, so the oracle is the same exact-kNN SQL."""
-    import hashlib
-
     from ..operators.similarity import (
         ivf_fit,
         knn_join_indexed,
@@ -1578,10 +1590,7 @@ def knn_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t("embeddings")
     left = emb.filter(F.col("vec_id") < 50)
     right = emb.filter(F.col("vec_id") >= 50)
-    key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|knn-right|k=8|seed=42".encode()
-    ).hexdigest()
-    cpath = os.path.join(tempfile.gettempdir(), "dif_ivf_centroids", f"{key}.json")
+    cpath = _model_path(f"{os.path.abspath(sf_dir)}|knn-right|k=8|seed=42")
     centroids = load_centroids(cpath)
     if centroids is None:
         centroids = ivf_fit(right, n_clusters=8)

@@ -332,3 +332,141 @@ def test_delta_prop_name_validation():
     for bad in ("", "a'b", 'a"b', "a b", "a;drop"):
         with pytest.raises(ValueError):
             DeltaManagedTable._check_prop_name(bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 optimization internals (OPTIMIZATION_r10.md): each change to an
+# operator's internals carries a focused equivalence test.
+# ---------------------------------------------------------------------------
+
+
+def test_bound_evaluates_like_direct_application(spark):
+    """functions.bound routes a value through a single-element array so
+    lambdas see a bound variable instead of a re-inlined expression —
+    the RESULT must equal direct application, including NULL inputs."""
+    from dataingestionframework_spark.functions import bound, tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, ""), (3, None), (4, "  x  ")],
+        "id long, text string",
+    )
+    direct = df.select(
+        "id", F.size(F.array_distinct(tokens(F.col("text")))).alias("v")
+    )
+    via_bound = df.select(
+        "id",
+        bound(
+            tokens(F.col("text")), lambda t: F.size(F.array_distinct(t))
+        ).alias("v"),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_bound.collect())
+    )
+
+
+def test_blocked_fuzzy_pairs_threshold_levenshtein_equivalence(spark):
+    """The 3-arg (banded) levenshtein swap: pairs kept and their dist
+    values must equal the full-DP form, including dist=0 exact ties and
+    just-over-threshold pairs."""
+    from dataingestionframework_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "alpha", "b1"),
+        (2, "alpha", "b1"),   # dist 0
+        (3, "alphb", "b1"),   # dist 1 to alpha
+        (4, "alpxy", "b1"),   # dist 2 -> dropped at max_distance=1
+        (5, "gamma", "b2"),
+        (6, "gamm", "b2"),    # dist 1 (deletion)
+        (7, "delta", "b3"),   # alone in block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = sorted(
+        map(
+            tuple,
+            blocked_fuzzy_pairs(
+                df, id_col="id", name_col="name", block_cols=["blk"],
+                max_distance=1,
+            ).collect(),
+        )
+    )
+    # naive full-DP reference
+    naive = sorted(
+        map(
+            tuple,
+            df.alias("l")
+            .join(
+                df.alias("r"),
+                (F.col("l.blk") == F.col("r.blk"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.levenshtein(F.col("l.name"), F.col("r.name")).alias("dist"),
+            )
+            .filter(F.col("dist") <= 1)
+            .collect(),
+        )
+    )
+    assert got == naive and got  # non-empty: dist 0 and dist 1 pairs exist
+
+
+def test_assign_to_centroids_array_min_equivalence(spark):
+    """array_min + single-materialization rewrite must pick the same
+    (cluster, cos_sim) as the round-9 array_sort form — including zero
+    vectors (NULL cosine everywhere -> NULL-first ordering -> lowest
+    cid) and NULL vectors."""
+    from dataingestionframework_spark.functions import cosine_similarity
+    from dataingestionframework_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5]), (4, None),
+         (5, [-1.0, 0.0]), (6, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [1.0, 1.0]}
+    new = assign_to_centroids(df, cents, "embedding").orderBy("vec_id").collect()
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        cosine_similarity(
+                            F.col("embedding"), F.array(*[F.lit(x) for x in c])
+                        ),
+                        6,
+                    )
+                ).alias("nsim"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in sorted(cents.items())
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    old = (
+        df.withColumn("cluster_id", best["cid"])
+        .withColumn("cos_sim", -best["nsim"])
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
+
+
+def test_model_cache_is_process_scoped():
+    """Fitted-model caches (IVF centroids / PQ codebooks) must live in a
+    per-process directory: a path keyed only on the sf_dir would let one
+    bench/oracle invocation serve the next one's fit precomputed."""
+    import tempfile
+
+    from dataingestionframework_spark.plans import queries as q
+
+    p1 = q._model_path("tag-a")
+    p2 = q._model_path("tag-a")
+    p3 = q._model_path("tag-b")
+    assert p1 == p2 and p1 != p3
+    d = q._MODEL_DIR
+    assert d and d.startswith(tempfile.gettempdir()) and "dif_models_" in d
+    # the directory name embeds mkdtemp randomness, not a fixed name
+    assert d != tempfile.gettempdir()
