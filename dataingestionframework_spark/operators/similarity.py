@@ -315,7 +315,10 @@ def ivf_assign(
             for i, c in enumerate(centroids)
         ]
     )
-    assigned = df.withColumn("ivf_cell", F.element_at(F.array_sort(scored), 1)["cell"])
+    # least (dist, cell) struct == argmin with ties to the lower cell —
+    # array_min shares array_sort's ordering without sorting the struct
+    # array per row
+    assigned = df.withColumn("ivf_cell", F.array_min(scored)["cell"])
     return assigned, centroids
 
 
@@ -686,8 +689,9 @@ def pq_fit(
     # frame — submit them from driver threads so each fit's scheduling
     # gaps and stage tails back-fill with the next fit's tasks (guide
     # §2.6). Determinism unchanged: same per-subspace seed, and results
-    # are collected in subspace order. Measured 14.3 s → 4.1 s for the
-    # m=8 fit at sf0.1.
+    # are collected in subspace order. Measured ~2× on the m=8 fit at
+    # sf0.1 (sequential ≈ 13–15 s inside a cold pq_ann_topk run vs
+    # 7.9 s cold / 3.3 s warm parallel, fit in isolation).
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
