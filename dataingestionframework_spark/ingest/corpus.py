@@ -346,12 +346,34 @@ def corpus_incremental_near_dup_intake(
 
     Returns the started StreamingQuery (caller awaits termination).
     """
-    from ..operators.dedup import update_lsh_index_bucketed, verify_pairs_jaccard
+    from ..operators.dedup import (
+        update_lsh_index_bucketed,
+        verify_pairs_jaccard_arrays,
+    )
+    from ..session import release_checkpoint
 
     dropped_path = sink_path.rstrip("/") + "_dropped"
 
     def handle(batch: DataFrame, _epoch: int) -> None:
+        import os as _os
+        import sys as _sys
+        import time as _time
+
         spark = batch.sparkSession
+        _trace = _os.environ.get("DIF_PHASE_STDERR")
+        _t0 = _time.perf_counter()
+
+        def phase(name: str) -> None:
+            # opt-in per-phase wall timings (stderr only): the per-batch
+            # cost split the optimization rounds need without a UI
+            nonlocal _t0
+            if _trace:
+                t1 = _time.perf_counter()
+                print(
+                    f"# near_dup batch={_epoch} {name}: {t1 - _t0:.3f}s",
+                    file=_sys.stderr,
+                )
+                _t0 = t1
 
         def _read_or_none(path: str) -> DataFrame | None:
             # probe, not try/except: a transient read failure while the
@@ -372,19 +394,32 @@ def corpus_incremental_near_dup_intake(
                 blockers = part if blockers is None else blockers.unionByName(part)
         if blockers is not None:
             b = b.join(blockers.select(id_col), id_col, "left_anti")
-        b = b.localCheckpoint()  # pin the batch image across the two passes
+        # pin the batch image: b's lineage reads the sink/dropped stores
+        # through the anti-join and this handler appends to both below;
+        # the pin also stops the dropDuplicates shuffle re-running in
+        # every downstream action (measured: skipping the pin on
+        # blocker-less batches was a net LOSS — the recomputation costs
+        # more than the pin job)
+        b = b.localCheckpoint()
+        phase("pin_batch")
         pairs = update_lsh_index_bucketed(
             b, spark, index_table, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, bands=bands,
         )
+        phase("lsh_update")
         texts = b.select(id_col, text_col)
         if blockers is not None:
             texts = texts.unionByName(blockers)
-        verified = verify_pairs_jaccard(
+        # per-batch candidate sets are O(batch), so the lazy array-shape
+        # verify wins (see verify_pairs_jaccard_arrays); it also fuses
+        # with the drop-id projection into ONE action — the sims are
+        # only ever compared to the threshold here, never emitted
+        verified = verify_pairs_jaccard_arrays(
             pairs, texts, text_col, id_col, threshold=threshold
         )
         drop = verified.select(F.col("id_b").alias(id_col)).distinct()
         drop = drop.localCheckpoint()  # pin: feeds two writes below
+        phase("verify")
         (
             b.join(drop, id_col, "left_semi")
             .select(id_col, text_col)
@@ -392,6 +427,14 @@ def corpus_incremental_near_dup_intake(
             .parquet(dropped_path)
         )
         b.join(drop, id_col, "left_anti").write.mode("append").parquet(sink_path)
+        phase("writes")
+        # superseded per-batch state: the sink/dropped appends are the
+        # durable record, so the batch pins and candidate cache are
+        # never read again — release them now instead of holding every
+        # batch's blocks until the periodic GC (guide §5)
+        pairs.unpersist()
+        release_checkpoint(drop)
+        release_checkpoint(b)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -319,13 +319,28 @@ def update_lsh_index_bucketed(
     )
     pairs = within if cross is None else cross.union(within)
     pairs = pairs.filter(F.col("id_a") != F.col("id_b")).distinct().cache()
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _trace = _os.environ.get("DIF_PHASE_STDERR")
+    _t0 = _time.perf_counter()
     pairs.count()  # materialize BEFORE the index grows (self-pair safety)
+    if _trace:
+        _t1 = _time.perf_counter()
+        print(f"# lsh_bucketed candidates: {_t1 - _t0:.3f}s", file=_sys.stderr)
+        _t0 = _t1
     (
         bnew.write.mode("append")
         .bucketBy(n_buckets, "bucket_key")
         .sortBy("bucket_key")
         .saveAsTable(table_name)
     )
+    if _trace:
+        print(
+            f"# lsh_bucketed append: {_time.perf_counter() - _t0:.3f}s",
+            file=_sys.stderr,
+        )
     bnew.unpersist()
     return pairs
 
@@ -394,6 +409,82 @@ def minhash_lsh_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def verify_pairs_jaccard_arrays(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LAZY array-shape twin of :func:`verify_pairs_jaccard` for
+    BATCH-SIZED candidate sets: per-doc distinct-gram SETS are
+    collected into arrays (one aggregation), attached to each pair by
+    two id equi-joins, and |A∩B| is a per-pair ``array_intersect`` —
+    no pair×gram shuffle, no persist, no checkpoint, ~3 stages.
+
+    Scale split (both measured): at corpus-wide candidate counts the
+    join shape wins (325k candidates: 3.5 s vs 4.4 s, round 10); at
+    streaming-batch candidate counts the array shape wins (62
+    candidates: 0.83 s vs 1.19 s median, round 11) because stage count,
+    not data, is the cost. Use this from per-batch paths where
+    candidates are O(batch); use :func:`verify_pairs_jaccard` for
+    corpus-wide verification. Returns the identical
+    (id_a, id_b, jaccard_sim) rows — equivalence is pinned by
+    ``test_verify_pairs_jaccard_arrays_equivalence``.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "verify_pairs_jaccard_arrays requires threshold > 0: candidate "
+            "pairs with an empty gram intersection are dropped by the "
+            "inner joins"
+        )
+    from ..functions import exploded_word_ngrams
+
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(ids, id_col, "left_semi")
+    garr = (
+        exploded_word_ngrams(needed, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("gram").alias("_grams"))
+    )
+    # _ni referenced three times below: array_intersect is non-cheap,
+    # so CollapseProject keeps the staging projection (SPARK-36718)
+    # and the intersection is computed once per pair
+    return (
+        candidates.join(
+            garr.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga")),
+            "id_a",
+        )
+        .join(
+            garr.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_ga", "_gb")).alias("_ni"),
+            F.size("_ga").alias("_sa"),
+            F.size("_gb").alias("_sb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_ni").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_ni")).cast("double")
+            ).alias("_raw"),
+        )
+        # same unrounded-threshold contract as verify_pairs_jaccard
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_raw"), 4).alias("jaccard_sim"))
     )
 
 

@@ -318,28 +318,43 @@ def classification_metrics(
     pairs = df.groupBy(
         F.col(label_col).alias("_y"), F.col(pred_col).alias("_p")
     ).agg(F.count("*").alias("_n"))
-    by_true = pairs.groupBy(F.col("_y").alias("class")).agg(
-        F.sum("_n").alias("n_true"),
-        F.sum(
-            F.when(F.col("_y").eqNullSafe(F.col("_p")), F.col("_n"))
-        ).alias("_tp_t"),
-    )
-    by_pred = pairs.groupBy(F.col("_p").alias("class")).agg(
-        F.sum("_n").alias("n_pred")
-    )
-    out = (
-        by_true.alias("t")
-        .join(
-            by_pred.alias("q"),
-            F.col("t.class").eqNullSafe(F.col("q.class")),
-            "full_outer",
-        )
-        .select(
-            F.coalesce(F.col("t.class"), F.col("q.class")).alias("class"),
-            F.coalesce("n_true", F.lit(0)).alias("n_true"),
-            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
-            F.coalesce("_tp_t", F.lit(0)).alias("tp"),
-        )
+    # One pass over the tiny class-pair table: each (label, pred, n)
+    # row contributes a LABEL-role record (n_true, and tp when they
+    # null-safe-match) and a PRED-role record (n_pred), then a single
+    # groupBy(class) sums the roles. The former shape — separate
+    # by-label and by-pred aggregations full-outer-joined back — made
+    # ``pairs`` (and therefore the caller's whole prediction subtree)
+    # a two-consumer branch the optimizer re-evaluates per side; this
+    # keeps it single-consumer. NULL is still one class: grouping
+    # collates NULLs exactly like the old eqNullSafe join condition.
+    zero = F.lit(0).cast("long")
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_y").alias("class"),
+                    F.col("_n").alias("n_true"),
+                    zero.alias("n_pred"),
+                    F.when(
+                        F.col("_y").eqNullSafe(F.col("_p")), F.col("_n")
+                    ).otherwise(zero).alias("tp"),
+                ),
+                F.struct(
+                    F.col("_p").alias("class"),
+                    zero.alias("n_true"),
+                    F.col("_n").alias("n_pred"),
+                    zero.alias("tp"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    # sums are never NULL here (every group has rows, values are
+    # non-null); the coalesce only restores the former non-nullable
+    # schema so the cross-engine type gate sees an unchanged contract
+    out = both.groupBy("class").agg(
+        F.coalesce(F.sum("n_true"), F.lit(0)).alias("n_true"),
+        F.coalesce(F.sum("n_pred"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.sum("tp"), F.lit(0)).alias("tp"),
     )
     precision = F.when(
         F.col("n_pred") > 0, F.round(F.col("tp") / F.col("n_pred"), 4)

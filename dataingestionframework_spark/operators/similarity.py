@@ -702,9 +702,16 @@ def pq_fit(
         ).fit(slices)
         return [list(map(float, c)) for c in model.clusterCenters()]
 
-    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
-        books = list(pool.map(inheritable_thread_target(fit_one), range(m)))
-    slices.unpersist()
+    try:
+        # session-arg form: propagates job tags / local properties
+        # (scheduler pool, cancellation groups) to the fit threads and
+        # avoids the PySpark 4 'Tags will not be inherited' warning
+        wrapped = inheritable_thread_target(fit_df.sparkSession)(fit_one)
+        with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+            books = list(pool.map(wrapped, range(m)))
+    finally:
+        # a failed fit must not leave the sliced frame pinned in cache
+        slices.unpersist()
     return books
 
 
@@ -1636,11 +1643,14 @@ def assign_to_centroids(
     # the operator's entire cost). The _best alias is expensive and
     # referenced twice, so CollapseProject (SPARK-36718) keeps it
     # materialized rather than re-inlining.
+    best = "_best"
+    while best in df.columns:  # never clobber a caller's column
+        best += "_"
     return (
-        df.withColumn("_best", F.array_min(scored))
-        .withColumn("cluster_id", F.col("_best.cid"))
-        .withColumn("cos_sim", -F.col("_best.nsim"))
-        .drop("_best")
+        df.withColumn(best, F.array_min(scored))
+        .withColumn("cluster_id", F.col(best)["cid"])
+        .withColumn("cos_sim", -F.col(best)["nsim"])
+        .drop(best)
     )
 
 

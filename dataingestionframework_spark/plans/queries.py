@@ -46,17 +46,19 @@ def _gate_name(base: str) -> str:
 # process means every invocation fits from the parquet inputs before
 # any serving; atexit removes the directory.
 _MODEL_DIR: str | None = None
+_MODEL_DIR_LOCK = __import__("threading").Lock()
 
 
 def _model_path(tag: str) -> str:
     global _MODEL_DIR
-    if _MODEL_DIR is None:
-        import shutil
+    with _MODEL_DIR_LOCK:  # two concurrent first calls must share ONE dir
+        if _MODEL_DIR is None:
+            import shutil
 
-        _MODEL_DIR = tempfile.mkdtemp(prefix="dif_models_")
-        __import__("atexit").register(
-            lambda d=_MODEL_DIR: shutil.rmtree(d, ignore_errors=True)
-        )
+            _MODEL_DIR = tempfile.mkdtemp(prefix="dif_models_")
+            __import__("atexit").register(
+                lambda d=_MODEL_DIR: shutil.rmtree(d, ignore_errors=True)
+            )
     import hashlib
 
     return os.path.join(
@@ -1131,9 +1133,19 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma bound, not the 1-sigma coin-flip the default rsd=0.05 gives —
     the skew fuzz corpus (10^4 fresh keys) caught exactly that flake."""
     t = _t(spark, sf_dir)
-    exact = F.countDistinct("l_partkey")
+    # aggregate over the DISTINCT keys: mixing countDistinct with the
+    # non-distinct HLL in one agg makes Spark keep a partial HLL buffer
+    # PER KEY (1640 longs each at rsd=0.01 — a 260 MB aggregation state
+    # for 20k parts, the whole cost of this query). HLL register
+    # updates are idempotent (value → hash → register max), so the
+    # sketch over distinct values is bit-identical to the sketch over
+    # the raw scan, and count(key) over the distinct frame IS
+    # countDistinct(key) (both skip NULLs — count() of a non-null
+    # column; the lone NULL key row contributes to neither, as before).
+    keys = t("lineitem").select("l_partkey").distinct()
+    exact = F.count("l_partkey")
     approx = F.approx_count_distinct("l_partkey", 0.01)
-    return t("lineitem").agg(
+    return keys.agg(
         exact.alias("exact_parts"),
         # empty population: the verdict is NULL, not a divide-by-zero
         F.when(
@@ -1152,12 +1164,19 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the merged estimate (Spark's HLL sketches are seed-free)."""
     t = _t(spark, sf_dir)
     o = t("orders")
-    per_group = o.groupBy("o_orderpriority").agg(
+    # aggregate over the DISTINCT (priority, custkey) pairs: the mixed
+    # distinct + sketch agg otherwise keeps a partial HLL buffer per
+    # (priority, custkey) — see approx_distinct_parts. Sketch updates
+    # are idempotent, so the per-priority sketch over distinct custkeys
+    # is bit-identical, and count(custkey) over the pairs IS the old
+    # countDistinct (both skip NULLs).
+    pairs = o.select("o_orderpriority", "o_custkey").distinct()
+    per_group = pairs.groupBy("o_orderpriority").agg(
         # lgConfigK=14: rsd ~0.8%, so the 5% verdict is ~6 sigma
         # (the default 12 gives ~1.6% — too close to the bound under
         # adversarial cardinalities; see approx_distinct_parts)
         F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.count("o_custkey").alias("exact_custs"),
     )
     merged = per_group.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("hll_total"),
