@@ -339,7 +339,16 @@ def update_lsh_index_bucketed(
         print(f"# lsh_bucketed candidates: {_t1 - _t0:.3f}s", file=_sys.stderr)
         _t0 = _t1
     (
-        bnew.write.mode("append")
+        # repartition by the bucket column first: a bucketed write emits
+        # one file per (task, bucket-present) pair, so writing from the
+        # aggregate's ~core-count partitions appended ~500 tiny files
+        # PER BATCH (measured) — the accumulated index then pays
+        # listing/open cost on every later batch's scan (guide §6).
+        # Hash-repartitioning on bucket_key into n_buckets partitions
+        # uses the same Murmur3 pmod as the bucket assignment, so each
+        # task holds exactly one bucket: n_buckets files per append.
+        bnew.repartition(n_buckets, "bucket_key")
+        .write.mode("append")
         .bucketBy(n_buckets, "bucket_key")
         .sortBy("bucket_key")
         .saveAsTable(table_name)
