@@ -402,24 +402,35 @@ def corpus_incremental_near_dup_intake(
         # more than the pin job)
         b = b.localCheckpoint()
         phase("pin_batch")
-        pairs = update_lsh_index_bucketed(
-            b, spark, index_table, text_col=text_col, id_col=id_col,
-            num_hashes=num_hashes, bands=bands,
-        )
-        phase("lsh_update")
         texts = b.select(id_col, text_col)
         if blockers is not None:
             texts = texts.unionByName(blockers)
+
         # per-batch candidate sets are O(batch), so the lazy array-shape
-        # verify wins (see verify_pairs_jaccard_arrays); it also fuses
-        # with the drop-id projection into ONE action — the sims are
-        # only ever compared to the threshold here, never emitted
-        verified = verify_pairs_jaccard_arrays(
-            pairs, texts, text_col, id_col, threshold=threshold
+        # verify wins (see verify_pairs_jaccard_arrays); it fuses with
+        # the drop-id projection into ONE action (sims are only ever
+        # compared to the threshold here, never emitted) — and that
+        # action doubles as the candidate materialization the index
+        # update needs before its append (``consume``): one job per
+        # batch instead of count-then-verify
+        def _verify_drop(pairs: DataFrame) -> DataFrame:
+            verified = verify_pairs_jaccard_arrays(
+                pairs, texts, text_col, id_col, threshold=threshold
+            )
+            # localCheckpoint = full-scan action over the candidate
+            # frame, satisfying consume's materialization contract;
+            # the pin also feeds the two writes below
+            return (
+                verified.select(F.col("id_b").alias(id_col))
+                .distinct()
+                .localCheckpoint()
+            )
+
+        drop = update_lsh_index_bucketed(
+            b, spark, index_table, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, consume=_verify_drop,
         )
-        drop = verified.select(F.col("id_b").alias(id_col)).distinct()
-        drop = drop.localCheckpoint()  # pin: feeds two writes below
-        phase("verify")
+        phase("lsh_update_verify")
         (
             b.join(drop, id_col, "left_semi")
             .select(id_col, text_col)
@@ -429,10 +440,10 @@ def corpus_incremental_near_dup_intake(
         b.join(drop, id_col, "left_anti").write.mode("append").parquet(sink_path)
         phase("writes")
         # superseded per-batch state: the sink/dropped appends are the
-        # durable record, so the batch pins and candidate cache are
-        # never read again — release them now instead of holding every
-        # batch's blocks until the periodic GC (guide §5)
-        pairs.unpersist()
+        # durable record, so the batch pins are never read again —
+        # release them now instead of holding every batch's blocks
+        # until the periodic GC (guide §5; the candidate cache is
+        # released inside update_lsh_index_bucketed)
         release_checkpoint(drop)
         release_checkpoint(b)
 

@@ -267,6 +267,7 @@ def update_lsh_index_bucketed(
     num_hashes: int = 64,
     bands: int = 16,
     n_buckets: int = 16,
+    consume=None,
 ) -> DataFrame:
     """:func:`update_lsh_index` with the persisted index as a BUCKETED
     catalog table — the 100 TB layout the plain variant's docstring
@@ -290,7 +291,10 @@ def update_lsh_index_bucketed(
 
     Returns distinct candidate pairs (id_a, id_b), id_a < id_b — cross
     (new × indexed) plus within-batch — then appends the batch's band
-    rows to the index table for future batches.
+    rows to the index table for future batches. With ``consume`` (a
+    function from the cached candidate frame to a MATERIALIZED result —
+    see the inline contract), returns ``consume``'s result instead and
+    releases the candidate cache.
 
     Session note: Spark's table-relation cache is per-session — a
     DIFFERENT session (e.g. the driver session while foreachBatch
@@ -333,7 +337,20 @@ def update_lsh_index_bucketed(
 
     _trace = _os.environ.get("DIF_PHASE_STDERR")
     _t0 = _time.perf_counter()
-    pairs.count()  # materialize BEFORE the index grows (self-pair safety)
+    # the candidate frame must be FULLY materialized before the append
+    # grows the index (self-pair safety: a later scan of the lazy plan
+    # would see the batch's own band rows). ``consume`` lets the caller
+    # fuse its downstream action with that materialization — one job
+    # instead of count-then-consume — under the contract that it runs
+    # an action over the ENTIRE frame (a full-scan localCheckpoint /
+    # collect) before returning; its result is returned in place of
+    # ``pairs`` and the cache is released (nothing may read the lazy
+    # candidate plan after the append).
+    if consume is not None:
+        out = consume(pairs)
+    else:
+        pairs.count()  # materialize BEFORE the index grows
+        out = pairs
     if _trace:
         _t1 = _time.perf_counter()
         print(f"# lsh_bucketed candidates: {_t1 - _t0:.3f}s", file=_sys.stderr)
@@ -359,7 +376,9 @@ def update_lsh_index_bucketed(
             file=_sys.stderr,
         )
     bnew.unpersist()
-    return pairs
+    if consume is not None:
+        pairs.unpersist()
+    return out
 
 
 def minhash_lsh_candidates(
