@@ -847,8 +847,14 @@ def test_funnel_counts_monotone_and_order_invariant(spark, events):
     )
 
     def run(rows):
+        # millis must be a pure function of the EVENT (not the row
+        # position): an i-based fraction makes same-second timestamps
+        # depend on list order, so reversing the input legitimately
+        # changes a strictly-after funnel (hypothesis found the minimal
+        # case [(0,0,0),(0,0,1)]) — that was a test bug, not an
+        # operator one
         df = spark.createDataFrame(
-            [(i, f"2024-01-01 00:00:{s:02d}.{i:03d}", u, f"s{k}")
+            [(i, f"2024-01-01 00:00:{s:02d}.{(u * 211 + s * 17 + k * 3) % 1000:03d}", u, f"s{k}")
              for i, (u, s, k) in enumerate(rows)],
             "event_id long, ts string, user_id long, event_type string",
         ).withColumn("ts", F.col("ts").cast("timestamp"))
